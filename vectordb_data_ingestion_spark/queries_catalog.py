@@ -1,0 +1,493 @@
+"""Registry of oracle-checked queries: every operator in SURVEY.md §2 gets a
+Spark implementation and a DuckDB-equivalent SQL string.
+
+Conventions (driver compare = row count + schema + order-insensitive
+value-hash after sorting columns by name):
+
+- every computed column is aliased identically on both sides,
+- floating-point results are rounded to 6 decimals on both sides,
+- integer aggregates are cast to BIGINT on both sides (DuckDB sums ints to
+  HUGEINT),
+- DuckDB ``regexp_replace`` gets the ``'g'`` flag wherever Spark's
+  replace-all semantics are assumed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from vectordb_data_ingestion_spark.functions.chunking import (
+    chunk_fixed_size_overlap,
+    chunk_fixed_size_overlap_sql,
+)
+from vectordb_data_ingestion_spark.functions.text import (
+    TOKEN_PATTERN,
+    clean_text,
+    clean_text_sql,
+    token_count,
+)
+from vectordb_data_ingestion_spark.operators import catalog as cat
+from vectordb_data_ingestion_spark.operators.chunk_pipeline import (
+    attach_embeddings,
+    build_chunk_table,
+)
+from vectordb_data_ingestion_spark.operators.similarity import topk_by_certainty
+from vectordb_data_ingestion_spark.session import load_tables
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    tables = load_tables(spark, sf_dir, names or None)
+    return [tables[n] for n in names] if names else tables
+
+
+# ---------------------------------------------------------------------------
+# Catalog / relational operators (SURVEY §2.3, §2.4)
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic filenames over documents: ext cycles by doc_id.
+_EXTS = ["pdf", "docx", "pptx", "txt", "msg"]
+_EXT_SQL = "['pdf','docx','pptx','txt','msg'][CAST(doc_id % 5 AS INTEGER) + 1]"
+
+
+def _with_names(documents: DataFrame) -> DataFrame:
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in _EXTS]), (F.col("doc_id") % 5).cast("int") + 1
+    )
+    return documents.withColumn(
+        "name", F.concat(F.lit("doc_"), F.col("doc_id"), F.lit("."), ext)
+    )
+
+
+@register(
+    "file_type_extract",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'doc_' || doc_id || '.' || {_EXT_SQL} AS name,
+           regexp_extract('doc_' || doc_id || '.' || {_EXT_SQL},
+                          '\\.([a-zA-Z0-9]+)$', 1) AS file_type
+    FROM documents
+    """,
+)
+def q_file_type_extract(spark, sf_dir):
+    """Regex extension extraction - sharepointutils.py:103-108."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    df = _with_names(docs)
+    return df.select(
+        "doc_id", "name", cat.file_type("name").alias("file_type")
+    )
+
+
+@register(
+    "distinct_file_types",
+    f"""
+    SELECT DISTINCT regexp_extract('doc_' || doc_id || '.' || {_EXT_SQL},
+                                   '\\.([a-zA-Z0-9]+)$', 1) AS file_type
+    FROM documents
+    """,
+)
+def q_distinct_file_types(spark, sf_dir):
+    """list_all_filetypes - sharepointutils.py:110-117."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return cat.distinct_file_types(_with_names(docs))
+
+
+@register(
+    "delta_filter",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id, ts, event_type
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def q_delta_filter(spark, sf_dir):
+    """Watermark predicate (modified_dt > load_dt) - sharepointutils.py:158-161."""
+    (events,) = _t(spark, sf_dir, "events")
+    return cat.delta_filter(events, "ts", "2024-01-15 00:00:00").select(
+        "event_id", "ts", "event_type"
+    )
+
+
+@register(
+    "incremental_diff",
+    """
+    WITH local AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN o_orderdate - INTERVAL 1 DAY
+                  ELSE o_orderdate END AS o_orderdate
+      FROM orders WHERE o_orderkey % 10 != 0
+    )
+    SELECT CAST(r.o_orderkey AS BIGINT) AS o_orderkey,
+           r.o_orderdate AS modified_dt,
+           CASE WHEN l.o_orderkey IS NULL THEN 'new' ELSE 'updated' END AS change_type
+    FROM orders r LEFT JOIN local l ON r.o_orderkey = l.o_orderkey
+    WHERE l.o_orderkey IS NULL OR l.o_orderdate < r.o_orderdate
+    """,
+)
+def q_incremental_diff(spark, sf_dir):
+    """New/updated-file diff (anti + inequality join) -
+    sharepointutils.py:169-186. Local catalog is derived deterministically
+    from orders: 10% of keys missing (new), keys % 7 == 0 backdated a day
+    (updated)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    remote = orders.select(
+        F.col("o_orderkey").alias("name"), F.col("o_orderdate").alias("modified_dt")
+    )
+    local = (
+        orders.filter(F.col("o_orderkey") % 10 != 0)
+        .select(
+            F.col("o_orderkey").alias("name"),
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.col("o_orderdate") - F.expr("INTERVAL 1 DAY"),
+            )
+            .otherwise(F.col("o_orderdate"))
+            .alias("modified_dt"),
+        )
+    )
+    loc = broadcast(
+        local.select(
+            F.col("name").alias("__l_name"), F.col("modified_dt").alias("__l_ts")
+        )
+    )
+    joined = remote.join(loc, remote["name"] == loc["__l_name"], "left")
+    return joined.select(
+        F.col("name").alias("o_orderkey"),
+        F.col("modified_dt"),
+        F.when(F.col("__l_name").isNull(), "new").otherwise("updated").alias(
+            "change_type"
+        ),
+    ).filter(
+        F.col("__l_name").isNull() | (F.col("__l_ts") < F.col("modified_dt"))
+    ).select("o_orderkey", "modified_dt", "change_type")
+
+
+@register(
+    "seqno",
+    """
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           CAST(row_number() OVER (ORDER BY s_name) - 1 AS INTEGER) AS index
+    FROM supplier
+    """,
+)
+def q_seqno(spark, sf_dir):
+    """Sequence-number derivation - sharepointutils.py:162-165."""
+    (supplier,) = _t(spark, sf_dir, "supplier")
+    return cat.with_seqno(supplier, "s_name").select("s_suppkey", "s_name", "index")
+
+
+@register(
+    "url_synthesis",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'https://example.sharepoint.com' || '/' || source || '/' ||
+           'doc_' || doc_id || '.txt' AS full_url
+    FROM documents
+    """,
+)
+def q_url_synthesis(spark, sf_dir):
+    """URL synthesis domain+url+/+name - sharepointutils.py:293-295."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    df = docs.withColumn(
+        "name", F.concat(F.lit("doc_"), F.col("doc_id"), F.lit(".txt"))
+    ).withColumn("rel", F.concat(F.lit("/"), F.col("source")))
+    return cat.synthesize_url(df, "https://example.sharepoint.com", "rel", "name").select(
+        "doc_id", "full_url"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text functions / chunking (SURVEY §2.5, §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "clean_text",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {clean_text_sql('text')} AS clean
+    FROM documents
+    """,
+)
+def q_clean_text(spark, sf_dir):
+    """remove_unicode semantics - parsers.py:170-183."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", clean_text("text").alias("clean"))
+
+
+@register(
+    "token_count",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+                AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf_dir):
+    """Deterministic regex tokenizer standing in for tiktoken -
+    sharepointutils.py:364,379."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+@register(
+    "chunk_fixed_overlap",
+    chunk_fixed_size_overlap_sql(
+        "documents", "text", chunk_size=20, overlap_fraction=0.2,
+        id_cols="CAST(doc_id AS BIGINT) AS doc_id",
+    ),
+)
+def q_chunk_fixed_overlap(spark, sf_dir):
+    """Fixed-size word chunking with overlap, exact
+    get_chunks_fixed_size_with_overlap semantics - parsers.py:40-68."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return chunk_fixed_size_overlap(docs, "text", 20, 0.2).select(
+        "doc_id", "chunk_index", "chunk_text"
+    )
+
+
+@register(
+    "string_compose_kb",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'Short Description : ' || CAST(doc_id AS VARCHAR) ||
+           ' Full Article: ' || text AS composed
+    FROM documents
+    """,
+)
+def q_string_compose_kb(spark, sf_dir):
+    """KB prefix composition - sharepointutils.py:383-384."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Short Description : "),
+            F.col("doc_id").cast("string"),
+            F.lit(" Full Article: "),
+            F.col("text"),
+        ).alias("composed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / windows (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    """Relational-spine aggregate (TPC-H Q1 shape) - partial aggregation
+    map-side, two-column shuffle key only."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "events_hourly_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly_window(spark, sf_dir):
+    """Tumbling-window aggregate (batch shape of the streaming rollup)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity (SURVEY §2.8 extension; cfg.toml:23-25,48 semantics)
+# ---------------------------------------------------------------------------
+
+_CERTAINTY_SQL = (
+    "((1.0 + list_dot_product(ce, qe) / "
+    "(sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe)))) / 2.0)"
+)
+
+
+@register(
+    "topk_certainty",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.q_id, c.vec_id, ROUND({_CERTAINTY_SQL}, 6) AS certainty
+      FROM c CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, certainty,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY certainty DESC, vec_id ASC) AS rn
+      FROM scored WHERE certainty >= 0.5
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id, certainty
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q_topk_certainty(spark, sf_dir):
+    """Top-k by certainty with threshold - the reference's query-side
+    semantics (cfg.toml: context_top_n=3, top_by_certainty)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return topk_by_certainty(emb, queries, k=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Dedup (north-star extension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT md5(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM corpus GROUP BY md5(text)
+    """,
+)
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup via content hash + groupBy (keeps lowest doc_id). The
+    input unions deterministic duplicate copies so the operator has real
+    work. Map-side partial agg keeps the shuffle to one row per distinct
+    hash."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return corpus.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship (entry smoke)
+# ---------------------------------------------------------------------------
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> clean -> chunk -> tokens -> deterministic chunk ids ->
+    embedding join -> top-3 chunks by certainty for 3 query vectors."""
+    tables = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    docs, emb = tables["documents"], tables["embeddings"]
+    chunks = build_chunk_table(docs, chunk_size=32, overlap_fraction=0.25)
+    chunks = attach_embeddings(chunks, emb, broadcast_embeddings=True)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    corpus = chunks.select(
+        F.col("chunk_id"), F.col("vector").alias("embedding"), "n_tokens"
+    )
+    return topk_by_certainty(
+        corpus, queries, k=3, threshold=0.0, corpus_id="chunk_id"
+    )
+
+
+@register(
+    "chunk_table_pipeline",
+    f"""
+    WITH cleaned AS (
+      SELECT doc_id, {clean_text_sql('text')} AS clean FROM documents
+    ),
+    w AS (
+      SELECT doc_id, string_split(regexp_replace(clean, '\\s+', ' ', 'g'), ' ') AS words
+      FROM cleaned
+    ),
+    s AS (
+      SELECT doc_id, words,
+             unnest(range(0, greatest(len(words), 1), 32)) AS start
+      FROM w
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(start / 32 AS INTEGER) AS chunk_index,
+             'Short Description : ' || CAST(doc_id AS VARCHAR) || ' Full Article: ' ||
+               array_to_string(words[greatest(start - 8, 0) + 1 : start + 32], ' ')
+               AS chunk_text
+      FROM s
+    )
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id, c.chunk_index,
+           CAST(len(regexp_extract_all(c.chunk_text,
+                '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens,
+           sha256(CAST(c.doc_id AS VARCHAR) || '#' || CAST(c.chunk_index AS VARCHAR))
+             AS chunk_id
+    FROM chunks c JOIN embeddings e ON c.doc_id = e.vec_id
+    """,
+)
+def q_chunk_table_pipeline(spark, sf_dir):
+    """The ingestion spine as one plan: weaviate_vector_data_preparation
+    (sharepointutils.py:331-409) without the serial loops."""
+    tables = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    chunks = build_chunk_table(
+        tables["documents"], chunk_size=32, overlap_fraction=0.25
+    )
+    chunks = attach_embeddings(chunks, tables["embeddings"], broadcast_embeddings=True)
+    return chunks.select("doc_id", "chunk_index", "n_tokens", "chunk_id")
