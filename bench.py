@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is forced with the noop sink (full execution, no driver-side
+collect bottleneck), which is how a cluster job would be measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from vectordb_data_ingestion_spark import queries_catalog
+from vectordb_data_ingestion_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: the ingestion spine + the expensive operator shapes
+# (agg, diff join, window, dedup, similarity).
+HEADLINE = [
+    "chunk_table_pipeline",
+    "chunk_fixed_overlap",
+    "token_count",
+    "clean_text",
+    "pricing_summary",
+    "incremental_diff",
+    "events_hourly_window",
+    "topk_certainty",
+    "exact_dedup",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not session startup
+    queries_catalog.SPARK_QUERIES["pricing_summary"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries_catalog.SPARK_QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline_query_wall_seconds_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
