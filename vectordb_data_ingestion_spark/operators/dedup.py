@@ -1,0 +1,350 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+North-star extensions beyond the reference (BASELINE.json): the reference
+only ever dedups file types via ``set()`` (sharepointutils.py:110-117); a
+100 TB corpus needs content-level dedup. Five strategies, all shuffle-aware:
+
+- :func:`exact_dedup`          - content-hash groupBy (one shuffle on the
+  hash; map-side partial agg collapses duplicates early).
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` - Jaccard near-dup
+  at scale: shingle -> K seeded min-hashes -> band hashes -> bucket equi-join.
+  Candidate generation is an equi-join on (band, band_hash) so Spark hash-
+  partitions it - no quadratic blowup; verification computes exact Jaccard
+  only on candidates.
+- :func:`simhash` / :func:`simhash_pairs` - Hamming-distance near-dup:
+  B-bit signature via per-bit vote aggregation (single narrow projection),
+  pairs via same-signature buckets (or rotate-band buckets for distance>0).
+- :func:`ngram_jaccard_pairs`  - exact Jaccard within cheap blocking keys
+  (language + length band) - the quadratic fallback, bounded per block.
+- :func:`embedding_near_dup_pairs` - cosine near-dup via sign-bit LSH
+  buckets over the embedding itself, verify with exact cosine.
+
+Every hash is the cross-engine md5-based 32-bit hash (functions.hashing) so
+each operator is DuckDB-oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_data_ingestion_spark.functions.hashing import (
+    md5_hash32_seeded,
+    md5_hash32_seeded_sql,
+)
+from vectordb_data_ingestion_spark.functions.text import word_split
+from vectordb_data_ingestion_spark.functions.vectors import (
+    cosine_similarity,
+    to_double_array,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (lowest id) per distinct text. Hash first so the shuffle
+    key is 32 bytes, not the document body."""
+    hashed = df.withColumn("__h", F.md5(F.col(text_col)))
+    keep = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return (
+        hashed.join(keep, ["__h", id_col], "inner")
+        .drop("__h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles / MinHash
+# ---------------------------------------------------------------------------
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM-side: split ->
+    sequence -> slice -> array_distinct)."""
+    words = word_split(col)
+    starts = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        starts, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    )
+    return F.array_distinct(grams)
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"range(0, greatest(len(string_split(regexp_replace({expr}, '\\s+', ' ', 'g'), ' ')) - {n}, 0) + 1), "
+        f"i -> array_to_string(string_split(regexp_replace({expr}, '\\s+', ' ', 'g'), ' ')[i + 1 : i + {n}], ' ')))"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig) where sig[k] = min over shingles of seeded hash k. One
+    narrow projection - no shuffle, no UDF."""
+    sh = shingles(F.col(text_col), shingle_n)
+
+    # NB: the lambda must be unary - F.transform interprets a two-parameter
+    # lambda as (element, index), which would silently replace the seed.
+    def hasher(seed: int):
+        return lambda x: md5_hash32_seeded(x, seed)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, hasher(k)))
+            for k in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs: band the signature, bucket-join on
+    (band_index, band_hash), verify candidates with exact Jaccard.
+
+    The join key is an equality on the band hash -> plain hash-partitioned
+    equi-join; work scales with bucket sizes, not corpus^2.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    withsh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    sigs = sigs.join(withsh, id_col)
+
+    banded = sigs.select(
+        id_col,
+        "__sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"), "band", "band_hash"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"), "band", "band_hash"
+    )
+    cand = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """B-bit SimHash: per word-hash, vote +1/-1 on each bit; signature bit j
+    is 1 iff the vote sum is positive. Pure projection (aggregate over the
+    word array) - no shuffle."""
+    words = F.array_distinct(word_split(F.col(text_col)))
+    hashes = F.transform(words, lambda w: md5_hash32_seeded(w, 0))
+    staged = df.select(F.col(id_col), hashes.alias("__hashes"))
+
+    # bit index must be a python int (F.shiftright takes a literal count)
+    def vote(j: int) -> Column:
+        return F.aggregate(
+            F.col("__hashes"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(1) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long"),
+        )
+
+    sig = None
+    for j in range(bits):
+        term = F.when(vote(j) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return staged.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_sql(expr: str, id_expr: str, table: str, bits: int = 16) -> str:
+    """DuckDB oracle for :func:`simhash` (same vote semantics)."""
+    w = f"list_distinct(string_split(regexp_replace({expr}, '\\s+', ' ', 'g'), ' '))"
+    h = md5_hash32_seeded_sql("x", 0)
+    votes = ", ".join(
+        f"list_sum(list_transform({w}, x -> CASE WHEN ({h} >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END))"
+        for j in range(bits)
+    )
+    bit_sum = " + ".join(
+        f"(CASE WHEN v[{j + 1}] > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return (
+        f"SELECT CAST({id_expr} AS BIGINT) AS doc_id, "
+        f"CAST({bit_sum} AS BIGINT) AS simhash "
+        f"FROM (SELECT {id_expr}, [{votes}] AS v FROM {table})"
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Candidate pairs whose SimHash Hamming distance <= ``max_hamming``.
+    Buckets on the signature split into (max_hamming+1) segments - by the
+    pigeonhole principle two signatures within the distance share at least
+    one exact segment, so candidates come from equi-joins, never a cross
+    join."""
+    segs = max_hamming + 1
+    seg_bits = bits // segs
+    sh = simhash(df, text_col, id_col, bits)
+    mask = (1 << seg_bits) - 1
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", s * seg_bits).bitwiseAND(mask)
+                    for s in range(segs)
+                ]
+            )
+        ).alias("seg", "seg_val"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "seg", "seg_val"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "seg", "seg_val"
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, ["seg", "seg_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked exact Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = (),
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs within blocking keys. Quadratic *per
+    block* - use when blocks are known-small; otherwise use minhash LSH."""
+    base = df.select(
+        F.col(id_col), *block_cols, shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    left = base.select(
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"), *block_cols
+    )
+    right = base.select(
+        F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"), *block_cols
+    )
+    joined = (
+        left.join(right, list(block_cols)) if block_cols else left.crossJoin(right)
+    ).filter(F.col("id_a") < F.col("id_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sign_bits: int = 8,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Near-identical embedding pairs: bucket on the sign pattern of the
+    first ``sign_bits`` dimensions (a deterministic hyperplane LSH), then
+    exact cosine within buckets. Vectors with cosine -> 1 share signs on
+    every dimension, so recall at high thresholds is ~1 while the join stays
+    an equi-join."""
+    v = to_double_array(F.col(vec_col))
+    bucket = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(v, i + 1) > 0, "1").otherwise("0")
+            for i in range(sign_bits)
+        ],
+    )
+    base = df.select(F.col(id_col), F.col(vec_col), bucket.alias("__b"))
+    left = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__b"
+    )
+    right = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__b"
+    )
+    cos = F.round(
+        cosine_similarity(to_double_array(F.col("va")), to_double_array(F.col("vb"))),
+        6,
+    )
+    return (
+        left.join(right, "__b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

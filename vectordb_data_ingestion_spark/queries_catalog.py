@@ -429,6 +429,230 @@ def q_exact_dedup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Near-duplicate dedup family (north-star extension)
+# ---------------------------------------------------------------------------
+
+from vectordb_data_ingestion_spark.operators import dedup as dd
+from vectordb_data_ingestion_spark.functions.hashing import md5_hash32_seeded_sql
+
+# Deterministic near-dup corpus: every 7th document gets a copy with its
+# first word dropped (high-Jaccard near-duplicate, new id).
+_NEARDUP_CORPUS_SQL = """
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         regexp_replace(text, '^\\S+\\s*', '') AS text, lang
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _neardup_corpus(docs: DataFrame) -> DataFrame:
+    perturbed = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
+        "lang",
+    )
+    return docs.select("doc_id", "text", "lang").unionAll(perturbed)
+
+
+_MINHASH_K = 16
+_MINHASH_BANDS = 4
+_ROWS_PER_BAND = _MINHASH_K // _MINHASH_BANDS
+_SHINGLE_N = 3
+
+_SH_SQL = dd.shingles_sql("text", _SHINGLE_N)
+_SIG_SQL = ", ".join(
+    f"list_min(list_transform(sh, x -> {md5_hash32_seeded_sql('x', k)}))"
+    for k in range(_MINHASH_K)
+)
+_BAND_HASH_SQL = "md5(concat_ws('_', " + ", ".join(
+    f"sig[band * {_ROWS_PER_BAND} + {r + 1}]" for r in range(_ROWS_PER_BAND)
+) + "))"
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM corpus),
+    sig AS (SELECT doc_id, [{_SIG_SQL}] AS sig FROM sh)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(sig[1] AS BIGINT) AS minhash_0,
+           md5(concat_ws('_', sig[1], sig[2], sig[3], sig[4], sig[5], sig[6],
+                         sig[7], sig[8], sig[9], sig[10], sig[11], sig[12],
+                         sig[13], sig[14], sig[15], sig[16])) AS sig_hash
+    FROM sig
+    """,
+)
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (16 seeded hashes over 3-gram shingles); exported
+    as scalar columns (first hash + md5 of the whole signature) for robust
+    comparison."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(
+        _neardup_corpus(docs), num_hashes=_MINHASH_K, shingle_n=_SHINGLE_N
+    )
+    return sigs.select(
+        "doc_id",
+        F.element_at("signature", 1).alias("minhash_0"),
+        F.md5(F.concat_ws("_", *[F.element_at("signature", i + 1) for i in range(_MINHASH_K)])).alias(
+            "sig_hash"
+        ),
+    )
+
+
+@register(
+    "minhash_lsh_near_dup",
+    f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM corpus),
+    sig AS (SELECT doc_id, sh, [{_SIG_SQL}] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, sh, band, {_BAND_HASH_SQL} AS band_hash
+      FROM (SELECT doc_id, sh, sig, unnest(range(0, {_MINHASH_BANDS})) AS band
+            FROM sig)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                   len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+      FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+                JOIN sh sb ON cand.id_b = sb.doc_id
+    )
+    SELECT * FROM scored WHERE jaccard >= 0.5
+    """,
+)
+def q_minhash_lsh_near_dup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs: shingle -> 16 min-hashes -> 4 bands ->
+    bucket equi-join -> exact-Jaccard verify at 0.5."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        _neardup_corpus(docs),
+        num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+        shingle_n=_SHINGLE_N,
+        jaccard_threshold=0.5,
+    )
+
+
+_SIMHASH_BITS = 32
+
+
+@register(
+    "simhash",
+    dd.simhash_sql("text", "doc_id", f"({_NEARDUP_CORPUS_SQL})", _SIMHASH_BITS),
+)
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash signature per document (per-bit vote over word
+    hashes)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dd.simhash(_neardup_corpus(docs), bits=_SIMHASH_BITS)
+
+
+@register(
+    "simhash_near_dup",
+    f"""
+    WITH s AS ({dd.simhash_sql("text", "doc_id", f"({_NEARDUP_CORPUS_SQL})", _SIMHASH_BITS)})
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 2) via pigeonhole segment buckets;
+    the oracle computes all-pairs Hamming directly - valid because segment
+    bucketing has guaranteed recall at the distance bound."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dd.simhash_pairs(
+        _neardup_corpus(docs), bits=_SIMHASH_BITS, max_hamming=2
+    )
+
+
+@register(
+    "ngram_jaccard_near_dup",
+    f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    sh AS (SELECT doc_id, lang, {_SH_SQL} AS sh FROM corpus),
+    scored AS (
+      SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+             ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM scored WHERE jaccard >= 0.5
+    """,
+)
+def q_ngram_jaccard_near_dup(spark, sf_dir):
+    """Exact n-gram Jaccard pairs within language blocks (quadratic per
+    block; LSH is the scale path)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        _neardup_corpus(docs),
+        block_cols=("lang",),
+        shingle_n=_SHINGLE_N,
+        threshold=0.5,
+    )
+
+
+@register(
+    "embedding_near_dup",
+    """
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001) AS v
+      FROM embeddings WHERE vec_id % 9 = 0
+    ),
+    bucketed AS (
+      SELECT vec_id, v,
+             concat(CASE WHEN v[1] > 0 THEN '1' ELSE '0' END,
+                    CASE WHEN v[2] > 0 THEN '1' ELSE '0' END,
+                    CASE WHEN v[3] > 0 THEN '1' ELSE '0' END,
+                    CASE WHEN v[4] > 0 THEN '1' ELSE '0' END,
+                    CASE WHEN v[5] > 0 THEN '1' ELSE '0' END,
+                    CASE WHEN v[6] > 0 THEN '1' ELSE '0' END,
+                    CASE WHEN v[7] > 0 THEN '1' ELSE '0' END,
+                    CASE WHEN v[8] > 0 THEN '1' ELSE '0' END) AS b
+      FROM corpus
+    ),
+    scored AS (
+      SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+             ROUND(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                   6) AS cosine
+      FROM bucketed a JOIN bucketed b ON a.b = b.b AND a.vec_id < b.vec_id
+    )
+    SELECT * FROM scored WHERE cosine >= 0.999
+    """,
+)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via sign-bit LSH buckets + exact
+    cosine verify. Corpus includes deterministic scaled copies (cosine=1)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    perturbed = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 1.001).alias("v"),
+    )
+    corpus = base.unionAll(perturbed)
+    return dd.embedding_near_dup_pairs(
+        corpus, vec_col="v", id_col="vec_id", sign_bits=8, threshold=0.999
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship (entry smoke)
 # ---------------------------------------------------------------------------
 
