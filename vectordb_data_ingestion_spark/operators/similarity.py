@@ -135,7 +135,9 @@ def ivf_topk(
         r[0]
         for r in centroids.select(
             F.col(centroid_id),
-            cosine_similarity(to_double_array(F.col(centroid_vec)), qv).alias("s"),
+            F.round(
+                cosine_similarity(to_double_array(F.col(centroid_vec)), qv), 6
+            ).alias("s"),
         )
         .orderBy(F.desc("s"), F.asc(centroid_id))
         .limit(n_probe)

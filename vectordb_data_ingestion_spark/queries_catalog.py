@@ -428,6 +428,152 @@ def q_exact_dedup(spark, sf_dir):
     )
 
 
+_DBL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@register(
+    "brute_force_topk",
+    f"""
+    WITH q AS (SELECT {_DBL} AS qe FROM embeddings WHERE vec_id = 7),
+    c AS (SELECT vec_id, {_DBL} AS ce FROM embeddings),
+    scored AS (
+      SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+             ROUND(list_dot_product(ce, qe) /
+                   (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe))),
+                   6) AS cosine
+      FROM c CROSS JOIN q
+    )
+    SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q_brute_force_topk(spark, sf_dir):
+    """Exact cosine top-10 for one query vector: narrow scan + TakeOrdered
+    (per-partition heap + driver merge, no shuffle/sort)."""
+    from vectordb_data_ingestion_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = broadcast(
+        emb.filter(F.col("vec_id") == 7).select(
+            to_double_array("embedding").alias("qe")
+        )
+    )
+    scored = emb.crossJoin(q).select(
+        "vec_id",
+        F.round(
+            cosine_similarity(to_double_array(F.col("embedding")), F.col("qe")), 6
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+
+
+_CENTROID_PRED = "vec_id % 100 = 10"
+
+_IVF_ASSIGN_SQL = f"""
+    cen AS (SELECT vec_id AS c_id, {_DBL} AS ce FROM embeddings
+            WHERE {_CENTROID_PRED}),
+    c AS (SELECT vec_id, {_DBL} AS ve FROM embeddings),
+    scored AS (
+      SELECT c.vec_id, cen.c_id,
+             ROUND(list_dot_product(ve, ce) /
+                   (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))),
+                   6) AS sim
+      FROM c CROSS JOIN cen
+    ),
+    assigned AS (
+      SELECT vec_id, c_id AS cell FROM (
+        SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, c_id ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+"""
+
+
+def _ivf_parts(spark, sf_dir):
+    from vectordb_data_ingestion_spark.operators.similarity import assign_ivf_cells
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.expr(_CENTROID_PRED)).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_embedding")
+    )
+    assigned = assign_ivf_cells(
+        emb, centroids, centroid_id="c_id", centroid_vec="c_embedding"
+    )
+    return emb, centroids, assigned
+
+
+@register(
+    "ivf_assign",
+    f"WITH {_IVF_ASSIGN_SQL} SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+    "CAST(cell AS BIGINT) AS cell FROM assigned",
+)
+def q_ivf_assign(spark, sf_dir):
+    """IVF cell assignment: nearest centroid per vector (broadcast
+    centroids, one narrow pass). At scale, the corpus is then written
+    partitioned by cell so probes prune files."""
+    _, _, assigned = _ivf_parts(spark, sf_dir)
+    return assigned.select("vec_id", "cell")
+
+
+@register(
+    "ivf_topk",
+    f"""
+    WITH {_IVF_ASSIGN_SQL},
+    q AS (SELECT {_DBL} AS qe FROM embeddings WHERE vec_id = 7),
+    probe AS (
+      SELECT c_id FROM (
+        SELECT cen.c_id,
+               ROUND(list_dot_product(qe, ce) /
+                     (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+                     6) AS s,
+               row_number() OVER (ORDER BY
+                 ROUND(list_dot_product(qe, ce) /
+                       (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+                       6) DESC, cen.c_id ASC) AS rn
+        FROM cen CROSS JOIN q
+      ) WHERE rn <= 2
+    ),
+    pruned AS (
+      SELECT a.vec_id, c.ve FROM assigned a
+      JOIN c ON a.vec_id = c.vec_id
+      WHERE a.cell IN (SELECT c_id FROM probe)
+    ),
+    final_scored AS (
+      SELECT CAST(p.vec_id AS BIGINT) AS vec_id,
+             ROUND(list_dot_product(ve, qe) /
+                   (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe))),
+                   6) AS cosine
+      FROM pruned p CROSS JOIN q
+    )
+    SELECT vec_id, cosine FROM final_scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-10: probe the 2 nearest cells only - the
+    equality filter on cell prunes partitions/files on a cell-partitioned
+    corpus."""
+    from vectordb_data_ingestion_spark.operators.similarity import ivf_topk
+
+    emb, centroids, assigned = _ivf_parts(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    ]
+    return ivf_topk(
+        assigned,
+        centroids,
+        qv,
+        k=10,
+        n_probe=2,
+        centroid_id="c_id",
+        centroid_vec="c_embedding",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-duplicate dedup family (north-star extension)
 # ---------------------------------------------------------------------------
