@@ -1,0 +1,193 @@
+"""Corpus text-analysis operators (north-star extension).
+
+Language ID (stopword-hit heuristic), quality scoring (length / punctuation /
+stopword-density mix), corpus statistics, and winnowing-style document
+fingerprints. Every operator is a pure column-expression composition, and each
+has a DuckDB-SQL twin generated from the same constants so the Spark and
+oracle sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_data_ingestion_spark.functions.hashing import (
+    md5_hash32_seeded,
+    md5_hash32_seeded_sql,
+)
+from vectordb_data_ingestion_spark.functions.text import word_split
+
+# Small deterministic stopword lists; latin scripts match word-bounded,
+# zh matches single characters.
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "a", "and", "of", "to", "in", "is", "for"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "zh": ["的", "是", "不", "了", "在", "人"],
+}
+
+LANGS = sorted(STOPWORDS)  # de, en, es, fr, zh - also the tie-break order
+
+
+def _lang_pattern(lang: str) -> str:
+    words = STOPWORDS[lang]
+    if lang == "zh":
+        return "(?:" + "|".join(words) + ")"
+    return r"(?i)\b(?:" + "|".join(words) + r")\b"
+
+
+def lang_score(col: Column | str, lang: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(_lang_pattern(lang)), 0))
+
+
+def lang_score_sql(expr: str, lang: str) -> str:
+    pat = _lang_pattern(lang).replace("'", "''")
+    return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+
+def lang_id(col: Column | str) -> Column:
+    """Predicted language = first lang (in LANGS order) achieving the max
+    stopword-hit count; 'und' (undetermined) when no stopword matches."""
+    scores = {lang: lang_score(col, lang) for lang in LANGS}
+    m = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(LANGS):
+        pred = F.when(scores[lang] == m, lang).otherwise(pred)
+    return F.when(m > 0, pred).otherwise(F.lit("und"))
+
+
+def lang_id_sql(expr: str) -> str:
+    scores = {lang: lang_score_sql(expr, lang) for lang in LANGS}
+    m = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {scores[lang]} = {m} THEN '{lang}'" for lang in LANGS
+    )
+    return f"(CASE WHEN {m} = 0 THEN 'und' ELSE (CASE {whens} END) END)"
+
+
+# --- quality ---------------------------------------------------------------
+
+_PUNCT = r"[^A-Za-z0-9\s]"
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    words = F.split(F.trim(F.regexp_replace(c, r"\s+", " ")), " ")
+    n_words = F.when(F.length(F.trim(c)) > 0, F.size(words)).otherwise(F.lit(0))
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(_PUNCT), 0))
+    stop_hits = lang_score(c, "en")
+    return {
+        "n_chars": n_chars.cast("int"),
+        "n_words": n_words.cast("int"),
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_words > 0, stop_hits / n_words).otherwise(
+            F.lit(0.0)
+        ),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite in [0,1]: rewards length (saturating at 100 words), low
+    punctuation density, and natural-language stopword density."""
+    f = quality_features(col)
+    length_term = F.least(f["n_words"] / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(f["punct_ratio"] * 5.0, F.lit(1.0))
+    stop_term = F.least(f["stopword_ratio"] * 10.0, F.lit(1.0))
+    return F.round(0.4 * length_term + 0.3 * punct_term + 0.3 * stop_term, 6)
+
+
+def quality_sql(expr: str) -> dict[str, str]:
+    n_chars = f"length({expr})"
+    n_words = (
+        f"(CASE WHEN length(trim({expr})) > 0 THEN "
+        f"len(string_split(trim(regexp_replace({expr}, '\\s+', ' ', 'g')), ' ')) "
+        f"ELSE 0 END)"
+    )
+    n_punct = f"len(regexp_extract_all({expr}, '[^A-Za-z0-9\\s]'))"
+    stop_hits = lang_score_sql(expr, "en")
+    punct_ratio = f"(CASE WHEN {n_chars} > 0 THEN CAST({n_punct} AS DOUBLE) / {n_chars} ELSE 0.0 END)"
+    stop_ratio = f"(CASE WHEN {n_words} > 0 THEN CAST({stop_hits} AS DOUBLE) / {n_words} ELSE 0.0 END)"
+    score = (
+        f"ROUND(0.4 * least({n_words} / 100.0, 1.0) "
+        f"+ 0.3 * (1.0 - least({punct_ratio} * 5.0, 1.0)) "
+        f"+ 0.3 * least({stop_ratio} * 10.0, 1.0), 6)"
+    )
+    return {
+        "n_chars": f"CAST({n_chars} AS INTEGER)",
+        "n_words": f"CAST({n_words} AS INTEGER)",
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+# --- fingerprints (winnowing) ---------------------------------------------
+
+def winnowing_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprint: hash consecutive word n-grams, take
+    the min hash of every sliding window, keep the distinct mins. Output is
+    (id, n_fingerprints, fp_hash) where fp_hash digests the sorted
+    fingerprint set - a compact equality key for plagiarism-style matching.
+    One narrow projection; no shuffle."""
+    words = word_split(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.greatest(F.size(words) - gram_n, F.lit(0)))
+    grams = F.transform(
+        starts, lambda i: F.array_join(F.slice(words, i + 1, gram_n), " ")
+    )
+    hashes = F.transform(grams, lambda g: md5_hash32_seeded(g, 0))
+    wstarts = F.sequence(
+        F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0))
+    )
+    wins = F.transform(wstarts, lambda i: F.array_min(F.slice(hashes, i + 1, window)))
+    fps = F.array_sort(F.array_distinct(wins))
+    return df.select(
+        F.col(id_col),
+        F.size(fps).alias("n_fingerprints"),
+        F.md5(F.concat_ws("_", F.transform(fps, lambda x: x.cast("string")))).alias(
+            "fp_hash"
+        ),
+    )
+
+
+def winnowing_fingerprint_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 3,
+    window: int = 4,
+) -> str:
+    words = f"string_split(regexp_replace({text_col}, '\\s+', ' ', 'g'), ' ')"
+    h = md5_hash32_seeded_sql("g", 0)
+    return f"""
+    WITH g AS (
+      SELECT {id_col},
+             list_transform(
+               range(0, greatest(len({words}) - {gram_n}, 0) + 1),
+               i -> array_to_string({words}[i + 1 : i + {gram_n}], ' ')) AS grams
+      FROM {table}
+    ),
+    h AS (
+      SELECT {id_col}, list_transform(grams, g -> {h}) AS hashes FROM g
+    ),
+    w AS (
+      SELECT {id_col},
+             list_sort(list_distinct(list_transform(
+               range(0, greatest(len(hashes) - {window}, 0) + 1),
+               i -> list_min(hashes[i + 1 : i + {window}])))) AS fps
+      FROM h
+    )
+    SELECT CAST({id_col} AS BIGINT) AS {id_col},
+           CAST(len(fps) AS INTEGER) AS n_fingerprints,
+           md5(array_to_string(fps, '_')) AS fp_hash
+    FROM w
+    """

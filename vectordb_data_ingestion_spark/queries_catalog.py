@@ -799,6 +799,296 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Text analysis (north-star extension)
+# ---------------------------------------------------------------------------
+
+from vectordb_data_ingestion_spark.operators import textanalysis as ta
+
+
+@register(
+    "lang_id",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           {ta.lang_id_sql('text')} AS predicted_lang
+    FROM documents
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """Stopword-hit language identification heuristic."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", ta.lang_id("text").alias("predicted_lang")
+    )
+
+
+@register(
+    "quality_score",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {ta.quality_sql('text')['n_words']} AS n_words,
+           ROUND({ta.quality_sql('text')['punct_ratio']}, 6) AS punct_ratio,
+           ROUND({ta.quality_sql('text')['stopword_ratio']}, 6) AS stopword_ratio,
+           {ta.quality_sql('text')['quality_score']} AS quality_score
+    FROM documents
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Document quality scoring: length / punctuation / stopword mix."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    feats = ta.quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        ta.quality_score("text").alias("quality_score"),
+    )
+
+
+@register(
+    "corpus_stats",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q_corpus_stats(spark, sf_dir):
+    """Per-language corpus statistics (count/avg/median/distinct/token
+    totals) - the text-analysis aggregate family."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.percentile("n_chars", 0.5), 6).alias("median_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    ta.winnowing_fingerprint_sql("documents"),
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints: min-hash of sliding windows over word-3-gram
+    hashes, digested to a comparable set hash."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return ta.winnowing_fingerprint(docs)
+
+
+# ---------------------------------------------------------------------------
+# KB-article / service-catalog ETL (SURVEY §2.5, E3 lifecycle)
+# ---------------------------------------------------------------------------
+
+from vectordb_data_ingestion_spark.functions.html import html_to_text_udf
+from vectordb_data_ingestion_spark.operators import kb as kbops
+
+_KB_URL_PREFIX = (
+    "https://example.service-now.com/sp?id=kb_article_view&sysparm_article="
+)
+
+
+@register(
+    "kb_article_compose",
+    f"""
+    WITH fixture AS (
+      SELECT doc_id,
+             trim(text) || ' More (https://example.service-now.com//kb/' ||
+               doc_id || ')' AS article_text,
+             CASE WHEN doc_id % 3 = 0 THEN 'nan'
+                  ELSE 'issue ' || doc_id END AS issue_text,
+             CASE WHEN doc_id % 4 = 0 THEN ''
+                  ELSE 'resolution ' || doc_id END AS resolution_text,
+             'nan' AS question_text,
+             'instruction ' || doc_id AS instruction_text,
+             CASE WHEN doc_id % 5 = 0 THEN ' ' ELSE lang END AS category,
+             source AS metadata,
+             'Doc ' || doc_id AS short_desc,
+             'KB' || doc_id AS kb_number
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'Short Description : ' || short_desc || ' Full Article: ' ||
+           article_text ||
+           (CASE WHEN issue_text IS NOT NULL AND issue_text != 'nan'
+                 THEN ' Related Issue: ' || issue_text ELSE '' END) ||
+           (CASE WHEN resolution_text IS NOT NULL AND resolution_text != 'nan'
+                 THEN ' Resolution: ' || resolution_text ELSE '' END) ||
+           (CASE WHEN question_text IS NOT NULL AND question_text != 'nan'
+                 THEN ' Question: ' || question_text ELSE '' END) ||
+           (CASE WHEN instruction_text IS NOT NULL AND instruction_text != 'nan'
+                 THEN ' Instruction: ' || instruction_text ELSE '' END) ||
+           (CASE WHEN category IS NOT NULL AND trim(category) != ''
+                      AND trim(category) != 'nan'
+                 THEN ' Category: ' || category ELSE '' END) ||
+           (CASE WHEN metadata IS NOT NULL AND trim(metadata) != ''
+                      AND trim(metadata) != 'nan'
+                 THEN ' Metadata: ' || metadata ELSE '' END) AS extracted_text,
+           '{_KB_URL_PREFIX}' || kb_number AS url
+    FROM fixture
+    """,
+)
+def q_kb_article_compose(spark, sf_dir):
+    """KB-article ETL compose (process_kb_articles semantics,
+    cmfunctions.py:358-438): HTML-extract the article body (stdlib parser
+    UDF: link rewrite + portal-domain prefix), then labelled concatenation
+    with the reference's nan-guards, Category/Metadata trim-guards,
+    Short-Description prefix and portal URL synthesis."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    fixture = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<p>"),
+            F.col("text"),
+            F.lit('</p><a href="/kb/'),
+            F.col("doc_id"),
+            F.lit('">More</a>'),
+        ).alias("article_html"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("nan"))
+        .otherwise(F.concat(F.lit("issue "), F.col("doc_id")))
+        .alias("issue_text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("resolution "), F.col("doc_id")))
+        .alias("resolution_text"),
+        F.lit("nan").alias("question_text"),
+        F.concat(F.lit("instruction "), F.col("doc_id")).alias("instruction_text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" "))
+        .otherwise(F.col("lang"))
+        .alias("category"),
+        F.col("source").alias("metadata"),
+        F.concat(F.lit("Doc "), F.col("doc_id")).alias("short_desc"),
+        F.concat(F.lit("KB"), F.col("doc_id")).alias("kb_number"),
+    ).withColumn("article_text", html_to_text_udf(F.col("article_html")))
+    composed = kbops.compose_kb_article(
+        fixture,
+        article_col="article_text",
+        issue_col="issue_text",
+        resolution_col="resolution_text",
+        question_col="question_text",
+        instruction_col="instruction_text",
+        category_col="category",
+        metadata_col="metadata",
+        short_desc_col="short_desc",
+        kb_number_col="kb_number",
+        portal_url_prefix=_KB_URL_PREFIX,
+    )
+    return composed.select("doc_id", "extracted_text", "url")
+
+
+@register(
+    "service_catalog_compose",
+    """
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           '\n\n**Title**: ' || p_name ||
+           (CASE WHEN p_partkey % 3 = 0 OR trim(p_type) = '' THEN ''
+                 ELSE '\n\n**Short Description**: ' || p_type END) ||
+           (CASE WHEN p_partkey % 4 = 0 THEN ''
+                 ELSE '\n\n**Long Description**: ' || p_name || ' sized ' ||
+                      p_size END) ||
+           (CASE WHEN trim(p_brand) = '' THEN ''
+                 ELSE '\n\n**Metadata**: ' || p_brand END) AS extracted_text
+    FROM part
+    """,
+)
+def q_service_catalog_compose(spark, sf_dir):
+    """Service-catalog compose (process_service_catalog semantics,
+    cmfunctions.py:446-486): markdown-ish labelled concat with blank
+    guards."""
+    (part,) = _t(spark, sf_dir, "part")
+    fixture = part.select(
+        "p_partkey",
+        F.col("p_name").alias("title"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit(""))
+        .otherwise(F.col("p_type"))
+        .alias("short_desc"),
+        F.when(F.col("p_partkey") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(F.col("p_name"), F.lit(" sized "), F.col("p_size"))
+        )
+        .alias("long_desc"),
+        F.col("p_brand").alias("metadata"),
+    )
+    composed = kbops.compose_service_catalog(
+        fixture,
+        title_col="title",
+        short_desc_col="short_desc",
+        long_desc_col="long_desc",
+        metadata_col="metadata",
+    )
+    return composed.select("p_partkey", "extracted_text")
+
+
+@register(
+    "split_long_rows",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             'Short Description : ' || doc_id || ' Full Article: ' || text AS t
+      FROM documents
+    ),
+    meta AS (
+      SELECT doc_id, t,
+             len(regexp_extract_all(t, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS tok,
+             string_split_regex(trim(t), '\\s+') AS words
+      FROM base
+    ),
+    m2 AS (
+      SELECT *, len(words) AS nw,
+             CAST(ceil(tok / 40.0) AS INTEGER) AS ns
+      FROM meta
+    ),
+    m3 AS (
+      SELECT *, CAST(floor(CAST(nw AS DOUBLE) / ns) AS INTEGER) AS wps,
+             split_part(t, 'Full Article:', 1) AS prefix
+      FROM m2
+    ),
+    under AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, t AS extracted_text,
+             CAST(tok AS INTEGER) AS n_tokens
+      FROM m3 WHERE tok <= 40
+    ),
+    expl AS (
+      SELECT *, unnest(range(0, ns)) AS i FROM m3 WHERE tok > 40
+    ),
+    parts AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             (CASE WHEN i > 0 THEN prefix || ' Part Article: ' ELSE '' END) ||
+             array_to_string(
+               words[i * wps + 1 :
+                     CASE WHEN i < ns - 1 THEN (i + 1) * wps ELSE nw END],
+               ' ') AS extracted_text,
+             CAST((CASE WHEN i < ns - 1 THEN (i + 1) * wps ELSE nw END)
+                  - i * wps AS INTEGER) AS n_tokens
+      FROM expl
+    )
+    SELECT * FROM under UNION ALL SELECT * FROM parts
+    """,
+)
+def q_split_long_rows(spark, sf_dir):
+    """Token-limit row splitting (split_kbs semantics,
+    cmfunctions.py:329-355) at limit=40 over KB-composed documents."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Short Description : "),
+            F.col("doc_id"),
+            F.lit(" Full Article: "),
+            F.col("text"),
+        ).alias("extracted_text"),
+    )
+    return kbops.split_long_rows(base, token_limit=40).select(
+        "doc_id", "extracted_text", "n_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship (entry smoke)
 # ---------------------------------------------------------------------------
 
