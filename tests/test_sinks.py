@@ -1,0 +1,83 @@
+"""Sinks: parquet vector substrate (upsert/read/delete_where) and the
+batched external-client sink (foreachPartition, batching, backoff retry,
+predicate delete) against a file-backed fake client."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_data_ingestion_spark.sinks.fake_client import FileBackedClient
+from vectordb_data_ingestion_spark.sinks.vector_store import (
+    BatchingClientSink,
+    ParquetVectorSink,
+)
+
+
+def _chunk_df(spark, n=10):
+    rows = [
+        (f"chunk{i:03d}", [float(i), 1.0], f"doc{i % 3}", f"text {i}", "2024-01-01")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "chunk_id string, vector array<double>, url string, text string, load_dt string",
+    )
+
+
+def test_parquet_sink_roundtrip_and_delete(spark, tmp_path):
+    sink = ParquetVectorSink(spark, str(tmp_path / "vectors"))
+    sink.upsert(_chunk_df(spark))
+    assert sink.read().count() == 10
+
+    sink.delete_where("url", ["doc0"])
+    remaining = sink.read()
+    assert remaining.count() == 6
+    assert remaining.filter(F.col("url") == "doc0").count() == 0
+
+    # delete-then-insert refresh: re-add doc0 rows
+    sink.upsert(_chunk_df(spark).filter(F.col("url") == "doc0"))
+    assert sink.read().count() == 10
+
+
+def test_batching_sink_upsert(spark, tmp_path):
+    base = str(tmp_path / "store")
+    os.makedirs(base)
+    sink = BatchingClientSink(
+        lambda: FileBackedClient(base), "Chunks", batch_size=3
+    )
+    sink.ensure_class([{"name": "text"}, {"name": "url"}])
+    sink.upsert(_chunk_df(spark).repartition(2), property_cols=["url", "text"])
+
+    objs = FileBackedClient.read_objects(base)
+    assert len(objs) == 10
+    assert {o["id"] for o in objs} == {f"chunk{i:03d}" for i in range(10)}
+    assert all(isinstance(o["vector"], list) for o in objs)
+    # batching respected: no file holds more than batch_size objects
+    for fp in glob.glob(os.path.join(base, "batch_*.jsonl")):
+        assert len(open(fp).readlines()) <= 3
+    assert os.path.exists(os.path.join(base, "_class_Chunks"))
+
+
+def test_batching_sink_retries_transient_failures(spark, tmp_path):
+    base = str(tmp_path / "flaky")
+    os.makedirs(base)
+    sink = BatchingClientSink(
+        lambda: FileBackedClient(base, fail_first=2),
+        "Chunks",
+        batch_size=100,
+        max_retries=5,
+    )
+    sink.upsert(_chunk_df(spark).coalesce(1), property_cols=["url"])
+    assert len(FileBackedClient.read_objects(base)) == 10
+
+
+def test_batching_sink_delete_where(spark, tmp_path):
+    base = str(tmp_path / "del")
+    os.makedirs(base)
+    sink = BatchingClientSink(lambda: FileBackedClient(base), "Chunks", batch_size=4)
+    sink.upsert(_chunk_df(spark).coalesce(1), property_cols=["url", "text"])
+    sink.delete_where("url", ["doc1", "doc2"])
+    objs = FileBackedClient.read_objects(base)
+    assert {o["properties"]["url"] for o in objs} == {"doc0"}

@@ -1,0 +1,110 @@
+"""Streaming: foreachBatch incremental refresh (delete-then-insert) and the
+watermarked windowed rollup, driven hermetically with availableNow."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_data_ingestion_spark.session import load_tables
+from vectordb_data_ingestion_spark.sinks.vector_store import ParquetVectorSink
+from vectordb_data_ingestion_spark.streaming.incremental import (
+    foreach_batch_refresh,
+    read_file_stream,
+    windowed_event_rollup,
+)
+from tests.conftest import SF_SMALL
+
+
+def _catalog_df(spark, version: int, urls):
+    rows = [(u, f"content v{version} of {u}", version) for u in urls]
+    return spark.createDataFrame(rows, "url string, text string, version int")
+
+
+def test_incremental_refresh_delete_then_insert(spark, tmp_path):
+    stream_dir = str(tmp_path / "incoming")
+    sink_dir = str(tmp_path / "vectors")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stream_dir)
+
+    sink = ParquetVectorSink(spark, sink_dir, partition_col=None)
+
+    def transform(batch_df):
+        return batch_df.select(
+            "url",
+            F.sha2(F.concat_ws("#", "url", "text"), 256).alias("chunk_id"),
+            "text",
+            "version",
+        )
+
+    schema = _catalog_df(spark, 1, ["u1"]).schema
+
+    def run_once():
+        stream = read_file_stream(spark, stream_dir, schema)
+        q = foreach_batch_refresh(
+            stream,
+            transform,
+            sink_upsert=sink.upsert,
+            sink_delete_where=sink.delete_where,
+            key_col="url",
+            checkpoint=ckpt,
+        ).start()
+        q.awaitTermination(120)
+
+    # batch 1: two documents arrive
+    _catalog_df(spark, 1, ["u1", "u2"]).write.mode("append").parquet(stream_dir)
+    run_once()
+    got = {(r["url"], r["version"]) for r in sink.read().collect()}
+    assert got == {("u1", 1), ("u2", 1)}
+
+    # batch 2: u1 updated -> its old rows must be deleted, u3 added
+    _catalog_df(spark, 2, ["u1", "u3"]).write.mode("append").parquet(stream_dir)
+    run_once()
+    got = {(r["url"], r["version"]) for r in sink.read().collect()}
+    assert got == {("u1", 2), ("u2", 1), ("u3", 2)}
+
+
+def test_windowed_rollup_matches_batch(spark, tmp_path):
+    events = load_tables(spark, SF_SMALL, ("events",))["events"]
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    stream = read_file_stream(spark, src, events.schema)
+    rollup = windowed_event_rollup(stream)
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("select * from rollup_test").collect()
+    }
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .collect()
+    }
+    # append mode only emits windows closed by the final watermark: every
+    # emitted window must match the batch result exactly, and the only
+    # missing windows are the tail ones within the 2h watermark horizon
+    assert streamed, "stream emitted nothing"
+    for key, val in streamed.items():
+        assert batch[key] == val, key
+    max_ts = max(k[0] for k in batch)
+    from datetime import timedelta
+
+    for key in set(batch) - set(streamed):
+        assert key[0] >= max_ts - timedelta(hours=2), key

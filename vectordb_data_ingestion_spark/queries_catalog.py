@@ -1089,6 +1089,49 @@ def q_split_long_rows(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Multimodal columns (north-star extension)
+# ---------------------------------------------------------------------------
+
+from vectordb_data_ingestion_spark.operators.multimodal import (
+    documents_as_assets,
+    extract_features,
+)
+
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           'application/octet-stream' AS mime_type
+    FROM documents
+    """,
+)
+def q_multimodal_metadata(spark, sf_dir):
+    """Multimodal column convention: metadata-only projection over binary
+    assets - column pruning keeps the payload out of the scan."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    assets = documents_as_assets(docs)
+    return assets.select(
+        "asset_id",
+        "modality",
+        F.octet_length("content").alias("n_bytes"),
+        "mime_type",
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Rows-only (stubbed decoder is python-side, not SQL-expressible):
+    decode/featurize binary assets via mapInPandas."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return extract_features(documents_as_assets(docs))
+
+
+SPARK_QUERIES["multimodal_features"] = q_multimodal_features
+
+
+# ---------------------------------------------------------------------------
 # Flagship (entry smoke)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,150 @@
+"""SharePoint-shaped catalog connector.
+
+The reference lists SharePoint folders recursively on the driver and
+downloads files serially (sharepointutils.py:18-101, 202-296). Spark-side,
+listing stays a driver concern (it is metadata-sized), but it feeds a
+DataFrame catalog and the *downloads* happen partition-parallel on
+executors.
+
+Design: a ``Lister`` callable yields (name, url, last_modified_iso) tuples;
+``catalog_from_lister`` turns that into the T1 catalog DataFrame with the
+same derived columns as ``create_file_df`` (sharepointutils.py:119-145).
+``fetch_content`` maps a fetcher over catalog partitions - the distributed
+replacement for ``download_files`` - with per-row error capture instead of
+the reference's print-and-continue.
+
+The real SharePoint listers (cloud ClientContext / on-prem NTLM session,
+sharepointutils.py:18-24, 202-214) require the office365/requests-ntlm
+packages, which are not installed here; ``sharepoint_lister`` raises
+ImportError with guidance. ``local_dir_lister`` provides the same contract
+over a local directory tree (recursive walk = get_urls_for_all_subfolders,
+sharepointutils.py:42-62) and backs the tests.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Iterable
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from vectordb_data_ingestion_spark.operators.catalog import file_type
+
+Lister = Callable[[], Iterable[tuple[str, str, str]]]
+
+_LISTING_SCHEMA = StructType(
+    [
+        StructField("name", StringType(), False),
+        StructField("url", StringType(), False),
+        StructField("last_modified", StringType(), True),
+    ]
+)
+
+
+def local_dir_lister(root: str) -> Lister:
+    """Recursive local-directory walk with the connector contract
+    (stand-in for the SharePoint folder recursion,
+    sharepointutils.py:42-71)."""
+
+    def _list():
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in sorted(filenames):
+                p = os.path.join(dirpath, fn)
+                mtime = datetime.fromtimestamp(
+                    os.path.getmtime(p), tz=timezone.utc
+                ).isoformat()
+                yield fn, p, mtime
+
+    return _list
+
+
+def sharepoint_lister(site_url: str, folder: str, username: str, password: str) -> Lister:
+    """Cloud SharePoint lister (create_sharepoint_client_context +
+    get_all_files_from_directory semantics, sharepointutils.py:18-71).
+    Requires the office365 package."""
+    try:
+        from office365.sharepoint.client_context import ClientContext  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "SharePoint listing needs the 'office365' package; use "
+            "local_dir_lister or a custom Lister in this environment"
+        ) from e
+
+    def _list():  # pragma: no cover - needs a live site
+        ctx = ClientContext(site_url).with_user_credentials(username, password)
+
+        def walk(folder_url):
+            fld = (
+                ctx.web.get_folder_by_server_relative_url(folder_url)
+                .get()
+                .execute_query()
+            )
+            ctx.load(fld, ["Files", "Folders"]).execute_query()
+            for f in fld.files:
+                yield f.name, f.serverRelativeUrl, str(f.time_last_modified)
+            for sub in fld.folders:
+                yield from walk(sub.serverRelativeUrl)
+
+        yield from walk(folder)
+
+    return _list
+
+
+def catalog_from_lister(spark: SparkSession, lister: Lister) -> DataFrame:
+    """Listing rows -> T1 catalog DataFrame with the reference's derived
+    columns (file_id, file_type, modified_dt - sharepointutils.py:136-142)."""
+    rows = list(lister())
+    df = spark.createDataFrame(rows, _LISTING_SCHEMA)
+    return df.select(
+        F.sha2(F.col("url"), 256).alias("file_id"),
+        "name",
+        "url",
+        "last_modified",
+        file_type("name").alias("file_type"),
+        F.to_timestamp("last_modified").alias("modified_dt"),
+    )
+
+
+_FETCH_SCHEMA = "url string, content binary, error string"
+
+
+def fetch_content(
+    catalog: DataFrame,
+    fetcher_factory: Callable[[], Callable[[str], bytes]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Partition-parallel content fetch - the distributed replacement for
+    the serial ``download_files`` loops (sharepointutils.py:73-101,
+    216-240). ``fetcher_factory`` builds one fetcher per partition (per-
+    executor session/auth); errors are captured per row, not printed and
+    swallowed. ``num_partitions`` throttles total connector concurrency."""
+    urls = catalog.select("url")
+    if num_partitions:
+        urls = urls.repartition(num_partitions)
+
+    def run(partition):
+        fetch = fetcher_factory()
+        for row in partition:
+            try:
+                yield row.url, fetch(row.url), None
+            except Exception as e:  # noqa: BLE001 - connector boundary
+                yield row.url, None, f"{type(e).__name__}: {e}"
+
+    fetched = urls.rdd.mapPartitions(run).toDF(_FETCH_SCHEMA)
+    return catalog.join(fetched, "url", "left")
+
+
+def local_file_fetcher() -> Callable[[str], bytes]:
+    def fetch(url: str) -> bytes:
+        with open(url, "rb") as f:
+            return f.read()
+
+    return fetch
