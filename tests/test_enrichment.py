@@ -1,0 +1,93 @@
+"""Embedding-API enrichment: hermetic transport, batching, backoff,
+newline normalization (reference: cmfunctions.py:43-71,489-519)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from vectordb_data_ingestion_spark.operators.enrichment import (
+    _hash_vector,
+    call_with_backoff,
+    deterministic_fake_transport,
+    embed_via_api,
+)
+
+
+def _docs(spark, n=50):
+    return (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(n)
+    )
+
+
+def test_embed_appends_vector_and_keeps_columns(spark):
+    df = _docs(spark)
+    out = embed_via_api(
+        df, deterministic_fake_transport(dim=8), text_col="text", batch_size=7
+    )
+    assert out.columns == ["doc_id", "text", "vector"]
+    rows = out.collect()
+    assert len(rows) == df.count()
+    assert all(len(r["vector"]) == 8 for r in rows)
+
+
+def test_embed_deterministic_and_normalized(spark):
+    df = _docs(spark, n=10)
+    fac = deterministic_fake_transport(dim=16)
+    a = {r["doc_id"]: r["vector"] for r in embed_via_api(df, fac, "text").collect()}
+    b = {r["doc_id"]: r["vector"] for r in embed_via_api(df, fac, "text").collect()}
+    assert a == b
+    for vec in a.values():
+        assert abs(sum(x * x for x in vec) - 1.0) < 1e-5
+
+
+def test_hash_vector_distinguishes_raw_texts():
+    # the fake transport itself sees normalized text; raw hashes differ
+    assert _hash_vector("a b", 8) != _hash_vector("a\nb", 8)
+
+
+def test_newline_normalization_in_plan(spark):
+    # "a\nb" must embed identically to "a b" (cmfunctions.py:497).
+    df = spark.createDataFrame(
+        [("1", "alpha beta"), ("2", "alpha\nbeta")], ["doc_id", "text"]
+    )
+    rows = embed_via_api(
+        df, deterministic_fake_transport(dim=8), text_col="text"
+    ).collect()
+    vecs = {r["doc_id"]: r["vector"] for r in rows}
+    assert vecs["1"] == vecs["2"]
+
+
+def test_backoff_retries_then_succeeds():
+    calls = {"n": 0}
+    delays = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("transient")
+        return "ok"
+
+    out = call_with_backoff(flaky, max_retries=5, base_delay=0.5, sleep=delays.append)
+    assert out == "ok"
+    assert calls["n"] == 3
+    assert delays == [0.5, 1.0]  # expo: base * 2^attempt
+
+
+def test_backoff_reraises_after_max():
+    def always_fails():
+        raise ConnectionError("down")
+
+    with pytest.raises(ConnectionError):
+        call_with_backoff(always_fails, max_retries=3, base_delay=0, sleep=lambda _: None)
+
+
+def test_transport_size_mismatch_raises(spark):
+    df = _docs(spark, n=5)
+
+    def bad_factory():
+        return lambda texts: [[0.0]]  # wrong cardinality
+
+    with pytest.raises(Exception, match="vectors"):
+        embed_via_api(df, bad_factory, text_col="text", max_retries=1).collect()

@@ -172,10 +172,18 @@ def recursive_char_chunks(
     return chunks
 
 
-@F.pandas_udf(ArrayType(StringType()))
-def recursive_char_chunks_udf(texts: pd.Series) -> pd.Series:
-    """Arrow-batched wrapper; pair with ``posexplode`` for (index, chunk)."""
-    return texts.map(lambda t: recursive_char_chunks(t or "", 2000, 50))
+def recursive_char_chunks_udf(chunk_size: int = 2000, chunk_overlap: int = 50):
+    """Arrow-batched wrapper; pair with ``posexplode`` for (index, chunk).
+    Defaults are the reference's CHUNK_SIZE/CHUNK_OVERLAP_SIZE
+    (data_ingestion.py:41-42)."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: recursive_char_chunks(t or "", chunk_size, chunk_overlap)
+        )
+
+    return _udf
 
 
 def chunk_recursive(
@@ -183,10 +191,12 @@ def chunk_recursive(
     text_col: str,
     chunk_col: str = "chunk_text",
     index_col: str = "chunk_index",
+    chunk_size: int = 2000,
+    chunk_overlap: int = 50,
 ) -> DataFrame:
     """Explode rows into recursive-character chunks (2000/50 defaults from
     data_ingestion.py:41-42)."""
-    arr = recursive_char_chunks_udf(F.col(text_col))
+    arr = recursive_char_chunks_udf(chunk_size, chunk_overlap)(F.col(text_col))
     return df.select(
         "*", F.posexplode(arr).alias(index_col, chunk_col)
     )

@@ -1,0 +1,167 @@
+"""External embedding enrichment — the reference's "expensive middle".
+
+The reference embeds one chunk per HTTP POST, serially on the driver
+(``get_embedding_llm`` cmfunctions.py:62-71, invoked per chunk
+sharepointutils.py:377-378; retrying variant ``get_embedding``
+cmfunctions.py:489-519 with ``backoff.expo`` and newline->space
+normalization). Here the same semantics run as a distributed
+``mapInPandas`` stage:
+
+- **many texts per request** (``batch_size``), not one — at 100 TB the
+  bottleneck is request count, not bytes;
+- **one transport per partition** (connection reuse; the factory runs on
+  the executor, so sessions are never pickled);
+- **exponential backoff with jitter-free deterministic delays** inside the
+  UDF, mirroring ``backoff.expo`` — Spark task retries sit on top;
+- newline -> space normalization before the call (cmfunctions.py:497);
+- output rows carry every input column plus ``vector`` — the stage is a
+  pure column append, so upstream pruning/pushdown is unaffected.
+
+Transports are pluggable: :func:`deterministic_fake_transport` is the
+hermetic default (hash-derived vectors, no network — used by tests and the
+driver's oracle tables), :func:`http_transport_factory` is the real
+gateway client (stdlib urllib; POST ``{"input": [...], "user": ...}`` ->
+``data[i].embedding``, the public Azure/OpenAI-style shape the reference
+consumes at cmfunctions.py:43-71).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import struct
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+# A transport embeds a batch of texts. A factory builds one per partition.
+Transport = Callable[[list[str]], list[list[float]]]
+TransportFactory = Callable[[], Transport]
+
+
+def call_with_backoff(
+    fn: Callable[[], object],
+    max_retries: int = 5,
+    base_delay: float = 0.1,
+    sleep: Callable[[float], None] = time.sleep,
+):
+    """``backoff.expo`` semantics (cmfunctions.py:489-492): retry on any
+    exception with delays base_delay * 2^attempt; re-raise after
+    ``max_retries`` failures."""
+    for attempt in range(max_retries):
+        try:
+            return fn()
+        except Exception:
+            if attempt == max_retries - 1:
+                raise
+            sleep(base_delay * (2**attempt))
+
+
+def _hash_vector(text: str, dim: int) -> list[float]:
+    """Deterministic pseudo-embedding: sha256-expanded floats in [-1, 1],
+    L2-normalized. Stable across processes/seeds (no Python ``hash``)."""
+    out: list[float] = []
+    counter = 0
+    raw = text.encode("utf-8", errors="ignore")
+    while len(out) < dim:
+        digest = hashlib.sha256(raw + counter.to_bytes(4, "big")).digest()
+        for i in range(0, 32, 4):
+            (u,) = struct.unpack(">I", digest[i : i + 4])
+            out.append((u / 0xFFFFFFFF) * 2.0 - 1.0)
+        counter += 1
+    out = out[:dim]
+    norm = math.sqrt(sum(x * x for x in out)) or 1.0
+    return [x / norm for x in out]
+
+
+def deterministic_fake_transport(dim: int = 16) -> TransportFactory:
+    """Hermetic stand-in for the embedding gateway — clearly-marked FAKE.
+    Real deployments swap in :func:`http_transport_factory`."""
+
+    def factory() -> Transport:
+        def embed(texts: list[str]) -> list[list[float]]:
+            return [_hash_vector(t, dim) for t in texts]
+
+        return embed
+
+    return factory
+
+
+def http_transport_factory(
+    endpoint: str,
+    user: str = "spark",
+    timeout: float = 30.0,
+) -> TransportFactory:  # pragma: no cover - needs a live gateway
+    """Gateway client for the reference's API shape (cmfunctions.py:43-71):
+    POST ``{"input": [...texts...], "user": user}`` to
+    ``{proxy}/azure/engines/{engine}/embeddings``-style ``endpoint``; the
+    response carries ``data[i].embedding`` per input. stdlib-only so the
+    closure ships to executors without extra deps."""
+
+    def factory() -> Transport:
+        import json
+        import urllib.request
+
+        def embed(texts: list[str]) -> list[list[float]]:
+            body = json.dumps({"input": texts, "user": user}).encode("utf-8")
+            req = urllib.request.Request(
+                endpoint,
+                data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                payload = json.loads(resp.read().decode("utf-8"))
+            data = sorted(payload["data"], key=lambda d: d.get("index", 0))
+            return [d["embedding"] for d in data]
+
+        return embed
+
+    return factory
+
+
+def embed_via_api(
+    df: DataFrame,
+    transport_factory: TransportFactory,
+    text_col: str = "chunk_text",
+    vec_col: str = "vector",
+    batch_size: int = 64,
+    max_retries: int = 5,
+    base_delay: float = 0.1,
+) -> DataFrame:
+    """Append ``vec_col: array<float>`` by calling the embedding transport
+    over Arrow batches. Control request concurrency with
+    ``df.repartition(n)`` upstream — one partition == one independent
+    request stream (the reference is a single serial stream)."""
+    out_schema = StructType(
+        df.schema.fields + [StructField(vec_col, ArrayType(FloatType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = transport_factory()
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # cmfunctions.py:497 — newlines confuse the gateway tokenizer.
+            texts = (
+                pdf[text_col].astype(str).str.replace("\n", " ", regex=False)
+            ).tolist()
+            vectors: list[list[float]] = []
+            for start in range(0, len(texts), batch_size):
+                group = texts[start : start + batch_size]
+                vecs = call_with_backoff(
+                    lambda g=group: transport(g), max_retries, base_delay
+                )
+                if len(vecs) != len(group):
+                    raise ValueError(
+                        f"transport returned {len(vecs)} vectors "
+                        f"for {len(group)} inputs"
+                    )
+                vectors.extend(vecs)
+            out = pdf.copy()
+            out[vec_col] = vectors
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

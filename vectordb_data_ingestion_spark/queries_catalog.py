@@ -1132,6 +1132,74 @@ SPARK_QUERIES["multimodal_features"] = q_multimodal_features
 
 
 # ---------------------------------------------------------------------------
+# Word split / recursive chunking / embedding enrichment (SURVEY §2.5-2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "word_split",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ') AS words,
+           CAST(len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '))
+                AS INTEGER) AS n_words
+    FROM documents
+    """,
+)
+def q_word_split(spark, sf_dir):
+    """word_splitter (parsers.py:25-37): collapse whitespace runs, split on
+    single spaces."""
+    from vectordb_data_ingestion_spark.functions.text import word_split
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    words = word_split("text")
+    return docs.select(
+        "doc_id", words.alias("words"), F.size(words).alias("n_words")
+    )
+
+
+@register("chunk_recursive")
+def q_chunk_recursive(spark, sf_dir):
+    """Rows-only (recursive splitter is inherently procedural — langchain
+    RecursiveCharacterTextSplitter semantics, format_text parsers.py:161-166):
+    paragraph>line>word boundary-preferring chunks with overlap carry."""
+    from vectordb_data_ingestion_spark.functions.chunking import chunk_recursive
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    out = chunk_recursive(docs, "text", chunk_size=120, chunk_overlap=20)
+    return out.select(
+        "doc_id",
+        "chunk_index",
+        F.length("chunk_text").alias("chunk_len"),
+        F.substring("chunk_text", 1, 16).alias("chunk_head"),
+    )
+
+
+@register("embed_enrich")
+def q_embed_enrich(spark, sf_dir):
+    """Rows-only (external-HTTP op; hermetic fake transport): batched
+    mapInPandas embedding enrichment — cmfunctions.py:43-71,489-519, but
+    many texts per request and partition-parallel instead of serial."""
+    from vectordb_data_ingestion_spark.operators.enrichment import (
+        deterministic_fake_transport,
+        embed_via_api,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    out = embed_via_api(
+        docs.select("doc_id", "text"),
+        deterministic_fake_transport(dim=16),
+        text_col="text",
+        batch_size=64,
+    )
+    return out.select(
+        "doc_id",
+        F.size("vector").alias("dim"),
+        F.round(F.element_at("vector", 1).cast("double"), 6).alias("v0"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship (entry smoke)
 # ---------------------------------------------------------------------------
 
