@@ -75,3 +75,52 @@ def test_fetch_captures_errors(spark, doc_dir):
     fetched = fetch_content(broken, local_file_fetcher)
     errs = [r["error"] for r in fetched.collect()]
     assert all(e and "FileNotFoundError" in e for e in errs)
+
+def test_extract_attachments(spark, tmp_path):
+    from vectordb_data_ingestion_spark.sources.files import (
+        _stub_attachments,
+        extract_attachments,
+    )
+
+    msg_dir, txt_dir = tmp_path / "msgs", tmp_path / "txts"
+    msg_dir.mkdir(), txt_dir.mkdir()
+    (msg_dir / "m.msg").write_bytes(b"msg payload one")
+    (txt_dir / "a.txt").write_text("no attachments here")
+    cat = read_binary_catalog(spark, str(msg_dir) + "/**")
+    rows = extract_attachments(cat).collect()
+    expected = _stub_attachments(b"msg payload one")
+    assert len(rows) == len(expected)
+    for r, (name, content) in zip(sorted(rows, key=lambda r: r["attachment_name"]), expected):
+        assert r["attachment_name"] == name
+        assert bytes(r["attachment_content"]) == content
+    # non-msg files contribute no attachment rows
+    assert (
+        extract_attachments(read_binary_catalog(spark, str(txt_dir) + "/**")).count()
+        == 0
+    )
+
+
+def test_csv_catalog_scan(spark, tmp_path):
+    from vectordb_data_ingestion_spark.sources.tabular import read_csv_catalog
+
+    p = tmp_path / "kb.csv"
+    p.write_bytes("id,text\n1,caf\xe9 latin1\n2,plain\n".encode("latin1"))
+    df = read_csv_catalog(spark, str(p))
+    rows = {r["id"]: r["text"] for r in df.collect()}
+    assert rows == {"1": "caf\xe9 latin1", "2": "plain"}
+
+
+def test_excel_rows_header_skip(spark):
+    from vectordb_data_ingestion_spark.sources.tabular import (
+        excel_rows_to_df,
+        read_excel_catalog,
+    )
+
+    rows = [("Title", "Desc"), ("svc one", "d1"), ("svc two", "d2")]
+    df = excel_rows_to_df(spark, rows, ["title", "description"])
+    assert [tuple(r) for r in df.orderBy("title").collect()] == [
+        ("svc one", "d1"),
+        ("svc two", "d2"),
+    ]
+    with pytest.raises(NotImplementedError):
+        read_excel_catalog(spark, "/nope.xlsx", ["a"])

@@ -26,7 +26,13 @@ import hashlib
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from vectordb_data_ingestion_spark.functions.html import html_to_text
 from vectordb_data_ingestion_spark.operators.catalog import file_type
@@ -105,4 +111,49 @@ def parse_documents(catalog: DataFrame) -> DataFrame:
             F.col("file_type").isin(known),
             parse_text_udf(F.col("content"), F.col("file_type")),
         ),
+    )
+
+
+# --- MSG attachment extraction (parsers.py:103-109) ------------------------
+
+_ATTACHMENT_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("attachment_name", StringType()),
+            StructField("attachment_content", BinaryType()),
+        ]
+    )
+)
+
+
+def _stub_attachments(content: bytes) -> list[tuple[str, bytes]]:
+    """DETERMINISTIC STUB for extract_msg attachment decode (the library is
+    unavailable here). Derives 0-3 pseudo-attachments from the payload hash
+    so the explode/fan-out plumbing is exercised with realistic shapes."""
+    digest = hashlib.sha256(content or b"").digest()
+    n = digest[0] % 4
+    return [
+        (f"attachment_{i}.bin", digest[i : i + 8]) for i in range(n)
+    ]
+
+
+@F.pandas_udf(_ATTACHMENT_SCHEMA)
+def extract_attachments_udf(content: pd.Series) -> pd.Series:
+    return pd.Series([_stub_attachments(c) for c in content], dtype="object")
+
+
+def extract_attachments(catalog: DataFrame) -> DataFrame:
+    """One row per (msg file, attachment) — the reference writes attachments
+    to local disk (``save_email_attachments`` parsers.py:103-109); here they
+    become rows of ``(path, attachment_name, attachment_content)`` so
+    downstream parsing/chunking stays distributed instead of re-scanning a
+    shared filesystem."""
+    msgs = catalog.filter(F.col("file_type") == "msg")
+    exploded = msgs.select(
+        "url", F.explode(extract_attachments_udf(F.col("content"))).alias("att")
+    )
+    return exploded.select(
+        "url",
+        F.col("att.attachment_name").alias("attachment_name"),
+        F.col("att.attachment_content").alias("attachment_content"),
     )
