@@ -1,0 +1,104 @@
+"""Plan-shape regression tests: the scale-critical physical properties of
+the headline queries, pinned. If a future edit turns a broadcast join into
+a sort-merge, widens a pruned scan, or loses the map-side top-k, these fail
+long before anyone runs at 100 TB."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from vectordb_data_ingestion_spark import queries_catalog as qc
+from vectordb_data_ingestion_spark.plans import (
+    count_exchanges,
+    has_node,
+    salted_agg,
+    salted_join,
+    scan_columns,
+)
+
+
+def test_topk_certainty_plan(spark):
+    df = qc.SPARK_QUERIES["topk_certainty"](spark, SF_SMALL)
+    # map-side top-k (WindowGroupLimit Partial) before the single exchange
+    assert has_node(df, "WindowGroupLimit")
+    # queries broadcast; the corpus is never shuffled pre-limit
+    assert has_node(df, "BroadcastExchange")
+    assert count_exchanges(df) <= 1
+    # scans read only (vec_id, embedding)
+    assert all(set(c) <= {"vec_id", "embedding"} for c in scan_columns(df))
+
+
+def test_chunk_pipeline_plan(spark):
+    df = qc.SPARK_QUERIES["chunk_table_pipeline"](spark, SF_SMALL)
+    assert has_node(df, "BroadcastHashJoin")
+    assert count_exchanges(df) == 0  # explode+project are narrow; join broadcast
+    cols = scan_columns(df)
+    assert ["doc_id", "text"] in cols  # documents scan pruned to 2 columns
+
+
+def test_incremental_diff_plan(spark):
+    df = qc.SPARK_QUERIES["incremental_diff"](spark, SF_SMALL)
+    assert has_node(df, "BroadcastHashJoin")
+    assert count_exchanges(df) == 0
+
+
+def test_exact_dedup_partial_agg(spark):
+    df = qc.SPARK_QUERIES["exact_dedup"](spark, SF_SMALL)
+    # hash-groupBy dedup must do map-side partial aggregation
+    assert has_node(df, "HashAggregate")
+    assert count_exchanges(df) <= 1
+
+
+def test_salted_agg_matches_plain(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        (F.col("doc_id") % 5).alias("k"), F.length("text").alias("v")
+    )
+    plain = {
+        (r["k"]): (r["s"], r["c"])
+        for r in docs.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("c"))
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["s"], r["c"])
+        for r in salted_agg(
+            docs, "k", [("sum", "v", "s"), ("count", "v", "c")], n_salts=8
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    fact = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        (F.col("doc_id") % 3).alias("k"), "doc_id"
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "label"])
+    plain = sorted(
+        tuple(r) for r in fact.join(dim, "k").select("doc_id", "label").collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(fact, dim, "k", n_salts=4)
+        .select("doc_id", "label")
+        .collect()
+    )
+    assert plain == salted
+
+
+def test_write_bucketed_enables_shuffle_free_agg(spark, tmp_path):
+    from vectordb_data_ingestion_spark.plans import write_bucketed
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", F.length("text").alias("v")
+    )
+    write_bucketed(
+        docs, "bucketed_docs_test", key="doc_id", num_buckets=4,
+        path=str(tmp_path / "bucketed_docs"),
+    )
+    try:
+        t = spark.table("bucketed_docs_test")
+        agg = t.groupBy("doc_id").agg(F.sum("v").alias("s"))
+        # groupBy on the bucket key: no exchange needed
+        assert count_exchanges(agg) == 0
+        assert agg.count() == docs.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_docs_test")

@@ -1,0 +1,88 @@
+"""Data-layout operators for 100 TB: bucketing and skew salting.
+
+AQE (enabled in session.py) handles moderate skew at runtime; these helpers
+cover the cases AQE can't:
+
+- :func:`write_bucketed` — persist a table pre-hash-partitioned on its join
+  key so repeated joins/aggregations on that key run shuffle-free (Spark
+  bucketed scan). The chunk/vector table is re-joined on ``doc_id`` by
+  every downstream consumer — bucket it once at ingest.
+- :func:`salted_agg` — two-phase aggregation for heavy-hitter keys: salt
+  the key into ``n_salts`` shards, partially aggregate, then merge. Turns
+  one straggler reducer into ``n_salts`` even ones.
+- :func:`salted_join` — skewed fact × small-ish dim equi-join: salt the
+  fact side, explode the dim side across all salt values (dim is broadcast,
+  so replication is free), join on (key, salt).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    num_buckets: int = 64,
+    sort_by: str | None = None,
+    path: str | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Save as a bucketed managed table; subsequent equi-joins/groupBys on
+    ``key`` between same-bucketed tables need no exchange."""
+    writer = df.write.format(fmt).mode("overwrite").bucketBy(num_buckets, key)
+    writer = writer.sortBy(sort_by or key)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: Sequence[tuple[str, str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe ``groupBy(key).agg(...)`` in two phases.
+
+    ``aggs`` is ``[(fn, col, alias), ...]`` with fn in {sum, count, min,
+    max}; these are the algebraic aggregates that re-merge cleanly (avg =
+    sum/count at the call site)."""
+    merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    partial_exprs = []
+    for fn, col, alias in aggs:
+        if fn not in merge_fn:
+            raise ValueError(f"non-mergeable aggregate: {fn}")
+        partial_exprs.append(getattr(F, fn)(col).alias(alias))
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=7) * n_salts).cast("int")
+    )
+    partial = salted.groupBy(key, "__salt").agg(*partial_exprs)
+    final_exprs = [
+        getattr(F, merge_fn[fn])(alias).alias(alias) for fn, _, alias in aggs
+    ]
+    return partial.groupBy(key).agg(*final_exprs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed-fact equi-join: fact rows get a random salt; the (broadcast)
+    dim side is exploded across every salt value so each (key, salt) shard
+    joins locally. Use when one fact key dominates a partition and AQE's
+    skew split isn't available (e.g. inside a stream)."""
+    f = fact.withColumn("__salt", (F.rand(seed=7) * n_salts).cast("int"))
+    d = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = f.join(broadcast(d), on=[key, "__salt"], how=how)
+    return out.drop("__salt")
