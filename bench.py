@@ -28,6 +28,7 @@ HEADLINE = [
     "pricing_summary",
     "incremental_diff",
     "events_hourly_window",
+    "events_sessionize",
     "topk_certainty",
     "exact_dedup",
 ]

@@ -102,3 +102,28 @@ def test_write_bucketed_enables_shuffle_free_agg(spark, tmp_path):
         assert agg.count() == docs.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_docs_test")
+
+
+def test_seqno_distributed_matches_global_window(spark):
+    from vectordb_data_ingestion_spark.operators.catalog import (
+        with_seqno,
+        with_seqno_distributed,
+    )
+
+    sup = spark.read.parquet(f"{SF_SMALL}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    expected = {
+        r["s_suppkey"]: r["index"]
+        for r in with_seqno(sup, "s_name").collect()
+    }
+    got = {
+        r["s_suppkey"]: r["index"]
+        for r in with_seqno_distributed(sup, "s_name", num_partitions=5).collect()
+    }
+    assert got == expected
+    # and the plan has no single-partition global sort
+    df = with_seqno_distributed(sup, "s_name", num_partitions=5)
+    from vectordb_data_ingestion_spark.plans import physical_plan
+    assert "rangepartitioning" in physical_plan(df)
+    assert "SinglePartition" not in physical_plan(df)

@@ -108,3 +108,56 @@ def test_windowed_rollup_matches_batch(spark, tmp_path):
 
     for key in set(batch) - set(streamed):
         assert key[0] >= max_ts - timedelta(hours=2), key
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    from vectordb_data_ingestion_spark.operators.sessions import (
+        sessionize,
+        sessionize_stream,
+    )
+
+    events = load_tables(spark, SF_SMALL, ("events",))["events"].filter(
+        F.col("user_id") < 20
+    )
+    src = str(tmp_path / "sess_src")
+    events.write.parquet(src)
+
+    stream = read_file_stream(spark, src, events.schema)
+    q = (
+        sessionize_stream(stream, gap_seconds=86400, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["user_id"], r["session_idx"]): (
+            r["n_events"],
+            r["session_start"],
+            r["session_end"],
+            r["total_value"],
+        )
+        for r in spark.sql("select * from sessions_test").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_idx"] - 1): (  # batch idx is 1-based
+            r["n_events"],
+            r["session_start"],
+            r["session_end"],
+            r["total_value"],
+        )
+        for r in sessionize(events, gap_seconds=86400).collect()
+    }
+    assert streamed, "stream emitted no sessions"
+    # every emitted (closed) session matches the batch result exactly
+    for key, val in streamed.items():
+        assert batch[key] == val, key
+    # only each user's final (still-open-at-EOS) session may be missing
+    missing = set(batch) - set(streamed)
+    max_idx = {}
+    for u, i in batch:
+        max_idx[u] = max(max_idx.get(u, -1), i)
+    assert all(i == max_idx[u] for u, i in missing), missing

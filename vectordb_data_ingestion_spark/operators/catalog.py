@@ -53,6 +53,58 @@ def with_seqno(df: DataFrame, order_col: str, seqno_col: str = "index") -> DataF
     return df.withColumn(seqno_col, (F.row_number().over(w) - 1).cast("int"))
 
 
+def with_seqno_distributed(
+    df: DataFrame,
+    order_col: str,
+    seqno_col: str = "index",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ordinal without a single-partition sort — the corpus-scale
+    form of :func:`with_seqno`.
+
+    Range-partition on ``order_col`` (parallel sort), count rows per
+    partition (tiny job), broadcast the cumulative offsets, then number
+    each partition locally with one Arrow pass. Two narrow passes over the
+    data instead of funneling 100 TB through one reducer. Ordinals match
+    ``ROW_NUMBER() OVER (ORDER BY order_col)`` whenever ``order_col`` is
+    unique (ties fall to partition order, like any row_number tiebreak)."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = dict(
+        ranged.groupBy("__pid").count().orderBy("__pid").collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = StructType(
+        df.schema.fields + [StructField(seqno_col, LongType())]
+    )
+
+    def number(batches):
+        seen = 0
+        base = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if base is None:
+                base = offsets[int(pdf["__pid"].iloc[0])]
+            pdf = pdf.drop(columns=["__pid"])
+            pdf[seqno_col] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return ranged.mapInPandas(number, schema=out_schema)
+
+
 def synthesize_url(
     df: DataFrame,
     domain: str,

@@ -347,6 +347,25 @@ def q_events_hourly_window(spark, sf_dir):
     )
 
 
+def _register_sessionize():
+    from vectordb_data_ingestion_spark.operators.sessions import (
+        sessionize,
+        sessionize_sql,
+    )
+
+    @register("events_sessionize", sessionize_sql(gap_seconds=86400))
+    def q_events_sessionize(spark, sf_dir):
+        """Gap-based sessionization (1-day gap): lag -> flag -> running sum
+        -> per-session aggregate, one user_id shuffle total."""
+        (events,) = _t(spark, sf_dir, "events")
+        return sessionize(events, gap_seconds=86400)
+
+    return q_events_sessionize
+
+
+q_events_sessionize = _register_sessionize()
+
+
 # ---------------------------------------------------------------------------
 # Similarity (SURVEY §2.8 extension; cfg.toml:23-25,48 semantics)
 # ---------------------------------------------------------------------------
