@@ -124,3 +124,90 @@ def test_excel_rows_header_skip(spark):
     ]
     with pytest.raises(NotImplementedError):
         read_excel_catalog(spark, "/nope.xlsx", ["a"])
+
+
+def test_document_catalog_datasource(spark, tmp_path):
+    import time
+
+    from vectordb_data_ingestion_spark.sources.datasource import (
+        DocumentCatalogDataSource,
+    )
+
+    root = tmp_path / "ds"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.txt").write_text("alpha")
+    (root / "sub" / "b.pdf").write_bytes(b"%PDF fake")
+    spark.dataSource.register(DocumentCatalogDataSource)
+
+    df = (
+        spark.read.format("document_catalog")
+        .option("path", str(root))
+        .option("files_per_partition", "1")
+        .load()
+    )
+    rows = {r["name"]: r for r in df.collect()}
+    assert set(rows) == {"a.txt", "b.pdf"}
+    assert bytes(rows["a.txt"]["content"]) == b"alpha"
+    assert rows["b.pdf"]["file_type"] == "pdf"
+    assert rows["a.txt"]["n_bytes"] == 5
+    assert df.rdd.getNumPartitions() == 2  # one file per partition
+
+    # listing-level pruning: a future cutoff yields an empty catalog
+    future = time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime(time.time() + 3600))
+    pruned = (
+        spark.read.format("document_catalog")
+        .option("path", str(root))
+        .option("modified_after", future)
+        .load()
+    )
+    assert pruned.count() == 0
+
+
+def test_onprem_lister_odata_parsing(spark):
+    from vectordb_data_ingestion_spark.sources.sharepoint import (
+        onprem_sharepoint_lister,
+    )
+
+    def fake_fetch(url):
+        return {
+            "d": {
+                "results": [
+                    {
+                        "Name": "kb1.docx",
+                        "ServerRelativeUrl": "/kb/kb1.docx",
+                        "TimeLastModified": "2024-03-01T10:00:00Z",
+                    },
+                    {"Name": "kb2.pdf", "ServerRelativeUrl": "/kb/kb2.pdf",
+                     "TimeLastModified": "2024-03-02T11:30:00Z"},
+                ]
+            }
+        }
+
+    lister = onprem_sharepoint_lister(
+        ["https://sp.local/_api/folder1"], "u", "p", fetch_json=fake_fetch
+    )
+    cat = catalog_from_lister(spark, lister)
+    rows = {r["name"]: r for r in cat.collect()}
+    assert set(rows) == {"kb1.docx", "kb2.pdf"}
+    assert rows["kb1.docx"]["file_type"] == "docx"
+    assert rows["kb2.pdf"]["modified_dt"] is not None
+
+
+def test_extract_pdf_tables(spark, tmp_path):
+    from vectordb_data_ingestion_spark.sources.files import (
+        _stub_pdf_tables,
+        extract_pdf_tables,
+    )
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    # find a payload whose stub yields >0 tables
+    payload = next(
+        bytes([i]) * 4 for i in range(64) if _stub_pdf_tables(bytes([i]) * 4)
+    )
+    (d / "t.pdf").write_bytes(payload)
+    cat = read_binary_catalog(spark, str(d) + "/**")
+    rows = extract_pdf_tables(cat).collect()
+    expected = _stub_pdf_tables(payload)
+    assert [r["table_text"] for r in sorted(rows, key=lambda r: r["table_index"])] == expected
+    assert all("|" in r["table_text"] for r in rows)

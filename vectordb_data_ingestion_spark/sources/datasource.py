@@ -1,0 +1,105 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource``) for
+document catalogs.
+
+SURVEY.md §2.1 maps the reference's SharePoint walk + serial download
+(sharepointutils.py:42-101) to "a custom Python DataSource or driver-side
+listing". ``sharepoint.py`` is the driver-side-listing form; this module is
+the full DataSource form — the one that composes with ``spark.read`` and
+pushes the reference's delta predicate (``modified_dt > load_dt``,
+sharepointutils.py:158-161) into the *listing*, so pruned files are never
+opened, let alone scanned:
+
+    spark.dataSource.register(DocumentCatalogDataSource)
+    df = (spark.read.format("document_catalog")
+          .option("path", root)
+          .option("modified_after", "2024-01-01T00:00:00")
+          .option("files_per_partition", "64")
+          .load())
+
+Listing happens once on the driver (metadata-sized); file *content* is
+fetched inside ``read(partition)`` on executors, ``files_per_partition``
+files per task — the partition-parallel replacement for the serial
+download loop. The fetcher here is the local filesystem; a SharePoint
+deployment swaps ``_fetch`` for an HTTP GET with the same contract.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+CATALOG_SCHEMA = (
+    "name string, url string, modified_dt timestamp, file_type string, "
+    "n_bytes long, content binary"
+)
+
+
+def _file_type(name: str) -> str | None:
+    # identify_filetype semantics (sharepointutils.py:103-108)
+    base, dot, ext = name.rpartition(".")
+    return ext.lower() if dot and base and ext.isalnum() else None
+
+
+class _FilesPartition(InputPartition):
+    def __init__(self, files: list[tuple[str, str, float, int]]):
+        self.files = files
+
+
+class DocumentCatalogReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("document_catalog requires option 'path'")
+        self.modified_after = options.get("modified_after")
+        self.files_per_partition = int(options.get("files_per_partition", "64"))
+
+    def _listing(self) -> list[tuple[str, str, float, int]]:
+        """Driver-side recursive walk with listing-level pruning: files at
+        or before ``modified_after`` are dropped before any partition is
+        planned (the reference's incremental predicate, done by the
+        connector)."""
+        cutoff = None
+        if self.modified_after:
+            cutoff = datetime.fromisoformat(self.modified_after).timestamp()
+        out = []
+        for dirpath, _dirs, names in os.walk(self.root):
+            for fn in sorted(names):
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                if cutoff is not None and st.st_mtime <= cutoff:
+                    continue
+                out.append((fn, p, st.st_mtime, st.st_size))
+        return out
+
+    def partitions(self):
+        files = self._listing()
+        n = self.files_per_partition
+        chunks = [files[i : i + n] for i in range(0, len(files), n)]
+        return [_FilesPartition(c) for c in chunks] or [_FilesPartition([])]
+
+    def read(self, partition: _FilesPartition):
+        for name, url, mtime, size in partition.files:
+            with open(url, "rb") as f:
+                content = f.read()
+            yield (
+                name,
+                url,
+                datetime.fromtimestamp(mtime, tz=timezone.utc).replace(tzinfo=None),
+                _file_type(name),
+                size,
+                content,
+            )
+
+
+class DocumentCatalogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "document_catalog"
+
+    def schema(self) -> str:
+        return CATALOG_SCHEMA
+
+    def reader(self, schema) -> DocumentCatalogReader:
+        return DocumentCatalogReader(self.options)

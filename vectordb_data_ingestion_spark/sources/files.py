@@ -114,6 +114,38 @@ def parse_documents(catalog: DataFrame) -> DataFrame:
     )
 
 
+# --- PDF table extraction (parsers.py:127-137) -----------------------------
+
+
+def _stub_pdf_tables(content: bytes) -> list[str]:
+    """DETERMINISTIC STUB for tabula table extraction (needs a JVM-side
+    tabula install). Emits 0-2 pipe-joined pseudo-tables in the reference's
+    flattened shape (process_pdf_table joins each table's CSV with '|')."""
+    digest = hashlib.sha256(content or b"").hexdigest()
+    n = int(digest[2], 16) % 3
+    return [
+        f"h1|h2|r{digest[i]}1|r{digest[i]}2" for i in range(n)
+    ]
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def extract_pdf_tables_udf(content: pd.Series) -> pd.Series:
+    return pd.Series([_stub_pdf_tables(c) for c in content], dtype="object")
+
+
+def extract_pdf_tables(catalog: DataFrame) -> DataFrame:
+    """One row per (pdf, table) with the table flattened to pipe-joined
+    text — the reference builds one langchain Document per table
+    (process_pdf_table, parsers.py:127-137)."""
+    pdfs = catalog.filter(F.col("file_type") == "pdf")
+    return pdfs.select(
+        "url",
+        F.posexplode(extract_pdf_tables_udf(F.col("content"))).alias(
+            "table_index", "table_text"
+        ),
+    )
+
+
 # --- MSG attachment extraction (parsers.py:103-109) ------------------------
 
 _ATTACHMENT_SCHEMA = ArrayType(

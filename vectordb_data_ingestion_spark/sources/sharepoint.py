@@ -98,6 +98,54 @@ def sharepoint_lister(site_url: str, folder: str, username: str, password: str) 
     return _list
 
 
+def onprem_sharepoint_lister(
+    folder_urls: Iterable[str],
+    username: str,
+    password: str,
+    domain: str = "",
+    fetch_json: Callable[[str], dict] | None = None,
+) -> Lister:
+    """On-prem SharePoint lister: OData ``GetFolderByServerRelativeUrl/
+    Files`` JSON per folder (create_file_df_onprem semantics,
+    sharepointutils.py:242-296), with the NTLM session kept connector-side
+    (create_onpremsharepoint_client_context, sharepointutils.py:202-214).
+
+    ``fetch_json`` is injectable for hermetic tests; the default builds an
+    NTLM-authenticated session (needs requests + requests-ntlm)."""
+    if fetch_json is None:  # pragma: no cover - env-dependent
+        try:
+            import requests
+            from requests_ntlm import HttpNtlmAuth
+        except ImportError as e:
+            raise ImportError(
+                "on-prem listing needs 'requests' + 'requests_ntlm'; pass "
+                "fetch_json= explicitly in this environment"
+            ) from e
+        session = requests.Session()
+        session.auth = HttpNtlmAuth(f"{domain}\\{username}" if domain else username, password)
+        session.headers.update({"Accept": "application/json;odata=verbose"})
+
+        def fetch_json(url: str) -> dict:
+            resp = session.get(url, timeout=60)
+            resp.raise_for_status()
+            return resp.json()
+
+    def _list():
+        for folder_url in folder_urls:
+            payload = fetch_json(folder_url)
+            results = payload.get("d", {}).get("results", payload.get("results", []))
+            for f in results:
+                # OData rows carry Name / ServerRelativeUrl / TimeLastModified
+                # (sharepointutils.py:268-281)
+                yield (
+                    f["Name"],
+                    f.get("ServerRelativeUrl", f["Name"]),
+                    f.get("TimeLastModified", ""),
+                )
+
+    return _list
+
+
 def catalog_from_lister(spark: SparkSession, lister: Lister) -> DataFrame:
     """Listing rows -> T1 catalog DataFrame with the reference's derived
     columns (file_id, file_type, modified_dt - sharepointutils.py:136-142)."""
