@@ -35,6 +35,7 @@ def build_chunk_table(
     doc_id_col: str = "doc_id",
     kb_prefix: bool = True,
     title_col: str | None = None,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Documents -> exploded chunk rows with ``chunk_index``, ``chunk_text``,
     ``n_tokens`` and a deterministic ``chunk_id``.
@@ -42,7 +43,16 @@ def build_chunk_table(
     ``kb_prefix`` reproduces the reference's KB composition
     (sharepointutils.py:383-384): each chunk is prefixed with
     ``"Short Description : <title> Full Article: "``.
+
+    ``min_partitions``: text parquet compresses so well that a large corpus
+    can arrive as a handful of 128 MB scan splits, starving the explode
+    stage (measured 2.2x slowdown at 500k docs on 32 cores). If the input
+    has fewer partitions than this, repartition first — one cheap shuffle
+    of the *small compressed* side buys full parallelism for the wide
+    exploded side.
     """
+    if min_partitions and documents.rdd.getNumPartitions() < min_partitions:
+        documents = documents.repartition(min_partitions)
     title = F.col(title_col) if title_col else F.col(doc_id_col).cast("string")
     df = documents.withColumn("__clean", clean_text(F.col(text_col)))
     df = chunk_fixed_size_overlap(
