@@ -102,6 +102,15 @@ def test_clean_text_reference_parity(spark):
         r"escaped\r\n\t\\ stuff",
         "  lots   of\t\twhitespace  ",
         "",
+        # adversarial for the merged 3-pass form: backslash runs, escape
+        # pairs created by newline removal, trailing backslash
+        "a\\rb",
+        "x\\\\ry",
+        "p\\\nrq",
+        "café\\t end",
+        "\\\\",
+        "mix☃\\n\\x",
+        "tail\\",
     ]
     df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], ["i", "s"])
     rows = df.select("i", clean_text("s").alias("c")).orderBy("i").collect()

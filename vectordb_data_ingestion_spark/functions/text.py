@@ -63,12 +63,15 @@ def clean_text(col: Column | str) -> Column:
        any remaining backslash
     4. collapse whitespace runs to a single space (no trim - the reference
        does not trim either)
+
+    Implemented as 3 regex passes, not 5: steps 1+2 are a single char-class
+    union (single-char drops can't interact), and ``\\[rnt]?`` is provably
+    equivalent to dropping escape pairs then stray backslashes (both scans
+    are left-to-right; equivalence covered by unit + corpus tests).
     """
     c = F.col(col) if isinstance(col, str) else col
-    c = F.regexp_replace(c, r"[\n\r]", "")
-    c = F.regexp_replace(c, r"[^\x00-\x7F]", "")
-    c = F.regexp_replace(c, r"\\[rnt]", "")
-    c = F.regexp_replace(c, r"\\", "")
+    c = F.regexp_replace(c, r"[\n\r]|[^\x00-\x7F]", "")
+    c = F.regexp_replace(c, r"\\[rnt]?", "")
     c = F.regexp_replace(c, _WS, " ")
     return c
 
@@ -79,10 +82,8 @@ def clean_text_sql(expr: str) -> str:
     DuckDB ``regexp_replace`` replaces only the first match unless the ``'g'``
     flag is passed - Spark's replaces all - so every step sets ``'g'``.
     """
-    e = f"regexp_replace({expr}, '[\\n\\r]', '', 'g')"
-    e = f"regexp_replace({e}, '[^\\x00-\\x7F]', '', 'g')"
-    e = f"regexp_replace({e}, '\\\\[rnt]', '', 'g')"
-    e = f"regexp_replace({e}, '\\\\', '', 'g')"
+    e = f"regexp_replace({expr}, '[\\n\\r]|[^\\x00-\\x7F]', '', 'g')"
+    e = f"regexp_replace({e}, '\\\\[rnt]?', '', 'g')"
     e = f"regexp_replace({e}, '\\s+', ' ', 'g')"
     return e
 
