@@ -127,3 +127,29 @@ def test_seqno_distributed_matches_global_window(spark):
     from vectordb_data_ingestion_spark.plans import physical_plan
     assert "rangepartitioning" in physical_plan(df)
     assert "SinglePartition" not in physical_plan(df)
+
+
+def test_topk_vectorized_matches_jvm_fold(spark):
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        topk_by_certainty,
+        topk_by_certainty_vectorized,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    qrows = [(r["q_id"], list(r["q_embedding"])) for r in queries.collect()]
+    slow = {
+        (r["q_id"], r["vec_id"]): r["certainty"]
+        for r in topk_by_certainty(
+            emb, queries, k=7, threshold=0.5, corpus_id="vec_id"
+        ).collect()
+    }
+    fast = {
+        (r["q_id"], r["vec_id"]): r["certainty"]
+        for r in topk_by_certainty_vectorized(
+            emb, qrows, k=7, threshold=0.5
+        ).collect()
+    }
+    assert slow == fast and slow
