@@ -1,0 +1,84 @@
+"""LSH ANN family: signature parity (driver vs JVM arithmetic), probe
+enumeration, and recall regressions vs exact brute force on the fixed
+driver tables (deterministic data -> deterministic assertions)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from vectordb_data_ingestion_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_probe_signatures,
+    lsh_signature_py,
+    lsh_topk,
+    lsh_topk_multitable,
+    with_lsh_signature,
+    with_lsh_signatures_multitable,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", SF_SMALL)
+QIDS = (1, 7, 13, 29, 42)
+
+
+def _emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+def test_signature_py_matches_jvm(spark):
+    """Driver-side signature helper is bit-identical to the Spark column
+    (same fold order, same round-before-sign)."""
+    tagged = with_lsh_signature(_emb(spark), n_bits=16, dim=64)
+    rows = tagged.filter(F.col("vec_id").isin(list(QIDS))).collect()
+    assert rows
+    for r in rows:
+        assert lsh_signature_py(list(r["embedding"]), 16, 64) == r["sig"]
+
+
+def test_probe_enumeration():
+    probes = lsh_probe_signatures(0b1010, n_bits=16, radius=2)
+    # C(16,0)+C(16,1)+C(16,2) = 1+16+120
+    assert len(probes) == 137
+    assert len(set(probes)) == 137
+    assert probes[0] == 0b1010
+    assert all(bin(p ^ 0b1010).count("1") <= 2 for p in probes)
+
+
+def test_multitable_recall_beats_single_table(spark):
+    """Union-of-tables candidates must recall at least as many true top-10
+    neighbors as one 16-bit table, and clear an absolute floor measured on
+    this fixed corpus."""
+    emb = _emb(spark).cache()
+    single = with_lsh_signature(emb, n_bits=16, dim=64).cache()
+    multi = with_lsh_signatures_multitable(emb, n_bits=8, n_tables=6, dim=64).cache()
+    single_hits = multi_hits = 0
+    for qid in QIDS:
+        srow = single.filter(F.col("vec_id") == qid).collect()[0]
+        mrow = multi.filter(F.col("vec_id") == qid).collect()[0]
+        qv = [float(x) for x in srow["embedding"]]
+        exact = {r[0] for r in brute_force_topk(emb, qv, 10).collect()}
+        s = {r[0] for r in lsh_topk(single, qv, srow["sig"], k=10, radius=2).collect()}
+        m = {
+            r[0]
+            for r in lsh_topk_multitable(
+                multi, qv, [mrow[f"sig{t}"] for t in range(6)], k=10, radius=1
+            ).collect()
+        }
+        single_hits += len(s & exact)
+        multi_hits += len(m & exact)
+    assert multi_hits >= single_hits
+    # measured: single 14/50, multi 29/50 at sf0.001 - generous floors
+    assert multi_hits >= 20
+    for df in (emb, single, multi):
+        df.unpersist()
+
+
+def test_lsh_query_hits_itself(spark):
+    """A corpus vector queried against the corpus must return itself first
+    (its own bucket is always probed at radius 0)."""
+    tagged = with_lsh_signature(_emb(spark), n_bits=16, dim=64)
+    row = tagged.filter(F.col("vec_id") == 7).collect()[0]
+    top = lsh_topk(
+        tagged, [float(x) for x in row["embedding"]], row["sig"], k=1, radius=0
+    ).collect()
+    assert top[0]["vec_id"] == 7

@@ -13,14 +13,18 @@ with a threshold (cfg.toml:23-25,48 - ``context_top_n=3``,
   ``n_probe`` closest centroid buckets, cutting scanned vectors by
   ~K/n_probe. With a centroid-bucketed (clustered) layout this prunes at the
   file level too.
-- :func:`cosine_pairs_lsh`   - large x large near-neighbor pairs via
-  random-hyperplane LSH bucketing (see dedup.embedding_near_dup for the
-  dedup-flavored variant).
+- :func:`lsh_topk`           - multi-probe sign-LSH: deterministic
+  random-hyperplane signatures (one narrow pass, no training), probe all
+  buckets within a Hamming radius of the query's signature, exact re-rank.
+- :func:`lsh_topk_multitable` - L independent small-signature tables,
+  candidates unioned across tables (recall ``1-(1-q)^L``).
+- large x large near-dup pair generation lives in
+  ``dedup.embedding_near_dup_pairs`` (sign-bucket equi-join).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
@@ -224,3 +228,163 @@ def ivf_topk(
     ]
     pruned = corpus_with_cells.filter(F.col("cell").isin(probe_cells))
     return brute_force_topk(pruned, query_vector, k, vec_col=vec_col, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (sign random projection) - the bucketed ANN scale path
+# ---------------------------------------------------------------------------
+
+_LSH_MULT = 2654435761  # Knuth multiplicative-hash constant
+
+
+def hyperplane_sign(bit: int, dim_idx: int, dim: int, seed: int = 0) -> float:
+    """Deterministic +/-1 hyperplane entry for LSH bit ``bit``, dimension
+    ``dim_idx``. Pure integer arithmetic (no RNG state) so the exact same
+    matrix is re-derivable in ANSI SQL by the correctness oracle and by any
+    engine that later needs to route queries to buckets."""
+    return 1.0 if ((bit * dim + dim_idx + seed) * _LSH_MULT) % 97 % 2 == 0 else -1.0
+
+
+def lsh_signature(vec_col, n_bits: int = 16, dim: int = 64, seed: int = 0):
+    """Sign-random-projection signature (Charikar SimHash for vectors): bit i
+    is the sign of ``dot(v, h_i)`` against deterministic +/-1 hyperplanes,
+    packed into one LONG. One narrow JVM-side pass (zip_with + fold per
+    bit) - no shuffle, no UDF. Collision probability of a bit is
+    ``1 - theta/pi``, so nearby vectors share buckets.
+
+    The projection is rounded to 6 decimals before the sign test so the
+    signature is stable across engines/summation orders (same convention as
+    the IVF oracle)."""
+    col = vec_col if isinstance(vec_col, Column) else F.col(vec_col)
+    v = to_double_array(col)
+    sig = F.lit(0).cast("long")
+    for i in range(n_bits):
+        signs = F.array(*[F.lit(hyperplane_sign(i, d, dim, seed)) for d in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(v, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(
+            F.round(proj, 6) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def with_lsh_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    dim: int = 64,
+    seed: int = 0,
+    out_col: str = "sig",
+) -> DataFrame:
+    """Tag every corpus vector with its LSH bucket signature. At scale the
+    corpus is then written partitioned (or bucketed) by ``out_col`` so a
+    probe's signature IN-list prunes at the file level - the same layout
+    trick as IVF cells, but assignment is a fixed projection instead of a
+    centroid argmax (no centroid training, no cross join)."""
+    return df.withColumn(out_col, lsh_signature(F.col(vec_col), n_bits, dim, seed))
+
+
+def lsh_probe_signatures(query_sig: int, n_bits: int, radius: int) -> list[int]:
+    """All signatures within Hamming distance <= radius of the query's -
+    multi-probe LSH. radius=2 at 16 bits -> 137 buckets of 65536
+    (~0.2% of the corpus scanned, recall rises with radius)."""
+    from itertools import combinations
+
+    probes: list[int] = []
+    for r in range(radius + 1):
+        for bits in combinations(range(n_bits), r):
+            s = query_sig
+            for b in bits:
+                s ^= 1 << b
+            probes.append(s)
+    return probes
+
+
+def lsh_topk(
+    corpus_with_sig: DataFrame,
+    query_vector: list[float],
+    query_sig: int,
+    k: int,
+    n_bits: int = 16,
+    radius: int = 2,
+    sig_col: str = "sig",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via multi-probe LSH: filter the corpus to buckets
+    within ``radius`` bit-flips of the query signature (an IN-list equality
+    predicate -> partition/file pruning on a signature-partitioned layout),
+    then exact cosine re-rank inside the candidates. Complements
+    :func:`ivf_topk`: no training step, and probe cost is independent of
+    corpus skew."""
+    probes = lsh_probe_signatures(query_sig, n_bits, radius)
+    pruned = corpus_with_sig.filter(F.col(sig_col).isin(probes))
+    return brute_force_topk(pruned, query_vector, k, vec_col=vec_col, id_col=id_col)
+
+
+def lsh_signature_py(
+    vec: list[float], n_bits: int = 16, dim: int = 64, seed: int = 0
+) -> int:
+    """Driver-side signature of an arbitrary query vector, bit-identical to
+    :func:`lsh_signature`: same +/-1 matrix, same left-to-right IEEE-754
+    double fold, same round-to-6 sign test."""
+    sig = 0
+    for i in range(n_bits):
+        acc = 0.0
+        for d in range(dim):
+            acc = acc + float(vec[d]) * hyperplane_sign(i, d, dim, seed)
+        if round(acc, 6) > 0:
+            sig |= 1 << i
+    return sig
+
+
+def with_lsh_signatures_multitable(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 6,
+    dim: int = 64,
+    seed_stride: int = 1000,
+    prefix: str = "sig",
+) -> DataFrame:
+    """Tag each vector with ``n_tables`` independent LSH signatures
+    (seeds 0, seed_stride, 2*seed_stride, ...). Multi-table LSH: a true
+    neighbor missed by one table is caught by another, so recall is
+    ``1-(1-q)^L`` for per-table hit rate q. All tables are computed in the
+    same narrow pass - no extra scans."""
+    for t in range(n_tables):
+        df = df.withColumn(
+            f"{prefix}{t}",
+            lsh_signature(F.col(vec_col), n_bits, dim, seed=t * seed_stride),
+        )
+    return df
+
+
+def lsh_topk_multitable(
+    tagged: DataFrame,
+    query_vector: list[float],
+    query_sigs: list[int],
+    k: int,
+    n_bits: int = 8,
+    radius: int = 1,
+    prefix: str = "sig",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over a multi-table-tagged corpus: candidates are
+    the union (OR) of per-table multi-probe bucket matches, then one exact
+    cosine re-rank. Each disjunct is an IN-list on a LONG column, so parquet
+    row-group min/max and dictionary filters prune cheaply; at 100 TB the
+    same candidates come from L inverted-index tables (sig -> vec_id) union-
+    ed and semi-joined back, leaving the corpus laid out by just one table's
+    signature for file-level pruning."""
+    cond = None
+    for t, qs in enumerate(query_sigs):
+        c = F.col(f"{prefix}{t}").isin(lsh_probe_signatures(qs, n_bits, radius))
+        cond = c if cond is None else (cond | c)
+    return brute_force_topk(
+        tagged.filter(cond), query_vector, k, vec_col=vec_col, id_col=id_col
+    )

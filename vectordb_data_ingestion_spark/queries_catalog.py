@@ -611,6 +611,157 @@ def q_ivf_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Random-hyperplane LSH ANN (SURVEY §2.8 "LSH-bucketed variant")
+# ---------------------------------------------------------------------------
+
+# Deterministic +/-1 hyperplanes from pure integer arithmetic — the oracle
+# re-derives the exact matrix hyperplane_sign() uses (same constant, same
+# mod chain), so bucket assignment is checkable bit-for-bit.
+_LSH_SIGNS_SQL = (
+    "list_transform(range(64), d -> CASE WHEN ((i*64 + d) * 2654435761) % 97 % 2 = 0 "
+    "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
+)
+
+_LSH_SIG_SQL = f"""
+    c AS (SELECT vec_id, {_DBL} AS ve FROM embeddings),
+    sigp AS (
+      SELECT c.vec_id,
+             CASE WHEN ROUND(list_dot_product(ve, {_LSH_SIGNS_SQL}), 6) > 0
+                  THEN CAST(POW(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bitval
+      FROM c CROSS JOIN range(16) t(i)
+    ),
+    sig AS (SELECT vec_id, CAST(SUM(bitval) AS BIGINT) AS sig FROM sigp
+            GROUP BY vec_id)
+"""
+
+
+@register(
+    "lsh_assign",
+    f"WITH {_LSH_SIG_SQL} SELECT CAST(vec_id AS BIGINT) AS vec_id, sig FROM sig",
+)
+def q_lsh_assign(spark, sf_dir):
+    """LSH bucket assignment: 16-bit sign-random-projection signature per
+    vector, one narrow JVM pass (no training, unlike IVF centroids). At
+    scale the corpus is written partitioned by sig so probes prune files."""
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        with_lsh_signature,
+    )
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return with_lsh_signature(emb, n_bits=16, dim=64).select("vec_id", "sig")
+
+
+@register(
+    "lsh_topk",
+    f"""
+    WITH {_LSH_SIG_SQL},
+    q AS (SELECT ve AS qe FROM c WHERE vec_id = 7),
+    qs AS (SELECT sig AS qsig FROM sig WHERE vec_id = 7),
+    cand AS (SELECT s.vec_id FROM sig s, qs
+             WHERE bit_count(xor(s.sig, qsig)) <= 2),
+    scored AS (
+      SELECT c.vec_id,
+             ROUND(list_dot_product(ve, qe) /
+                   (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe))),
+                   6) AS cosine
+      FROM c JOIN cand USING (vec_id) CROSS JOIN q
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, cosine FROM scored
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q_lsh_topk(spark, sf_dir):
+    """Multi-probe LSH approximate top-10: candidates = buckets within
+    Hamming radius 2 of the query signature (137 of 65536 buckets -> an
+    IN-list predicate that prunes a signature-partitioned layout), exact
+    cosine re-rank inside."""
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        lsh_topk,
+        with_lsh_signature,
+    )
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    tagged = with_lsh_signature(emb, n_bits=16, dim=64)
+    qrow = tagged.filter(F.col("vec_id") == 7).select("sig", "embedding").collect()[0]
+    return lsh_topk(
+        tagged,
+        [float(x) for x in qrow["embedding"]],
+        qrow["sig"],
+        k=10,
+        n_bits=16,
+        radius=2,
+    )
+
+
+def _lsh_mt_oracle(n_bits: int = 8, n_tables: int = 6, radius: int = 1) -> str:
+    """Generated oracle for multi-table LSH: per-table signature CTEs with
+    the operator's exact +/-1 matrix (seed = t*1000), candidates = union of
+    per-table Hamming<=radius bucket matches, exact cosine re-rank."""
+    sig_ctes = []
+    for t in range(n_tables):
+        signs = (
+            f"list_transform(range(64), d -> CASE WHEN "
+            f"((i*64 + d + {t * 1000}) * 2654435761) % 97 % 2 = 0 "
+            "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
+        )
+        sig_ctes.append(
+            f"""sig{t} AS (
+      SELECT vec_id, CAST(SUM(bitval) AS BIGINT) AS sig FROM (
+        SELECT c.vec_id,
+               CASE WHEN ROUND(list_dot_product(ve, {signs}), 6) > 0
+                    THEN CAST(POW(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bitval
+        FROM c CROSS JOIN range({n_bits}) t(i)
+      ) GROUP BY vec_id)"""
+        )
+    cand_unions = "\n      UNION ALL\n      ".join(
+        f"SELECT s.vec_id FROM sig{t} s, (SELECT sig FROM sig{t} WHERE vec_id = 7) q "
+        f"WHERE bit_count(xor(s.sig, q.sig)) <= {radius}"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, {_DBL} AS ve FROM embeddings),
+    {",".join(sig_ctes)},
+    q AS (SELECT ve AS qe FROM c WHERE vec_id = 7),
+    cand AS (SELECT DISTINCT vec_id FROM (
+      {cand_unions}
+    )),
+    scored AS (
+      SELECT c.vec_id,
+             ROUND(list_dot_product(ve, qe) /
+                   (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe))),
+                   6) AS cosine
+      FROM c JOIN cand USING (vec_id) CROSS JOIN q
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, cosine FROM scored
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """
+
+
+@register("lsh_topk_multitable", _lsh_mt_oracle())
+def q_lsh_topk_multitable(spark, sf_dir):
+    """Multi-table LSH top-10 (6 tables x 8 bits, Hamming radius 1):
+    recall 1-(1-q)^L vs a single table's q, still one narrow tag pass and
+    one candidate re-rank. The per-table IN-list disjuncts prune parquet
+    row groups via min/max + dictionary filters."""
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        lsh_topk_multitable,
+        with_lsh_signatures_multitable,
+    )
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    tagged = with_lsh_signatures_multitable(emb, n_bits=8, n_tables=6, dim=64)
+    qrow = tagged.filter(F.col("vec_id") == 7).collect()[0]
+    return lsh_topk_multitable(
+        tagged,
+        [float(x) for x in qrow["embedding"]],
+        [qrow[f"sig{t}"] for t in range(6)],
+        k=10,
+        n_bits=8,
+        radius=1,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Near-duplicate dedup family (north-star extension)
 # ---------------------------------------------------------------------------
 
