@@ -82,3 +82,34 @@ def test_lsh_query_hits_itself(spark):
         tagged, [float(x) for x in row["embedding"]], row["sig"], k=1, radius=0
     ).collect()
     assert top[0]["vec_id"] == 7
+
+
+def test_vectorized_signature_parity(spark):
+    """Numpy matmul tagging is bit-identical to the Catalyst fold, single
+    and multi-table."""
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        with_lsh_signature_vectorized,
+        with_lsh_signatures_multitable_vectorized,
+    )
+
+    emb = _emb(spark)
+    fold = {r[0]: r[1] for r in with_lsh_signature(emb).select("vec_id", "sig").collect()}
+    vec = {
+        r[0]: r[1]
+        for r in with_lsh_signature_vectorized(emb).select("vec_id", "sig").collect()
+    }
+    assert fold == vec
+    cols = [f"sig{t}" for t in range(3)]
+    mfold = {
+        r[0]: tuple(r[c] for c in cols)
+        for r in with_lsh_signatures_multitable(emb, n_tables=3)
+        .select("vec_id", *cols)
+        .collect()
+    }
+    mvec = {
+        r[0]: tuple(r[c] for c in cols)
+        for r in with_lsh_signatures_multitable_vectorized(emb, n_tables=3)
+        .select("vec_id", *cols)
+        .collect()
+    }
+    assert mfold == mvec
