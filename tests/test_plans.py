@@ -153,3 +153,36 @@ def test_topk_vectorized_matches_jvm_fold(spark):
         ).collect()
     }
     assert slow == fast and slow
+
+
+def test_lsh_partitioned_layout_prunes(spark, tmp_path):
+    """A sig-partitioned LSH layout must prune at both levels: directory
+    PartitionFilters on the layout key and a pushed IN-list on sig. This is
+    the property that makes a probe touch ~0.2% of a 100 TB corpus."""
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        lsh_probe_signatures,
+        with_lsh_signature,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    tagged = with_lsh_signature(emb, n_bits=16, dim=64)
+    # coarse 10-bit directory key; full signature stays in the data
+    tagged = tagged.withColumn("sig_hi", (F.col("sig") / 64).cast("long"))
+    path = str(tmp_path / "lsh_layout")
+    tagged.write.partitionBy("sig_hi").parquet(path)
+
+    layout = spark.read.parquet(path)
+    qrow = tagged.filter(F.col("vec_id") == 7).collect()[0]
+    probes = lsh_probe_signatures(qrow["sig"], 16, 2)
+    probe_hi = sorted({p // 64 for p in probes})
+    pruned = layout.filter(
+        F.col("sig_hi").isin(probe_hi) & F.col("sig").isin(probes)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters: [" in scan and "sig_hi" in scan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert "In(sig" in scan.split("PushedFilters")[1]
+    # the probed result still finds the query vector itself
+    assert pruned.filter(F.col("vec_id") == 7).count() == 1
