@@ -1,0 +1,67 @@
+"""Connected-components duplicate clustering: correctness on adversarial
+graph shapes (the oracle test covers the minhash-fed path; these cover the
+algorithm itself, where hash-min alone would be slow or a naive impl wrong).
+"""
+
+import pytest
+
+from vectordb_data_ingestion_spark.operators.dedup import (
+    connected_components,
+    dedup_by_components,
+)
+
+
+def _components(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = connected_components(df).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_two_cliques_and_bridge(spark):
+    # {1,2,3} clique, {10,11} pair, bridged 3-10 => all one component;
+    # {20,21} separate
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (3, 10), (20, 21)]
+    got = _components(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 20: 20, 21: 20}
+
+
+def test_path_graph_converges_logarithmically(spark):
+    # worst case for plain hash-min (diameter = n); pointer jumping must
+    # still converge well inside max_iterations
+    n = 64
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = connected_components(df, max_iterations=10).collect()
+    assert {r["component"] for r in rows} == {0}
+    assert len(rows) == n + 1
+
+
+def test_transitive_collapse_without_direct_pair(spark):
+    # A~B, B~C but never A~C: one cluster, representative = min id
+    got = _components(spark, [(5, 9), (9, 7)])
+    assert got == {5: 5, 9: 5, 7: 5}
+
+
+def test_dedup_by_components_keeps_one_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    comp = connected_components(pairs)
+    out = dedup_by_components(docs, comp, id_col="doc_id")
+    rows = {r["doc_id"]: (r["component"], r["is_dup"]) for r in out.collect()}
+    assert rows == {
+        1: (1, False),
+        2: (1, True),
+        3: (1, True),
+        10: (10, False),
+        11: (10, True),
+        99: (99, False),  # isolated row is its own component, kept
+    }
+    kept = [d for d, (_, dup) in rows.items() if not dup]
+    assert sorted(kept) == [1, 10, 99]
+
+
+def test_empty_pairs(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0

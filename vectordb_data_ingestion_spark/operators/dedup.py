@@ -307,6 +307,137 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clustering (pairs -> components -> keep one representative)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve candidate pairs into duplicate clusters: ``(node, component)``
+    where ``component`` is the minimum id reachable from ``node``.
+
+    The pair generators above (minhash/simhash/ngram/embedding) emit *edges*;
+    an actual dedup pass has to delete all-but-one member per *connected
+    component* (A~B and B~C must collapse A,B,C together even if A~C was
+    never a candidate pair).
+
+    Algorithm: distributed min-label propagation with pointer jumping.
+    Each round does
+      1. hash-min: ``label(v) = min(label(v), min over neighbors u of
+         label(u))`` - one equi-join of edges with labels + groupBy min;
+      2. short-cut: ``label(v) = label(label(v))`` - one self-join, which
+         halves pointer chains (path doubling).
+    Plain hash-min needs O(diameter) rounds; with the short-cut step
+    convergence is O(log n) even on path graphs, and near-dup graphs
+    (clusters are near-cliques) settle in 2-3 rounds. Per round the lineage
+    is truncated with ``localCheckpoint`` so the plan does not grow, and
+    convergence is detected by the (strictly decreasing) sum of labels -
+    one cheap aggregate, no row-level diff join.
+
+    Output has one row per node that appears in ``pairs``; isolated rows of
+    the base table are absent (their component is their own id - see
+    :func:`dedup_by_components`).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iterations):
+        # 1. hash-min: pull the smallest neighbor label over every edge
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("component").alias("n_min"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # 2. pointer jumping: component = component's own component
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
+        labels = (
+            stepped.join(parent, stepped["component"] == parent["p_node"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("p_comp"), F.col("component")).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def connected_components_sql(pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b") -> str:
+    """DuckDB oracle for :func:`connected_components`: recursive reachability
+    (labels flow along symmetric edges), then min label per node. Embed in a
+    ``WITH RECURSIVE`` query."""
+    return f"""
+    edges AS (
+      SELECT {id_a} AS src, {id_b} AS dst FROM ({pairs_sql})
+      UNION
+      SELECT {id_b} AS src, {id_a} AS dst FROM ({pairs_sql})
+    ),
+    walk(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.node = e.src
+    ),
+    components AS (
+      SELECT node, MIN(lbl) AS component FROM walk GROUP BY node
+    )
+    """
+
+
+def dedup_by_components(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Annotate every row of ``df`` with its duplicate cluster and keep flag:
+    ``component`` (cluster id = smallest member id; rows in no cluster are
+    their own component) and ``is_dup`` (true for every member except the
+    representative). A training-data pipeline filters ``~is_dup``.
+
+    The components table is tiny relative to the corpus (only docs that hit a
+    candidate pair), so the join broadcasts; the corpus itself is never
+    shuffled.
+    """
+    comp = components.select(
+        F.col("node"), F.col("component").alias("__component")
+    )
+    return (
+        df.join(F.broadcast(comp), df[id_col] == comp["node"], "left")
+        .select(
+            df["*"],
+            F.coalesce(F.col("__component"), df[id_col]).alias("component"),
+        )
+        .withColumn("is_dup", F.col(id_col) != F.col("component"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

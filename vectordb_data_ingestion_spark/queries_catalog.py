@@ -874,6 +874,87 @@ def q_minhash_lsh_near_dup(spark, sf_dir):
     )
 
 
+# Shared CTE chain: corpus -> shingles -> signatures -> bands -> candidate
+# pairs -> jaccard-verified pairs (identical to the minhash_lsh_near_dup
+# oracle), reused by the clustering queries below.
+_MINHASH_PAIRS_CTES = f"""
+    corpus AS ({_NEARDUP_CORPUS_SQL}),
+    sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM corpus),
+    sig AS (SELECT doc_id, sh, [{_SIG_SQL}] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, sh, band, {_BAND_HASH_SQL} AS band_hash
+      FROM (SELECT doc_id, sh, sig, unnest(range(0, {_MINHASH_BANDS})) AS band
+            FROM sig)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+                JOIN sh sb ON cand.id_b = sb.doc_id
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+            len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    )
+"""
+
+
+def _neardup_pairs(spark, sf_dir):
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        _neardup_corpus(docs),
+        num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+        shingle_n=_SHINGLE_N,
+        jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "near_dup_components",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    {dd.connected_components_sql("SELECT id_a, id_b FROM pairs")}
+    SELECT CAST(node AS BIGINT) AS node, CAST(component AS BIGINT) AS component
+    FROM components
+    """,
+)
+def q_near_dup_components(spark, sf_dir):
+    """Duplicate clusters: minhash-LSH pairs resolved into connected
+    components (min-label propagation + pointer jumping, O(log n) rounds).
+    A~B and B~C collapse into one cluster even when A~C was never a
+    candidate pair."""
+    return dd.connected_components(_neardup_pairs(spark, sf_dir))
+
+
+@register(
+    "near_dup_dedup",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    {dd.connected_components_sql("SELECT id_a, id_b FROM pairs")}
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(k.component, c.doc_id) AS BIGINT) AS component,
+           CAST(CASE WHEN c.doc_id <> COALESCE(k.component, c.doc_id)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM corpus c LEFT JOIN components k ON c.doc_id = k.node
+    """,
+)
+def q_near_dup_dedup(spark, sf_dir):
+    """End-to-end near-dup dedup decision table: every corpus row annotated
+    with its duplicate cluster and keep/drop flag (representative = smallest
+    id in the cluster). The components side is tiny (only docs with a
+    candidate pair) so it broadcasts; the corpus is never shuffled."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    corpus = _neardup_corpus(docs)
+    comp = dd.connected_components(_neardup_pairs(spark, sf_dir))
+    return dd.dedup_by_components(corpus, comp, id_col="doc_id").select(
+        "doc_id", "component", F.col("is_dup").cast("long").alias("is_dup")
+    )
+
+
 _SIMHASH_BITS = 32
 
 
