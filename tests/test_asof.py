@@ -1,0 +1,71 @@
+"""As-of join semantics: inclusive backward match, left-outer nulls,
+tolerance, and per-key isolation (the oracle test covers the events-table
+path against DuckDB's native ASOF JOIN)."""
+
+from datetime import datetime
+
+from vectordb_data_ingestion_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _run(spark, left_rows, right_rows, **kw):
+    left = spark.createDataFrame(left_rows, "id long, k long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k long, ts timestamp, v double")
+    out = asof_join(left, right, key_cols=["k"], **kw)
+    return {r["id"]: (r["asof_ts"], r["asof_v"]) for r in out.collect()}
+
+
+def test_backward_inclusive_match(spark):
+    got = _run(
+        spark,
+        [(1, 7, _ts("2024-01-01 10:00:00")), (2, 7, _ts("2024-01-01 12:00:00"))],
+        [
+            (7, _ts("2024-01-01 09:00:00"), 1.0),
+            (7, _ts("2024-01-01 10:00:00"), 2.0),  # ties with left id=1: inclusive
+            (7, _ts("2024-01-01 11:00:00"), 3.0),
+        ],
+    )
+    assert got[1] == (_ts("2024-01-01 10:00:00"), 2.0)
+    assert got[2] == (_ts("2024-01-01 11:00:00"), 3.0)
+
+
+def test_no_prior_row_is_null(spark):
+    got = _run(
+        spark,
+        [(1, 7, _ts("2024-01-01 08:00:00"))],
+        [(7, _ts("2024-01-01 09:00:00"), 1.0)],
+    )
+    assert got[1] == (None, None)
+
+
+def test_keys_do_not_leak(spark):
+    got = _run(
+        spark,
+        [(1, 7, _ts("2024-01-01 10:00:00")), (2, 8, _ts("2024-01-01 10:00:00"))],
+        [(7, _ts("2024-01-01 09:00:00"), 1.0)],
+    )
+    assert got[1] == (_ts("2024-01-01 09:00:00"), 1.0)
+    assert got[2] == (None, None)
+
+
+def test_tolerance_nulls_stale_matches(spark):
+    got = _run(
+        spark,
+        [(1, 7, _ts("2024-01-01 10:00:00")), (2, 7, _ts("2024-01-02 10:00:00"))],
+        [(7, _ts("2024-01-01 09:30:00"), 1.0)],
+        tolerance_seconds=3600,
+    )
+    assert got[1] == (_ts("2024-01-01 09:30:00"), 1.0)  # 30 min old: kept
+    assert got[2] == (None, None)  # >1h old: nulled
+
+
+def test_plan_has_no_inequality_join(spark):
+    """The whole point: one key shuffle, zero join nodes in the plan."""
+    left = spark.createDataFrame([(1, 7, _ts("2024-01-01 10:00:00"))], "id long, k long, ts timestamp")
+    right = spark.createDataFrame([(7, _ts("2024-01-01 09:00:00"), 1.0)], "k long, ts timestamp, v double")
+    plan = asof_join(left, right, key_cols=["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
