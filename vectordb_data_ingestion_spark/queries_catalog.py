@@ -366,6 +366,118 @@ def _register_sessionize():
 q_events_sessionize = _register_sessionize()
 
 
+@register(
+    "events_range_join",
+    """
+    WITH errors AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT CAST(e.event_id AS BIGINT) AS event_id,
+           CAST(e.user_id AS BIGINT) AS user_id,
+           e.ts AS ts,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           ROUND(SUM(c.value), 4) AS click_value
+    FROM errors e JOIN clicks c
+      ON e.user_id = c.user_id
+     AND c.ts BETWEEN e.ts - INTERVAL '300' SECOND AND e.ts
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+)
+def q_events_range_join(spark, sf_dir):
+    """Context-window range join: for each error event, the same user's
+    clicks in the preceding 5 minutes (inclusive). Quantized into window-
+    width bins so the join is a plain equi-join on (user_id, bin) - each
+    error probes at most 2 bins; no per-key cross product
+    (operators/rangejoin.py)."""
+    from vectordb_data_ingestion_spark.operators.rangejoin import range_join_binned
+
+    (events,) = _t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    pairs = range_join_binned(
+        errors, clicks, key_cols=["user_id"], before_seconds=300, after_seconds=0
+    )
+    return pairs.groupBy(
+        F.col("l_event_id").alias("event_id"), "user_id", F.col("l_ts").alias("ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("r_value"), 4).alias("click_value"),
+    )
+
+
+@register(
+    "corpus_stats_rollup",
+    """
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    """,
+)
+def q_corpus_stats_rollup(spark, sf_dir):
+    """Multi-level corpus statistics in one pass: per (lang, source), per
+    lang, and grand total via ROLLUP - one shuffle, partial aggregation
+    map-side, instead of three separate aggregate jobs."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+@register(
+    "events_asof_join",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT CAST(c.event_id AS BIGINT) AS event_id,
+           CAST(c.user_id AS BIGINT) AS user_id,
+           c.ts AS ts,
+           p.ts AS asof_ts,
+           ROUND(p.value, 4) AS asof_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_events_asof_join(spark, sf_dir):
+    """Point-in-time join: each click matched to the same user's most recent
+    purchase at-or-before it (state-as-of-event-time / feature lookup).
+    Executed as tag -> union -> one window per user_id - a single key
+    shuffle, no inequality-join pair blowup (operators/asof.py)."""
+    from vectordb_data_ingestion_spark.operators.asof import asof_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(clicks, purchases, key_cols=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "asof_ts",
+        F.round("asof_value", 4).alias("asof_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity (SURVEY §2.8 extension; cfg.toml:23-25,48 semantics)
 # ---------------------------------------------------------------------------
