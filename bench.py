@@ -31,6 +31,10 @@ HEADLINE = [
     "events_sessionize",
     "topk_certainty",
     "exact_dedup",
+    "minhash_lsh_near_dup",
+    "near_dup_dedup",
+    "events_asof_join",
+    "events_range_join",
 ]
 
 

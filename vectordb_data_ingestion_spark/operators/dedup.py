@@ -29,8 +29,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vectordb_data_ingestion_spark.functions.hashing import (
+    md5_hash32,
     md5_hash32_seeded,
     md5_hash32_seeded_sql,
+    md5_hash32_sql,
 )
 from vectordb_data_ingestion_spark.functions.text import word_split
 from vectordb_data_ingestion_spark.functions.vectors import (
@@ -79,6 +81,61 @@ def shingles_sql(expr: str, n: int = 3) -> str:
     )
 
 
+_MINHASH_P32 = 1 << 32
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_k, b_k) for the universal-hash minhash family
+    ``h_k(x) = (a_k * h(x) + b_k) mod 2^32`` (Broder's scheme with linear
+    mixing instead of K independent base hashes). a_k is odd and < 2^30 so
+    ``a_k * h`` stays under 2^62 - no overflow in either Spark longs or
+    DuckDB BIGINTs."""
+    return [
+        (
+            ((2654435761 * (k + 1)) % (1 << 30)) | 1,
+            (2246822519 * (k + 1) + 3266489917) % _MINHASH_P32,
+        )
+        for k in range(num_hashes)
+    ]
+
+
+def minhash_sig_from_shingles(sh: Column, num_hashes: int) -> Column:
+    """K-element minhash signature from a shingle-array column in ONE pass.
+
+    Naive form - ``array_min(transform(sh, h_k))`` per k - re-evaluates the
+    shingle array and runs a full md5 pass per hash function after Catalyst
+    collapses projections (measured 16x slower at K=16). Here the md5 runs
+    once per shingle (``transform``), and a single ``aggregate`` folds the K
+    mixed values into running minimums; the lambda variable binds the base
+    hash so the K uses don't duplicate the md5 expression tree."""
+    params = minhash_params(num_hashes)
+    zero = F.array(*[F.lit(_MINHASH_P32).cast("long")] * num_hashes)
+    return F.aggregate(
+        F.transform(sh, lambda x: md5_hash32(x)),
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (h * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P32)
+                    for a, b in params
+                ]
+            ),
+            lambda p, q: F.least(p, q),
+        ),
+    )
+
+
+def minhash_sig_sql_terms(sh_expr: str, num_hashes: int) -> list[str]:
+    """DuckDB oracle terms, one per signature element (same family; the
+    oracle runs at tiny scale so the K-pass form is fine there)."""
+    h = md5_hash32_sql("x")
+    return [
+        f"list_min(list_transform({sh_expr}, x -> ({h} * {a} + {b}) % {_MINHASH_P32}))"
+        for a, b in minhash_params(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -86,22 +143,12 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig) where sig[k] = min over shingles of seeded hash k. One
-    narrow projection - no shuffle, no UDF."""
+    """(id, sig) where sig[k] = min over shingles of hash family k. One
+    narrow projection - no shuffle, no UDF, one md5 pass total."""
     sh = shingles(F.col(text_col), shingle_n)
-
-    # NB: the lambda must be unary - F.transform interprets a two-parameter
-    # lambda as (element, index), which would silently replace the seed.
-    def hasher(seed: int):
-        return lambda x: md5_hash32_seeded(x, seed)
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, hasher(k)))
-            for k in range(num_hashes)
-        ]
+    return df.select(
+        F.col(id_col), minhash_sig_from_shingles(sh, num_hashes).alias("signature")
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -120,11 +167,15 @@ def minhash_lsh_pairs(
     equi-join; work scales with bucket sizes, not corpus^2.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    withsh = df.select(
+
+    # one projection computes shingles AND the signature from them - joining
+    # a separate signature table back by id would add a full shuffle of the
+    # shingle sets for nothing
+    sigs = df.select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
+    ).withColumn(
+        "signature", minhash_sig_from_shingles(F.col("__sh"), num_hashes)
     )
-    sigs = sigs.join(withsh, id_col)
 
     banded = sigs.select(
         id_col,

@@ -892,6 +892,14 @@ _NEARDUP_CORPUS_SQL = """
 
 
 def _neardup_corpus(docs: DataFrame) -> DataFrame:
+    # text parquet compresses so well that the whole corpus lands in one row
+    # group -> one scan task; minhash/simhash downstream is pure CPU, so
+    # spread it across the executor cores first (same starvation guard as
+    # chunk_pipeline). At real scale the scan has thousands of row groups
+    # and this is a no-op.
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
     perturbed = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
@@ -906,10 +914,7 @@ _ROWS_PER_BAND = _MINHASH_K // _MINHASH_BANDS
 _SHINGLE_N = 3
 
 _SH_SQL = dd.shingles_sql("text", _SHINGLE_N)
-_SIG_SQL = ", ".join(
-    f"list_min(list_transform(sh, x -> {md5_hash32_seeded_sql('x', k)}))"
-    for k in range(_MINHASH_K)
-)
+_SIG_SQL = ", ".join(dd.minhash_sig_sql_terms("sh", _MINHASH_K))
 _BAND_HASH_SQL = "md5(concat_ws('_', " + ", ".join(
     f"sig[band * {_ROWS_PER_BAND} + {r + 1}]" for r in range(_ROWS_PER_BAND)
 ) + "))"
