@@ -113,3 +113,31 @@ def test_vectorized_signature_parity(spark):
         .collect()
     }
     assert mfold == mvec
+
+
+def test_ann_topk_join_is_equi_join_and_self_hits(spark):
+    """Batched ANN: the probe join must stay a hash equi-join (never a
+    cartesian), and every query must at minimum retrieve itself at
+    certainty 1.0 (its own bucket is always probed at radius >= 0)."""
+    from vectordb_data_ingestion_spark.operators.similarity import ann_topk_join
+
+    corpus = with_lsh_signature(_emb(spark), n_bits=16, dim=64)
+    queries = corpus.filter(F.col("vec_id").isin(*QIDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("sig").alias("q_sig"),
+    )
+    out = ann_topk_join(corpus, queries, k=3, n_bits=16, radius=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == set(QIDS)
+    for q, hits in by_q.items():
+        assert len(hits) <= 3
+        best = max(hits, key=lambda r: r["certainty"])
+        assert best["vec_id"] == q and best["certainty"] == 1.0

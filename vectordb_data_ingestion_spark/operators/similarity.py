@@ -325,6 +325,51 @@ def lsh_topk(
     return brute_force_topk(pruned, query_vector, k, vec_col=vec_col, id_col=id_col)
 
 
+def ann_topk_join(
+    corpus_with_sig: DataFrame,
+    queries_with_sig: DataFrame,
+    k: int = 5,
+    n_bits: int = 16,
+    radius: int = 1,
+    sig_col: str = "sig",
+    query_sig_col: str = "q_sig",
+    vec_col: str = "embedding",
+    query_vec: str = "q_embedding",
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Batched ANN: top-``k`` corpus neighbors for EVERY query row in one
+    plan - the production retrieval shape (N queries arriving together),
+    where per-query driver loops or a broadcast cross join both fall over.
+
+    Each query explodes into its multi-probe bucket set (signatures within
+    ``radius`` bit flips - ``lsh_probe_signatures`` of the XOR masks), which
+    turns the search into a plain equi-join on the signature: Spark hash-
+    partitions both sides, so cost scales with rows-per-bucket, never
+    |queries| x |corpus|. Exact certainty re-rank + per-query window top-k
+    on the candidates. Probe signatures are distinct per query, so no
+    candidate dedup is needed.
+    """
+    masks = lsh_probe_signatures(0, n_bits, radius)
+    probes = queries_with_sig.withColumn(
+        "__mask", F.explode(F.array(*[F.lit(m).cast("long") for m in masks]))
+    ).withColumn(sig_col, F.col(query_sig_col).bitwiseXOR(F.col("__mask")))
+    cand = probes.join(corpus_with_sig, sig_col).drop("__mask")
+    score = F.round(
+        certainty(to_double_array(F.col(vec_col)), to_double_array(F.col(query_vec))),
+        6,
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("certainty"), F.asc(corpus_id)
+    )
+    return (
+        cand.withColumn("certainty", score)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id, corpus_id, "certainty")
+    )
+
+
 def lsh_signature_py(
     vec: list[float], n_bits: int = 16, dim: int = 64, seed: int = 0
 ) -> int:

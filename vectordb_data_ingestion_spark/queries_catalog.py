@@ -873,6 +873,65 @@ def q_lsh_topk_multitable(spark, sf_dir):
     )
 
 
+_ANN_MASKS = ", ".join(str(m) for m in [0] + [1 << b for b in range(16)])
+
+@register(
+    "ann_topk_batch",
+    f"""
+    WITH {_LSH_SIG_SQL},
+    q AS (
+      SELECT s.vec_id AS q_id, cq.ve AS qe, s.sig AS q_sig
+      FROM sig s JOIN c cq ON s.vec_id = cq.vec_id
+      WHERE s.vec_id % 50 = 0
+    ),
+    masks AS (SELECT unnest([{_ANN_MASKS}]) AS mask),
+    probes AS (
+      SELECT q_id, qe, xor(q_sig, CAST(mask AS BIGINT)) AS sig
+      FROM q CROSS JOIN masks
+    ),
+    cand AS (
+      SELECT p.q_id, p.qe, s.vec_id, cc.ve
+      FROM probes p JOIN sig s ON p.sig = s.sig
+                    JOIN c cc ON s.vec_id = cc.vec_id
+    ),
+    scored AS (
+      SELECT q_id, vec_id,
+             ROUND((1.0 + list_dot_product(ve, qe) /
+                   (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe)))) / 2.0,
+                   6) AS certainty
+      FROM cand
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, certainty,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY certainty DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id, certainty
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_ann_topk_batch(spark, sf_dir):
+    """Batched ANN retrieval: top-5 neighbors for EVERY query in one plan.
+    Queries explode into their radius-1 multi-probe buckets, the search
+    becomes an equi-join on the 16-bit signature (hash-partitioned both
+    sides - cost scales with bucket density, not |queries| x |corpus|),
+    then exact certainty re-rank with a per-query window top-k."""
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        ann_topk_join,
+        with_lsh_signature,
+    )
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    corpus = with_lsh_signature(emb, n_bits=16, dim=64)
+    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("sig").alias("q_sig"),
+    )
+    return ann_topk_join(corpus, queries, k=5, n_bits=16, radius=1)
+
+
 # ---------------------------------------------------------------------------
 # Near-duplicate dedup family (north-star extension)
 # ---------------------------------------------------------------------------
