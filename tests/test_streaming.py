@@ -161,3 +161,46 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     for u, i in batch:
         max_idx[u] = max(max_idx.get(u, -1), i)
     assert all(i == max_idx[u] for u, i in missing), missing
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Duplicate texts arriving in different micro-batches are dropped;
+    first arrival survives with its payload intact."""
+    from datetime import datetime
+
+    from vectordb_data_ingestion_spark.streaming.incremental import (
+        read_file_stream,
+        streaming_exact_dedup,
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    batch1 = spark.createDataFrame(
+        [(1, "alpha beta", datetime(2024, 1, 1, 10, 0)),
+         (2, "gamma delta", datetime(2024, 1, 1, 10, 1))],
+        "doc_id long, text string, ts timestamp",
+    )
+    batch2 = spark.createDataFrame(
+        [(3, "alpha beta", datetime(2024, 1, 1, 10, 2)),   # dup of doc 1
+         (4, "epsilon", datetime(2024, 1, 1, 10, 3))],
+        "doc_id long, text string, ts timestamp",
+    )
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = read_file_stream(spark, str(src), batch1.schema, max_files_per_trigger=1)
+    deduped = streaming_exact_dedup(stream, text_col="text", ts_col="ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id, text FROM dedup_out").collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["alpha beta", "epsilon", "gamma delta"]
+    # the first arrival of the duplicated content is the survivor
+    assert {r["text"]: r["doc_id"] for r in rows}["alpha beta"] == 1

@@ -1050,12 +1050,12 @@ def q_minhash_lsh_near_dup(spark, sf_dir):
     )
 
 
-# Shared CTE chain: corpus -> shingles -> signatures -> bands -> candidate
+# Shared CTE chain: <src> -> shingles -> signatures -> bands -> candidate
 # pairs -> jaccard-verified pairs (identical to the minhash_lsh_near_dup
-# oracle), reused by the clustering queries below.
-_MINHASH_PAIRS_CTES = f"""
-    corpus AS ({_NEARDUP_CORPUS_SQL}),
-    sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM corpus),
+# oracle), reused by the clustering and corpus-prep queries below.
+def _minhash_pairs_ctes(src: str) -> str:
+    return f"""
+    sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM {src}),
     sig AS (SELECT doc_id, sh, [{_SIG_SQL}] AS sig FROM sh),
     banded AS (
       SELECT doc_id, sh, band, {_BAND_HASH_SQL} AS band_hash
@@ -1076,6 +1076,11 @@ _MINHASH_PAIRS_CTES = f"""
             len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
     )
 """
+
+
+_MINHASH_PAIRS_CTES = (
+    f"corpus AS ({_NEARDUP_CORPUS_SQL}),{_minhash_pairs_ctes('corpus')}"
+)
 
 
 def _neardup_pairs(spark, sf_dir):
@@ -1128,6 +1133,66 @@ def q_near_dup_dedup(spark, sf_dir):
     comp = dd.connected_components(_neardup_pairs(spark, sf_dir))
     return dd.dedup_by_components(corpus, comp, id_col="doc_id").select(
         "doc_id", "component", F.col("is_dup").cast("long").alias("is_dup")
+    )
+
+
+from vectordb_data_ingestion_spark.operators import textanalysis as ta
+
+
+@register(
+    "training_corpus_prep",
+    f"""
+    WITH RECURSIVE corpus AS ({_NEARDUP_CORPUS_SQL}),
+    quality AS (
+      SELECT doc_id, text, lang FROM corpus
+      WHERE {{q}} >= 0.5
+    ),
+    exact AS (
+      SELECT doc_id, text, lang FROM (
+        SELECT doc_id, text, lang,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    {_minhash_pairs_ctes('exact')},
+    {{cc}}
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens
+    FROM exact e LEFT JOIN components k ON e.doc_id = k.node
+    WHERE k.node IS NULL OR e.doc_id = k.component
+    GROUP BY lang
+    """.format(
+        q=ta.quality_sql("text")["quality_score"],
+        cc=dd.connected_components_sql("SELECT id_a, id_b FROM pairs"),
+    ),
+)
+def q_training_corpus_prep(spark, sf_dir):
+    """The end-to-end training-data prep pipeline as ONE lazy plan:
+    quality-filter (drop low-score docs) -> exact dedup (min id per content
+    hash) -> near-dup dedup (minhash pairs -> connected components -> keep
+    representatives) -> per-language corpus stats. Each stage feeds the next
+    without materialization; only the pair graph and the (tiny) components
+    table leave the main dataflow."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    corpus = _neardup_corpus(docs)
+    kept = corpus.filter(ta.quality_score("text") >= 0.5)
+    exact = dd.exact_dedup(kept, "text", "doc_id")
+    pairs = dd.minhash_lsh_pairs(
+        exact,
+        num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+        shingle_n=_SHINGLE_N,
+        jaccard_threshold=0.5,
+    )
+    comp = dd.connected_components(pairs)
+    final = dd.dedup_by_components(exact, comp, id_col="doc_id").filter(
+        ~F.col("is_dup")
+    )
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
     )
 
 

@@ -96,3 +96,24 @@ def windowed_event_rollup(
             "total_value",
         )
     )
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming arm of the dedup suite: drop rows whose content hash was
+    already seen, with state bounded by the event-time watermark
+    (``dropDuplicatesWithinWatermark``). The 32-byte hash - not the document
+    body - is the dedup state key, so state size is rows-within-horizon x
+    32 bytes regardless of document size; the watermark expires state
+    instead of letting it grow for the stream's lifetime (what a naive
+    ``dropDuplicates`` on an unbounded stream would do)."""
+    hashed = stream_df.withColumn("__h", F.md5(F.col(text_col)))
+    return (
+        hashed.withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )
