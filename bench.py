@@ -50,14 +50,20 @@ def main() -> None:
     # queries, not session startup
     queries_catalog.SPARK_QUERIES["pricing_summary"](spark, SF_DIR).count()
 
+    # min of 2 runs per query: single-shot numbers on a shared host can catch
+    # a noisy-neighbor window (observed 3-10x uniform inflation); the min is
+    # the reproducible cost of the plan
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries_catalog.SPARK_QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        force(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(fn(spark, SF_DIR))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
