@@ -398,10 +398,15 @@ def connected_components(
         .dropDuplicates(["src", "dst"])
         .localCheckpoint()
     )
+    # initial label = min(self, neighborhood) - one aggregation (edges are
+    # symmetric, so every node appears as dst), saving a full propagation
+    # round vs identity initialization
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        edges.groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src").alias("__nmin"))
+        .select(
+            "node", F.least(F.col("node"), F.col("__nmin")).alias("component")
+        )
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
