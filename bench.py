@@ -30,6 +30,8 @@ HEADLINE = [
     "events_hourly_window",
     "events_sessionize",
     "topk_certainty",
+    "topk_certainty_vectorized",
+    "ann_topk_batch",
     "exact_dedup",
     "minhash_lsh_near_dup",
     "near_dup_dedup",

@@ -33,3 +33,24 @@ def md5_hash32_sql(expr: str) -> str:
 
 def md5_hash32_seeded_sql(expr: str, seed: int) -> str:
     return md5_hash32_sql(f"concat({expr}, '#s{seed}')")
+
+
+def md5_hash60(col: Column | str) -> Column:
+    """First 15 hex chars of md5 as an unsigned 60-bit integer - for
+    signatures needing more than 32 informative bits (e.g. wide SimHash).
+    60 bits keep the value positive in both Spark longs and DuckDB BIGINTs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_hash60_seeded(col: Column | str, seed: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return md5_hash60(F.concat(c, F.lit(f"#s{seed}")))
+
+
+def md5_hash60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def md5_hash60_seeded_sql(expr: str, seed: int) -> str:
+    return md5_hash60_sql(f"concat({expr}, '#s{seed}')")

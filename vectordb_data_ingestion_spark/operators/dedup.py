@@ -30,9 +30,9 @@ from pyspark.sql import functions as F
 
 from vectordb_data_ingestion_spark.functions.hashing import (
     md5_hash32,
-    md5_hash32_seeded,
-    md5_hash32_seeded_sql,
     md5_hash32_sql,
+    md5_hash60_seeded,
+    md5_hash60_seeded_sql,
 )
 from vectordb_data_ingestion_spark.functions.text import word_split
 from vectordb_data_ingestion_spark.functions.vectors import (
@@ -242,9 +242,15 @@ def simhash(
 ) -> DataFrame:
     """B-bit SimHash: per word-hash, vote +1/-1 on each bit; signature bit j
     is 1 iff the vote sum is positive. Pure projection (aggregate over the
-    word array) - no shuffle."""
+    word array) - no shuffle.
+
+    The base word hash is 60-bit, so ``bits`` up to 60 are all informative -
+    a 32-bit base hash would silently zero every bit past 31, collapsing the
+    signature space (and any bucketing built on it)."""
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60] (60-bit base hash)")
     words = F.array_distinct(word_split(F.col(text_col)))
-    hashes = F.transform(words, lambda w: md5_hash32_seeded(w, 0))
+    hashes = F.transform(words, lambda w: md5_hash60_seeded(w, 0))
     staged = df.select(F.col(id_col), hashes.alias("__hashes"))
 
     # bit index must be a python int (F.shiftright takes a literal count)
@@ -270,7 +276,7 @@ def simhash(
 def simhash_sql(expr: str, id_expr: str, table: str, bits: int = 16) -> str:
     """DuckDB oracle for :func:`simhash` (same vote semantics)."""
     w = f"list_distinct(string_split(regexp_replace({expr}, '\\s+', ' ', 'g'), ' '))"
-    h = md5_hash32_seeded_sql("x", 0)
+    h = md5_hash60_seeded_sql("x", 0)
     votes = ", ".join(
         f"list_sum(list_transform({w}, x -> CASE WHEN ({h} >> {j}) & 1 = 1 "
         f"THEN 1 ELSE -1 END))"
@@ -293,15 +299,19 @@ def simhash_pairs(
     id_col: str = "doc_id",
     bits: int = 16,
     max_hamming: int = 2,
+    materialize_signatures: bool = True,
 ) -> DataFrame:
     """Candidate pairs whose SimHash Hamming distance <= ``max_hamming``.
     Buckets on the signature split into (max_hamming+1) segments - by the
     pigeonhole principle two signatures within the distance share at least
     one exact segment, so candidates come from equi-joins, never a cross
-    join."""
+    join. Signatures are materialized once before the self-join (see
+    ``minhash_lsh_pairs``)."""
     segs = max_hamming + 1
     seg_bits = bits // segs
     sh = simhash(df, text_col, id_col, bits)
+    if materialize_signatures:
+        sh = sh.localCheckpoint()
     mask = (1 << seg_bits) - 1
     banded = sh.select(
         id_col,
@@ -343,12 +353,17 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = (),
     shingle_n: int = 3,
     threshold: float = 0.5,
+    materialize_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs within blocking keys. Quadratic *per
-    block* - use when blocks are known-small; otherwise use minhash LSH."""
+    block* - use when blocks are known-small; otherwise use minhash LSH.
+    Shingle sets are materialized once before the self-join (see
+    ``minhash_lsh_pairs``)."""
     base = df.select(
         F.col(id_col), *block_cols, shingles(F.col(text_col), shingle_n).alias("__sh")
     )
+    if materialize_shingles:
+        base = base.localCheckpoint()
     left = base.select(
         F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"), *block_cols
     )
@@ -514,12 +529,14 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     sign_bits: int = 8,
     threshold: float = 0.99,
+    materialize_buckets: bool = True,
 ) -> DataFrame:
     """Near-identical embedding pairs: bucket on the sign pattern of the
     first ``sign_bits`` dimensions (a deterministic hyperplane LSH), then
     exact cosine within buckets. Vectors with cosine -> 1 share signs on
     every dimension, so recall at high thresholds is ~1 while the join stays
-    an equi-join."""
+    an equi-join. Bucket tags are materialized once before the self-join
+    (see ``minhash_lsh_pairs``)."""
     v = to_double_array(F.col(vec_col))
     bucket = F.concat_ws(
         "",
@@ -529,6 +546,8 @@ def embedding_near_dup_pairs(
         ],
     )
     base = df.select(F.col(id_col), F.col(vec_col), bucket.alias("__b"))
+    if materialize_buckets:
+        base = base.localCheckpoint()
     left = base.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__b"
     )
