@@ -37,6 +37,9 @@ HEADLINE = [
     "near_dup_dedup",
     "events_asof_join",
     "events_range_join",
+    "vocabulary_top",
+    "pii_scrub",
+    "benchmark_decontaminate",
 ]
 
 

@@ -1771,3 +1771,168 @@ def q_chunk_table_pipeline(spark, sf_dir):
     )
     chunks = attach_embeddings(chunks, tables["embeddings"], broadcast_embeddings=True)
     return chunks.select("doc_id", "chunk_index", "n_tokens", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus management (extension: split / vocab / ngrams / PII /
+# decontamination / sketches / quotas) - operators/corpus.py
+# ---------------------------------------------------------------------------
+
+from vectordb_data_ingestion_spark.operators import corpus as cp
+
+
+@register(
+    "corpus_split",
+    f"""
+    SELECT {cp.deterministic_split_sql('doc_id')} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def q_corpus_split(spark, sf_dir):
+    """Deterministic hash-bucketed train/val/test assignment (stable under
+    re-runs and dataset growth, unlike randomSplit), summarized per split."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        cp.deterministic_split(docs)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "vocabulary_top",
+    cp.vocabulary_sql("documents", min_count=2, top_n=50),
+)
+def q_vocabulary_top(spark, sf_dir):
+    """Corpus vocabulary, 50 most frequent words (explode -> map-side
+    partial agg -> TakeOrdered top-k)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return cp.vocabulary(docs, min_count=2, top_n=50)
+
+
+@register(
+    "trigram_counts",
+    cp.ngram_counts_sql("documents", n=3, min_count=2, top_n=50),
+)
+def q_trigram_counts(spark, sf_dir):
+    """Word-trigram LM counts, top 50 (with multiplicity - contrast the
+    distinct shingles used for set similarity)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return cp.ngram_counts(docs, n=3, min_count=2, top_n=50)
+
+
+_PII_LINE = (
+    " contact user{id}@example.com or +1-555-0{d}23 from 10.0.{m}.15"
+)
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or +1-555-0' || CAST(doc_id % 10 AS VARCHAR) ||
+             '23 from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.15' AS text
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {cp.pii_scrub_sql('text')['n_email']} AS n_email,
+           {cp.pii_scrub_sql('text')['n_ip']} AS n_ip,
+           {cp.pii_scrub_sql('text')['n_phone']} AS n_phone,
+           {cp.pii_scrub_sql('text')['scrubbed']} AS text
+    FROM synth
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """Regex PII redaction (emails -> IPs -> phone-like digit runs) over a
+    deterministic synthetic contact line, with per-kind redaction counts.
+    Pure codegen projection - the cheapest full-corpus scrub shape."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("23 from 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".15"),
+        ).alias("text"),
+    )
+    out = cp.pii_scrub(synth, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ip").cast("int").alias("n_ip"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        "text",
+    )
+
+
+@register(
+    "benchmark_decontaminate",
+    cp.decontaminate_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0",
+        "SELECT text FROM documents WHERE doc_id % 97 = 0",
+        gram_n=3,
+        select="CAST(doc_id AS BIGINT) AS doc_id",
+    ),
+)
+def q_benchmark_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: flag corpus docs sharing any word 3-gram
+    with a held-out benchmark slice (GPT-3-style n-gram rule; 3-grams here
+    because the synthetic vocabulary is tiny). Benchmark gram hashes are
+    broadcast - the corpus side never shuffles."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    out = cp.decontaminate(corpus, benchmark, gram_n=3)
+    return out.select("doc_id", "contaminated")
+
+
+@register(
+    "kmv_distinct_words",
+    cp.kmv_distinct_sql(
+        "SELECT unnest(list_filter(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '), w -> w <> '')) AS word FROM documents",
+        "word",
+        k=64,
+    ),
+)
+def q_kmv_distinct_words(spark, sf_dir):
+    """KMV (bottom-k) distinct-word sketch: per-partition k smallest hashes
+    instead of a full distinct shuffle; deterministic, so cross-engine
+    reproducible (unlike HLL)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(cp._tokens("text")).alias("word"))
+    return cp.kmv_distinct(words, "word", k=64)
+
+
+@register(
+    "per_source_cap",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) <= 3
+    """,
+)
+def q_per_source_cap(spark, sf_dir):
+    """Per-source document quota (C4/RefinedWeb-style repetition control):
+    keep the 3 longest docs per source - one hash-partitioned window."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    capped = cp.cap_per_group(
+        docs,
+        "source",
+        order_by=[F.desc("n_chars"), F.asc("doc_id")],
+        n=3,
+    )
+    return capped.select("doc_id", "source", "n_chars")
