@@ -37,7 +37,7 @@ from vectordb_data_ingestion_spark.operators.chunk_pipeline import (
     build_chunk_table,
 )
 from vectordb_data_ingestion_spark.operators.similarity import topk_by_certainty
-from vectordb_data_ingestion_spark.session import load_tables
+from vectordb_data_ingestion_spark.session import load_tables, spread
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -956,9 +956,7 @@ def _neardup_corpus(docs: DataFrame) -> DataFrame:
     # spread it across the executor cores first (same starvation guard as
     # chunk_pipeline). At real scale the scan has thousands of row groups
     # and this is a no-op.
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
-        docs = docs.repartition(parallelism)
+    docs = spread(docs)
     perturbed = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
@@ -1388,7 +1386,7 @@ def q_doc_fingerprint(spark, sf_dir):
     """Winnowing fingerprints: min-hash of sliding windows over word-3-gram
     hashes, digested to a comparable set hash."""
     (docs,) = _t(spark, sf_dir, "documents")
-    return ta.winnowing_fingerprint(docs)
+    return ta.winnowing_fingerprint(spread(docs))
 
 
 # ---------------------------------------------------------------------------
@@ -1812,7 +1810,7 @@ def q_vocabulary_top(spark, sf_dir):
     """Corpus vocabulary, 50 most frequent words (explode -> map-side
     partial agg -> TakeOrdered top-k)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    return cp.vocabulary(docs, min_count=2, top_n=50)
+    return cp.vocabulary(spread(docs), min_count=2, top_n=50)
 
 
 @register(
@@ -1823,7 +1821,7 @@ def q_trigram_counts(spark, sf_dir):
     """Word-trigram LM counts, top 50 (with multiplicity - contrast the
     distinct shingles used for set similarity)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    return cp.ngram_counts(docs, n=3, min_count=2, top_n=50)
+    return cp.ngram_counts(spread(docs), n=3, min_count=2, top_n=50)
 
 
 _PII_LINE = (
@@ -1854,7 +1852,7 @@ def q_pii_scrub(spark, sf_dir):
     deterministic synthetic contact line, with per-kind redaction counts.
     Pure codegen projection - the cheapest full-corpus scrub shape."""
     (docs,) = _t(spark, sf_dir, "documents")
-    synth = docs.select(
+    synth = spread(docs).select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -1892,7 +1890,7 @@ def q_benchmark_decontaminate(spark, sf_dir):
     because the synthetic vocabulary is tiny). Benchmark gram hashes are
     broadcast - the corpus side never shuffles."""
     (docs,) = _t(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    corpus = spread(docs).filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
     benchmark = docs.filter(F.col("doc_id") % 97 == 0).select("text")
     out = cp.decontaminate(corpus, benchmark, gram_n=3)
     return out.select("doc_id", "contaminated")
@@ -1911,7 +1909,7 @@ def q_kmv_distinct_words(spark, sf_dir):
     instead of a full distinct shuffle; deterministic, so cross-engine
     reproducible (unlike HLL)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    words = docs.select(F.explode(cp._tokens("text")).alias("word"))
+    words = spread(docs).select(F.explode(cp._tokens("text")).alias("word"))
     return cp.kmv_distinct(words, "word", k=64)
 
 

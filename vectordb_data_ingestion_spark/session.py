@@ -82,3 +82,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def spread(df, min_partitions: int | None = None):
+    """Round-robin repartition iff the input has fewer partitions than the
+    executor cores - the starvation guard for CPU-bound work downstream of a
+    tiny compressed scan (text parquet compresses so well that a whole local
+    corpus lands in one row group -> one task). At real scale the scan has
+    thousands of row groups and this is a no-op; locally it turns a
+    single-threaded regex/gram pass into a 32-way one."""
+    want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
