@@ -157,3 +157,142 @@ def test_vocabulary_min_count_filter(spark):
     out = {r["word"]: r["n_occurrences"]
            for r in cp.vocabulary(df, min_count=2).collect()}
     assert out == {"x": 3}
+
+
+# --- sequence packing ------------------------------------------------------
+
+def test_pack_sequences_contiguous_and_bounded(spark):
+    # per-group pack: chunks fill each sequence in order; a sequence's sum
+    # can exceed budget only by the overhang of its last (straddling) chunk
+    rows = [(i, "g", 10 + (i * 7) % 25) for i in range(200)]
+    df = spark.createDataFrame(rows, ["chunk_id", "grp", "n_tokens"])
+    out = cp.pack_sequences(
+        df, token_col="n_tokens", budget=100, group_col="grp",
+        order_by=[F.asc("chunk_id")],
+    ).collect()
+    by_seq: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: r["chunk_id"]):
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    seq_ids = sorted(by_seq)
+    assert seq_ids == list(range(len(seq_ids)))  # dense, contiguous
+    for sid in seq_ids:
+        chunks = by_seq[sid]
+        total = sum(r["n_tokens"] for r in chunks)
+        # all but the last chunk start strictly inside the budget
+        assert all(r["seq_offset"] < 100 for r in chunks)
+        # overhang bound: sum < budget + last chunk's tokens
+        assert total < 100 + chunks[-1]["n_tokens"]
+    # offsets are the exclusive running sum within the sequence
+    first = by_seq[0]
+    assert first[0]["seq_offset"] == 0
+
+
+def test_pack_sequences_independent_per_group(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 60), (2, "a", 60), (3, "b", 60)],
+        ["chunk_id", "grp", "n_tokens"],
+    )
+    out = {
+        r["chunk_id"]: (r["seq_id"], r["seq_offset"])
+        for r in cp.pack_sequences(
+            df, token_col="n_tokens", budget=100, group_col="grp",
+            order_by=[F.asc("chunk_id")],
+        ).collect()
+    }
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 60)  # starts at offset 60, straddles into seq 1
+    assert out[3] == (0, 0)   # group b packs from scratch
+
+
+# --- weighted source mixing ------------------------------------------------
+
+def test_weighted_sample_deterministic_and_rate_accurate(spark):
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "heavy").otherwise("light").alias("source"),
+    )
+    rates = {"heavy": 0.8, "light": 0.1}
+    a = _ids(cp.weighted_sample(df, rates).collect())
+    b = _ids(cp.weighted_sample(df.repartition(13).orderBy(F.desc("doc_id")),
+                                rates).collect())
+    assert a == b  # membership is a pure function of the id
+    kept = cp.weighted_sample(df, rates).groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in kept}
+    assert 0.76 <= by_src["heavy"] / 5000 <= 0.84
+    assert 0.07 <= by_src["light"] / 5000 <= 0.13
+
+
+def test_weighted_sample_unknown_source_uses_default(spark):
+    df = spark.createDataFrame(
+        [(1, "known"), (2, "mystery")], ["doc_id", "source"]
+    )
+    kept = cp.weighted_sample(df, {"known": 1.0}, default_rate=0.0).collect()
+    assert _ids(kept) == [1]
+    all_kept = cp.weighted_sample(df, {"known": 1.0}, default_rate=1.0).collect()
+    assert _ids(all_kept) == [1, 2]
+
+
+# --- intra-document paragraph dedup ----------------------------------------
+
+def test_dedup_paragraphs_keeps_first_occurrence_in_order(spark):
+    df = spark.createDataFrame(
+        [(1, "nav\nbody one\nnav\nbody two\nnav"), (2, "a\nb\nc")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in cp.dedup_paragraphs(df).collect()}
+    assert rows[1]["text"] == "nav\nbody one\nbody two"
+    assert rows[1]["n_paragraphs"] == 5
+    assert rows[1]["n_dropped"] == 2
+    assert rows[1]["dup_ratio"] == 0.4
+    assert rows[2]["text"] == "a\nb\nc"
+    assert rows[2]["n_dropped"] == 0
+
+
+def test_dedup_paragraphs_single_paragraph_untouched(spark):
+    df = spark.createDataFrame([(1, "only one paragraph")], ["doc_id", "text"])
+    row = cp.dedup_paragraphs(df).collect()[0]
+    assert row["text"] == "only one paragraph"
+    assert row["dup_ratio"] == 0.0
+
+
+# --- shard assignment ------------------------------------------------------
+
+def test_assign_shards_partition_of_corpus_and_dense_positions(spark):
+    df = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    out = cp.assign_shards(df, n_shards=8).collect()
+    assert len(out) == 3000  # every row lands in exactly one shard
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # roughly balanced (hash-uniform): no shard more than 2x the mean
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) < 2 * (3000 / 8)
+
+
+def test_assign_shards_stable_under_partitioning(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in cp.assign_shards(df, n_shards=4).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in cp.assign_shards(
+             df.repartition(11).orderBy(F.desc("doc_id")), n_shards=4
+         ).collect()}
+    assert a == b
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    path = str(tmp_path / "shards")
+    cp.write_training_shards(df, path, n_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} == {
+        0, 1, 2, 3
+    }
+    # within a shard file, rows are sorted by pos (sequential-reader layout)
+    one = spark.read.parquet(f"{path}/shard=0").select("pos").collect()
+    positions = [r["pos"] for r in one]
+    assert positions == sorted(positions)

@@ -12,6 +12,10 @@ operators, each deterministic and therefore DuckDB-oracle-checkable:
 - :func:`decontaminate`         benchmark n-gram-overlap contamination flags
 - :func:`kmv_distinct`          k-minimum-values distinct-count sketch
 - :func:`cap_per_group`         per-source document quota (top-n per group)
+- :func:`pack_sequences`        pack chunks into fixed token-budget sequences
+- :func:`weighted_sample`       per-source deterministic mixture sampling
+- :func:`dedup_paragraphs`      intra-document repeated-paragraph removal
+- :func:`assign_shards`         deterministic global shuffle -> training shards
 
 Scale notes (100 TB / 1000-executor design):
 
@@ -35,6 +39,14 @@ Scale notes (100 TB / 1000-executor design):
 - ``cap_per_group`` is one hash-partitioned window (rank over group) -
   the standard per-domain-quota shape (C4/RefinedWeb style repetition
   control). Skewed groups split via AQE.
+- ``pack_sequences`` packs per *group* (shard/source), not globally: a
+  global packing order would be a total sort of the corpus. Real training
+  pipelines pack within shards, which is one hash-partitioned window here.
+- ``weighted_sample`` and ``assign_shards`` are narrow projections off an
+  id hash - no shuffle for the sample, one key shuffle (by design - that IS
+  the global shuffle) for shard materialization.
+- ``dedup_paragraphs`` is a pure array-expression projection (split ->
+  first-occurrence filter -> rejoin), whole-stage codegen, no Python.
 """
 
 from __future__ import annotations
@@ -403,4 +415,230 @@ def cap_per_group(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n)
         .drop("__rn")
+    )
+
+
+# --- sequence packing -------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    group_col: str | None = None,
+    order_by: list[Column] | None = None,
+    seq_col: str = "seq_id",
+    offset_col: str = "seq_offset",
+) -> DataFrame:
+    """Pack chunks into fixed token-budget training sequences
+    (concatenate-and-split packing, the GPT-style pretraining layout):
+    lay the chunks out in a deterministic order, and assign each chunk to
+    the sequence containing its *start* offset - ``seq_id =
+    floor(exclusive_cumsum(tokens) / budget)``. A chunk that straddles a
+    boundary belongs to the sequence it starts in (the trainer truncates or
+    spills the tail), so a sequence's token sum can exceed ``budget`` by at
+    most one chunk's overhang - the tradeoff that keeps assignment a single
+    window expression instead of a sequential first-fit scan.
+
+    ``group_col`` scopes packing (and the window shuffle) to a shard/source:
+    a *global* pack order would be a total sort of the corpus, which no
+    100 TB pipeline does - they pack per shard. Within the group the order
+    must be deterministic (pass a unique ``order_by``). Also emits
+    ``offset_col``: the chunk's token start offset within its sequence."""
+    if order_by is None:
+        order_by = [F.col(c) for c in df.columns if c != token_col][:1]
+    w = (
+        Window.partitionBy(group_col) if group_col is not None
+        else Window.partitionBy()
+    ).orderBy(*order_by)
+    start = F.coalesce(
+        F.sum(F.col(token_col)).over(w) - F.col(token_col), F.lit(0)
+    )
+    return df.withColumn(seq_col, F.floor(start / budget)).withColumn(
+        offset_col, (start % budget).cast("long")
+    )
+
+
+def pack_sequences_sql(
+    token_expr: str,
+    budget: int,
+    group_expr: str | None,
+    order_sql: str,
+) -> dict[str, str]:
+    """DuckDB window expressions matching :func:`pack_sequences`."""
+    part = f"PARTITION BY {group_expr} " if group_expr else ""
+    start = (
+        f"(SUM({token_expr}) OVER ({part}ORDER BY {order_sql} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - {token_expr})"
+    )
+    return {
+        "seq_id": f"CAST(FLOOR({start} / {budget}) AS BIGINT)",
+        "seq_offset": f"CAST({start} % {budget} AS BIGINT)",
+    }
+
+
+# --- weighted source mixing -------------------------------------------------
+
+def weighted_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-source mixture sampling (Pile/ROOTS-style source
+    weighting, rates from e.g. temperature scaling): keep a row iff
+    ``hash(id) / 2^32 < rate[source]``. Hash-gated rather than
+    ``df.sample`` so membership is a pure function of the row id - stable
+    across runs, partitionings, and dataset growth, and the same documents
+    survive when the corpus is re-processed (reproducible training sets).
+    Narrow projection: no shuffle, whole-stage codegen."""
+    rate = None
+    for name, r in rates.items():
+        cond = F.col(group_col) == name
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = F.lit(default_rate) if rate is None else rate.otherwise(default_rate)
+    u = md5_hash32_seeded(F.col(id_col).cast("string"), seed) / F.lit(_HASH_SPACE)
+    return df.filter(u < rate)
+
+
+def weighted_sample_sql(
+    rates: dict[str, float],
+    group_expr: str = "source",
+    id_expr: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> str:
+    """DuckDB WHERE predicate matching :func:`weighted_sample`."""
+    whens = " ".join(
+        f"WHEN '{name}' THEN CAST({r} AS DOUBLE)" for name, r in rates.items()
+    )
+    rate = f"CASE {group_expr} {whens} ELSE CAST({default_rate} AS DOUBLE) END"
+    h = md5_hash32_seeded_sql(f"CAST({id_expr} AS VARCHAR)", seed)
+    return f"({h} / {_HASH_SPACE}) < {rate}"
+
+
+# --- intra-document repetition removal --------------------------------------
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove *repeated paragraphs within each document*, keeping the first
+    occurrence in order (boilerplate/navigation repetition is a known
+    quality drag on web-scraped training text). Pure array expression -
+    split on ``sep``, keep element i iff its first occurrence index is i,
+    rejoin - so the whole pass is a codegen'd projection with no shuffle
+    and no Python. Also emits ``n_paragraphs`` (before), ``n_dropped``, and
+    ``dup_ratio`` = dropped / before as quality-filter signals."""
+    out_col = out_col or text_col
+    parts = F.split(F.col(text_col), F.lit(sep), -1)
+    kept = F.filter(
+        parts, lambda x, i: F.array_position(parts, x) == i + F.lit(1)
+    )
+    n_before = F.size(parts)
+    n_after = F.size(kept)
+    keep_cols = [c for c in df.columns if c != text_col or out_col != text_col]
+    return df.select(
+        *keep_cols,
+        n_before.alias("n_paragraphs"),
+        (n_before - n_after).alias("n_dropped"),
+        F.round(
+            (n_before - n_after) / F.greatest(n_before, F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_ratio"),
+        F.array_join(kept, sep).alias(out_col),
+    )
+
+
+def dedup_paragraphs_sql(text_expr: str, sep: str = "\n") -> dict[str, str]:
+    """DuckDB expressions matching :func:`dedup_paragraphs` (DuckDB lambda
+    index ``i`` and ``list_position`` are both 1-based, so the
+    first-occurrence condition is ``list_position(parts, x) = i``)."""
+    sep_sql = _sep_lit(sep)
+    parts = f"string_split({text_expr}, {sep_sql})"
+    kept = f"list_filter({parts}, (x, i) -> list_position({parts}, x) = i)"
+    return {
+        "n_paragraphs": f"CAST(len({parts}) AS INTEGER)",
+        "n_dropped": f"CAST(len({parts}) - len({kept}) AS INTEGER)",
+        "dup_ratio": (
+            f"ROUND((len({parts}) - len({kept})) / "
+            f"CAST(GREATEST(len({parts}), 1) AS DOUBLE), 4)"
+        ),
+        "text": f"array_to_string({kept}, {sep_sql})",
+    }
+
+
+def _sep_lit(sep: str) -> str:
+    """A DuckDB string expression for a separator that may hold newlines."""
+    out, buf = [], []
+    for ch in sep:
+        if ch == "\n":
+            if buf:
+                out.append("'" + "".join(buf).replace("'", "''") + "'")
+                buf = []
+            out.append("chr(10)")
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("'" + "".join(buf).replace("'", "''") + "'")
+    return " || ".join(out) if out else "''"
+
+
+# --- training-shard export --------------------------------------------------
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int = 1024,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards:
+    ``shard = hash(id) % n`` (an id-keyed hash, so placement is stable
+    across runs and independent of input partitioning - unlike
+    ``repartition``'s round-robin) and ``pos`` = the row's rank within its
+    shard ordered by the same hash (then id) - a per-shard pseudorandom
+    read order, which is exactly what sequential training-data readers
+    need. One key shuffle; that shuffle IS the product."""
+    h = md5_hash32_seeded(F.col(id_col).cast("string"), seed)
+    w = Window.partitionBy(shard_col).orderBy(F.col("__h"), F.col(id_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn(shard_col, F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn(pos_col, F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )
+
+
+def assign_shards_sql(
+    n_shards: int, id_expr: str = "doc_id", seed: int = 0
+) -> dict[str, str]:
+    h = md5_hash32_seeded_sql(f"CAST({id_expr} AS VARCHAR)", seed)
+    shard = f"CAST({h} % {n_shards} AS INTEGER)"
+    return {
+        "shard": shard,
+        "pos": (
+            f"CAST(ROW_NUMBER() OVER (PARTITION BY {shard} "
+            f"ORDER BY {h}, {id_expr}) AS BIGINT)"
+        ),
+    }
+
+
+def write_training_shards(
+    df: DataFrame, path: str, n_shards: int = 1024, id_col: str = "doc_id"
+) -> None:
+    """Materialize :func:`assign_shards` as a shard-partitioned parquet
+    layout (one directory per shard, rows sorted by ``pos`` within each
+    file) - the read layout for a sequential training loader."""
+    out = assign_shards(df, n_shards=n_shards, id_col=id_col)
+    (
+        out.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
     )

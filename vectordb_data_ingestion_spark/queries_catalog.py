@@ -1934,3 +1934,123 @@ def q_per_source_cap(spark, sf_dir):
         n=3,
     )
     return capped.select("doc_id", "source", "n_chars")
+
+
+_PACK_SQL = cp.pack_sequences_sql("n_chars", 2048, "source", "doc_id")
+
+
+@register(
+    "sequence_packing",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           {_PACK_SQL['seq_id']} AS seq_id,
+           {_PACK_SQL['seq_offset']} AS seq_offset
+    FROM documents
+    """,
+)
+def q_sequence_packing(spark, sf_dir):
+    """Concatenate-and-split sequence packing: assign each document to the
+    fixed-budget training sequence containing its start offset, packed per
+    source (one hash-partitioned window - global packing would be a total
+    sort, which no 100 TB pipeline does)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    packed = cp.pack_sequences(
+        spread(docs),
+        token_col="n_chars",
+        budget=2048,
+        group_col="source",
+        order_by=[F.asc("doc_id")],
+    )
+    return packed.select("doc_id", "source", "n_chars", "seq_id", "seq_offset")
+
+
+_MIX_RATES = {f"src{i}": (0.9, 0.4, 0.15)[i % 3] for i in range(20)}
+
+
+@register(
+    "weighted_source_sample",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE {cp.weighted_sample_sql(_MIX_RATES)}
+    """,
+)
+def q_weighted_source_sample(spark, sf_dir):
+    """Deterministic per-source mixture sampling (Pile/ROOTS-style source
+    weights): keep a row iff hash(doc_id)/2^32 < rate[source]. Membership
+    is a pure function of the id - stable across runs, partitionings, and
+    corpus growth - and the pass is a narrow no-shuffle projection."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    kept = cp.weighted_sample(spread(docs), _MIX_RATES)
+    return kept.select("doc_id", "source", "n_chars")
+
+
+_PARA_DEDUP_SQL = cp.dedup_paragraphs_sql("text")
+
+
+@register(
+    "paragraph_dedup",
+    f"""
+    WITH synth AS (
+      SELECT doc_id,
+             substr(text, 1, 60) || chr(10) || substr(text, 61, 60) ||
+             chr(10) || substr(text, 1, 60) || chr(10) ||
+             substr(text, 121, 60) AS text
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {_PARA_DEDUP_SQL['n_paragraphs']} AS n_paragraphs,
+           {_PARA_DEDUP_SQL['n_dropped']} AS n_dropped,
+           {_PARA_DEDUP_SQL['dup_ratio']} AS dup_ratio,
+           {_PARA_DEDUP_SQL['text']} AS text
+    FROM synth
+    """,
+)
+def q_paragraph_dedup(spark, sf_dir):
+    """Intra-document repeated-paragraph removal (first occurrence kept, in
+    order) over synthetic multi-paragraph docs with a planted repeat - a
+    pure array-expression projection, no shuffle, no Python - plus
+    dup-ratio quality signals."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    synth = spread(docs).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(F.col("text"), 1, 60),
+            F.substring(F.col("text"), 61, 60),
+            F.substring(F.col("text"), 1, 60),
+            F.substring(F.col("text"), 121, 60),
+        ).alias("text"),
+    )
+    out = cp.dedup_paragraphs(synth, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_paragraphs").cast("int").alias("n_paragraphs"),
+        F.col("n_dropped").cast("int").alias("n_dropped"),
+        "dup_ratio",
+        "text",
+    )
+
+
+_SHARD_SQL = cp.assign_shards_sql(16)
+
+
+@register(
+    "shard_assign",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {_SHARD_SQL['shard']} AS shard,
+           {_SHARD_SQL['pos']} AS pos
+    FROM documents
+    """,
+)
+def q_shard_assign(spark, sf_dir):
+    """Deterministic global shuffle into training shards: shard =
+    hash(doc_id) % 16, pos = rank by the same hash within the shard (a
+    per-shard pseudorandom read order for sequential training loaders).
+    One key shuffle - that shuffle IS the product."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    out = cp.assign_shards(spread(docs), n_shards=16)
+    return out.select("doc_id", "shard", "pos")
