@@ -40,6 +40,10 @@ HEADLINE = [
     "vocabulary_top",
     "pii_scrub",
     "benchmark_decontaminate",
+    "bm25_topk",
+    "hybrid_rrf_search",
+    "sequence_packing",
+    "shard_assign",
 ]
 
 

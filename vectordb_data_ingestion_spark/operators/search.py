@@ -1,0 +1,244 @@
+"""Keyword (BM25) and hybrid (keyword + vector) retrieval.
+
+The reference loads chunks into Weaviate and queries it with top-k-by-
+certainty retrieval (cfg.toml:23-25,48). Weaviate's other first-class query
+mode is *hybrid search*: BM25 keyword scoring fused with vector similarity.
+This module provides both as distributed operators:
+
+- :func:`bm25_topk`  - batched Okapi BM25 (Lucene idf variant) for N queries
+  against the corpus in ONE plan.
+- :func:`rrf_fuse`   - reciprocal-rank fusion of two ranked lists (the
+  fusion rule Weaviate/OpenSearch hybrid search uses), weighted.
+
+Scale posture (100 TB / 1000 executors):
+
+- ``bm25_topk`` scans the corpus ONCE: tokenize, carry doc length alongside
+  the explode, and filter the exploded terms against the (tiny, broadcast)
+  union of query terms - only matching (doc, term) rows survive to the
+  groupBy, so the shuffle is proportional to matches, not corpus tokens.
+  Corpus stats (N, avgdl) and per-term document frequencies are one-row /
+  few-row aggregates joined back by broadcast. The final top-k is a window
+  keyed by query id over match rows only.
+- Scores are summed as integer *micro-scores* (``round(score * 1e6)`` per
+  term, then an integer SUM): integer addition is associative, so the result
+  is independent of Spark's partial-aggregation order and reproducible
+  bit-for-bit against the DuckDB oracle - a floating sum would tie-flip
+  ranks between engines.
+- ``rrf_fuse`` joins two k-row-per-query lists - trivially broadcastable no
+  matter how big the corpus behind them was.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from vectordb_data_ingestion_spark.functions.text import word_split
+
+_TOKENS_SQL = (
+    "list_filter(string_split(regexp_replace(lower({e}), '\\s+', ' ', 'g'), "
+    "' '), w -> w <> '')"
+)
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query by Okapi BM25 with Lucene's
+    non-negative idf, ``ln(1 + (N - df + 0.5) / (df + 0.5))``, over
+    lowercased whitespace tokens. ``queries`` is ``[(q_id, [term, ...])]``
+    - all queries are answered in one plan (one corpus scan). Returns
+    ``(q_id, id_col, score_micro, rank)`` where ``score_micro`` is the BM25
+    score in integer millionths (see module docstring for why)."""
+    toks = F.filter(word_split(F.lower(F.col(text_col))), lambda w: w != "")
+    docs = corpus.select(
+        F.col(id_col), F.size(toks).alias("__dl"), toks.alias("__toks")
+    )
+    stats = docs.agg(
+        F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    all_terms = sorted({t for _, terms in queries for t in terms})
+    qdf = corpus.sparkSession.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in sorted(set(terms))],
+        "q_id long, term string",
+    )
+    matches = (
+        docs.select(id_col, "__dl", F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(all_terms))
+        .groupBy(id_col, "term", "__dl")
+        .agg(F.count("*").alias("__tf"))
+    )
+    dfreq = matches.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    idf = F.log(
+        1.0 + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    denom = F.col("__tf") + k1 * (
+        1.0 - b + b * F.col("__dl") / F.col("__avgdl")
+    )
+    term_micro = F.round(
+        idf * (F.col("__tf") * (k1 + 1.0)) / denom * 1e6
+    ).cast("long")
+    agg = (
+        matches.join(broadcast(qdf), "term")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .groupBy("q_id", id_col)
+        .agg(F.sum(term_micro).alias("score_micro"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_sql(
+    table: str,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle mirroring :func:`bm25_topk` stage for stage."""
+    toks = _TOKENS_SQL.format(e=text_col)
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in queries
+        for t in sorted(set(terms))
+    )
+    in_list = ", ".join(
+        f"'{t}'" for t in sorted({t for _, terms in queries for t in terms})
+    )
+    return f"""
+    WITH dl AS (
+      SELECT {id_col}, len({toks}) AS dl, {toks} AS toks FROM {table}
+    ),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    q(q_id, term) AS (VALUES {qvals}),
+    matches AS (
+      SELECT {id_col}, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT {id_col}, dl, unnest(toks) AS term FROM dl)
+      WHERE term IN ({in_list})
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (
+      SELECT term, COUNT(DISTINCT {id_col}) AS df FROM matches GROUP BY 1
+    ),
+    agg AS (
+      SELECT q.q_id, m.{id_col},
+             SUM(CAST(ROUND(
+               ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+               * (m.tf * ({k1} + 1.0))
+               / (m.tf + {k1} * (1.0 - {b} + {b} * m.dl / s.avgdl))
+               * 1e6) AS BIGINT)) AS score_micro
+      FROM matches m
+      JOIN q ON m.term = q.term
+      JOIN dfreq f ON m.term = f.term
+      CROSS JOIN stats s
+      GROUP BY 1, 2
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id,
+           CAST({id_col} AS BIGINT) AS {id_col},
+           CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY score_micro DESC, {id_col} ASC) AS rn
+      FROM agg
+    ) WHERE rn <= {k}
+    """
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    query_col: str = "q_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    weight_a: float = 1.0,
+    weight_b: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """Weighted reciprocal-rank fusion of two ranked lists:
+    ``score = w_a/(k_rrf + rank_a) + w_b/(k_rrf + rank_b)``, a list a doc
+    is absent from contributing 0 (full-outer join). Returns
+    ``(q_id, id, rrf_micro, rank)`` with the fused score in integer
+    millionths (associative integer sum - engine-order independent)."""
+    fa = ranked_a.select(
+        query_col, id_col, F.col(rank_col).alias("__ra")
+    )
+    fb = ranked_b.select(
+        query_col, id_col, F.col(rank_col).alias("__rb")
+    )
+    joined = fa.join(fb, [query_col, id_col], "full_outer")
+    contrib = lambda r, wt: F.coalesce(  # noqa: E731
+        F.round(F.lit(wt) * 1e6 / (F.lit(k_rrf) + F.col(r))).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    scored = joined.select(
+        query_col,
+        id_col,
+        (contrib("__ra", weight_a) + contrib("__rb", weight_b)).alias(
+            "rrf_micro"
+        ),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_micro"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rrf_sql(
+    ranked_a_sql: str,
+    ranked_b_sql: str,
+    query_col: str = "q_id",
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    weight_a: float = 1.0,
+    weight_b: float = 1.0,
+    k: int = 10,
+) -> str:
+    """DuckDB oracle mirroring :func:`rrf_fuse`; the two inputs are SQL
+    snippets yielding ``(q_id, id, rank)``."""
+    return f"""
+    WITH ra AS ({ranked_a_sql}),
+    rb AS ({ranked_b_sql}),
+    fused AS (
+      SELECT COALESCE(ra.{query_col}, rb.{query_col}) AS {query_col},
+             COALESCE(ra.{id_col}, rb.{id_col}) AS {id_col},
+             COALESCE(CAST(ROUND({weight_a} * 1e6 / ({k_rrf} + ra.rank))
+                           AS BIGINT), 0)
+             + COALESCE(CAST(ROUND({weight_b} * 1e6 / ({k_rrf} + rb.rank))
+                             AS BIGINT), 0) AS rrf_micro
+      FROM ra FULL OUTER JOIN rb
+        ON ra.{query_col} = rb.{query_col} AND ra.{id_col} = rb.{id_col}
+    )
+    SELECT CAST({query_col} AS BIGINT) AS {query_col},
+           CAST({id_col} AS BIGINT) AS {id_col},
+           CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY {query_col}
+        ORDER BY rrf_micro DESC, {id_col} ASC) AS rn
+      FROM fused
+    ) WHERE rn <= {k}
+    """

@@ -2054,3 +2054,72 @@ def q_shard_assign(spark, sf_dir):
     (docs,) = _t(spark, sf_dir, "documents")
     out = cp.assign_shards(spread(docs), n_shards=16)
     return out.select("doc_id", "shard", "pos")
+
+
+# ---------------------------------------------------------------------------
+# Keyword + hybrid retrieval (Weaviate-parity query modes)
+# ---------------------------------------------------------------------------
+
+from vectordb_data_ingestion_spark.operators import search as srch
+
+_BM25_QUERIES = [
+    (0, ["dup", "key", "vector"]),
+    (1, ["window", "stream", "sort"]),
+    (2, ["hash", "join", "merge"]),
+]
+
+
+@register("bm25_topk", srch.bm25_sql("documents", _BM25_QUERIES, k=10))
+def q_bm25_topk(spark, sf_dir):
+    """Batched Okapi BM25 keyword retrieval: 3 term queries answered in one
+    corpus scan (exploded terms filtered against the broadcast query-term
+    set, so the shuffle carries matches only). Integer micro-scores keep the
+    sum associative and therefore engine-order independent."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return srch.bm25_topk(spread(docs), _BM25_QUERIES, k=10)
+
+
+_DENSE_RANK_SQL = f"""
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS doc_id,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT q.q_id, c.vec_id,
+             row_number() OVER (PARTITION BY q.q_id
+                                ORDER BY ROUND({_CERTAINTY_SQL}, 6) DESC,
+                                         c.vec_id ASC) AS rn
+      FROM (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+            FROM embeddings) c
+      CROSS JOIN (SELECT vec_id AS q_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                  FROM embeddings WHERE vec_id < 3) q
+    ) WHERE rn <= 10
+"""
+
+
+@register(
+    "hybrid_rrf_search",
+    srch.rrf_sql(
+        _DENSE_RANK_SQL, srch.bm25_sql("documents", _BM25_QUERIES, k=10), k=10
+    ),
+)
+def q_hybrid_rrf_search(spark, sf_dir):
+    """Hybrid search (the Weaviate query mode the reference's sink feeds):
+    dense top-10 by certainty fused with BM25 keyword top-10 via weighted
+    reciprocal-rank fusion. Both ranked lists are k rows per query, so the
+    fusion join is trivially broadcastable regardless of corpus size."""
+    docs, emb = _t(spark, sf_dir, "documents", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    dense = topk_by_certainty(emb, queries, k=10, threshold=0.0)
+    dw = Window.partitionBy("q_id").orderBy(
+        F.desc("certainty"), F.asc("vec_id")
+    )
+    dense_ranked = dense.select(
+        "q_id",
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(dw).cast("int").alias("rank"),
+    )
+    sparse_ranked = srch.bm25_topk(spread(docs), _BM25_QUERIES, k=10)
+    return srch.rrf_fuse(dense_ranked, sparse_ranked, k=10)
