@@ -141,3 +141,47 @@ def test_ann_topk_join_is_equi_join_and_self_hits(spark):
         assert len(hits) <= 3
         best = max(hits, key=lambda r: r["certainty"])
         assert best["vec_id"] == q and best["certainty"] == 1.0
+
+
+# --- int8 quantization ------------------------------------------------------
+
+def test_quantize_int8_roundtrip_quality_and_range(spark):
+    from vectordb_data_ingestion_spark.functions import vectors as vec
+
+    emb = _emb(spark)
+    scale = vec.quantize_scale(F.col("embedding"))
+    out = (
+        emb.withColumn("scale", scale)
+        .withColumn("qvec", vec.quantize_int8(F.col("embedding"), F.col("scale")))
+        .withColumn(
+            "recon_cert",
+            vec.certainty(
+                vec.to_double_array(F.col("embedding")),
+                vec.dequantize(F.col("qvec"), F.col("scale")),
+            ),
+        )
+        .collect()
+    )
+    for r in out:
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+        assert max(abs(q) for q in r["qvec"]) == 127  # scale saturates
+        assert r["recon_cert"] > 0.9999  # int8 keeps cosine within 1e-4
+
+
+def test_quantize_zero_vector_yields_null_scale(spark):
+    from vectordb_data_ingestion_spark.functions import vectors as vec
+
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, embedding array<float>")
+    row = df.withColumn("scale", vec.quantize_scale(F.col("embedding"))).collect()[0]
+    assert row["scale"] is None
+
+
+def test_filtered_topk_scores_only_matching_labels(spark):
+    from vectordb_data_ingestion_spark import queries_catalog as qc
+    from tests.conftest import SF_SMALL
+
+    out = qc.SPARK_QUERIES["filtered_topk_certainty"](spark, SF_SMALL)
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in out.collect():
+        assert labels[r["vec_id"]] == r["q_id"] % 10  # predicate held

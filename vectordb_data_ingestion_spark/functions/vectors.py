@@ -45,6 +45,43 @@ def certainty(a: Column, b: Column) -> Column:
     return (F.lit(1.0) + cosine_similarity(a, b)) / F.lit(2.0)
 
 
+# --- int8 scalar quantization ----------------------------------------------
+
+def quantize_scale(a: Column) -> Column:
+    """Per-vector int8 quantization scale ``127 / max(|x|)`` (symmetric
+    scalar quantization - the storage-compression mode vector DBs ship for
+    4x memory reduction). Null for the all-zero vector."""
+    max_abs = F.array_max(F.transform(a, F.abs))
+    return F.when(max_abs > 0, F.lit(127.0) / max_abs)
+
+
+def quantize_int8(a: Column, scale: Column) -> Column:
+    """``round(x * scale)`` per element as array<int> in [-127, 127].
+    Both engines round half away from zero (Java HALF_UP / C++ round), so
+    the arrays agree bit-for-bit."""
+    return F.transform(a, lambda x: F.round(x * scale).cast("int"))
+
+
+def dequantize(q: Column, scale: Column) -> Column:
+    """Reconstruct array<double> from the int8 codes."""
+    return F.transform(q, lambda x: x.cast("double") / scale)
+
+
+def quantize_scale_sql(a: str) -> str:
+    # CAST both sides to DOUBLE: DuckDB parses 127.0 as DECIMAL and a
+    # DECIMAL / FLOAT division loses precision vs Spark's double arithmetic
+    m = f"CAST(list_max(list_transform({a}, x -> abs(x))) AS DOUBLE)"
+    return f"CASE WHEN {m} > 0 THEN CAST(127.0 AS DOUBLE) / {m} END"
+
+
+def quantize_int8_sql(a: str, scale: str) -> str:
+    return f"list_transform({a}, x -> CAST(ROUND(x * {scale}) AS INTEGER))"
+
+
+def dequantize_sql(q: str, scale: str) -> str:
+    return f"list_transform({q}, x -> CAST(x AS DOUBLE) / {scale})"
+
+
 # --- DuckDB oracle snippets (identical math) -------------------------------
 
 def cosine_sql(a: str, b: str) -> str:

@@ -2123,3 +2123,113 @@ def q_hybrid_rrf_search(spark, sf_dir):
     )
     sparse_ranked = srch.bm25_topk(spread(docs), _BM25_QUERIES, k=10)
     return srch.rrf_fuse(dense_ranked, sparse_ranked, k=10)
+
+
+from vectordb_data_ingestion_spark.functions import vectors as vec
+
+_QSCALE_SQL = vec.quantize_scale_sql("embedding")
+
+
+@register(
+    "embedding_quantize",
+    f"""
+    WITH q AS (
+      SELECT vec_id, embedding, {_QSCALE_SQL} AS scale FROM embeddings
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           ROUND(scale, 6) AS scale,
+           {vec.quantize_int8_sql('embedding', 'scale')} AS qvec,
+           ROUND({vec.certainty_sql(
+               vec.to_double_array_sql('embedding'),
+               vec.dequantize_sql(
+                   vec.quantize_int8_sql('embedding', 'scale'), 'scale'
+               ),
+           )}, 4) AS recon_certainty
+    FROM q
+    """,
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column (the 4x
+    storage-compression mode vector DBs ship), with per-vector
+    reconstruction certainty as the quality readout. Pure narrow projection
+    - JVM-side array expressions, no shuffle, no Python."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    scale = vec.quantize_scale(F.col("embedding"))
+    qvec = vec.quantize_int8(F.col("embedding"), F.col("scale"))
+    recon = vec.dequantize(F.col("qvec"), F.col("scale"))
+    return (
+        spread(emb)
+        .withColumn("scale", scale)
+        .withColumn("qvec", qvec)
+        .select(
+            "vec_id",
+            F.round("scale", 6).alias("scale"),
+            "qvec",
+            F.round(
+                vec.certainty(
+                    vec.to_double_array(F.col("embedding")), recon
+                ),
+                4,
+            ).alias("recon_certainty"),
+        )
+    )
+
+
+@register(
+    "filtered_topk_certainty",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(vec_id % 10 AS INTEGER) AS want_label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.q_id, c.vec_id, ROUND({_CERTAINTY_SQL}, 6) AS certainty
+      FROM c JOIN q ON c.label = q.want_label
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
+           certainty
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY certainty DESC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_filtered_topk_certainty(spark, sf_dir):
+    """Filtered vector search (Weaviate's where + nearVector mode): each
+    query retrieves top-3 by certainty among corpus vectors matching its
+    metadata predicate (label equality). The predicate joins BEFORE scoring,
+    so non-matching vectors are never scored - and with a label-partitioned
+    layout the scan itself would prune."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        (F.col("vec_id") % 10).cast("int").alias("want_label"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    scored = (
+        emb.join(broadcast(queries), emb["label"] == queries["want_label"])
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                vec.certainty(
+                    vec.to_double_array(F.col("embedding")),
+                    vec.to_double_array(F.col("q_embedding")),
+                ),
+                6,
+            ).alias("certainty"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("certainty"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
