@@ -36,6 +36,7 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -71,12 +72,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     out = {}
     for name in names or all_names:
         if name == "events":
-            # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-            # default; read nanos as long and convert (truncating) to the
-            # native microsecond TimestampType.
+            # events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
+            # Spark reads as long with nanosAsLong) or plain TIMESTAMP(MICROS);
+            # normalize both to the native microsecond TimestampType.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            ts_type = df.schema["ts"].dataType.typeName()
+            if ts_type in ("long", "bigint"):
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif ts_type == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         else:
             df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         df.createOrReplaceTempView(name)
