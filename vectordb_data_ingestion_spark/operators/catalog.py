@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
 # sharepointutils.py:105 pattern, as a capture group for regexp_extract.
 FILETYPE_PATTERN = r"\.([a-zA-Z0-9]+)$"
@@ -141,3 +142,72 @@ def find_new_and_updated(
     return joined.filter(
         F.col("__l_ts").isNull() | (F.col("__l_ts") < remote[ts_col])
     ).drop("__l_name", "__l_ts")
+
+
+def merge_upsert(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Delta-style MERGE as keep-latest-per-key: the refreshed catalog is the
+    union of the current snapshot and the update batch, keeping the newest
+    row per key (sharepointutils.py:169-197 refreshes the catalog by diff +
+    re-download; at warehouse scale the same refresh is a MERGE).
+
+    One shuffle on the key: union is free, the window hash-partitions by
+    ``key_cols`` once. Updates win ties (same ``ts_col``) so a re-delivered
+    batch converges to the batch's value - the merge is idempotent:
+    ``merge(merge(c, u), u) == merge(c, u)``.
+
+    ``tiebreak_cols``: extra deterministic ordering after the update-wins
+    flag, for inputs where (key, ts) is not unique.
+    """
+    upd = updates.withColumn("__is_update", F.lit(1))
+    cur = current.withColumn("__is_update", F.lit(0))
+    merged = cur.unionByName(upd)
+    order = [F.col(ts_col).desc(), F.col("__is_update").desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__is_update")
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a change log: per key,
+    collapse consecutive rows with an unchanged ``state_col`` and emit one
+    validity interval ``[valid_from, valid_to)`` per distinct state run;
+    ``valid_to`` is NULL on the current (open) interval.
+
+    The catalog analogue of incremental refresh (SURVEY §3 E2): instead of
+    overwriting ``modified_dt`` we keep every historical state with its
+    validity window, so any past catalog snapshot is reconstructable with
+    ``valid_from <= t AND (valid_to IS NULL OR valid_to > t)``.
+
+    Both window passes partition by the same ``key_cols`` and order the same
+    way, so Spark plans ONE exchange + one sort and runs both windows over
+    it - the change-detect lag and the interval lead add no extra shuffle.
+    """
+    order = [F.col(ts_col), F.col(tiebreak_col)]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = df.withColumn("__prev", F.lag(state_col).over(w)).filter(
+        F.col("__prev").isNull() | (F.col("__prev") != F.col(state_col))
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__prev")
+    )

@@ -516,3 +516,90 @@ def with_lsh_signatures_multitable_vectorized(
             yield pdf
 
     return df.mapInPandas(tag, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# K-means centroid training (Lloyd's) - produces the IVF coarse quantizer
+# ---------------------------------------------------------------------------
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    centroid_vec: str = "c_embedding",
+    centroid_id: str = "c_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One Lloyd iteration: assign every vector to its nearest centroid
+    (max cosine, ties -> lowest centroid id), then recompute each centroid
+    as the element-wise mean of its members.
+
+    Returns ``(c_id, c_embedding: array<double>, n_members)`` - feed back in
+    as the next iteration's ``centroids``. Empty cells drop out (standard
+    Lloyd behavior; k shrinks rather than keeping a dead centroid).
+
+    Shuffle profile: the assign is a broadcast of k centroids (no corpus
+    shuffle); the mean is posexplode -> partial agg on (cell, dim) - the
+    per-dimension sums combine map-side, so the exchange carries at most
+    ``k * dim * shuffle_partitions`` rows regardless of corpus size. That is
+    the textbook distributed-kmeans layout: per-partition partial sums, one
+    tiny shuffle, never the vectors themselves.
+    """
+    assigned = assign_ivf_cells(
+        corpus,
+        centroids,
+        vec_col=vec_col,
+        centroid_vec=centroid_vec,
+        centroid_id=centroid_id,
+        id_col=id_col,
+    )
+    dims = assigned.select(
+        F.col("cell"),
+        F.col(id_col),
+        F.posexplode(to_double_array(F.col(vec_col))).alias("__pos", "__val"),
+    )
+    per_dim = dims.groupBy("cell", "__pos").agg(
+        F.sum("__val").alias("__sum"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        per_dim.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", F.col("__sum"), F.col("__n")))
+                ),
+                lambda s: F.round(s["__sum"] / s["__n"], 6),
+            ).alias(centroid_vec),
+            F.max("__n").cast("bigint").alias("n_members"),
+        )
+        .withColumnRenamed("cell", centroid_id)
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int,
+    iterations: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train k centroids with Lloyd's algorithm, deterministically seeded
+    with the k lowest-id corpus vectors (reproducible across runs and
+    engines - no RNG). Each iteration is one broadcast assign + one tiny
+    (cell, dim) shuffle; the refined centroid set is localCheckpoint-ed so
+    iteration N+1 broadcasts a materialized table instead of re-running the
+    whole lineage (exactly what a 100 TB pipeline does by writing centroids
+    out between passes).
+    """
+    centroids = (
+        corpus.orderBy(F.col(id_col)).limit(k).select(
+            F.col(id_col).alias("c_id"),
+            to_double_array(F.col(vec_col)).alias("c_embedding"),
+        )
+    ).localCheckpoint()
+    for _ in range(iterations):
+        centroids = kmeans_refine(
+            corpus, centroids, vec_col=vec_col, id_col=id_col
+        ).localCheckpoint()
+    return centroids

@@ -2233,3 +2233,138 @@ def q_filtered_topk_certainty(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalog lifecycle: MERGE upsert + SCD2 history (SURVEY §3 E2 at scale)
+# ---------------------------------------------------------------------------
+
+_MERGE_SPLIT = "2024-01-16 00:00:00"
+
+
+@register(
+    "catalog_merge",
+    f"""
+    WITH cur AS (
+      SELECT event_id, user_id, event_type, ts, value, 0 AS is_upd
+      FROM events WHERE ts < TIMESTAMP '{_MERGE_SPLIT}'
+    ),
+    upd AS (
+      SELECT event_id, user_id, event_type, ts, value, 1 AS is_upd
+      FROM events WHERE ts >= TIMESTAMP '{_MERGE_SPLIT}'
+    ),
+    merged AS (SELECT * FROM cur UNION ALL SELECT * FROM upd),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, is_upd DESC, event_id DESC) AS rn
+      FROM merged
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           event_type, ts, ROUND(value, 6) AS value
+    FROM r WHERE rn = 1
+    """,
+)
+def q_catalog_merge(spark, sf_dir):
+    """Delta-style MERGE: the current catalog (events before the split) is
+    refreshed with an update batch (events after), keeping the newest row
+    per (user_id, event_type) key - union + one keyed window, a single
+    shuffle, updates-win-ties idempotence (operators/catalog.py)."""
+    (events,) = _t(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "ts", "value"]
+    split = F.lit(_MERGE_SPLIT).cast("timestamp")
+    current = events.filter(F.col("ts") < split).select(cols)
+    updates = events.filter(F.col("ts") >= split).select(cols)
+    merged = cat.merge_upsert(
+        current,
+        updates,
+        key_cols=["user_id", "event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    return merged.select(
+        "event_id", "user_id", "event_type", "ts", F.round("value", 6).alias("value")
+    )
+
+
+@register(
+    "scd2_user_state",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    changes AS (
+      SELECT * FROM ordered WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           event_type AS state,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM changes
+    """,
+)
+def q_scd2_user_state(spark, sf_dir):
+    """SCD2 history: per user, collapse the event-type change log into
+    validity intervals [valid_from, valid_to) - any historical state is
+    reconstructable with a point-in-time predicate. Both window passes share
+    one exchange + sort (operators/catalog.py::scd2_history)."""
+    (events,) = _t(spark, sf_dir, "events")
+    hist = cat.scd2_history(
+        events.select("user_id", "event_type", "ts", "event_id"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        state_col="event_type",
+        tiebreak_col="event_id",
+    )
+    return hist.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-means centroid training (the IVF coarse quantizer; one oracle-checked
+# Lloyd iteration - the full fit is the same step iterated)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kmeans_refine_step",
+    f"""
+    WITH {_IVF_ASSIGN_SQL},
+    member AS (SELECT a.cell, c.ve FROM assigned a JOIN c USING (vec_id)),
+    dims AS (
+      SELECT cell,
+             unnest(generate_series(0, len(ve) - 1)) AS pos,
+             unnest(ve) AS val
+      FROM member
+    ),
+    per_dim AS (
+      SELECT cell, pos, SUM(val) AS s, COUNT(*) AS n
+      FROM dims GROUP BY cell, pos
+    )
+    SELECT CAST(cell AS BIGINT) AS c_id,
+           list(ROUND(s / n, 6) ORDER BY pos) AS c_embedding,
+           CAST(MAX(n) AS BIGINT) AS n_members
+    FROM per_dim GROUP BY cell
+    """,
+)
+def q_kmeans_refine_step(spark, sf_dir):
+    """One Lloyd iteration over the deterministic seed centroids: broadcast
+    assign (no corpus shuffle) + per-(cell, dim) partial-sum mean (the
+    exchange carries k*dim partials, never the vectors). Iterated by
+    operators/similarity.py::kmeans_fit to train the IVF coarse quantizer."""
+    from vectordb_data_ingestion_spark.operators.similarity import kmeans_refine
+
+    emb, centroids, _ = _ivf_parts(spark, sf_dir)
+    return kmeans_refine(emb, centroids, centroid_id="c_id", centroid_vec="c_embedding")
