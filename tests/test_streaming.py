@@ -204,3 +204,107 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert texts == ["alpha beta", "epsilon", "gamma delta"]
     # the first arrival of the duplicated content is the survivor
     assert {r["text"]: r["doc_id"] for r in rows}["alpha beta"] == 1
+
+
+def test_streaming_ingestion_pipeline_end_to_end(spark, tmp_path):
+    """The reference's E1 pipeline as a stream: documents arrive -> clean ->
+    chunk -> token count -> deterministic chunk ids -> embed (hermetic fake
+    transport) -> delete-then-insert into the vector sink -> the sink is
+    queryable with certainty top-k. An update batch must replace the
+    document's chunks, and the replacement must be visible to the query."""
+    from vectordb_data_ingestion_spark.operators.chunk_pipeline import (
+        build_chunk_table,
+    )
+    from vectordb_data_ingestion_spark.operators.enrichment import (
+        _hash_vector,
+        deterministic_fake_transport,
+        embed_via_api,
+    )
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        topk_by_certainty,
+    )
+
+    stream_dir = str(tmp_path / "incoming")
+    sink_dir = str(tmp_path / "vectors")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stream_dir)
+    sink = ParquetVectorSink(spark, sink_dir, partition_col=None)
+    dim = 8
+
+    def transform(batch_df):
+        chunks = build_chunk_table(
+            batch_df,
+            chunk_size=6,
+            overlap_fraction=0.0,
+            doc_id_col="url",
+            kb_prefix=False,
+        )
+        return embed_via_api(
+            chunks,
+            deterministic_fake_transport(dim),
+            batch_size=16,
+        ).select("url", "chunk_id", "chunk_index", "chunk_text", "vector")
+
+    def doc(url, version, body):
+        return spark.createDataFrame(
+            [(url, body, version)], "url string, text string, version int"
+        )
+
+    schema = doc("u", 1, "x").schema
+
+    def run_once():
+        stream = read_file_stream(spark, stream_dir, schema)
+        q = foreach_batch_refresh(
+            stream,
+            transform,
+            sink_upsert=sink.upsert,
+            sink_delete_where=sink.delete_where,
+            key_col="url",
+            checkpoint=ckpt,
+        ).start()
+        q.awaitTermination(120)
+
+    body1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    doc("d1", 1, body1).unionByName(
+        doc("d2", 1, "one two three four five six seven")
+    ).write.mode("append").parquet(stream_dir)
+    run_once()
+
+    first = {r["chunk_id"]: r for r in sink.read().collect()}
+    assert {r["url"] for r in first.values()} == {"d1", "d2"}
+    assert all(len(r["vector"]) == dim for r in first.values())
+    # chunk vectors are the deterministic hash embedding of the chunk text
+    some = next(iter(first.values()))
+    expected = _hash_vector(some["chunk_text"].replace("\n", " "), dim)
+    assert [round(float(x), 5) for x in some["vector"]] == [
+        round(x, 5) for x in expected
+    ]
+
+    # the sink is a similarity-search substrate: querying with a chunk's own
+    # vector must return that chunk as the top hit at certainty 1.0
+    target = first[sorted(first)[0]]
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in target["vector"]])],
+        "q_id int, q_embedding array<double>",
+    )
+    corpus = sink.read().select("chunk_id", F.col("vector").alias("embedding"))
+    hits = topk_by_certainty(
+        corpus, queries, k=1, threshold=0.5, corpus_id="chunk_id"
+    ).collect()
+    assert hits[0]["chunk_id"] == target["chunk_id"]
+
+    # update d1 -> delete-then-insert must replace its chunks
+    doc("d1", 2, "totally different words now appear here instead").write.mode(
+        "append"
+    ).parquet(stream_dir)
+    run_once()
+    after = sink.read().filter(F.col("url") == "d1").collect()
+    old_d1_texts = {r["chunk_text"] for r in first.values() if r["url"] == "d1"}
+    assert {r["chunk_text"] for r in after}.isdisjoint(old_d1_texts)
+    # every surviving d1 chunk comes from the v2 body
+    v2_words = set("totally different words now appear here instead".split())
+    for r in after:
+        assert set(r["chunk_text"].split()) <= v2_words
+    # d2 untouched by d1's refresh
+    d2_after = sink.read().filter(F.col("url") == "d2").count()
+    assert d2_after == len([r for r in first.values() if r["url"] == "d2"])
