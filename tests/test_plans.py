@@ -186,3 +186,27 @@ def test_lsh_partitioned_layout_prunes(spark, tmp_path):
     assert "In(sig" in scan.split("PushedFilters")[1]
     # the probed result still finds the query vector itself
     assert pruned.filter(F.col("vec_id") == 7).count() == 1
+
+
+def test_merge_upsert_single_shuffle(spark):
+    """MERGE = union + one keyed window: exactly one exchange, and the
+    row_number survives as a single Window node (no extra sort exchanges)."""
+    df = qc.SPARK_QUERIES["catalog_merge"](spark, SF_SMALL)
+    assert has_node(df, "Window")
+    assert count_exchanges(df) == 1
+
+
+def test_scd2_one_exchange_for_both_windows(spark):
+    """Change-detect lag and interval lead partition+order identically, so
+    Catalyst plans ONE exchange + sort pair feeding both Window nodes."""
+    df = qc.SPARK_QUERIES["scd2_user_state"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1
+
+
+def test_kmeans_refine_broadcast_assign(spark):
+    """The assign side must broadcast the centroids (corpus never shuffles
+    before assignment); the mean recompute is the only keyed exchange path."""
+    df = qc.SPARK_QUERIES["kmeans_refine_step"](spark, SF_SMALL)
+    assert has_node(df, "BroadcastExchange")
+    # assignment window (per vec_id over k rows) + (cell,dim) agg + cell agg
+    assert count_exchanges(df) <= 3
