@@ -133,3 +133,60 @@ def test_kmeans_fit_converges_and_is_deterministic(spark):
     a = sorted((r["c_id"], tuple(r["c_embedding"])) for r in trained.collect())
     b = sorted((r["c_id"], tuple(r["c_embedding"])) for r in again.collect())
     assert a == b
+
+
+def test_semantic_dedup_removes_exact_directional_copies(spark):
+    """Scaled copies (cosine 1 to their originals) must all be dominated;
+    every original must survive (random embeddings are far apart at 0.999)."""
+    from vectordb_data_ingestion_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    copies = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0).alias("v"),
+    )
+    corpus = base.unionAll(copies)
+    centroids = emb.filter(F.col("vec_id") % 50 == 3).select(
+        F.col("vec_id").alias("c_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c_embedding"),
+    )
+    kept = {r["vec_id"] for r in semantic_dedup(
+        corpus, centroids, threshold=0.999, vec_col="v"
+    ).collect()}
+    n_base = base.count()
+    assert kept == set(range(n_base)) or kept <= set(range(n_base))
+    assert all(v < 10_000 for v in kept)          # no copy survives
+    assert len(kept) == n_base                    # every original survives
+
+
+def test_semantic_dedup_vectorized_matches_join_form(spark):
+    """The numpy-matmul path and the JVM pairwise-join path implement the
+    same dominance rule - identical survivor sets."""
+    from vectordb_data_ingestion_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_vectorized,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    copies = emb.filter(F.col("vec_id") % 4 == 1).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 0.5).alias("v"),
+    )
+    corpus = base.unionAll(copies)
+    centroids = emb.filter(F.col("vec_id") % 25 == 2).select(
+        F.col("vec_id").alias("c_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c_embedding"),
+    )
+    a = {r["vec_id"] for r in semantic_dedup(
+        corpus, centroids, threshold=0.999, vec_col="v").collect()}
+    b = {r["vec_id"] for r in semantic_dedup_vectorized(
+        corpus, centroids, threshold=0.999, vec_col="v").collect()}
+    assert a == b and len(a) > 0
