@@ -43,6 +43,8 @@ HEADLINE = [
     "bm25_topk",
     "hybrid_rrf_search",
     "sequence_packing",
+    "semantic_dedup",
+    "pq_adc_topk",
     "shard_assign",
 ]
 

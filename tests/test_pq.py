@@ -1,0 +1,81 @@
+"""Product quantization: trained codebook shape, encode determinism,
+reconstruction sanity, and ADC recall vs exact search on the fixed corpus."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from vectordb_data_ingestion_spark.operators.pq import (
+    pq_adc_topk,
+    pq_assign,
+    pq_encode,
+    pq_train,
+)
+from vectordb_data_ingestion_spark.operators.similarity import brute_force_topk
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", SF_SMALL)
+M, DIM = 8, 64
+
+
+def _emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+
+
+def test_pq_train_codebook_shape_and_determinism(spark):
+    emb = _emb(spark)
+    cb = pq_train(emb, m=M, dim=DIM, k=4, iterations=2).cache()
+    rows = cb.collect()
+    by_sub = {}
+    for r in rows:
+        by_sub.setdefault(r["sub"], []).append(r)
+        assert len(r["sv"]) == DIM // M
+    assert set(by_sub) == set(range(M))
+    for sub_rows in by_sub.values():
+        codes = sorted(r["code"] for r in sub_rows)
+        assert codes == list(range(len(codes)))  # dense 0..k'-1
+        assert len(codes) <= 4
+    again = pq_train(emb, m=M, dim=DIM, k=4, iterations=2).collect()
+    key = lambda r: (r["sub"], r["code"])
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+
+
+def test_pq_encode_covers_corpus_with_valid_codes(spark):
+    emb = _emb(spark)
+    cb = pq_train(emb, m=M, dim=DIM, k=4, iterations=2).cache()
+    k_per_sub = {
+        r["sub"]: r["n"]
+        for r in cb.groupBy("sub").agg(F.count("*").alias("n")).collect()
+    }
+    enc = pq_encode(emb, cb, m=M, dim=DIM)
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r["pq_codes"]) == M
+        for sub, code in enumerate(r["pq_codes"]):
+            assert 0 <= code < k_per_sub[sub]
+
+
+def test_adc_topk_recalls_exact_neighbors(spark):
+    """ADC over trained codebooks must place the query vector itself first
+    (its own codes give the minimal table sum) and recall a healthy share
+    of the exact cosine top-10 on this fixed corpus."""
+    emb = _emb(spark).cache()
+    cb = pq_train(emb, m=M, dim=DIM, k=8, iterations=2).cache()
+    assigned = pq_assign(emb, cb, m=M, dim=DIM).cache()
+    hits = 0
+    qids = (1, 7, 13)
+    for qid in qids:
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == qid).collect()[0][
+            "embedding"
+        ]]
+        exact = {r[0] for r in brute_force_topk(emb, qv, 10).collect()}
+        approx = [
+            r["vec_id"]
+            for r in pq_adc_topk(assigned, cb, qv, k=10, m=M, dim=DIM).collect()
+        ]
+        hits += len(exact & set(approx))
+    # 3 queries x top-10: PQ at 8x compression keeps a meaningful share
+    assert hits >= 12, f"ADC recall too low: {hits}/30"

@@ -2368,3 +2368,195 @@ def q_kmeans_refine_step(spark, sf_dir):
 
     emb, centroids, _ = _ivf_parts(spark, sf_dir)
     return kmeans_refine(emb, centroids, centroid_id="c_id", centroid_vec="c_embedding")
+
+
+_SEMDEDUP_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "semantic_dedup",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, {_DBL} AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001) AS v
+      FROM embeddings WHERE vec_id % 9 = 0
+    ),
+    cen AS (SELECT vec_id AS c_id, {_DBL} AS ce FROM embeddings
+            WHERE {_CENTROID_PRED}),
+    scored AS (
+      SELECT corpus.vec_id, cen.c_id,
+             {_SEMDEDUP_COS.format(a="v", b="ce")} AS sim
+      FROM corpus CROSS JOIN cen
+    ),
+    assigned AS (
+      SELECT vec_id, c_id AS cell FROM (
+        SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, c_id ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    j AS (SELECT a.vec_id, a.cell, c.v
+          FROM assigned a JOIN corpus c USING (vec_id)),
+    dominated AS (
+      SELECT DISTINCT x.vec_id
+      FROM j x JOIN j y ON x.cell = y.cell AND y.vec_id < x.vec_id
+      WHERE {_SEMDEDUP_COS.format(a="x.v", b="y.v")} >= 0.999
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS BIGINT) AS cell
+    FROM assigned WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+    """,
+)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: k-means-cell blocking + within-cell
+    cosine dominance (lowest id wins). The corpus is augmented with scaled
+    copies (cosine 1 to their originals) that the dedup must remove; cells
+    come from the deterministic centroid subset, in production from
+    kmeans_fit. Broadcast assign + one numpy matmul per cell - work is sum
+    of cell sizes squared, never corpus squared (the pairwise-join form
+    lives in dedup.semantic_dedup with identical semantics/oracle)."""
+    from vectordb_data_ingestion_spark.operators.dedup import (
+        semantic_dedup_vectorized as semantic_dedup,
+    )
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    perturbed = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 1.001).alias(
+            "v"
+        ),
+    )
+    corpus = base.unionAll(perturbed)
+    centroids = emb.filter(F.expr(_CENTROID_PRED)).select(
+        F.col("vec_id").alias("c_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "c_embedding"
+        ),
+    )
+    survivors = semantic_dedup(corpus, centroids, threshold=0.999, vec_col="v")
+    return survivors.select("vec_id", "cell")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/pq.py): encode + ADC retrieval
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_DIM, _PQ_DSUB = 8, 64, 8
+
+_PQ_L2 = (
+    "ROUND(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b}) "
+    "+ list_dot_product({b}, {b}), 6)"
+)
+
+# Deterministic codebooks: the _CENTROID_PRED subset's subvectors, dense
+# codes by vec_id order within each subspace.
+_PQ_COMMON_SQL = f"""
+    subspace AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub),
+    cb AS (
+      SELECT sub,
+             row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS code,
+             (({_DBL})[sub * {_PQ_DSUB} + 1 : sub * {_PQ_DSUB} + {_PQ_DSUB}]) AS cv
+      FROM embeddings, subspace WHERE {_CENTROID_PRED}
+    ),
+    subs AS (
+      SELECT vec_id, sub,
+             (({_DBL})[sub * {_PQ_DSUB} + 1 : sub * {_PQ_DSUB} + {_PQ_DSUB}]) AS sv
+      FROM embeddings, subspace
+    ),
+    scored AS (
+      SELECT subs.vec_id, subs.sub, cb.code,
+             {_PQ_L2.format(a="subs.sv", b="cb.cv")} AS d
+      FROM subs JOIN cb USING (sub)
+    ),
+    best AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d ASC, code ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+"""
+
+
+def _pq_parts(spark, sf_dir):
+    from vectordb_data_ingestion_spark.operators.pq import pq_assign, subvectors
+    from vectordb_data_ingestion_spark.functions.vectors import to_double_array
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    cb_subs = emb.filter(F.expr(_CENTROID_PRED)).select(
+        "vec_id",
+        F.posexplode(
+            subvectors(to_double_array(F.col("embedding")), _PQ_M, _PQ_DIM)
+        ).alias("sub", "sv"),
+    )
+    w = Window.partitionBy("sub").orderBy("vec_id")
+    codebooks = cb_subs.select(
+        "sub", (F.row_number().over(w) - 1).cast("long").alias("code"), "sv"
+    )
+    assigned = pq_assign(emb, codebooks, _PQ_M, _PQ_DIM)
+    return emb, codebooks, assigned
+
+
+@register(
+    "pq_encode",
+    f"""
+    WITH {_PQ_COMMON_SQL}
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           list(code ORDER BY sub) AS pq_codes
+    FROM best GROUP BY vec_id
+    """,
+)
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization encoding: every 64-d vector compressed to 8
+    codebook ids (nearest codeword per subspace, dot-expansion L2 rounded
+    identically on both engines). Codebooks broadcast; the shuffle carries
+    (id, sub, code) triples, never vectors."""
+    from vectordb_data_ingestion_spark.operators.pq import pq_encode
+
+    emb, codebooks, _ = _pq_parts(spark, sf_dir)
+    return pq_encode(emb, codebooks, _PQ_M, _PQ_DIM)
+
+
+@register(
+    "pq_adc_topk",
+    f"""
+    WITH {_PQ_COMMON_SQL},
+    q AS (SELECT {_DBL} AS qv FROM embeddings WHERE vec_id = 7),
+    qlut AS (
+      SELECT cb.sub, cb.code,
+             {_PQ_L2.format(
+                 a="(qv[cb.sub * " + str(_PQ_DSUB) + " + 1 : cb.sub * "
+                 + str(_PQ_DSUB) + " + " + str(_PQ_DSUB) + "])",
+                 b="cb.cv",
+             )} AS d
+      FROM cb CROSS JOIN q
+    )
+    SELECT CAST(b.vec_id AS BIGINT) AS vec_id,
+           ROUND(SUM(qlut.d), 6) AS adc
+    FROM best b JOIN qlut USING (sub, code)
+    GROUP BY b.vec_id
+    ORDER BY adc ASC, vec_id ASC LIMIT 10
+    """,
+)
+def q_pq_adc_topk(spark, sf_dir):
+    """ADC retrieval over PQ codes: the query stays un-quantized, a
+    broadcast (sub, code) lookup table scores every encoded vector with a
+    partial-summed m-row aggregation - approximate top-10 without touching
+    a single stored vector."""
+    from vectordb_data_ingestion_spark.operators.pq import pq_adc_topk
+
+    emb, codebooks, assigned = _pq_parts(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    ]
+    return pq_adc_topk(assigned, codebooks, qv, k=10, m=_PQ_M, dim=_PQ_DIM)
