@@ -190,3 +190,24 @@ def test_semantic_dedup_vectorized_matches_join_form(spark):
     b = {r["vec_id"] for r in semantic_dedup_vectorized(
         corpus, centroids, threshold=0.999, vec_col="v").collect()}
     assert a == b and len(a) > 0
+
+
+def test_assign_vectorized_matches_jvm(spark):
+    """matmul-argmax assignment is identical to the crossJoin+window form
+    (same 6dp rounding, same lowest-id tie-break)."""
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        assign_ivf_cells,
+        assign_ivf_cells_vectorized,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    cent = emb.filter(F.col("vec_id") % 10 == 1).select(
+        F.col("vec_id").alias("c_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c_embedding"),
+    )
+    a = {r["vec_id"]: r["cell"] for r in assign_ivf_cells(emb, cent).collect()}
+    b = {r["vec_id"]: r["cell"]
+         for r in assign_ivf_cells_vectorized(emb, cent).collect()}
+    assert a == b

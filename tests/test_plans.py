@@ -203,10 +203,11 @@ def test_scd2_one_exchange_for_both_windows(spark):
     assert count_exchanges(df) == 1
 
 
-def test_kmeans_refine_broadcast_assign(spark):
-    """The assign side must broadcast the centroids (corpus never shuffles
-    before assignment); the mean recompute is the only keyed exchange path."""
+def test_kmeans_refine_vectorized_assign_plan(spark):
+    """Assignment is a narrow Arrow-batch pass (centroids close over the
+    worker - no join, no window, no corpus shuffle); the only exchanges are
+    the (cell, dim) partial-summed mean and the final per-cell agg."""
     df = qc.SPARK_QUERIES["kmeans_refine_step"](spark, SF_SMALL)
-    assert has_node(df, "BroadcastExchange")
-    # assignment window (per vec_id over k rows) + (cell,dim) agg + cell agg
-    assert count_exchanges(df) <= 3
+    assert has_node(df, "MapInPandas")
+    assert not has_node(df, "BroadcastHashJoin")  # no per-pair join anywhere
+    assert count_exchanges(df) <= 2

@@ -79,3 +79,36 @@ def test_adc_topk_recalls_exact_neighbors(spark):
         hits += len(exact & set(approx))
     # 3 queries x top-10: PQ at 8x compression keeps a meaningful share
     assert hits >= 12, f"ADC recall too low: {hits}/30"
+
+
+def test_pq_encode_vectorized_matches_jvm(spark):
+    """The matmul encode and the exploded-join JVM encode are bit-identical
+    (same rounding, same tie-break)."""
+    from vectordb_data_ingestion_spark.operators.pq import pq_encode_vectorized
+
+    emb = _emb(spark)
+    cb = pq_train(emb, m=M, dim=DIM, k=4, iterations=1).cache()
+    a = {r["vec_id"]: list(r["pq_codes"]) for r in pq_encode(emb, cb, M, DIM).collect()}
+    b = {r["vec_id"]: list(r["pq_codes"])
+         for r in pq_encode_vectorized(emb, cb, M, DIM).collect()}
+    assert a == b
+
+
+def test_pq_adc_codes_matches_join_form(spark):
+    from vectordb_data_ingestion_spark.operators.pq import (
+        pq_adc_topk_codes,
+        pq_encode_vectorized,
+    )
+
+    emb = _emb(spark).cache()
+    cb = pq_train(emb, m=M, dim=DIM, k=4, iterations=1).cache()
+    assigned = pq_assign(emb, cb, m=M, dim=DIM)
+    encoded = pq_encode_vectorized(emb, cb, M, DIM)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0][
+        "embedding"
+    ]]
+    a = [(r["vec_id"], r["adc"]) for r in pq_adc_topk(
+        assigned, cb, qv, k=10, m=M, dim=DIM).collect()]
+    b = [(r["vec_id"], r["adc"]) for r in pq_adc_topk_codes(
+        encoded, cb, qv, k=10, m=M, dim=DIM).collect()]
+    assert a == b

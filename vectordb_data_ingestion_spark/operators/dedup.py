@@ -658,10 +658,10 @@ def semantic_dedup_vectorized(
     import numpy as np
 
     from vectordb_data_ingestion_spark.operators.similarity import (
-        assign_ivf_cells,
+        assign_ivf_cells_vectorized,
     )
 
-    assigned = assign_ivf_cells(
+    assigned = assign_ivf_cells_vectorized(
         corpus,
         centroids,
         vec_col=vec_col,

@@ -529,6 +529,7 @@ def kmeans_refine(
     centroid_vec: str = "c_embedding",
     centroid_id: str = "c_id",
     id_col: str = "vec_id",
+    vectorized_assign: bool = True,
 ) -> DataFrame:
     """One Lloyd iteration: assign every vector to its nearest centroid
     (max cosine, ties -> lowest centroid id), then recompute each centroid
@@ -538,14 +539,19 @@ def kmeans_refine(
     as the next iteration's ``centroids``. Empty cells drop out (standard
     Lloyd behavior; k shrinks rather than keeping a dead centroid).
 
-    Shuffle profile: the assign is a broadcast of k centroids (no corpus
-    shuffle); the mean is posexplode -> partial agg on (cell, dim) - the
-    per-dimension sums combine map-side, so the exchange carries at most
+    Shuffle profile: the assign is a narrow pass over the corpus (matmul
+    per Arrow batch by default, or the broadcast-join JVM form with
+    ``vectorized_assign=False`` - same semantics either way); the mean is
+    posexplode -> partial agg on (cell, dim) - the per-dimension sums
+    combine map-side, so the exchange carries at most
     ``k * dim * shuffle_partitions`` rows regardless of corpus size. That is
     the textbook distributed-kmeans layout: per-partition partial sums, one
     tiny shuffle, never the vectors themselves.
     """
-    assigned = assign_ivf_cells(
+    assign = (
+        assign_ivf_cells_vectorized if vectorized_assign else assign_ivf_cells
+    )
+    assigned = assign(
         corpus,
         centroids,
         vec_col=vec_col,
@@ -603,3 +609,50 @@ def kmeans_fit(
             corpus, centroids, vec_col=vec_col, id_col=id_col
         ).localCheckpoint()
     return centroids
+
+
+def assign_ivf_cells_vectorized(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    centroid_vec: str = "c_embedding",
+    centroid_id: str = "c_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path for :func:`assign_ivf_cells` (same semantics: max rounded
+    cosine, ties -> lowest centroid id). The JVM form is a corpus x k
+    crossJoin of interpreted cosine folds plus a window over all pairs -
+    at 1M vectors x 1024 centroids that is a billion-row window and did not
+    finish in 10 minutes; here the (tiny) centroid matrix closes over each
+    Arrow batch and assignment is one normalized matmul + argmax, a pure
+    narrow projection that finishes in seconds. Centroid rows are sorted by
+    id so argmax's first-maximum rule reproduces the asc-id tie-break."""
+    import numpy as np
+    from pyspark.sql.types import StructField, StructType
+
+    rows = sorted(
+        centroids.select(centroid_id, centroid_vec).collect(),
+        key=lambda r: r[centroid_id],
+    )
+    ids = np.asarray([r[centroid_id] for r in rows])
+    c = np.stack([np.asarray(r[centroid_vec], dtype=np.float64) for r in rows])
+    cn = np.sqrt((c * c).sum(axis=1))
+    cn[cn == 0.0] = 1.0
+    cu = c / cn[:, None]
+    out_schema = StructType(
+        corpus.schema.fields + [StructField("cell", centroids.schema[centroid_id].dataType)]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xn = np.sqrt((x * x).sum(axis=1))
+            xn[xn == 0.0] = 1.0
+            sims = np.round((x / xn[:, None]) @ cu.T, 6)
+            pdf = pdf.copy()
+            pdf["cell"] = ids[np.argmax(sims, axis=1)]
+            yield pdf
+
+    return corpus.mapInPandas(assign, schema=out_schema)

@@ -2488,7 +2488,7 @@ _PQ_COMMON_SQL = f"""
 
 
 def _pq_parts(spark, sf_dir):
-    from vectordb_data_ingestion_spark.operators.pq import pq_assign, subvectors
+    from vectordb_data_ingestion_spark.operators.pq import subvectors
     from vectordb_data_ingestion_spark.functions.vectors import to_double_array
 
     (emb,) = _t(spark, sf_dir, "embeddings")
@@ -2502,8 +2502,7 @@ def _pq_parts(spark, sf_dir):
     codebooks = cb_subs.select(
         "sub", (F.row_number().over(w) - 1).cast("long").alias("code"), "sv"
     )
-    assigned = pq_assign(emb, codebooks, _PQ_M, _PQ_DIM)
-    return emb, codebooks, assigned
+    return emb, codebooks
 
 
 @register(
@@ -2518,12 +2517,14 @@ def _pq_parts(spark, sf_dir):
 def q_pq_encode(spark, sf_dir):
     """Product-quantization encoding: every 64-d vector compressed to 8
     codebook ids (nearest codeword per subspace, dot-expansion L2 rounded
-    identically on both engines). Codebooks broadcast; the shuffle carries
-    (id, sub, code) triples, never vectors."""
-    from vectordb_data_ingestion_spark.operators.pq import pq_encode
+    identically on both engines). Vectorized path: the tiny codebooks close
+    over each Arrow batch, one matmul + argmin per subspace - a pure
+    narrow projection with no shuffle at all (the exploded JVM form in
+    pq.pq_encode shares this oracle)."""
+    from vectordb_data_ingestion_spark.operators.pq import pq_encode_vectorized
 
-    emb, codebooks, _ = _pq_parts(spark, sf_dir)
-    return pq_encode(emb, codebooks, _PQ_M, _PQ_DIM)
+    emb, codebooks = _pq_parts(spark, sf_dir)
+    return pq_encode_vectorized(emb, codebooks, _PQ_M, _PQ_DIM)
 
 
 @register(
@@ -2549,14 +2550,20 @@ def q_pq_encode(spark, sf_dir):
 )
 def q_pq_adc_topk(spark, sf_dir):
     """ADC retrieval over PQ codes: the query stays un-quantized, a
-    broadcast (sub, code) lookup table scores every encoded vector with a
-    partial-summed m-row aggregation - approximate top-10 without touching
-    a single stored vector."""
-    from vectordb_data_ingestion_spark.operators.pq import pq_adc_topk
+    driver-built (sub, code) lookup table scores each Arrow batch of packed
+    codes with one fancy-index + sum, TakeOrdered merges the global top-10 -
+    approximate retrieval without touching a single stored vector."""
+    from vectordb_data_ingestion_spark.operators.pq import (
+        pq_adc_topk_codes,
+        pq_encode_vectorized,
+    )
 
-    emb, codebooks, assigned = _pq_parts(spark, sf_dir)
+    emb, codebooks = _pq_parts(spark, sf_dir)
     qv = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
     ]
-    return pq_adc_topk(assigned, codebooks, qv, k=10, m=_PQ_M, dim=_PQ_DIM)
+    encoded = pq_encode_vectorized(emb, codebooks, _PQ_M, _PQ_DIM)
+    return pq_adc_topk_codes(
+        encoded, codebooks, qv, k=10, m=_PQ_M, dim=_PQ_DIM
+    )
