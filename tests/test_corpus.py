@@ -296,3 +296,25 @@ def test_write_training_shards_layout(spark, tmp_path):
     one = spark.read.parquet(f"{path}/shard=0").select("pos").collect()
     positions = [r["pos"] for r in one]
     assert positions == sorted(positions)
+
+
+def test_repetition_signals_golden(spark):
+    """Hand-computed Gopher repetition metrics on crafted docs."""
+    from vectordb_data_ingestion_spark.operators.textanalysis import (
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x x x x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 5
+    assert r1["dup_word_fraction"] == 0.4          # 1 - 3/5
+    assert r1["top_bigram_char_fraction"] == round(6 / 9, 6)   # "a b" x2, len 3
+    assert r1["dup_trigram_char_fraction"] == 0.0
+    r2 = out[2]
+    assert r2["n_words"] == 4
+    assert r2["dup_word_fraction"] == 0.75
+    assert r2["top_bigram_char_fraction"] == round(9 / 7, 6)   # "x x" x3
+    assert r2["dup_trigram_char_fraction"] == round(10 / 7, 6) # "x x x" x2

@@ -191,3 +191,93 @@ def winnowing_fingerprint_sql(
            md5(array_to_string(fps, '_')) AS fp_hash
     FROM w
     """
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher rules: Rae et al. 2021, public literature) -
+# the quality gate that catches boilerplate/spam via self-repetition
+# ---------------------------------------------------------------------------
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition metrics for corpus filtering:
+
+    - ``dup_word_fraction``: 1 - distinct/total words;
+    - ``top_bigram_char_fraction``: characters covered by the single
+      highest-coverage word bigram (max of count * gram length) over total
+      characters;
+    - ``dup_trigram_char_fraction``: characters covered by word trigrams
+      occurring more than once, over total characters.
+
+    Shape: one narrow projection builds the (n, gram) stream per document
+    (multiplicity preserved - unlike the dedup shingles these are NOT
+    distinct), then two partial-aggregated shuffles: gram counts on
+    (doc, n, gram) and the per-document fold. Per-doc constants ride the
+    exploded rows as grouping columns, so no join back to the corpus.
+    """
+    words = word_split(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__nc"),
+        F.size(words).alias("__nw"),
+        F.size(F.array_distinct(words)).alias("__ndw"),
+        words.alias("__words"),
+    )
+
+    def grams(n: int) -> Column:
+        starts = F.sequence(
+            F.lit(0), F.greatest(F.size(F.col("__words")) - n, F.lit(0))
+        )
+        return F.transform(
+            starts,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice(F.col("__words"), i + 1, n), " ").alias(
+                    "gram"
+                ),
+            ),
+        )
+
+    exploded = base.select(
+        id_col,
+        "__nc",
+        "__nw",
+        "__ndw",
+        F.explode(F.concat(grams(2), grams(3))).alias("__g"),
+    ).select(
+        id_col, "__nc", "__nw", "__ndw",
+        F.col("__g.n").alias("n"), F.col("__g.gram").alias("gram"),
+    )
+    counts = exploded.groupBy(id_col, "__nc", "__nw", "__ndw", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    nc = F.greatest(F.col("__nc"), F.lit(1)).cast("double")
+    return (
+        counts.groupBy(id_col, "__nc", "__nw", "__ndw")
+        .agg(
+            F.max(
+                F.when(F.col("n") == 2, F.col("cnt") * F.length("gram"))
+            ).alias("__top2"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("n") == 3) & (F.col("cnt") >= 2),
+                        F.col("cnt") * F.length("gram"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("__dup3"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__nw").cast("bigint").alias("n_words"),
+            F.round(
+                1 - F.col("__ndw").cast("double") / F.col("__nw"), 6
+            ).alias("dup_word_fraction"),
+            F.round(F.col("__top2") / nc, 6).alias("top_bigram_char_fraction"),
+            F.round(F.col("__dup3") / nc, 6).alias(
+                "dup_trigram_char_fraction"
+            ),
+        )
+    )

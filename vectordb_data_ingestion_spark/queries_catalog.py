@@ -2567,3 +2567,63 @@ def q_pq_adc_topk(spark, sf_dir):
     return pq_adc_topk_codes(
         encoded, codebooks, qv, k=10, m=_PQ_M, dim=_PQ_DIM
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher quality rules; operators/textanalysis.py)
+# ---------------------------------------------------------------------------
+
+_REP_WORDS = "string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')"
+
+
+@register(
+    "repetition_signals",
+    f"""
+    WITH base AS (
+      SELECT doc_id, length(text) AS nc,
+             len({_REP_WORDS}) AS nw,
+             len(list_distinct({_REP_WORDS})) AS ndw,
+             {_REP_WORDS} AS words
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, nc, nw, ndw, 2 AS n,
+             unnest(list_transform(
+               range(0, greatest(len(words) - 2, 0) + 1),
+               i -> array_to_string(words[i + 1 : i + 2], ' '))) AS gram
+      FROM base
+      UNION ALL
+      SELECT doc_id, nc, nw, ndw, 3 AS n,
+             unnest(list_transform(
+               range(0, greatest(len(words) - 3, 0) + 1),
+               i -> array_to_string(words[i + 1 : i + 3], ' '))) AS gram
+      FROM base
+    ),
+    counts AS (
+      SELECT doc_id, nc, nw, ndw, n, gram, COUNT(*) AS cnt
+      FROM grams GROUP BY ALL
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           ROUND(1 - CAST(ndw AS DOUBLE) / nw, 6) AS dup_word_fraction,
+           ROUND(MAX(CASE WHEN n = 2 THEN cnt * length(gram) END)
+                 / CAST(greatest(nc, 1) AS DOUBLE), 6)
+             AS top_bigram_char_fraction,
+           ROUND(COALESCE(SUM(CASE WHEN n = 3 AND cnt >= 2
+                                   THEN cnt * length(gram) END), 0)
+                 / CAST(greatest(nc, 1) AS DOUBLE), 6)
+             AS dup_trigram_char_fraction
+    FROM counts GROUP BY doc_id, nc, nw, ndw
+    """,
+)
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality gate: duplicate-word fraction,
+    top-bigram coverage, duplicated-trigram coverage per document. One
+    narrow gram projection + two partial-aggregated shuffles; per-doc
+    constants ride the exploded rows (no corpus join-back)."""
+    from vectordb_data_ingestion_spark.operators.textanalysis import (
+        repetition_signals,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs)
