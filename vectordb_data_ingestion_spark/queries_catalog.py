@@ -2627,3 +2627,66 @@ def q_repetition_signals(spark, sf_dir):
 
     (docs,) = _t(spark, sf_dir, "documents")
     return repetition_signals(docs)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '))
+          AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    vocab AS (
+      SELECT freq, list_append(string_split(word, ''), '</w>') AS symbols
+      FROM words
+    ),
+    pairs AS (
+      SELECT symbols[i + 1] AS "left", symbols[i + 2] AS "right", freq
+      FROM vocab, (SELECT unnest(range(0, 100)) AS i) idx
+      WHERE i <= len(symbols) - 2
+    )
+    SELECT "left", "right", CAST(SUM(freq) AS BIGINT) AS total
+    FROM pairs GROUP BY "left", "right"
+    ORDER BY total DESC, "left" ASC, "right" ASC LIMIT 20
+    """,
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    """First BPE statistic: adjacent character-pair counts weighted by word
+    frequency, over the vocabulary table (the ONLY corpus-scale stage of
+    BPE training is the word count itself). Top-20 with a fully
+    deterministic tie order."""
+    from vectordb_data_ingestion_spark.operators.bpe import (
+        pair_counts,
+        word_freq_table,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    vocab = word_freq_table(docs)
+    return (
+        pair_counts(vocab)
+        .orderBy(F.desc("total"), F.asc("left"), F.asc("right"))
+        .limit(20)
+    )
+
+
+@register("bpe_train_merges")
+def q_bpe_train_merges(spark, sf_dir):
+    """Full BPE training loop (8 merges) - iterative, driver-coordinated,
+    not SQL-expressible as one query (rows-only check). Deterministic
+    tie-breaks make the merge list engine- and partitioning-independent."""
+    from vectordb_data_ingestion_spark.operators.bpe import bpe_train
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=8)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_index int, left string, right string, total bigint",
+    )
