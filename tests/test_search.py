@@ -143,3 +143,32 @@ def test_rrf_k_caps_each_query_list(spark):
     ).collect()
     assert len(out) == 5
     assert sorted(r["rank"] for r in out) == [1, 2, 3, 4, 5]
+
+
+def test_cross_encoder_rerank_reorders_candidates(spark):
+    """Rerank keeps top-k per query by the pairwise score, ties to lowest
+    doc id; candidates outside top-k are dropped."""
+    from vectordb_data_ingestion_spark.operators.search import (
+        cross_encoder_rerank,
+    )
+
+    cand = spark.createDataFrame(
+        [(0, d, "q0", f"text {d}") for d in range(10)]
+        + [(1, d, "q1", f"text {d}") for d in range(3)],
+        "q_id long, doc_id long, query string, text string",
+    )
+
+    def fixed_factory():
+        def score(pairs):
+            # doc id parity decides: even ids score higher
+            return [1.0 if t.split()[-1] in ("0", "2", "4", "6", "8") else 0.5
+                    for _, t in pairs]
+
+        return score
+
+    out = cross_encoder_rerank(cand, lambda: fixed_factory(), k=3)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["q_id"], []).append((r["doc_id"], r["ce_score"]))
+    assert sorted(by_q[0]) == [(0, 1.0), (2, 1.0), (4, 1.0)]  # ties -> low ids
+    assert sorted(by_q[1]) == [(0, 1.0), (1, 0.5), (2, 1.0)]  # only 3 cands

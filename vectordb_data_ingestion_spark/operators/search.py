@@ -242,3 +242,83 @@ def rrf_sql(
       FROM fused
     ) WHERE rn <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Cross-encoder reranking - the precision stage after dense/BM25/RRF recall
+# ---------------------------------------------------------------------------
+
+def deterministic_fake_cross_encoder():
+    """Hermetic stand-in for a cross-encoder model server - clearly-marked
+    FAKE (the relevance 'model' is the cross-engine md5 hash of the pair,
+    so tests and the DuckDB oracle can reproduce scores bit-for-bit). Real
+    deployments pass a transport that posts pair batches to an inference
+    endpoint, exactly like enrichment.http_transport_factory."""
+    import hashlib
+
+    def factory():
+        def score(pairs: list[tuple[str, str]]) -> list[float]:
+            return [
+                int(
+                    hashlib.md5(f"{q}#x#{t}".encode("utf-8")).hexdigest()[:8],
+                    16,
+                )
+                / 4294967296.0
+                for q, t in pairs
+            ]
+
+        return score
+
+    return factory
+
+
+def cross_encoder_rerank(
+    candidates: DataFrame,
+    transport_factory,
+    k: int,
+    query_col: str = "query",
+    text_col: str = "text",
+    query_id: str = "q_id",
+    doc_id: str = "doc_id",
+    score_col: str = "ce_score",
+    batch_size: int = 64,
+) -> DataFrame:
+    """Rerank recall-stage candidates with a pairwise (query, text) scorer:
+    each Arrow batch posts its pairs to the transport, then one window per
+    query keeps the top-``k`` by score (ties -> lowest doc id).
+
+    This is the standard two-stage retrieval shape: the recall stage
+    (BM25 / ANN / RRF fusion) bounds candidates to ~100 per query, so the
+    expensive cross-encoder touches |queries| * 100 pairs, never the
+    corpus. The scorer runs one transport per partition - concurrency is
+    ``repartition(n)``, the cluster is the rate limiter (same contract as
+    enrichment.embed_via_api)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        candidates.schema.fields + [StructField(score_col, DoubleType())]
+    )
+
+    def run(batches):
+        transport = transport_factory()
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pairs = list(zip(pdf[query_col].astype(str), pdf[text_col].astype(str)))
+            scores: list[float] = []
+            for start in range(0, len(pairs), batch_size):
+                scores.extend(transport(pairs[start : start + batch_size]))
+            out = pdf.copy()
+            out[score_col] = scores
+            yield out
+
+    scored = candidates.mapInPandas(run, schema=out_schema)
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc(score_col), F.asc(doc_id)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -937,7 +937,10 @@ def q_ann_topk_batch(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from vectordb_data_ingestion_spark.operators import dedup as dd
-from vectordb_data_ingestion_spark.functions.hashing import md5_hash32_seeded_sql
+from vectordb_data_ingestion_spark.functions.hashing import (
+    md5_hash32_seeded_sql,
+    md5_hash32_sql,
+)
 
 # Deterministic near-dup corpus: every 7th document gets a copy with its
 # first word dropped (high-Jaccard near-duplicate, new id).
@@ -2689,4 +2692,67 @@ def q_bpe_train_merges(spark, sf_dir):
     return spark.createDataFrame(
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "merge_index int, left string, right string, total bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-encoder rerank (operators/search.py) - two-stage retrieval precision
+# ---------------------------------------------------------------------------
+
+_RERANK_QUERIES = [(0, "table scan"), (1, "vector index"), (2, "stream window")]
+
+
+@register(
+    "rerank_topk",
+    f"""
+    WITH q(q_id, query, qword) AS (VALUES
+      (0, 'table scan', 'table'),
+      (1, 'vector index', 'vector'),
+      (2, 'stream window', 'stream')
+    ),
+    cand AS (
+      SELECT q.q_id, d.doc_id, q.query, d.text
+      FROM documents d JOIN q ON position(q.qword IN d.text) > 0
+    ),
+    scored AS (
+      SELECT q_id, doc_id,
+             {md5_hash32_sql("concat(query, '#x#', text)")} / 4294967296.0
+               AS ce_score
+      FROM cand
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           ROUND(ce_score, 6) AS ce_score
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY ce_score DESC, doc_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q_rerank_topk(spark, sf_dir):
+    """Two-stage retrieval's precision stage: candidates from a cheap
+    recall predicate are re-scored pairwise (query, text) by the
+    cross-encoder transport (hermetic md5 fake here - bit-reproducible in
+    the oracle; a model endpoint in production), one window per query keeps
+    the top-5. The expensive scorer touches |queries| x candidates pairs,
+    never the corpus."""
+    from vectordb_data_ingestion_spark.operators.search import (
+        cross_encoder_rerank,
+        deterministic_fake_cross_encoder,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(i, s, s.split()[0]) for i, s in _RERANK_QUERIES],
+        "q_id long, query string, qword string",
+    )
+    cand = docs.join(
+        broadcast(queries), F.col("text").contains(F.col("qword"))
+    ).select("q_id", "doc_id", "query", "text")
+    out = cross_encoder_rerank(
+        cand, deterministic_fake_cross_encoder(), k=5
+    )
+    return out.select(
+        "q_id", "doc_id", F.round("ce_score", 6).alias("ce_score")
     )
