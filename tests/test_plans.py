@@ -211,3 +211,34 @@ def test_kmeans_refine_vectorized_assign_plan(spark):
     assert has_node(df, "MapInPandas")
     assert not has_node(df, "BroadcastHashJoin")  # no per-pair join anywhere
     assert count_exchanges(df) <= 2
+
+
+def test_zorder_key_golden_interleave(spark):
+    from vectordb_data_ingestion_spark.plans.layout import zorder_key
+
+    # a=5 (101), b=3 (011), 3 bits -> a bits at even positions, b at odd:
+    # 1 + 2 + 0 + 8 + 16 + 0 = 27
+    df = spark.range(1).select(
+        zorder_key([F.lit(5), F.lit(3)], bits=3).alias("z")
+    )
+    assert df.collect()[0]["z"] == 27
+
+
+def test_write_zordered_roundtrip_and_box_query(spark, tmp_path):
+    """The z-ordered layout must be transparent to readers: a 2-D box
+    predicate over the written files returns exactly the direct-filter
+    result (pruning is a physical property; correctness is unchanged)."""
+    from vectordb_data_ingestion_spark.plans.layout import write_zordered
+
+    df = spark.range(4096).select(
+        F.col("id").alias("row_id"),
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 7) % 64).alias("y"),
+    )
+    path = str(tmp_path / "zorder")
+    write_zordered(df, path, [F.col("x"), F.col("y")], bits=6, num_files=4)
+    back = spark.read.parquet(path)
+    box = (F.col("x").between(10, 20)) & (F.col("y").between(30, 40))
+    got = {r["row_id"] for r in back.filter(box).collect()}
+    want = {r["row_id"] for r in df.filter(box).collect()}
+    assert got == want and len(got) > 0

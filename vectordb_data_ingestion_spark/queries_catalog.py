@@ -2756,3 +2756,47 @@ def q_rerank_topk(spark, sf_dir):
     return out.select(
         "q_id", "doc_id", F.round("ce_score", 6).alias("ce_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key (plans/layout.py) - multi-dimensional data skipping
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle_sql() -> str:
+    from vectordb_data_ingestion_spark.plans.layout import zorder_key_sql
+
+    z = zorder_key_sql(["ub", "tb"], bits=10)
+    return f"""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST({z} AS BIGINT) AS zkey
+    FROM (
+      SELECT event_id,
+             user_id % 1024 AS ub,
+             (60 * EXTRACT(hour FROM ts) + EXTRACT(minute FROM ts)) % 1024
+               AS tb
+      FROM events
+    )
+    """
+
+
+@register("zorder_key", _zorder_oracle_sql())
+def q_zorder_key(spark, sf_dir):
+    """Morton key over (user bucket, minute-of-day bucket): rows sorted by
+    it cluster on BOTH dimensions, so row-group min/max stats prune
+    (user range x time range) predicate boxes that a single-column sort
+    cannot. Pure bit arithmetic, no shuffle."""
+    from vectordb_data_ingestion_spark.plans.layout import zorder_key
+
+    (events,) = _t(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("ub"),
+        (
+            (60 * F.hour("ts") + F.minute("ts")) % 1024
+        ).alias("tb"),
+    )
+    return keyed.select(
+        "event_id",
+        zorder_key([F.col("ub"), F.col("tb")], bits=10).alias("zkey"),
+    )
