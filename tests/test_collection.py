@@ -1,0 +1,108 @@
+"""VectorCollection facade: the reference consumer's query surface
+(nearVector / where / bm25 / hybrid / rerank) composed over one corpus."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from vectordb_data_ingestion_spark.collection import VectorCollection
+from vectordb_data_ingestion_spark.config import VectorClassConfig
+from vectordb_data_ingestion_spark.operators.search import (
+    deterministic_fake_cross_encoder,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", SF_SMALL)
+
+
+def _corpus(spark):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    return docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "doc_id", "text", "lang", "source", "embedding"
+    ).cache()
+
+
+def _vec(corpus, doc_id):
+    return [
+        float(x)
+        for x in corpus.filter(F.col("doc_id") == doc_id).collect()[0][
+            "embedding"
+        ]
+    ]
+
+
+def test_near_vector_self_retrieval_and_threshold(spark):
+    corpus = _corpus(spark)
+    col = VectorCollection(corpus, id_col="doc_id", certainty=0.9)
+    qv = _vec(corpus, 7)
+    hits = col.near_vector(qv, k=3).collect()
+    assert hits[0]["doc_id"] == 7 and hits[0]["certainty"] == 1.0
+    # the class-config default threshold applies when not overridden
+    assert all(r["certainty"] >= 0.9 for r in hits)
+    # explicit threshold loosens it
+    loose = col.near_vector(qv, k=3, certainty=0.0).collect()
+    assert len(loose) == 3
+
+
+def test_near_vector_where_filters_before_scoring(spark):
+    corpus = _corpus(spark)
+    col = VectorCollection(corpus, id_col="doc_id")
+    qv = _vec(corpus, 7)
+    only = col.near_vector(qv, k=50, where=F.col("doc_id") % 2 == 0).collect()
+    assert only and all(r["doc_id"] % 2 == 0 for r in only)
+
+
+def test_bm25_finds_term_documents(spark):
+    corpus = _corpus(spark)
+    col = VectorCollection(corpus, id_col="doc_id")
+    hits = col.bm25("vector", k=5).collect()
+    assert hits
+    ids = [r["doc_id"] for r in hits]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in corpus.filter(F.col("doc_id").isin(ids)).collect()
+    }
+    assert all("vector" in texts[i] for i in ids)
+
+
+def test_hybrid_fuses_both_lists(spark):
+    corpus = _corpus(spark)
+    col = VectorCollection(corpus, id_col="doc_id")
+    qv = _vec(corpus, 7)
+    fused = col.hybrid("vector table", qv, k=5, alpha=0.5).collect()
+    assert len(fused) == 5
+    # alpha=1 -> pure dense: the query vector's own doc must lead
+    dense_only = col.hybrid("vector table", qv, k=5, alpha=1.0).collect()
+    assert dense_only[0]["doc_id"] == 7
+
+
+def test_rerank_over_recall_candidates(spark):
+    corpus = _corpus(spark)
+    col = VectorCollection(corpus, id_col="doc_id")
+    qv = _vec(corpus, 7)
+    cand = col.near_vector(qv, k=20, certainty=0.0).join(
+        corpus.select("doc_id", "text"), "doc_id"
+    )
+    out = col.rerank("table scan", cand, deterministic_fake_cross_encoder(), k=3)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(0.0 <= r["ce_score"] <= 1.0 for r in rows)
+    # deterministic: rerun identical
+    again = col.rerank(
+        "table scan", cand, deterministic_fake_cross_encoder(), k=3
+    ).collect()
+    assert [(r["doc_id"], r["ce_score"]) for r in rows] == [
+        (r["doc_id"], r["ce_score"]) for r in again
+    ]
+
+
+def test_from_class_config_binds_threshold(spark):
+    corpus = _corpus(spark)
+    cfg = VectorClassConfig.from_dict(
+        {"label": "kb", "class": "KBChunks", "top_by_certainty": 0.95}
+    )
+    col = VectorCollection.from_class_config(
+        corpus, cfg, id_col="doc_id"
+    )
+    assert col.certainty == 0.95

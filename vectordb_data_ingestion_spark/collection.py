@@ -1,0 +1,177 @@
+"""Weaviate-style query facade: the surface a reference user queries today
+(cfg.toml:21-55 - class + near_vector + where + hybrid + top_by_certainty),
+composed from this engine's operators over any DataFrame corpus.
+
+The reference never executes queries itself - it only *declares* them as
+config consumed by a chatbot. This facade makes them executable:
+
+    col = VectorCollection(corpus, id_col="chunk_id", text_col="text",
+                           vec_col="vector", certainty=0.9)
+    col.near_vector(qvec, k=3)                       # nearVector
+    col.near_vector(qvec, k=3, where=F.col("source") == "kb")   # + where
+    col.bm25("reset password", k=10)                 # keyword
+    col.hybrid("reset password", qvec, k=10, alpha=0.5)         # fusion
+    col.rerank("reset password", candidates, transport, k=3)    # precision
+
+Every method returns a lazy DataFrame - composition with the rest of a plan
+(joins, writes) stays in Catalyst's hands; nothing collects except the tiny
+query-side inputs the operators broadcast anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_data_ingestion_spark.config import VectorClassConfig
+
+
+class VectorCollection:
+    """One queryable vector class over a DataFrame corpus."""
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        id_col: str = "vec_id",
+        text_col: str = "text",
+        vec_col: str = "embedding",
+        certainty: float | None = None,
+    ):
+        self.corpus = corpus
+        self.id_col = id_col
+        self.text_col = text_col
+        self.vec_col = vec_col
+        self.certainty = certainty
+
+    @classmethod
+    def from_class_config(
+        cls, corpus: DataFrame, cfg: VectorClassConfig, **kw
+    ) -> "VectorCollection":
+        """Bind a cfg.toml vector-class entry (T4) to a corpus: the class's
+        ``top_by_certainty`` becomes the default retrieval threshold."""
+        return cls(corpus, certainty=cfg.top_by_certainty, **kw)
+
+    def _filtered(self, where: Column | None) -> DataFrame:
+        # predicate joins BEFORE scoring: non-matching rows are never
+        # scored, and a partitioned layout prunes the scan itself
+        return self.corpus.filter(where) if where is not None else self.corpus
+
+    def near_vector(
+        self,
+        vector: list[float],
+        k: int = 3,
+        certainty: float | None = None,
+        where: Column | None = None,
+    ) -> DataFrame:
+        """Weaviate nearVector (+ optional where): top-k by certainty
+        ``(1+cos)/2`` meeting the threshold. Single corpus scan, broadcast
+        query, map-side top-k."""
+        from vectordb_data_ingestion_spark.operators.similarity import (
+            topk_by_certainty_vectorized,
+        )
+
+        t = certainty if certainty is not None else (self.certainty or 0.0)
+        return topk_by_certainty_vectorized(
+            self._filtered(where),
+            [(0, list(vector))],
+            k=k,
+            threshold=t,
+            corpus_vec=self.vec_col,
+            corpus_id=self.id_col,
+        ).drop("q_id")
+
+    def bm25(
+        self, query: str, k: int = 10, where: Column | None = None
+    ) -> DataFrame:
+        """Weaviate bm25 keyword mode: Okapi BM25 over the text column."""
+        from vectordb_data_ingestion_spark.operators.search import bm25_topk
+
+        terms = [t for t in query.lower().split() if t]
+        return bm25_topk(
+            self._filtered(where),
+            [(0, terms)],
+            k=k,
+            text_col=self.text_col,
+            id_col=self.id_col,
+        ).drop("q_id")
+
+    def hybrid(
+        self,
+        query: str,
+        vector: list[float],
+        k: int = 10,
+        alpha: float = 0.5,
+        where: Column | None = None,
+        k_rrf: int = 60,
+    ) -> DataFrame:
+        """Weaviate hybrid mode: dense + BM25 lists fused with weighted
+        reciprocal rank (``alpha`` weights the dense list, ``1 - alpha``
+        the keyword list, both recall stages bounded to 2k candidates)."""
+        from vectordb_data_ingestion_spark.operators.search import (
+            bm25_topk,
+            rrf_fuse,
+        )
+        from vectordb_data_ingestion_spark.operators.similarity import (
+            topk_by_certainty_vectorized,
+        )
+        from pyspark.sql.window import Window
+
+        base = self._filtered(where)
+        dense = topk_by_certainty_vectorized(
+            base,
+            [(0, list(vector))],
+            k=2 * k,
+            threshold=0.0,
+            corpus_vec=self.vec_col,
+            corpus_id=self.id_col,
+        ).withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("certainty"), F.asc(self.id_col)
+                )
+            ),
+        )
+        terms = [t for t in query.lower().split() if t]
+        keyword = bm25_topk(
+            base, [(0, terms)], k=2 * k, text_col=self.text_col,
+            id_col=self.id_col,
+        )
+        return rrf_fuse(
+            dense,
+            keyword,
+            id_col=self.id_col,
+            k_rrf=k_rrf,
+            weight_a=alpha,
+            weight_b=1.0 - alpha,
+            k=k,
+        ).drop("q_id")
+
+    def rerank(
+        self,
+        query: str,
+        candidates: DataFrame,
+        transport_factory,
+        k: int = 3,
+    ) -> DataFrame:
+        """Precision stage over any recall result that still carries the
+        text column: pairwise (query, text) scoring, top-k."""
+        from vectordb_data_ingestion_spark.operators.search import (
+            cross_encoder_rerank,
+        )
+
+        cand = candidates.withColumn("__query", F.lit(query)).withColumn(
+            "__q_id", F.lit(0)
+        )
+        return (
+            cross_encoder_rerank(
+                cand,
+                transport_factory,
+                k=k,
+                query_col="__query",
+                text_col=self.text_col,
+                query_id="__q_id",
+                doc_id=self.id_col,
+            )
+            .drop("__query", "__q_id")
+        )
