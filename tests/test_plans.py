@@ -242,3 +242,13 @@ def test_write_zordered_roundtrip_and_box_query(spark, tmp_path):
     got = {r["row_id"] for r in back.filter(box).collect()}
     want = {r["row_id"] for r in df.filter(box).collect()}
     assert got == want and len(got) > 0
+
+
+def test_orders_topk_revenue_plan(spark):
+    """Q3 shape: dims broadcast (fact never shuffles pre-agg), partial agg,
+    TakeOrdered instead of a global sort."""
+    df = qc.SPARK_QUERIES["orders_topk_revenue"](spark, SF_SMALL)
+    assert has_node(df, "BroadcastHashJoin")
+    assert not has_node(df, "SortMergeJoin")
+    assert has_node(df, "TakeOrderedAndProject")
+    assert count_exchanges(df) <= 1  # only the aggregate's keyed exchange

@@ -2800,3 +2800,55 @@ def q_zorder_key(spark, sf_dir):
         "event_id",
         zorder_key([F.col("ub"), F.col("tb")], bits=10).alias("zkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational join showcase (TPC-H Q3 shape over the driver's tables):
+# selective dims broadcast into the fact scan, one agg shuffle, top-k merge
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_topk_revenue",
+    """
+    SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate AS o_orderdate,
+           o.o_orderpriority AS o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+)
+def q_orders_topk_revenue(spark, sf_dir):
+    """TPC-H Q3 shape: two selective dimension filters broadcast into the
+    fact (lineitem) scan - the big table is scanned once, never shuffled
+    before the aggregate; revenue aggregates partially map-side; the top-10
+    is a TakeOrdered merge, not a global sort. Catalyst picks the whole
+    plan from the declarative form - no hand-scheduling."""
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cut = F.lit("1995-03-15").cast("timestamp")
+    c = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    l = li.filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    joined = l.join(
+        broadcast(o.join(broadcast(c), o["o_custkey"] == c["c_custkey"])),
+        l["l_orderkey"] == o["o_orderkey"],
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+    return agg.select(
+        "l_orderkey", "revenue", "o_orderdate", "o_orderpriority"
+    ).orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
