@@ -26,6 +26,7 @@ HEADLINE = [
     "token_count",
     "clean_text",
     "pricing_summary",
+    "orders_topk_revenue",
     "incremental_diff",
     "events_hourly_window",
     "events_sessionize",
