@@ -211,3 +211,22 @@ def test_assign_vectorized_matches_jvm(spark):
     b = {r["vec_id"]: r["cell"]
          for r in assign_ivf_cells_vectorized(emb, cent).collect()}
     assert a == b
+
+
+def test_kmeans_refine_mean_forms_match(spark):
+    """Per-batch numpy partial sums and the exploded JVM mean produce the
+    same refined centroids (6dp round absorbs fp association)."""
+    from vectordb_data_ingestion_spark.operators.similarity import kmeans_refine
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    cent = emb.filter(F.col("vec_id") % 10 == 1).select(
+        F.col("vec_id").alias("c_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c_embedding"),
+    )
+    a = {r["c_id"]: (list(r["c_embedding"]), r["n_members"])
+         for r in kmeans_refine(emb, cent, vectorized_mean=True).collect()}
+    b = {r["c_id"]: (list(r["c_embedding"]), r["n_members"])
+         for r in kmeans_refine(emb, cent, vectorized_mean=False).collect()}
+    assert a == b and len(a) > 0

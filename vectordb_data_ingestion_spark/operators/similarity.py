@@ -530,6 +530,7 @@ def kmeans_refine(
     centroid_id: str = "c_id",
     id_col: str = "vec_id",
     vectorized_assign: bool = True,
+    vectorized_mean: bool = True,
 ) -> DataFrame:
     """One Lloyd iteration: assign every vector to its nearest centroid
     (max cosine, ties -> lowest centroid id), then recompute each centroid
@@ -559,27 +560,73 @@ def kmeans_refine(
         centroid_id=centroid_id,
         id_col=id_col,
     )
-    dims = assigned.select(
-        F.col("cell"),
-        F.col(id_col),
-        F.posexplode(to_double_array(F.col(vec_col))).alias("__pos", "__val"),
-    )
-    per_dim = dims.groupBy("cell", "__pos").agg(
-        F.sum("__val").alias("__sum"),
-        F.count(F.lit(1)).alias("__n"),
-    )
-    return (
-        per_dim.groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("__pos", F.col("__sum"), F.col("__n")))
-                ),
-                lambda s: F.round(s["__sum"] / s["__n"], 6),
-            ).alias(centroid_vec),
-            F.max("__n").cast("bigint").alias("n_members"),
+    if vectorized_mean:
+        # M-step as per-batch numpy partial sums: each Arrow batch emits at
+        # most k rows (cell, [sum_0..sum_{d-1}, count]) - the exchange then
+        # carries batches*k tiny rows instead of generating rows*dim
+        # exploded values. Count rides as the array's last element so one
+        # (cell, pos) aggregation merges sums AND counts.
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            StructField,
+            StructType,
         )
-        .withColumnRenamed("cell", centroid_id)
+
+        part_schema = StructType(
+            [
+                StructField("cell", assigned.schema["cell"].dataType),
+                StructField("psum", ArrayType(DoubleType())),
+            ]
+        )
+
+        def partial_sums(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                cells = pdf["cell"].to_numpy()
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                uniq = np.unique(cells)
+                rows = []
+                for cell in uniq:
+                    mask = cells == cell
+                    rows.append(np.append(m[mask].sum(axis=0), mask.sum()))
+                yield pd.DataFrame({"cell": uniq, "psum": rows})
+
+        partials = assigned.select("cell", vec_col).mapInPandas(
+            partial_sums, schema=part_schema
+        )
+        dims = partials.select(
+            "cell", F.posexplode("psum").alias("__pos", "__val")
+        )
+    else:
+        dims = assigned.select(
+            F.col("cell"),
+            # count rides as a trailing 1.0 per vector: same merge shape as
+            # the vectorized partials
+            F.posexplode(
+                F.concat(
+                    to_double_array(F.col(vec_col)),
+                    F.array(F.lit(1.0)),
+                )
+            ).alias("__pos", "__val"),
+        )
+    per_dim = dims.groupBy("cell", "__pos").agg(F.sum("__val").alias("__sum"))
+    merged = per_dim.groupBy("cell").agg(
+        F.array_sort(
+            F.collect_list(F.struct("__pos", F.col("__sum")))
+        ).alias("__cells")
+    )
+    n = F.element_at("__cells", -1)["__sum"]
+    return merged.select(
+        F.col("cell").alias(centroid_id),
+        F.transform(
+            F.slice("__cells", 1, F.size("__cells") - 1),
+            lambda s: F.round(s["__sum"] / n, 6),
+        ).alias(centroid_vec),
+        n.cast("bigint").alias("n_members"),
     )
 
 
