@@ -230,3 +230,20 @@ def test_kmeans_refine_mean_forms_match(spark):
     b = {r["c_id"]: (list(r["c_embedding"]), r["n_members"])
          for r in kmeans_refine(emb, cent, vectorized_mean=False).collect()}
     assert a == b and len(a) > 0
+
+
+def test_kmeans_fit_fused_matches_dataframe_form(spark):
+    from vectordb_data_ingestion_spark.operators.similarity import kmeans_fit
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    a = sorted(
+        (r["c_id"], tuple(r["c_embedding"]), r["n_members"])
+        for r in kmeans_fit(emb, k=5, iterations=3, fused=True).collect()
+    )
+    b = sorted(
+        (r["c_id"], tuple(r["c_embedding"]), r["n_members"])
+        for r in kmeans_fit(emb, k=5, iterations=3, fused=False).collect()
+    )
+    assert a == b and len(a) > 0

@@ -636,26 +636,116 @@ def kmeans_fit(
     iterations: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    fused: bool = True,
 ) -> DataFrame:
     """Train k centroids with Lloyd's algorithm, deterministically seeded
     with the k lowest-id corpus vectors (reproducible across runs and
-    engines - no RNG). Each iteration is one broadcast assign + one tiny
-    (cell, dim) shuffle; the refined centroid set is localCheckpoint-ed so
-    iteration N+1 broadcasts a materialized table instead of re-running the
-    whole lineage (exactly what a 100 TB pipeline does by writing centroids
-    out between passes).
+    engines - no RNG; max rounded cosine, ties -> lowest centroid id;
+    empty cells drop).
+
+    ``fused=True`` (the scale path, same pattern as pq.pq_train): each
+    iteration is ONE corpus pass - every Arrow batch assigns with a matmul
+    and emits per-cell partial sums; the k*(dim+1) partials collapse to the
+    driver, which updates the (driver-sized) centroid matrix for the next
+    pass. No checkpoint chain, no per-iteration assign+mean job pair.
+
+    ``fused=False`` keeps the compositional DataFrame form - iterated
+    :func:`kmeans_refine`, checkpointed between passes (what a pipeline
+    does when centroids must persist as a table between separate jobs).
+    Both forms produce identical centroids (parity-tested; 6dp rounding
+    absorbs summation-order differences).
     """
-    centroids = (
-        corpus.orderBy(F.col(id_col)).limit(k).select(
-            F.col(id_col).alias("c_id"),
-            to_double_array(F.col(vec_col)).alias("c_embedding"),
-        )
-    ).localCheckpoint()
-    for _ in range(iterations):
-        centroids = kmeans_refine(
-            corpus, centroids, vec_col=vec_col, id_col=id_col
+    if fused and iterations < 1:
+        raise ValueError("fused kmeans_fit needs iterations >= 1")
+    if not fused:
+        centroids = (
+            corpus.orderBy(F.col(id_col)).limit(k).select(
+                F.col(id_col).alias("c_id"),
+                to_double_array(F.col(vec_col)).alias("c_embedding"),
+            )
         ).localCheckpoint()
-    return centroids
+        for _ in range(iterations):
+            centroids = kmeans_refine(
+                corpus, centroids, vec_col=vec_col, id_col=id_col
+            ).localCheckpoint()
+        return centroids
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    seed_rows = corpus.orderBy(F.col(id_col)).limit(k).collect()
+    ids = [r[id_col] for r in seed_rows]
+    c = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows])
+    dim = c.shape[1]
+    part_schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("psum", ArrayType(DoubleType())),
+        ]
+    )
+    narrow = corpus.select(vec_col)
+
+    for _ in range(iterations):
+        cn = np.sqrt((c * c).sum(axis=1))
+        cn[cn == 0.0] = 1.0
+        cu = (c / cn[:, None]).copy()
+
+        def partial_sums(batches, cu=cu):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                xn = np.sqrt((x * x).sum(axis=1))
+                xn[xn == 0.0] = 1.0
+                cells = np.argmax(np.round((x / xn[:, None]) @ cu.T, 6), axis=1)
+                uniq = np.unique(cells)
+                yield pd.DataFrame(
+                    {
+                        "cell": uniq.astype(np.int32),
+                        "psum": [
+                            np.append(
+                                x[cells == cell].sum(axis=0),
+                                (cells == cell).sum(),
+                            )
+                            for cell in uniq
+                        ],
+                    }
+                )
+
+        merged = (
+            narrow.mapInPandas(partial_sums, schema=part_schema)
+            .select("cell", F.posexplode("psum").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        sums = np.zeros((len(ids), dim))
+        counts = np.zeros(len(ids))
+        for r in merged:
+            if r["pos"] == dim:
+                counts[r["cell"]] = r["s"]
+            else:
+                sums[r["cell"], r["pos"]] = r["s"]
+        keep = counts > 0
+        ids = [i for i, kf in zip(ids, keep) if kf]
+        c = np.round(sums[keep] / counts[keep][:, None], 6)
+
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [
+            (ids[i], [float(v) for v in c[i]], int(counts[keep][i]))
+            for i in range(len(ids))
+        ],
+        f"c_id {corpus.schema[id_col].dataType.simpleString()}, "
+        "c_embedding array<double>, n_members bigint",
+    )
 
 
 def assign_ivf_cells_vectorized(
