@@ -62,12 +62,16 @@ def call_with_backoff(
 
 def _hash_vector(text: str, dim: int) -> list[float]:
     """Deterministic pseudo-embedding: sha256-expanded floats in [-1, 1],
-    L2-normalized. Stable across processes/seeds (no Python ``hash``)."""
+    L2-normalized. Stable across processes/seeds (no Python ``hash``), and
+    the counter suffix is plain text (``#c0``, ``#c1``, ...) so the exact
+    values are re-derivable in ANSI SQL (``sha256(text || '#c0')`` hex
+    slices) - the embed stage oracle-checks like any other operator."""
     out: list[float] = []
     counter = 0
-    raw = text.encode("utf-8", errors="ignore")
     while len(out) < dim:
-        digest = hashlib.sha256(raw + counter.to_bytes(4, "big")).digest()
+        digest = hashlib.sha256(
+            (text + f"#c{counter}").encode("utf-8", errors="ignore")
+        ).digest()
         for i in range(0, 32, 4):
             (u,) = struct.unpack(">I", digest[i : i + 4])
             out.append((u / 0xFFFFFFFF) * 2.0 - 1.0)
@@ -165,3 +169,22 @@ def embed_via_api(
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def hash_vector_sql_terms(expr: str, dim: int) -> tuple[list[str], str]:
+    """DuckDB SQL re-derivation of :func:`_hash_vector`: per-element value
+    expressions (pre-normalization) and the L2 norm expression. ``expr``
+    must already have newlines collapsed (the transport's preprocessing).
+    """
+    n_digests = (dim + 7) // 8
+    digests = [f"sha256({expr} || '#c{c}')" for c in range(n_digests)]
+    vals = []
+    for i in range(dim):
+        d = digests[i // 8]
+        off = (i % 8) * 8 + 1
+        vals.append(
+            f"((('0x' || substr({d}, {off}, 8))::BIGINT / 4294967295.0)"
+            f" * 2.0 - 1.0)"
+        )
+    norm = "sqrt(" + " + ".join(f"({v}) * ({v})" for v in vals) + ")"
+    return vals, norm

@@ -1685,11 +1685,28 @@ def q_chunk_recursive(spark, sf_dir):
     )
 
 
-@register("embed_enrich")
+def _embed_enrich_oracle_sql() -> str:
+    from vectordb_data_ingestion_spark.operators.enrichment import (
+        hash_vector_sql_terms,
+    )
+
+    vals, norm = hash_vector_sql_terms("replace(text, chr(10), ' ')", 16)
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(16 AS INTEGER) AS dim,
+           ROUND(CAST(CAST(({vals[0]}) / ({norm}) AS REAL) AS DOUBLE), 6)
+             AS v0
+    FROM documents
+    """
+
+
+@register("embed_enrich", _embed_enrich_oracle_sql())
 def q_embed_enrich(spark, sf_dir):
-    """Rows-only (external-HTTP op; hermetic fake transport): batched
-    mapInPandas embedding enrichment — cmfunctions.py:43-71,489-519, but
-    many texts per request and partition-parallel instead of serial."""
+    """Batched mapInPandas embedding enrichment — cmfunctions.py:43-71,
+    489-519, but many texts per request and partition-parallel instead of
+    serial. The hermetic fake transport's sha256-derived vectors are
+    re-derived in the oracle SQL (hex slices + float32 cast), so even the
+    external-enrichment stage is value-checked, not just row-counted."""
     from vectordb_data_ingestion_spark.operators.enrichment import (
         deterministic_fake_transport,
         embed_via_api,
