@@ -39,6 +39,8 @@ HEADLINE = [
     "events_asof_join",
     "events_range_join",
     "vocabulary_top",
+    "repetition_signals",
+    "bpe_pair_counts",
     "pii_scrub",
     "benchmark_decontaminate",
     "bm25_topk",
