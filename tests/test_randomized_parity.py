@@ -8,6 +8,7 @@ import re
 from datetime import datetime, timedelta
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from vectordb_data_ingestion_spark.functions.chunking import chunk_fixed_size_overlap
 from vectordb_data_ingestion_spark.operators.asof import asof_join
@@ -78,3 +79,131 @@ def test_asof_randomized_parity_vs_pandas(spark):
         if want_v is not None:
             # matched timestamp must be the right row holding that value
             assert (row["k"], got_ts) in {(k, ts) for k, ts, _ in right_rows}
+
+
+def _ref_bpe(word_freqs, num_merges, min_pair_count=2):
+    """Independent dict-based BPE (Sennrich-style) for parity."""
+    vocab = {w: list(w) + ["</w>"] for w in word_freqs}
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (left, right), total = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        if total < min_pair_count:
+            break
+        merges.append((left, right, total))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_randomized_parity(spark):
+    """bpe_train (fold-based merges over the vocab DataFrame) vs the
+    dict-based reference on small-alphabet random corpora that force
+    repeated pairs and count ties."""
+    from vectordb_data_ingestion_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randrange(1, 6)))
+            for _ in range(rng.randrange(5, 25))
+        ]
+        text = " ".join(rng.choice(words) for _ in range(150))
+        freqs = {}
+        for w in text.split():
+            freqs[w] = freqs.get(w, 0) + 1
+        docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        got = bpe_train(docs, num_merges=6)
+        want, ref_vocab = _ref_bpe(freqs, 6)
+        assert got == want, (trial, got, want)
+
+        # segmentation parity on a sample of the corpus words
+        sample = sorted(set(text.split()))[:5]
+        seg = bpe_segment(
+            spark.createDataFrame(
+                [(i, w) for i, w in enumerate(sample)], "id long, text string"
+            ),
+            got,
+        )
+        seg_toks = {r["id"]: list(r["bpe_tokens"]) for r in seg.collect()}
+        for i, w in enumerate(sample):
+            assert seg_toks[i] == ref_vocab[w], (trial, w)
+
+
+def test_merge_and_scd2_randomized_parity(spark):
+    """merge_upsert and scd2_history vs direct python references on random
+    change logs with deliberate timestamp collisions."""
+    from vectordb_data_ingestion_spark.operators.catalog import (
+        merge_upsert,
+        scd2_history,
+    )
+
+    rng = random.Random(11)
+    base = datetime(2024, 1, 1)
+    keys = [f"k{i}" for i in range(12)]
+    # coarse timestamps -> frequent collisions
+    cur = [
+        (rng.choice(keys), base + timedelta(hours=rng.randrange(0, 8)), i)
+        for i in range(60)
+    ]
+    upd = [
+        (rng.choice(keys), base + timedelta(hours=rng.randrange(4, 12)), 100 + i)
+        for i in range(60)
+    ]
+    cur_df = spark.createDataFrame(cur, "name string, ts timestamp, ver int")
+    upd_df = spark.createDataFrame(upd, "name string, ts timestamp, ver int")
+    got = {
+        r["name"]: r["ver"]
+        for r in merge_upsert(
+            cur_df, upd_df, ["name"], "ts", tiebreak_cols=["ver"]
+        ).collect()
+    }
+    want = {}
+    for is_upd, rows_ in ((0, cur), (1, upd)):
+        for name, ts, ver in rows_:
+            cand = (ts, is_upd, ver)
+            if name not in want or cand > want[name][0]:
+                want[name] = (cand, ver)
+    assert got == {k: v[1] for k, v in want.items()}
+
+    log = cur + upd
+    log_df = spark.createDataFrame(log, "name string, ts timestamp, ver int")
+    # state = parity of ver -> runs collapse
+    state_df = log_df.withColumn("state", (F.col("ver") % 2).cast("string"))
+    hist = scd2_history(state_df, ["name"], "ts", "state", "ver")
+    got_iv = {
+        (r["name"], r["valid_from"], r["state"]): (r["valid_to"], r["is_current"])
+        for r in hist.collect()
+    }
+    want_iv = {}
+    for name in {r[0] for r in log}:
+        rows_ = sorted(
+            [(ts, ver, str(ver % 2)) for n, ts, ver in log if n == name]
+        )
+        runs = []
+        for ts, ver, st in rows_:
+            if not runs or runs[-1][2] != st:
+                runs.append((ts, ver, st))
+        for i, (ts, ver, st) in enumerate(runs):
+            nxt = runs[i + 1][0] if i + 1 < len(runs) else None
+            want_iv[(name, ts, st)] = (nxt, nxt is None)
+    assert got_iv == want_iv
