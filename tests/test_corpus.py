@@ -318,3 +318,47 @@ def test_repetition_signals_golden(spark):
     assert r2["dup_word_fraction"] == 0.75
     assert r2["top_bigram_char_fraction"] == round(9 / 7, 6)   # "x x" x3
     assert r2["dup_trigram_char_fraction"] == round(10 / 7, 6) # "x x x" x2
+
+
+def test_lm_perplexity_score_vs_reference(spark):
+    """Add-one trigram NLL vs a direct Counter-based reference."""
+    import math
+    from collections import Counter
+
+    from vectordb_data_ingestion_spark.operators.corpus import (
+        lm_perplexity_score,
+    )
+
+    texts = {
+        1: "a b c a b c a b",
+        2: "a a a a a",
+        3: "c b a c b a",
+        4: "x y",  # < 3 words -> omitted
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in lm_perplexity_score(docs).collect()}
+
+    def grams(t, n):
+        w = t.split()
+        return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+    c3 = Counter(g for t in texts.values() for g in grams(t, 3))
+    c2 = Counter(g for t in texts.values() for g in grams(t, 2))
+    v = len({w for t in texts.values() for w in t.split()})
+    for doc_id, t in texts.items():
+        tri = grams(t, 3)
+        if not tri:
+            assert doc_id not in out
+            continue
+        nll = [
+            -math.log((c3[g] + 1) / (c2[g.rsplit(" ", 1)[0]] + v))
+            for g in tri
+        ]
+        assert out[doc_id]["n_ngrams"] == len(tri)
+        assert out[doc_id]["avg_neg_log_prob"] == round(sum(nll) / len(nll), 6)
+    # degenerate repetition scores LOWER (more predictable) than varied text
+    assert (
+        out[2]["avg_neg_log_prob"] < out[1]["avg_neg_log_prob"]
+    )

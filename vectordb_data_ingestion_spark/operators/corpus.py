@@ -642,3 +642,56 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+# --- n-gram LM perplexity scoring (CCNet-style quality filter) -------------
+
+def lm_perplexity_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document negative log-likelihood under an add-one-smoothed
+    word n-gram LM trained on the corpus itself (the CCNet recipe scores
+    against a reference-domain LM; self-training is the hermetic variant -
+    swap the count tables to change the reference domain). Returns
+    ``(id, n_ngrams, avg_neg_log_prob)`` - high scores mark documents the
+    corpus model finds surprising (gibberish, boilerplate, wrong language);
+    low scores mark degenerate repetition. Documents with fewer than ``n``
+    words yield no n-grams and are omitted.
+
+    ``p(w | ctx) = (C_n(ctx w) + 1) / (C_{n-1}(ctx) + V)``.
+
+    Shuffle profile: two count aggregations (partial map-side), then the
+    doc-gram stream joins the count tables on the gram string - plain
+    hash-partitioned equi-joins that AQE sizes; the per-doc mean is one
+    final partial-summed aggregate. Stopword-heavy grams skew the join key
+    distribution - plans.layout.salted_join handles the heavy hitters.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    ).withColumn("ctx", F.regexp_replace("gram", r" [^ ]+$", ""))
+    cn = grams.groupBy("gram").agg(F.count("*").alias("c_n"))
+    ctxs = df.select(
+        F.explode(word_ngrams(text_col, n - 1)).alias("ctx")
+    ).groupBy("ctx").agg(F.count("*").alias("c_ctx"))
+    v = (
+        df.select(F.explode(_tokens(text_col)).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+        .collect()[0]["v"]
+    )
+    scored = (
+        grams.join(cn, "gram")
+        .join(ctxs, "ctx")
+        .select(
+            id_col,
+            (
+                -F.log((F.col("c_n") + 1) / (F.col("c_ctx") + F.lit(v)))
+            ).alias("nlp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_ngrams"),
+        F.round(F.avg("nlp"), 6).alias("avg_neg_log_prob"),
+    )

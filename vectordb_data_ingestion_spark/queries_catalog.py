@@ -2869,3 +2869,56 @@ def q_orders_topk_revenue(spark, sf_dir):
     return agg.select(
         "l_orderkey", "revenue", "o_orderdate", "o_orderpriority"
     ).orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# LM perplexity quality score (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+
+def _lm_perplexity_oracle_sql() -> str:
+    from vectordb_data_ingestion_spark.operators.corpus import (
+        _TOKENS_SQL,
+        word_ngrams_sql,
+    )
+
+    tri = word_ngrams_sql("text", 3)
+    bi = word_ngrams_sql("text", 2)
+    toks = _TOKENS_SQL.format(e="text")
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, gram, regexp_replace(gram, ' [^ ]+$', '') AS ctx
+      FROM (SELECT doc_id, unnest({tri}) AS gram FROM documents)
+    ),
+    cn AS (SELECT gram, COUNT(*) AS c_n FROM grams GROUP BY gram),
+    ctxs AS (
+      SELECT ctx, COUNT(*) AS c_ctx
+      FROM (SELECT unnest({bi}) AS ctx FROM documents) GROUP BY ctx
+    ),
+    v AS (
+      SELECT COUNT(DISTINCT w) AS v
+      FROM (SELECT unnest({toks}) AS w FROM documents)
+    ),
+    scored AS (
+      SELECT g.doc_id,
+             -ln((cn.c_n + 1) / CAST(ctxs.c_ctx + v.v AS DOUBLE)) AS nlp
+      FROM grams g JOIN cn USING (gram) JOIN ctxs USING (ctx) CROSS JOIN v
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           ROUND(AVG(nlp), 6) AS avg_neg_log_prob
+    FROM scored GROUP BY doc_id
+    """
+
+
+@register("lm_perplexity_score", _lm_perplexity_oracle_sql())
+def q_lm_perplexity_score(spark, sf_dir):
+    """CCNet-style LM quality score: per-doc mean negative log-prob under
+    an add-one trigram LM trained on the corpus. Two partial-aggregated
+    count shuffles + gram-keyed equi-joins + one per-doc mean."""
+    from vectordb_data_ingestion_spark.operators.corpus import (
+        lm_perplexity_score,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return lm_perplexity_score(docs)
