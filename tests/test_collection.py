@@ -106,3 +106,30 @@ def test_from_class_config_binds_threshold(spark):
         corpus, cfg, id_col="doc_id"
     )
     assert col.certainty == 0.95
+
+
+def test_build_context_token_budget_and_order(spark):
+    """Budget packing: best-first contiguous prefix under the budget, the
+    top hit always kept, sources in rank order."""
+    from vectordb_data_ingestion_spark.operators.context import build_context
+
+    hits = spark.createDataFrame(
+        [(0, "c1", 0.9), (0, "c2", 0.8), (0, "c3", 0.7), (1, "c4", 0.99)],
+        "q_id long, chunk_id string, certainty double",
+    )
+    chunks = spark.createDataFrame(
+        [
+            ("c1", "first", "u1", 50),
+            ("c2", "second", "u2", 60),
+            ("c3", "third", "u3", 10),   # would fit alone, but prefix broke
+            ("c4", "huge", "u4", 999),   # over budget, still kept (top hit)
+        ],
+        "chunk_id string, text string, url string, n_tokens int",
+    )
+    out = {r["q_id"]: r for r in build_context(
+        hits, chunks, max_tokens=115).collect()}
+    assert out[0]["context"] == "first\n\nsecond"   # c3 cut: prefix only
+    assert out[0]["sources"] == ["u1", "u2"]
+    assert out[0]["n_chunks"] == 2 and out[0]["n_tokens"] == 110
+    assert out[1]["context"] == "huge"              # top hit always fits
+    assert out[1]["n_tokens"] == 999

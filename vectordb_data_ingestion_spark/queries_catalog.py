@@ -2922,3 +2922,87 @@ def q_lm_perplexity_score(spark, sf_dir):
 
     (docs,) = _t(spark, sf_dir, "documents")
     return lm_perplexity_score(docs)
+
+
+# ---------------------------------------------------------------------------
+# RAG context assembly (operators/context.py; cfg.toml:23-25,28-55 semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rag_context",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      FROM embeddings
+    ),
+    hits AS (
+      SELECT q_id, vec_id, certainty FROM (
+        SELECT q.q_id, c.vec_id,
+               ROUND({_CERTAINTY_SQL}, 6) AS certainty,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY ROUND({_CERTAINTY_SQL}, 6) DESC,
+                                           c.vec_id ASC) AS rn
+        FROM c CROSS JOIN q
+      ) WHERE rn <= 5
+    ),
+    chunks2 AS (
+      SELECT doc_id, text,
+             concat('https://kb/', doc_id) AS url,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT h.q_id, h.vec_id, h.certainty, k.text, k.url, k.n_tokens,
+             row_number() OVER (PARTITION BY h.q_id
+                                ORDER BY h.certainty DESC, h.vec_id ASC)
+               AS r,
+             SUM(k.n_tokens) OVER (PARTITION BY h.q_id
+                                   ORDER BY h.certainty DESC, h.vec_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS running
+      FROM hits h JOIN chunks2 k ON h.vec_id = k.doc_id
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY r) AS seq
+        FROM ranked WHERE r = 1 OR running <= 120
+      ) WHERE r = seq
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id,
+           string_agg(text, chr(10) || chr(10) ORDER BY r) AS context,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           list(url ORDER BY r) AS sources,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM kept GROUP BY q_id
+    """,
+)
+def q_rag_context(spark, sf_dir):
+    """The reference's consumer endpoint made executable: top-5 chunks per
+    query by certainty, packed best-first under a 120-token budget into one
+    context string with rank-ordered source urls (cfg.toml context_top_n /
+    as_context / url_property semantics). Hit lists are top-k-sized, so
+    the join back to chunk bodies broadcasts."""
+    from vectordb_data_ingestion_spark.operators.context import build_context
+    from vectordb_data_ingestion_spark.functions.text import token_count
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    (docs,) = _t(spark, sf_dir, "documents")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    hits = topk_by_certainty(emb, queries, k=5, threshold=0.0)
+    chunks = docs.select(
+        F.col("doc_id").alias("chunk_id"),
+        "text",
+        F.concat(F.lit("https://kb/"), F.col("doc_id")).alias("url"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return build_context(
+        hits.withColumnRenamed("vec_id", "chunk_id"),
+        chunks,
+        max_tokens=120,
+    )
