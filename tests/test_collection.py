@@ -133,3 +133,14 @@ def test_build_context_token_budget_and_order(spark):
     assert out[0]["n_chunks"] == 2 and out[0]["n_tokens"] == 110
     assert out[1]["context"] == "huge"              # top hit always fits
     assert out[1]["n_tokens"] == 999
+
+
+def test_retrieve_context_end_to_end(spark):
+    corpus = _corpus(spark)
+    col = VectorCollection(corpus, id_col="doc_id")
+    qv = _vec(corpus, 7)
+    row = col.retrieve_context(qv, k=3, certainty=0.0).collect()[0]
+    # the query doc's own text leads the context
+    own = corpus.filter(F.col("doc_id") == 7).collect()[0]["text"]
+    assert row["context"].startswith(own)
+    assert row["n_chunks"] == 3

@@ -175,3 +175,35 @@ class VectorCollection:
             )
             .drop("__query", "__q_id")
         )
+
+
+    def retrieve_context(
+        self,
+        vector: list[float],
+        k: int = 3,
+        max_tokens: int | None = None,
+        certainty: float | None = None,
+        where: Column | None = None,
+        url_col: str | None = None,
+        tokens_col: str = "n_tokens",
+    ) -> DataFrame:
+        """The full consumer path in one call (cfg.toml context_top_n +
+        as_context semantics): nearVector top-k, then token-budgeted
+        context packing with rank-ordered sources. Returns one row:
+        (context, n_chunks[, sources][, n_tokens])."""
+        from vectordb_data_ingestion_spark.operators.context import (
+            build_context,
+        )
+
+        hits = self.near_vector(
+            vector, k=k, certainty=certainty, where=where
+        ).withColumn("q_id", F.lit(0))
+        return build_context(
+            hits,
+            self.corpus,
+            max_tokens=max_tokens,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            url_col=url_col,
+            tokens_col=tokens_col,
+        ).drop("q_id")
