@@ -128,3 +128,34 @@ def test_pq_adc_codes_matches_join_form(spark):
     b = [(r["vec_id"], r["adc"]) for r in pq_adc_topk_codes(
         encoded, cb, qv, k=10, m=M, dim=DIM).collect()]
     assert a == b
+
+
+def test_pq_adc_batch_matches_single(spark):
+    """Batched ADC per query == single-query ADC (same local-topk cut,
+    same global merge)."""
+    from vectordb_data_ingestion_spark.operators.pq import (
+        pq_adc_topk_batch,
+        pq_adc_topk_codes,
+        pq_encode_vectorized,
+    )
+
+    emb = _emb(spark).cache()
+    cb = pq_train(emb, m=M, dim=DIM, k=4, iterations=1).cache()
+    encoded = pq_encode_vectorized(emb, cb, M, DIM).cache()
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id").isin([1, 7, 13])).collect()
+    ]
+    batch = {}
+    for r in pq_adc_topk_batch(
+        encoded, cb, queries, k=5, m=M, dim=DIM
+    ).collect():
+        batch.setdefault(r["q_id"], []).append((r["vec_id"], r["adc"]))
+    for q_id, vec in queries:
+        single = [
+            (r["vec_id"], r["adc"])
+            for r in pq_adc_topk_codes(
+                encoded, cb, vec, k=5, m=M, dim=DIM
+            ).collect()
+        ]
+        assert sorted(batch[q_id]) == sorted(single), q_id

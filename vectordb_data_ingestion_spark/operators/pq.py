@@ -370,3 +370,85 @@ def pq_adc_topk_codes(
 
     scored = encoded.mapInPandas(score, schema=out_schema)
     return scored.orderBy(F.asc("adc"), F.asc(id_col)).limit(k)
+
+
+def pq_adc_topk_batch(
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched ADC: answer EVERY query in one scan of the packed-codes
+    table. The per-query lookup tables stack into one (nq, m, k) tensor on
+    the driver; each Arrow batch scores all queries with one fancy-index +
+    sum per query and emits only its local top-``k`` per query (B*nq
+    full scores never leave the worker), then one tiny window merges
+    per-partition candidates globally. Same shape as
+    similarity.ann_topk_join: N queries cost one corpus pass."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    dsub = dim // m
+    rows = codebooks.select("sub", "code", "sv").collect()
+    k_per_sub = max(r["code"] for r in rows) + 1
+    luts = np.zeros((len(queries), m, k_per_sub), dtype=np.float64)
+    q_ids = []
+    for qi, (q_id, vec) in enumerate(queries):
+        q_ids.append(q_id)
+        q = np.asarray(vec, dtype=np.float64)
+        for r in rows:
+            qs = q[r["sub"] * dsub : (r["sub"] + 1) * dsub]
+            cv = np.asarray(r["sv"], dtype=np.float64)
+            luts[qi, r["sub"], r["code"]] = round(
+                float(qs @ qs - 2.0 * (qs @ cv) + cv @ cv), 6
+            )
+    out_schema = StructType(
+        [
+            StructField("q_id", LongType()),
+            StructField(id_col, encoded.schema[id_col].dataType),
+            StructField("adc", DoubleType()),
+        ]
+    )
+    subs_idx = np.arange(m)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack(pdf["pq_codes"].to_numpy()).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for qi, q_id in enumerate(q_ids):
+                adc = np.round(
+                    luts[qi][subs_idx[None, :], codes].sum(axis=1), 6
+                )
+                take = min(k, len(adc))
+                # local top-k: sort by (adc, id) for deterministic cut
+                order = np.lexsort((ids, adc))[:take]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": q_id,
+                            id_col: ids[order],
+                            "adc": adc[order],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = encoded.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

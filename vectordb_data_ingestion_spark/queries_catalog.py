@@ -3006,3 +3006,53 @@ def q_rag_context(spark, sf_dir):
         chunks,
         max_tokens=120,
     )
+
+
+@register(
+    "pq_adc_topk_batch",
+    f"""
+    WITH {_PQ_COMMON_SQL},
+    q AS (SELECT vec_id AS q_id, {_DBL} AS qv FROM embeddings
+          WHERE vec_id < 3),
+    qlut AS (
+      SELECT q.q_id, cb.sub, cb.code,
+             {_PQ_L2.format(
+                 a="(qv[cb.sub * " + str(_PQ_DSUB) + " + 1 : cb.sub * "
+                 + str(_PQ_DSUB) + " + " + str(_PQ_DSUB) + "])",
+                 b="cb.cv",
+             )} AS d
+      FROM cb CROSS JOIN q
+    ),
+    escore AS (
+      SELECT qlut.q_id, b.vec_id, ROUND(SUM(qlut.d), 6) AS adc
+      FROM best b JOIN qlut USING (sub, code)
+      GROUP BY qlut.q_id, b.vec_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id,
+           CAST(vec_id AS BIGINT) AS vec_id, adc
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY adc ASC, vec_id ASC) AS rn
+      FROM escore
+    ) WHERE rn <= 10
+    """,
+)
+def q_pq_adc_topk_batch(spark, sf_dir):
+    """Batched ADC retrieval: every query answered in ONE scan of the
+    packed-codes table - per-query lookup tables stack into a driver-side
+    tensor, each Arrow batch emits only local top-10s, one tiny window
+    merges globally (N queries cost one corpus pass, like ann_topk_batch)."""
+    from vectordb_data_ingestion_spark.operators.pq import (
+        pq_adc_topk_batch,
+        pq_encode_vectorized,
+    )
+
+    emb, codebooks = _pq_parts(spark, sf_dir)
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    encoded = pq_encode_vectorized(emb, codebooks, _PQ_M, _PQ_DIM)
+    return pq_adc_topk_batch(
+        encoded, codebooks, queries, k=10, m=_PQ_M, dim=_PQ_DIM
+    )
