@@ -159,3 +159,39 @@ def test_pq_adc_batch_matches_single(spark):
             ).collect()
         ]
         assert sorted(batch[q_id]) == sorted(single), q_id
+
+
+def test_ivfpq_prunes_and_ranks(spark):
+    """IVF+PQ returns only vectors from probed cells, ranked by ADC; with
+    n_probe = all cells it equals plain batched ADC."""
+    from vectordb_data_ingestion_spark.operators.pq import (
+        ivfpq_topk,
+        pq_adc_topk_codes,
+        pq_encode_vectorized,
+    )
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        assign_ivf_cells_vectorized,
+    )
+
+    emb = _emb(spark).cache()
+    cb = pq_train(emb, m=M, dim=DIM, k=4, iterations=1).cache()
+    centroids = emb.filter(F.col("vec_id") % 25 == 2).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_embedding"),
+    ).cache()
+    n_cells = centroids.count()
+    cells = assign_ivf_cells_vectorized(emb, centroids).select("vec_id", "cell")
+    encoded = pq_encode_vectorized(emb, cb, M, DIM).join(cells, "vec_id").cache()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0][
+        "embedding"
+    ]]
+    pruned = ivfpq_topk(encoded, centroids, cb, qv, k=10, n_probe=2,
+                        m=M, dim=DIM).collect()
+    assert 0 < len(pruned) <= 10
+    # probing every cell == no pruning == plain ADC
+    full = ivfpq_topk(encoded, centroids, cb, qv, k=10, n_probe=n_cells,
+                      m=M, dim=DIM).collect()
+    plain = pq_adc_topk_codes(encoded, cb, qv, k=10, m=M, dim=DIM).collect()
+    assert [(r["vec_id"], r["adc"]) for r in full] == [
+        (r["vec_id"], r["adc"]) for r in plain
+    ]

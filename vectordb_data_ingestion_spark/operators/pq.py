@@ -452,3 +452,49 @@ def pq_adc_topk_batch(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivfpq_topk(
+    encoded_with_cells: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    query_vector: list[float],
+    k: int,
+    n_probe: int = 2,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    centroid_vec: str = "c_embedding",
+    centroid_id: str = "c_id",
+) -> DataFrame:
+    """IVF+PQ composition (the FAISS IVFADC shape, minus residual encoding
+    - codes quantize the raw vectors, documented simplification): the
+    coarse quantizer picks the ``n_probe`` cells nearest the query (max
+    rounded cosine - our IVF convention), the scan is pruned to those
+    cells (a plain equality predicate -> file pruning on a
+    cell-partitioned layout), and ADC scores only the probed rows' packed
+    codes. Input rows carry (id, cell, pq_codes) - the index layout a
+    100 TB deployment stores: 1 byte/subspace + a cell key per vector.
+    """
+    from vectordb_data_ingestion_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    probe_cells = [
+        r[0]
+        for r in centroids.select(
+            F.col(centroid_id),
+            F.round(
+                cosine_similarity(to_double_array(F.col(centroid_vec)), qv), 6
+            ).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc(centroid_id))
+        .limit(n_probe)
+        .collect()
+    ]
+    pruned = encoded_with_cells.filter(F.col("cell").isin(probe_cells))
+    return pq_adc_topk_codes(
+        pruned, codebooks, query_vector, k, m=m, dim=dim, id_col=id_col
+    )

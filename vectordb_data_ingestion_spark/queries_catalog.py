@@ -3056,3 +3056,96 @@ def q_pq_adc_topk_batch(spark, sf_dir):
     return pq_adc_topk_batch(
         encoded, codebooks, queries, k=10, m=_PQ_M, dim=_PQ_DIM
     )
+
+
+@register(
+    "ivfpq_topk",
+    f"""
+    WITH {_IVF_ASSIGN_SQL},
+    subspace AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub),
+    cb AS (
+      SELECT sub,
+             row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS code,
+             (({_DBL})[sub * {_PQ_DSUB} + 1 : sub * {_PQ_DSUB} + {_PQ_DSUB}]) AS cv
+      FROM embeddings, subspace WHERE {_CENTROID_PRED}
+    ),
+    psubs AS (
+      SELECT vec_id, sub,
+             (({_DBL})[sub * {_PQ_DSUB} + 1 : sub * {_PQ_DSUB} + {_PQ_DSUB}]) AS sv
+      FROM embeddings, subspace
+    ),
+    pscored AS (
+      SELECT psubs.vec_id, psubs.sub, cb.code,
+             {_PQ_L2.format(a="psubs.sv", b="cb.cv")} AS d
+      FROM psubs JOIN cb USING (sub)
+    ),
+    best AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d ASC, code ASC) AS rn
+        FROM pscored
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT {_DBL} AS qv FROM embeddings WHERE vec_id = 7),
+    probe AS (
+      SELECT c_id FROM (
+        SELECT cen.c_id,
+               row_number() OVER (ORDER BY
+                 ROUND(list_dot_product(qe.qv, cen.ce) /
+                       (sqrt(list_dot_product(qe.qv, qe.qv))
+                        * sqrt(list_dot_product(cen.ce, cen.ce))), 6) DESC,
+                 cen.c_id ASC) AS rn
+        FROM cen CROSS JOIN q qe
+      ) WHERE rn <= 2
+    ),
+    qlut AS (
+      SELECT cb.sub, cb.code,
+             {_PQ_L2.format(
+                 a="(qv[cb.sub * " + str(_PQ_DSUB) + " + 1 : cb.sub * "
+                 + str(_PQ_DSUB) + " + " + str(_PQ_DSUB) + "])",
+                 b="cb.cv",
+             )} AS d
+      FROM cb CROSS JOIN q
+    ),
+    pruned AS (
+      SELECT b.vec_id, b.sub, b.code
+      FROM best b JOIN assigned a USING (vec_id)
+      WHERE a.cell IN (SELECT c_id FROM probe)
+    )
+    SELECT CAST(p.vec_id AS BIGINT) AS vec_id,
+           ROUND(SUM(qlut.d), 6) AS adc
+    FROM pruned p JOIN qlut USING (sub, code)
+    GROUP BY p.vec_id
+    ORDER BY adc ASC, vec_id ASC LIMIT 10
+    """,
+)
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ retrieval (FAISS IVFADC shape, non-residual): coarse cells
+    prune the corpus to n_probe=2 cells, ADC scores only the probed rows'
+    packed codes - at 100 TB, a cell-partitioned codes layout turns the
+    probe into file-level pruning and the scan reads 1 byte/subspace."""
+    from vectordb_data_ingestion_spark.operators.pq import (
+        ivfpq_topk,
+        pq_encode_vectorized,
+    )
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        assign_ivf_cells_vectorized,
+    )
+
+    emb, codebooks = _pq_parts(spark, sf_dir)
+    centroids = emb.filter(F.expr(_CENTROID_PRED)).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    cells = assign_ivf_cells_vectorized(emb, centroids).select("vec_id", "cell")
+    encoded = pq_encode_vectorized(emb, codebooks, _PQ_M, _PQ_DIM).join(
+        cells, "vec_id"
+    )
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    ]
+    return ivfpq_topk(
+        encoded, centroids, codebooks, qv, k=10, n_probe=2,
+        m=_PQ_M, dim=_PQ_DIM,
+    )
