@@ -6,8 +6,13 @@ shape (broadcast joins only — the corpus never sort-merges)."""
 from __future__ import annotations
 
 import math
+import os
 
 import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", SF_SMALL)
 
 from vectordb_data_ingestion_spark.operators import search as srch
 from vectordb_data_ingestion_spark.plans.inspect import physical_plan
@@ -172,3 +177,36 @@ def test_cross_encoder_rerank_reorders_candidates(spark):
         by_q.setdefault(r["q_id"], []).append((r["doc_id"], r["ce_score"]))
     assert sorted(by_q[0]) == [(0, 1.0), (2, 1.0), (4, 1.0)]  # ties -> low ids
     assert sorted(by_q[1]) == [(0, 1.0), (1, 0.5), (2, 1.0)]  # only 3 cands
+
+
+def test_bm25_indexed_matches_direct(spark, tmp_path):
+    """The materialized-index path returns bit-identical results to the
+    direct path - including after the index round-trips through parquet
+    (what a deployment actually queries)."""
+    from vectordb_data_ingestion_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    queries = [(0, ["vector", "table"]), (1, ["stream", "window", "agg"])]
+    direct = sorted(
+        tuple(r) for r in bm25_topk(docs, queries, k=8).collect()
+    )
+    postings, terms, stats = build_bm25_index(docs)
+    base = str(tmp_path / "bm25")
+    postings.write.parquet(base + "/postings")
+    terms.write.parquet(base + "/terms")
+    stats.write.parquet(base + "/stats")
+    indexed = sorted(
+        tuple(r)
+        for r in bm25_topk_indexed(
+            spark.read.parquet(base + "/postings"),
+            spark.read.parquet(base + "/terms"),
+            spark.read.parquet(base + "/stats"),
+            queries,
+            k=8,
+        ).collect()
+    )
+    assert direct == indexed and len(direct) > 0

@@ -322,3 +322,78 @@ def cross_encoder_rerank(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized inverted index - index once, query many (the 100 TB design;
+# bm25_topk re-tokenizes the corpus per query batch, fine for ad-hoc use)
+# ---------------------------------------------------------------------------
+
+def build_bm25_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Materialize the BM25 index: ``postings (term, id, tf, dl)``,
+    ``terms (term, df)``, ``stats (n, avgdl)`` - everything query-time
+    scoring needs, so queries never touch raw text again. At scale, write
+    postings partitioned/bucketed by ``term``: a query's semi-join on its
+    handful of terms becomes file-level pruning, and the per-term posting
+    lists are the only rows read. One tokenize pass + two partial-agg
+    shuffles to build."""
+    toks = F.filter(word_split(F.lower(F.col(text_col))), lambda w: w != "")
+    docs = corpus.select(
+        F.col(id_col), F.size(toks).alias("dl"), toks.alias("__toks")
+    )
+    postings = (
+        docs.select(id_col, "dl", F.explode("__toks").alias("term"))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    terms = postings.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    stats = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    return postings, terms, stats
+
+
+def bm25_topk_indexed(
+    postings: DataFrame,
+    terms: DataFrame,
+    stats: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Identical results to :func:`bm25_topk`, served from the materialized
+    index: the query-term list broadcasts into the postings scan (pruned to
+    matching terms), df/idf comes from the tiny terms table, and only
+    matching postings flow into the per-query sum."""
+    spark = postings.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, qterms in queries for t in sorted(set(qterms))],
+        "q_id long, term string",
+    )
+    idf = F.log(
+        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    term_micro = F.round(
+        idf * (F.col("tf") * (k1 + 1.0)) / denom * 1e6
+    ).cast("long")
+    agg = (
+        postings.join(broadcast(qdf), "term")
+        .join(broadcast(terms), "term")
+        .crossJoin(broadcast(stats))
+        .groupBy("q_id", id_col)
+        .agg(F.sum(term_micro).alias("score_micro"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -3149,3 +3149,19 @@ def q_ivfpq_topk(spark, sf_dir):
         encoded, centroids, codebooks, qv, k=10, n_probe=2,
         m=_PQ_M, dim=_PQ_DIM,
     )
+
+
+@register("bm25_topk_indexed", srch.bm25_sql("documents", _BM25_QUERIES, k=10))
+def q_bm25_topk_indexed(spark, sf_dir):
+    """Same results as bm25_topk (same oracle), served from the
+    materialized inverted index: postings/terms/stats tables replace the
+    per-query corpus re-tokenization - at 100 TB a term-partitioned
+    postings layout makes each query's semi-join file-pruned."""
+    from vectordb_data_ingestion_spark.operators.search import (
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    postings, terms, stats = build_bm25_index(docs)
+    return bm25_topk_indexed(postings, terms, stats, _BM25_QUERIES, k=10)
