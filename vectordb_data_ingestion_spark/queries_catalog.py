@@ -2931,7 +2931,7 @@ def q_lm_perplexity_score(spark, sf_dir):
 
 @register(
     "rag_context",
-    f"""
+    rf"""
     WITH q AS (
       SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
       FROM embeddings WHERE vec_id < 5
