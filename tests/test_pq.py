@@ -195,3 +195,35 @@ def test_ivfpq_prunes_and_ranks(spark):
     assert [(r["vec_id"], r["adc"]) for r in full] == [
         (r["vec_id"], r["adc"]) for r in plain
     ]
+
+
+def test_ivfpq_cell_partitioned_layout_prunes(spark, tmp_path):
+    """Codes written partitioned by cell: a probe's scan must show
+    PartitionFilters on the cell key - the IVFPQ index reads only probed
+    directories at any scale."""
+    from vectordb_data_ingestion_spark.operators.pq import (
+        pq_encode_vectorized,
+    )
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        assign_ivf_cells_vectorized,
+    )
+
+    emb = _emb(spark)
+    cb = pq_train(emb, m=M, dim=DIM, k=4, iterations=1)
+    centroids = emb.filter(F.col("vec_id") % 25 == 2).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    cells = assign_ivf_cells_vectorized(emb, centroids).select("vec_id", "cell")
+    encoded = pq_encode_vectorized(emb, cb, M, DIM).join(cells, "vec_id")
+    path = str(tmp_path / "ivfpq")
+    encoded.write.partitionBy("cell").parquet(path)
+
+    layout = spark.read.parquet(path)
+    probe = [r["c_id"] for r in centroids.limit(2).collect()]
+    pruned = layout.filter(F.col("cell").isin(probe))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    pf = scan.split("PartitionFilters")[1].split("]")[0]
+    assert "cell" in pf and " in (" in pf.lower()
+    assert pruned.count() > 0
