@@ -79,3 +79,16 @@ def test_pair_counts_weighted_by_freq(spark):
     assert rows[("a", "b")] == 3
     assert rows[("b", "</w>")] == 3
     assert rows[("c", "d")] == 1
+
+
+def test_bpe_segment_ignores_surrounding_whitespace(spark):
+    docs = spark.createDataFrame(
+        [(0, "low low low low low lower lower lowest lowest lowest")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, num_merges=4)
+    seg = bpe_segment(
+        spark.createDataFrame([(1, "  low lower \n")], "id int, text string"),
+        merges,
+    )
+    assert seg.collect()[0]["bpe_tokens"] == ["low</w>", "lowe", "r", "</w>"]

@@ -143,8 +143,9 @@ def bpe_segment(
     end_token: str = "</w>",
 ) -> DataFrame:
     """Tokenize text with a learned merge list: split to characters, apply
-    every merge in training order (pure folds, narrow)."""
-    words = word_split(F.col(text_col))
+    every merge in training order (pure folds, narrow). Empty tokens from
+    leading/trailing whitespace are dropped, matching training's vocab."""
+    words = F.filter(word_split(F.col(text_col)), lambda w: w != "")
     sym_per_word = F.transform(
         words,
         lambda w: F.concat(F.split(w, ""), F.array(F.lit(end_token))),
