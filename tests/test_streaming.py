@@ -308,3 +308,77 @@ def test_streaming_ingestion_pipeline_end_to_end(spark, tmp_path):
     # d2 untouched by d1's refresh
     d2_after = sink.read().filter(F.col("url") == "d2").count()
     assert d2_after == len([r for r in first.values() if r["url"] == "d2"])
+
+
+def test_streaming_bm25_index_refresh(spark, tmp_path):
+    """The keyword index maintained like the vector store: per micro-batch,
+    delete the changed documents' postings and append fresh ones. After
+    each refresh, querying the index equals querying the current corpus
+    state directly - including after a document's content changes."""
+    from vectordb_data_ingestion_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_indexed,
+        derive_bm25_tables,
+        doc_postings,
+    )
+
+    stream_dir = str(tmp_path / "incoming")
+    sink_dir = str(tmp_path / "postings")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stream_dir)
+    sink = ParquetVectorSink(spark, sink_dir, partition_col=None)
+
+    def doc(doc_id, body):
+        return spark.createDataFrame(
+            [(doc_id, body)], "doc_id long, text string"
+        )
+
+    schema = doc(0, "x").schema
+
+    def run_once():
+        stream = read_file_stream(spark, stream_dir, schema)
+        q = foreach_batch_refresh(
+            stream,
+            doc_postings,
+            sink_upsert=sink.upsert,
+            sink_delete_where=sink.delete_where,
+            key_col="doc_id",
+            checkpoint=ckpt,
+        ).start()
+        q.awaitTermination(120)
+
+    corpus_v1 = [
+        (1, "spark shuffles data between stages"),
+        (2, "vector search finds nearest neighbors"),
+        (3, "spark vector pipelines embed documents"),
+    ]
+    for d, t in corpus_v1:
+        doc(d, t).write.mode("append").parquet(stream_dir)
+    run_once()
+
+    queries = [(0, ["spark", "vector"])]
+
+    def query_index():
+        postings = sink.read().select("term", "doc_id", "dl", "tf")
+        terms, stats = derive_bm25_tables(postings)
+        return sorted(
+            (r["q_id"], r["doc_id"], r["score_micro"], r["rank"])
+            for r in bm25_topk_indexed(postings, terms, stats, queries, k=3)
+            .collect()
+        )
+
+    def query_direct(rows):
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return sorted(
+            (r["q_id"], r["doc_id"], r["score_micro"], r["rank"])
+            for r in bm25_topk(docs, queries, k=3).collect()
+        )
+
+    assert query_index() == query_direct(corpus_v1)
+
+    # doc 1 rewritten to be all about vectors -> rankings must shift to the
+    # post-update corpus on both paths
+    corpus_v2 = [(1, "vector vector vector index")] + corpus_v1[1:]
+    doc(1, corpus_v2[0][1]).write.mode("append").parquet(stream_dir)
+    run_once()
+    assert query_index() == query_direct(corpus_v2)

@@ -397,3 +397,36 @@ def bm25_topk_indexed(
         agg.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def derive_bm25_tables(postings: DataFrame, id_col: str = "doc_id"):
+    """(terms, stats) recomputed FROM the postings table alone - which
+    makes postings the single source of truth an incremental refresh has
+    to maintain: delete a changed document's postings, append its new
+    ones, and df/N/avgdl are correct again by construction (no separate
+    stats tables to keep transactionally in sync). Documents whose text
+    yields zero tokens carry no postings and drop out of N."""
+    terms = postings.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    stats = (
+        postings.select(id_col, "dl")
+        .distinct()
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    )
+    return terms, stats
+
+
+def doc_postings(
+    corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Postings rows for a (micro-)batch of documents - the transform an
+    incremental index refresh runs per batch (same tokenization as
+    :func:`build_bm25_index`)."""
+    toks = F.filter(word_split(F.lower(F.col(text_col))), lambda w: w != "")
+    return (
+        corpus.select(F.col(id_col), F.size(toks).alias("dl"),
+                      F.explode(toks).alias("term"))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count("*").alias("tf"))
+    )
