@@ -144,3 +144,21 @@ def test_retrieve_context_end_to_end(spark):
     own = corpus.filter(F.col("doc_id") == 7).collect()[0]["text"]
     assert row["context"].startswith(own)
     assert row["n_chunks"] == 3
+
+
+def test_near_vector_string_ids(spark):
+    """The facade must accept non-numeric (UUID-style) chunk ids end to end:
+    the vectorized top-k preserves the corpus id dtype instead of assuming
+    bigint (ADVICE round 1)."""
+    corpus = _corpus(spark).withColumn(
+        "chunk_id", F.concat(F.lit("chunk-"), F.format_string("%04d", "doc_id"))
+    )
+    col = VectorCollection(corpus, id_col="chunk_id", certainty=0.0)
+    qv = _vec(corpus, 7)
+    hits = col.near_vector(qv, k=3).collect()
+    assert hits[0]["chunk_id"] == "chunk-0007"
+    assert hits[0]["certainty"] == 1.0
+    assert len(hits) == 3
+    # hybrid + retrieve_context route the same id column through bm25/rrf
+    fused = col.hybrid("vector data", qv, k=5).collect()
+    assert fused and all(isinstance(r["chunk_id"], str) for r in fused)

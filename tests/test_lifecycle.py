@@ -95,6 +95,36 @@ def test_scd2_intervals_and_point_in_time(spark):
     }
 
 
+def test_scd2_null_states(spark):
+    """Null-safe change detection (ADVICE round 1): transitions INTO a NULL
+    state open a new interval (closing the prior one), runs of NULLs
+    collapse into one interval, and a key whose FIRST state is NULL still
+    gets its opening interval."""
+    log = spark.createDataFrame(
+        [
+            (1, "draft", _ts(1), 100),
+            (1, None, _ts(2), 101),      # transition into NULL -> new interval
+            (1, None, _ts(3), 102),      # NULL run -> collapsed
+            (1, "published", _ts(4), 103),
+            (2, None, _ts(1), 200),      # first state is NULL -> kept
+            (2, "draft", _ts(2), 201),
+        ],
+        "doc int, state string, ts timestamp, seq int",
+    )
+    hist = scd2_history(log, ["doc"], "ts", "state", "seq")
+    rows = {
+        (r["doc"], r["valid_from"]): (r["state"], r["valid_to"], r["is_current"])
+        for r in hist.collect()
+    }
+    assert rows == {
+        (1, _ts(1)): ("draft", _ts(2), False),
+        (1, _ts(2)): (None, _ts(4), False),
+        (1, _ts(4)): ("published", None, True),
+        (2, _ts(1)): (None, _ts(2), False),
+        (2, _ts(2)): ("draft", None, True),
+    }
+
+
 def _inertia(emb, centroids):
     """Mean (1 - cosine) to the assigned centroid - the quantity Lloyd
     minimizes under cosine assignment."""

@@ -122,11 +122,15 @@ def test_seqno_distributed_matches_global_window(spark):
         for r in with_seqno_distributed(sup, "s_name", num_partitions=5).collect()
     }
     assert got == expected
-    # and the plan has no single-partition global sort
+    # no single-partition global sort anywhere: the parallel range sort is
+    # pinned by localCheckpoint (so counts and numbering read ONE
+    # materialization - ADVICE round 1), leaving the final plan a scan of
+    # the checkpointed RDD + the numbering pass
     df = with_seqno_distributed(sup, "s_name", num_partitions=5)
     from vectordb_data_ingestion_spark.plans import physical_plan
-    assert "rangepartitioning" in physical_plan(df)
-    assert "SinglePartition" not in physical_plan(df)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert "ExistingRDD" in plan  # checkpoint-pinned input
 
 
 def test_topk_vectorized_matches_jvm_fold(spark):

@@ -73,10 +73,16 @@ def with_seqno_distributed(
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint pins the partitioning/row placement: the count job and
+    # the numbering pass must read the SAME materialization — re-executing a
+    # non-deterministic lineage (fresh scan order, rand columns, ties on
+    # order_col) could move rows between partitions and duplicate or skip
+    # ordinals silently.
     ranged = (
         df.repartitionByRange(parts, F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     counts = dict(
         ranged.groupBy("__pid").count().orderBy("__pid").collect()
@@ -201,13 +207,24 @@ def scd2_history(
     """
     order = [F.col(ts_col), F.col(tiebreak_col)]
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    changed = df.withColumn("__prev", F.lag(state_col).over(w)).filter(
-        F.col("__prev").isNull() | (F.col("__prev") != F.col(state_col))
+    # Null-safe change detection: ``__prev != state`` is NULL (dropped) on a
+    # transition INTO a NULL state, which would leave the prior interval
+    # open and collapse NULL runs into the preceding state. eqNullSafe
+    # treats NULL==NULL as a non-change (one interval per NULL run), and
+    # the explicit first-row marker keeps keys whose FIRST state is NULL
+    # (where lag-is-null alone can't tell "first row" from "prev was NULL").
+    changed = (
+        df.withColumn("__prev", F.lag(state_col).over(w))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            (F.col("__rn") == 1)
+            | ~F.col("__prev").eqNullSafe(F.col(state_col))
+        )
     )
     w2 = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         changed.withColumn("valid_from", F.col(ts_col))
         .withColumn("valid_to", F.lead(ts_col).over(w2))
         .withColumn("is_current", F.col("valid_to").isNull())
-        .drop("__prev")
+        .drop("__prev", "__rn")
     )

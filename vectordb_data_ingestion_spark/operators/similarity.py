@@ -94,27 +94,51 @@ def topk_by_certainty_vectorized(
     from pyspark.sql.types import (
         DoubleType,
         LongType,
+        StringType,
         StructField,
         StructType,
     )
 
-    q_ids = [int(q) for q, _ in query_rows]
+    q_ids = [q for q, _ in query_rows]
     qm = np.asarray([v for _, v in query_rows], dtype=np.float64)
     qn = np.linalg.norm(qm, axis=1)
     qn[qn == 0] = 1.0
 
+    # Preserve id dtypes instead of assuming bigint: the collection facade
+    # routes arbitrary (string/UUID) chunk ids through here, exactly like
+    # pq_encode_vectorized keeps the source id type.
+    q_id_type = (
+        LongType() if all(isinstance(q, int) for q in q_ids) else StringType()
+    )
     mid_schema = StructType(
         [
-            StructField("q_id", LongType()),
-            StructField(corpus_id, LongType()),
+            StructField("q_id", q_id_type),
+            StructField(corpus_id, corpus.schema[corpus_id].dataType),
             StructField("certainty", DoubleType()),
         ]
     )
 
+    class _RevId:
+        """Inverts id ordering inside the min-heap so the heap root is the
+        WORST candidate (lowest certainty, then highest id) for any
+        comparable id type — numeric or string — replacing the old
+        ``-int(id)`` trick that crashed on non-numeric ids."""
+
+        __slots__ = ("v",)
+
+        def __init__(self, v):
+            self.v = v
+
+        def __lt__(self, other):
+            return self.v > other.v
+
+        def __eq__(self, other):
+            return self.v == other.v
+
     def score(batches):
         import heapq
 
-        heaps: dict[int, list] = {q: [] for q in q_ids}
+        heaps: dict = {q: [] for q in q_ids}
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -127,15 +151,14 @@ def topk_by_certainty_vectorized(
                 col = cert[:, j]
                 keep = col >= threshold
                 for cid, cv in zip(ids[keep], col[keep]):
-                    # max-heap by (certainty, -id): keep the k best
-                    item = (cv, -int(cid))
+                    item = (cv, _RevId(cid))
                     h = heaps[q]
                     if len(h) < k:
                         heapq.heappush(h, item)
                     elif item > h[0]:
                         heapq.heapreplace(h, item)
         rows = [
-            (q, -nid, cv) for q, h in heaps.items() for cv, nid in h
+            (q, rid.v, cv) for q, h in heaps.items() for cv, rid in h
         ]
         yield pd.DataFrame(rows, columns=["q_id", corpus_id, "certainty"])
 
