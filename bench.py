@@ -49,6 +49,14 @@ HEADLINE = [
     "semantic_dedup",
     "pq_adc_topk",
     "shard_assign",
+    # lifecycle / index / consumer paths - round-over-round regressions in
+    # MERGE, SCD2, the materialized BM25 index, context packing, and the
+    # multimodal decode stage must be visible here
+    "catalog_merge",
+    "scd2_user_state",
+    "bm25_topk_indexed",
+    "rag_context",
+    "multimodal_features",
 ]
 
 

@@ -256,3 +256,34 @@ def test_orders_topk_revenue_plan(spark):
     assert not has_node(df, "SortMergeJoin")
     assert has_node(df, "TakeOrderedAndProject")
     assert count_exchanges(df) <= 1  # only the aggregate's keyed exchange
+
+
+def test_minhash_banded_shuffle_excludes_shingle_payload(spark):
+    """The LSH bucket join must shuffle only (id, band, band_hash): riding
+    the shingle arrays through the banded table replicates every doc's
+    shingle set x bands x 2 join sides (VERDICT round 1 scale watch-item).
+    Shingles join back by id for the candidate pairs only."""
+    from vectordb_data_ingestion_spark.operators.dedup import (
+        banded_signature_table,
+        minhash_lsh_pairs,
+    )
+    from vectordb_data_ingestion_spark.plans import physical_plan
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sh_tbl, banded = banded_signature_table(docs)
+    assert banded.columns == ["doc_id", "band", "band_hash"]
+    assert sh_tbl.columns == ["doc_id", "__sh"]
+
+    # in the fully lazy plan, the bucket self-join's exchanges hash on the
+    # band key and must not carry a shingle column
+    pairs = minhash_lsh_pairs(docs, materialize_signatures=False)
+    plan = physical_plan(pairs)
+    for line in plan.splitlines():
+        if "hashpartitioning(band" in line:
+            assert "__sh" not in line
+    # parity: lazy and materialized forms agree
+    lazy = sorted(map(tuple, pairs.collect()))
+    mat = sorted(
+        map(tuple, minhash_lsh_pairs(docs, materialize_signatures=True).collect())
+    )
+    assert lazy == mat and lazy

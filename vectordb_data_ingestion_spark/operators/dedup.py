@@ -169,26 +169,72 @@ def minhash_lsh_pairs(
 
     ``materialize_signatures``: the bucket join is a self-join, and Spark
     re-executes the shingle+signature lineage for EACH side (4 scans, double
-    the md5 work - visible in the physical plan). Materializing the banded
-    table once (``localCheckpoint``) halves the compute; it is exactly what
-    a 100 TB pipeline does by writing the signature table out before the
-    join. Set False to keep the plan fully lazy (e.g. under a streaming
-    source where checkpointing eagerly is illegal).
-    """
-    rows_per_band = num_hashes // bands
+    the md5 work - visible in the physical plan). Materializing the shingle
+    and banded tables once (``localCheckpoint``) halves the compute; it is
+    exactly what a 100 TB pipeline does by writing the signature table out
+    before the join. Set False to keep the plan fully lazy (e.g. under a
+    streaming source where checkpointing eagerly is illegal).
 
-    # one projection computes shingles AND the signature from them - joining
-    # a separate signature table back by id would add a full shuffle of the
-    # shingle sets for nothing
-    sigs = df.select(
-        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
-    ).withColumn(
-        "signature", minhash_sig_from_shingles(F.col("__sh"), num_hashes)
+    Payload discipline: the banded table carries ONLY ``(id, band,
+    band_hash)`` - never the shingle arrays. Banding the shingles would
+    replicate every doc's shingle set x bands x 2 join sides through the
+    checkpoint and the bucket-join shuffle; instead the (far smaller)
+    candidate-pair set joins the shingle table back by id for exact-Jaccard
+    verification. At 100 TB that is the difference between shuffling the
+    corpus text ~8x and shuffling it twice."""
+    sh_tbl, banded = banded_signature_table(
+        df, text_col, id_col, num_hashes, bands, shingle_n,
+        materialize=materialize_signatures,
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    cand = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        sh_tbl.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh_tbl.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")),
+        "id_b",
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
+
+def banded_signature_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The two LSH build products: the shingle table ``(id, __sh)`` and the
+    banded table ``(id, band, band_hash)``. The banded table deliberately
+    excludes the shingle payload so the bucket-join shuffle carries three
+    scalar columns per row; verification joins ``sh_tbl`` back by id."""
+    rows_per_band = num_hashes // bands
+    sh_tbl = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    if materialize:
+        sh_tbl = sh_tbl.localCheckpoint()
+    sigs = sh_tbl.withColumn(
+        "signature", minhash_sig_from_shingles(F.col("__sh"), num_hashes)
+    )
     banded = sigs.select(
         id_col,
-        "__sh",
         F.posexplode(
             F.array(
                 *[
@@ -206,28 +252,9 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    if materialize_signatures:
+    if materialize:
         banded = banded.localCheckpoint()
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"), "band", "band_hash"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"), "band", "band_hash"
-    )
-    cand = (
-        left.join(right, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    return (
-        cand.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return sh_tbl, banded
 
 
 # ---------------------------------------------------------------------------

@@ -62,14 +62,19 @@ def extract_features(assets: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"]) if row["content"] is not None else b""
-                meta = _stub_decode(content, row["modality"])
+            # zip over the columns, not iterrows: decode is CPU-bound and
+            # iterrows constructs a pandas Series per row (measurably slower
+            # on wide Arrow batches)
+            for asset_id, modality, content in zip(
+                pdf["asset_id"], pdf["modality"], pdf["content"]
+            ):
+                payload = bytes(content) if content is not None else b""
+                meta = _stub_decode(payload, modality)
                 out.append(
                     {
-                        "asset_id": row["asset_id"],
-                        "modality": row["modality"],
-                        "n_bytes": len(content),
+                        "asset_id": asset_id,
+                        "modality": modality,
+                        "n_bytes": len(payload),
                         **meta,
                     }
                 )
