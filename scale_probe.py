@@ -1,0 +1,137 @@
+"""Scale-linearity probe: do the expensive operators' cost curves stay
+linear-ish when the corpus grows past sf0.1?
+
+No larger driver scale factor exists, so the probe DERIVES bigger corpora
+from /root/testdata/sf0.1 by self-union with disjoint content per copy:
+
+- ``doc_id`` / ``vec_id`` are offset per copy (ids stay unique),
+- every word of copy *i* gets a ``·ci`` suffix, so cross-copy shingle /
+  token overlap is ZERO — each copy is an internally-identical but
+  mutually-disjoint corpus. Duplicate-pair counts, posting lists, and
+  candidate sets therefore scale linearly by construction, and any
+  super-linear runtime is the ENGINE's fault (a shuffle, a quadratic
+  candidate set, a driver collect), which is exactly what we want to catch.
+  (Naive replication would be wrong: identical copies land in the same
+  LSH buckets and near-dup pair counts grow k^2 per group — measuring the
+  data, not the engine.)
+
+Usage: python scale_probe.py [multipliers...]   (default 1 2 4)
+Writes one JSON line; findings are recorded in BENCH_NOTES.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from vectordb_data_ingestion_spark import queries_catalog
+from vectordb_data_ingestion_spark.session import get_spark, load_tables
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The 5 most expensive headline operators (BENCH_r01) + the BM25 index path.
+PROBE = [
+    "minhash_lsh_near_dup",
+    "near_dup_dedup",
+    "bm25_topk",
+    "hybrid_rrf_search",
+    "ann_topk_batch",
+    "repetition_signals",
+]
+
+ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def build_scaled_dir(spark, mult: int, root: str) -> str:
+    out = os.path.join(root, f"x{mult}")
+    os.makedirs(out, exist_ok=True)
+    tables = load_tables(spark, SF_DIR, ("documents", "embeddings"))
+    docs, embs = tables["documents"], tables["embeddings"]
+    max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    doc_parts = []
+    emb_parts = []
+    for i in range(mult):
+        suffixed = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "), lambda w: F.concat(w, F.lit(f"c{i}"))
+            ),
+            " ",
+        )
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * max_doc))
+        if i > 0:  # copy 0 keeps the original text (x1 == sf0.1 exactly)
+            d = d.withColumn("text", suffixed)
+        doc_parts.append(d)
+        emb_parts.append(
+            embs.withColumn("vec_id", F.col("vec_id") + F.lit(i * max_doc))
+        )
+    scaled_docs = doc_parts[0]
+    scaled_embs = emb_parts[0]
+    for d in doc_parts[1:]:
+        scaled_docs = scaled_docs.unionByName(d)
+    for e in emb_parts[1:]:
+        scaled_embs = scaled_embs.unionByName(e)
+    scaled_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    scaled_embs.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    for t in ALL_TABLES:
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF_DIR}/{t}.parquet", dst)
+    return out
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    spark = get_spark(app_name="scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="scale_probe_")
+    results: dict[str, dict[int, float]] = {q: {} for q in PROBE}
+    try:
+        for mult in mults:
+            sf_dir = build_scaled_dir(spark, mult, root)
+            for name in PROBE:
+                fn = queries_catalog.SPARK_QUERIES[name]
+                runs = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    force(fn(spark, sf_dir))
+                    runs.append(time.perf_counter() - t0)
+                results[name][mult] = round(min(runs), 3)
+                print(
+                    f"  x{mult} {name}: {results[name][mult]}s", file=sys.stderr
+                )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    ratios = {
+        q: round(results[q][mults[-1]] / results[q][mults[0]], 2)
+        for q in PROBE
+        if results[q].get(mults[0])
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_seconds",
+                "multipliers": mults,
+                "base_sf": 0.1,
+                "queries": {q: results[q] for q in PROBE},
+                "growth_ratio_last_over_first": ratios,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

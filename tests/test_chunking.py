@@ -130,3 +130,50 @@ def test_recursive_char_chunks_properties():
         assert token in joined
     assert recursive_char_chunks("", 100, 10) == []
     assert recursive_char_chunks("tiny", 100, 10) == ["tiny"]
+
+
+# --- pluggable tokenizer (token_count kind=) -------------------------------
+
+
+def test_token_count_kinds(spark):
+    from vectordb_data_ingestion_spark.functions.text import (
+        tiktoken_available,
+        token_count,
+    )
+
+    df = spark.createDataFrame([("hello, 42 worlds!",)], ["text"])
+    [row] = df.select(
+        token_count("text").alias("regex"),
+        token_count("text", kind="auto").alias("auto"),
+    ).collect()
+    # regex tokenizer: hello , 4 2 worlds !  -> 6
+    assert row["regex"] == 6
+    if not tiktoken_available():
+        assert row["auto"] == row["regex"]
+
+    with pytest.raises(ValueError):
+        token_count("text", kind="nope")
+
+
+def test_token_count_tiktoken_gate(spark):
+    from vectordb_data_ingestion_spark.functions.text import (
+        tiktoken_available,
+        token_count,
+        token_count_tiktoken,
+    )
+
+    if not tiktoken_available():
+        with pytest.raises(ImportError, match="tiktoken"):
+            token_count_tiktoken("text")
+        with pytest.raises(ImportError):
+            token_count("text", kind="tiktoken")
+    else:
+        import tiktoken
+
+        enc = tiktoken.get_encoding("cl100k_base")
+        text = "I would like to thank my middle finger."
+        df = spark.createDataFrame([(text,)], ["text"])
+        [row] = df.select(
+            token_count("text", kind="tiktoken").alias("n")
+        ).collect()
+        assert row["n"] == len(enc.encode(text))

@@ -287,3 +287,58 @@ def test_minhash_banded_shuffle_excludes_shingle_payload(spark):
         map(tuple, minhash_lsh_pairs(docs, materialize_signatures=True).collect())
     )
     assert lazy == mat and lazy
+
+
+def test_skew_drill_salted_agg_sf01(spark):
+    """Skew drill (100x-scale story for the groupBy-heavy dedup paths): route
+    a pathologically skewed key — ~90% of sf0.1 lineitem lands on ONE key —
+    through salted_agg and assert (a) exact parity with the plain aggregation
+    and (b) the salted shuffle's max partition is bounded, where the unsalted
+    shuffle necessarily funnels the hot key into a single straggler reducer."""
+    import os
+
+    from pyspark.sql.functions import spark_partition_id
+
+    sf01 = os.path.join(os.path.dirname(SF_SMALL), "sf0.1")
+    li = spark.read.parquet(f"{sf01}/lineitem.parquet").select(
+        F.when(F.col("l_orderkey") % 10 != 0, F.lit("hot"))
+        .otherwise(F.col("l_orderkey").cast("string"))
+        .alias("k"),
+        F.col("l_quantity").alias("v"),
+    )
+
+    plain = {
+        r["k"]: (round(r["s"], 2), r["c"])
+        for r in li.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("c"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (round(r["s"], 2), r["c"])
+        for r in salted_agg(
+            li, "k", [("sum", "v", "s"), ("count", "v", "c")], n_salts=32
+        ).collect()
+    }
+    assert salted == plain  # exact parity, including the hot key
+
+    def max_partition_rows(df, *cols):
+        sizes = (
+            df.repartition(32, *cols)
+            .groupBy(spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+        return max(r["count"] for r in sizes)
+
+    total = li.count()
+    hot_max = max_partition_rows(li, "k")  # one reducer owns ~90% of rows
+    salted_max = max_partition_rows(
+        li.withColumn("__salt", (F.rand(seed=7) * 32).cast("int")), "k", "__salt"
+    )
+    assert hot_max >= 0.85 * total  # the drill is genuinely pathological
+    # salting spreads the hot key ~evenly: no partition should exceed ~4x
+    # the ideal share (total/32; hash collisions of (k,salt) buckets onto 32
+    # partitions make a 2-3x balls-in-bins max expected), vs the unsalted
+    # single ~90% straggler
+    assert salted_max <= 4 * total / 32
+    assert salted_max <= hot_max / 5

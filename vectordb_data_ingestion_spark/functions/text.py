@@ -39,13 +39,80 @@ def word_split(col: Column | str) -> Column:
     return F.split(F.regexp_replace(c, _WS, " "), " ")
 
 
-def token_count(col: Column | str) -> Column:
-    """Deterministic token count (see module docstring). Returns int.
-    ``regexp_count`` counts matches without materializing them into an
-    array (~25% faster than size(regexp_extract_all) on the chunk spine —
-    it is the hot expression at corpus scale)."""
+def token_count(col: Column | str, kind: str = "regex") -> Column:
+    """Token count with a pluggable tokenizer backend.
+
+    ``kind``:
+
+    - ``"regex"`` (default): the deterministic regex tokenizer (see module
+      docstring). JVM-side ``regexp_count`` counts matches without
+      materializing them into an array (~25% faster than
+      size(regexp_extract_all) on the chunk spine — it is the hot
+      expression at corpus scale), and the identical regex runs in DuckDB,
+      so every downstream token statistic is oracle-checkable.
+    - ``"tiktoken"``: exact reference parity (sharepointutils.py:364,379
+      counts with tiktoken ``cl100k_base``) via an Arrow-batched pandas
+      UDF. Raises ``ImportError`` at plan-build time when tiktoken is not
+      installed — the cl100k merges table is proprietary-licensed data we
+      cannot vendor, so parity is available exactly where the reference's
+      own dependency is.
+    - ``"auto"``: tiktoken when importable, else regex.
+
+    The two backends count different tokens (regex has no BPE merges), so
+    ``n_tokens`` and the 6000-token ``split_kbs`` boundary
+    (cmfunctions.py:329) differ between them on the same document. Pick one
+    per deployment and keep it fixed — mixed counts would make incremental
+    re-chunking non-idempotent.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_count(c, F.lit(TOKEN_PATTERN)).cast("int")
+    if kind == "auto":
+        kind = "tiktoken" if tiktoken_available() else "regex"
+    if kind == "regex":
+        return F.regexp_count(c, F.lit(TOKEN_PATTERN)).cast("int")
+    if kind == "tiktoken":
+        return token_count_tiktoken(c)
+    raise ValueError(f"unknown tokenizer kind: {kind!r}")
+
+
+def tiktoken_available() -> bool:
+    try:
+        import tiktoken  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def token_count_tiktoken(
+    col: Column | str, encoding_name: str = "cl100k_base"
+) -> Column:
+    """Reference-parity token count: ``len(tiktoken.get_encoding(
+    'cl100k_base').encode(text))`` (sharepointutils.py:364,379), batched
+    through Arrow with one encoder instance per executor interpreter.
+    ``encode_ordinary_batch`` releases the GIL across the Rust core, so a
+    whole Arrow batch tokenizes in parallel — this is NOT a row-at-a-time
+    Python UDF. Raises ImportError where tiktoken is absent."""
+    import pandas as pd  # local: keep module import light
+
+    if not tiktoken_available():
+        raise ImportError(
+            "tiktoken is not installed; use token_count(col, kind='regex') "
+            "(deterministic, oracle-checkable) or install tiktoken for "
+            "reference cl100k_base parity"
+        )
+
+    @F.pandas_udf("int")
+    def _count(texts: pd.Series) -> pd.Series:
+        import tiktoken
+
+        enc = tiktoken.get_encoding(encoding_name)
+        filled = texts.fillna("").astype(str).tolist()
+        return pd.Series(
+            [len(t) for t in enc.encode_ordinary_batch(filled)], dtype="int32"
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _count(c)
 
 
 # DuckDB-equivalent SQL snippet for oracle queries (same semantics).

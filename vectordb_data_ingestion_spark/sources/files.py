@@ -8,20 +8,24 @@ transformations on top. At 100 TB the scan parallelizes by file and
 ``pathGlobFilter``/``modifiedAfter`` push listing-level pruning into the
 source (the reference's delta predicate, done by the connector).
 
-Parser tiers (``parse_text_udf``):
+Parser tiers (`make_parser_udf` snapshots the injectable ``PARSERS``
+registry — see :func:`register_parser`):
 - ``txt``            : real - utf-8 decode (lossy-safe).
 - ``html``           : real - the stdlib extractor (functions.html).
-- pdf/docx/pptx/msg/eml: the decode libraries (pypdf, python-docx, ...)
-  are not available in this environment, so these dispatch to
+- ``eml``            : real - stdlib ``email`` package (headers + text parts).
+- pdf/docx/pptx/msg  : real decoders auto-registered when pypdf /
+  python-docx / python-pptx / extract_msg are importable; otherwise
   :func:`_stub_parse` - a clearly-marked deterministic stub that derives
-  reproducible pseudo-text from the payload hash. The Spark-side plumbing
-  (binary column, dispatch, Arrow batching, schema) is real and tested;
-  swap ``_stub_parse`` for the real decoder where the libs exist.
+  reproducible pseudo-text from the payload hash, so the Spark-side
+  plumbing (binary column, dispatch, Arrow batching, schema) stays
+  exercised end-to-end. ``STUBBED_KINDS`` reports which kinds are
+  currently stubbed in this interpreter.
 """
 
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -37,8 +41,28 @@ from pyspark.sql.types import (
 from vectordb_data_ingestion_spark.functions.html import html_to_text
 from vectordb_data_ingestion_spark.operators.catalog import file_type
 
-REAL_PARSERS = {"txt", "html"}
-STUBBED_PARSERS = {"pdf", "docx", "pptx", "msg", "eml"}
+# Parser registry: file_type -> Callable[[bytes], str]. Built below with the
+# decoders available in this environment; deployments drop real decoders in
+# with :func:`register_parser` (or ship them importable — pypdf/python-docx/
+# python-pptx/extract_msg are picked up automatically when present).
+ParserFn = Callable[[bytes], str]
+PARSERS: dict[str, ParserFn] = {}
+STUBBED_KINDS: set[str] = set()  # kinds currently served by the stub
+
+
+def register_parser(kind: str, fn: ParserFn) -> None:
+    """Install (or replace) the decoder for one file_type.
+    :func:`parse_documents` snapshots the registry into the UDF closure at
+    plan-build time, so driver-side registration is enough — the snapshot
+    ships to executors by value with the task (cloudpickle), not via module
+    re-import."""
+    kind = kind.lower()
+    PARSERS[kind] = fn
+    STUBBED_KINDS.discard(kind)
+
+
+def registered_kinds() -> set[str]:
+    return set(PARSERS)
 
 
 def read_binary_catalog(
@@ -80,36 +104,161 @@ def _stub_parse(content: bytes, kind: str) -> str:
     return f"[stub:{kind}] " + " ".join(words)
 
 
-def parse_bytes(content: bytes | None, kind: str | None) -> str:
+def _parse_txt(content: bytes) -> str:
+    return content.decode("utf-8", errors="ignore")
+
+
+def _parse_html(content: bytes) -> str:
+    return html_to_text(content.decode("utf-8", errors="ignore"))
+
+
+def _parse_eml(content: bytes) -> str:
+    """REAL eml decode via the stdlib email package (no external dep) —
+    subject/from/to headers plus every text/* body part, the same fields
+    UnstructuredEmailLoader surfaces (parsers.py:120-124)."""
+    import email
+    import email.policy
+
+    msg = email.message_from_bytes(content, policy=email.policy.default)
+    parts = [
+        f"{h}: {msg[h]}" for h in ("Subject", "From", "To") if msg[h]
+    ]
+    for part in msg.walk():
+        if part.get_content_maintype() == "text":
+            try:
+                parts.append(part.get_content().strip())
+            except Exception:
+                payload = part.get_payload(decode=True)
+                if payload:
+                    parts.append(payload.decode("utf-8", "ignore").strip())
+    return "\n".join(p for p in parts if p)
+
+
+def _try_real_parsers() -> dict[str, ParserFn]:
+    """Decoders whose libraries may or may not be installed. Each is
+    import-gated; absent libs fall back to the deterministic stub."""
+    real: dict[str, ParserFn] = {}
+    try:
+        import io
+
+        from pypdf import PdfReader  # noqa: F401
+
+        def _parse_pdf(content: bytes) -> str:
+            reader = PdfReader(io.BytesIO(content))
+            return "\n".join(page.extract_text() or "" for page in reader.pages)
+
+        real["pdf"] = _parse_pdf
+    except ImportError:
+        pass
+    try:
+        import io
+
+        from docx import Document as _Docx  # noqa: F401
+
+        def _parse_docx(content: bytes) -> str:
+            return "\n".join(
+                p.text for p in _Docx(io.BytesIO(content)).paragraphs
+            )
+
+        real["docx"] = _parse_docx
+    except ImportError:
+        pass
+    try:
+        import io
+
+        from pptx import Presentation  # noqa: F401
+
+        def _parse_pptx(content: bytes) -> str:
+            prs = Presentation(io.BytesIO(content))
+            texts = []
+            for slide in prs.slides:
+                for shape in slide.shapes:
+                    if getattr(shape, "has_text_frame", False):
+                        texts.append(shape.text_frame.text)
+            return "\n".join(texts)
+
+        real["pptx"] = _parse_pptx
+    except ImportError:
+        pass
+    try:
+        import extract_msg  # noqa: F401
+
+        def _parse_msg(content: bytes) -> str:
+            import io
+
+            msg = extract_msg.Message(io.BytesIO(content))
+            return "\n".join(
+                filter(None, (msg.subject, msg.sender, msg.to, msg.body))
+            )
+
+        real["msg"] = _parse_msg
+    except ImportError:
+        pass
+    return real
+
+
+def _build_default_registry() -> None:
+    register_parser("txt", _parse_txt)
+    register_parser("html", _parse_html)
+    register_parser("eml", _parse_eml)
+    real = _try_real_parsers()
+    for kind in ("pdf", "docx", "pptx", "msg"):
+        if kind in real:
+            register_parser(kind, real[kind])
+        else:
+            PARSERS[kind] = lambda c, k=kind: _stub_parse(c, k)
+            STUBBED_KINDS.add(kind)
+
+
+_build_default_registry()
+
+
+def _dispatch(parsers: dict[str, ParserFn], content, kind) -> str:
     kind = (kind or "").lower()
     if content is None:
         return ""
-    if kind == "txt":
-        return content.decode("utf-8", errors="ignore")
-    if kind == "html":
-        return html_to_text(content.decode("utf-8", errors="ignore"))
-    if kind in STUBBED_PARSERS:
-        return _stub_parse(content, kind)
-    raise NotImplementedError(f"no parser for file_type={kind!r}")
+    fn = parsers.get(kind)
+    if fn is None:
+        raise NotImplementedError(f"no parser for file_type={kind!r}")
+    return fn(content)
 
 
-@F.pandas_udf(StringType())
-def parse_text_udf(content: pd.Series, kind: pd.Series) -> pd.Series:
-    return pd.Series(
-        [parse_bytes(c, k) for c, k in zip(content, kind)], dtype="object"
-    )
+def parse_bytes(content: bytes | None, kind: str | None) -> str:
+    return _dispatch(PARSERS, content, kind)
 
 
-def parse_documents(catalog: DataFrame) -> DataFrame:
+def make_parser_udf(parsers: dict[str, ParserFn] | None = None):
+    """Arrow-batched parser-dispatch UDF over a registry SNAPSHOT — the
+    dict of decoder callables is captured by value in the closure, so
+    driver-side :func:`register_parser` calls (and per-call overrides) are
+    visible on every executor without module re-import tricks."""
+    snapshot = dict(PARSERS if parsers is None else parsers)
+
+    @F.pandas_udf(StringType())
+    def _udf(content: pd.Series, kind: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_dispatch(snapshot, c, k) for c, k in zip(content, kind)],
+            dtype="object",
+        )
+
+    return _udf
+
+
+def parse_documents(
+    catalog: DataFrame, parsers: dict[str, ParserFn] | None = None
+) -> DataFrame:
     """Attach extracted ``text`` to a binary catalog via parser dispatch.
     Unknown types yield null text (filter upstream with
-    ``file_type IN ...`` so the scan prunes them)."""
-    known = list(REAL_PARSERS | STUBBED_PARSERS)
+    ``file_type IN ...`` so the scan prunes them). ``parsers`` overrides
+    the module registry for this call (injection point for deployments
+    with real pdf/docx/... decoders)."""
+    effective = dict(PARSERS if parsers is None else parsers)
+    udf = make_parser_udf(effective)
     return catalog.withColumn(
         "text",
         F.when(
-            F.col("file_type").isin(known),
-            parse_text_udf(F.col("content"), F.col("file_type")),
+            F.col("file_type").isin(list(effective)),
+            udf(F.col("content"), F.col("file_type")),
         ),
     )
 
