@@ -57,6 +57,12 @@ HEADLINE = [
     "bm25_topk_indexed",
     "rag_context",
     "multimodal_features",
+    # round-2 additions: the full-vocab TF-IDF path (heaviest new shape),
+    # the nearest as-of (two windows / one shuffle), and the Q8-flavored
+    # 3-join relational plan
+    "tfidf_topk",
+    "events_asof_nearest",
+    "nation_revenue_share",
 ]
 
 

@@ -69,3 +69,64 @@ def test_plan_has_no_inequality_join(spark):
     plan = asof_join(left, right, key_cols=["k"])._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_forward_inclusive_match(spark):
+    got = _run(
+        spark,
+        [(1, 7, _ts("2024-01-01 10:00:00")), (2, 7, _ts("2024-01-01 11:30:00"))],
+        [
+            (7, _ts("2024-01-01 10:00:00"), 1.0),  # ties with left id=1: inclusive
+            (7, _ts("2024-01-01 12:00:00"), 2.0),
+        ],
+        direction="forward",
+    )
+    assert got[1] == (_ts("2024-01-01 10:00:00"), 1.0)
+    assert got[2] == (_ts("2024-01-01 12:00:00"), 2.0)
+
+
+def test_forward_no_later_row_is_null(spark):
+    got = _run(
+        spark,
+        [(1, 7, _ts("2024-01-01 13:00:00"))],
+        [(7, _ts("2024-01-01 12:00:00"), 1.0)],
+        direction="forward",
+    )
+    assert got[1] == (None, None)
+
+
+def test_nearest_picks_closer_side_and_ties_backward(spark):
+    right = [
+        (7, _ts("2024-01-01 09:00:00"), 1.0),
+        (7, _ts("2024-01-01 12:00:00"), 2.0),
+    ]
+    got = _run(
+        spark,
+        [
+            (1, 7, _ts("2024-01-01 09:30:00")),  # closer to 09:00 backward
+            (2, 7, _ts("2024-01-01 11:45:00")),  # closer to 12:00 forward
+            (3, 7, _ts("2024-01-01 10:30:00")),  # equidistant -> backward
+            (4, 7, _ts("2024-01-01 08:00:00")),  # only forward exists
+        ],
+        right,
+        direction="nearest",
+    )
+    assert got[1] == (_ts("2024-01-01 09:00:00"), 1.0)
+    assert got[2] == (_ts("2024-01-01 12:00:00"), 2.0)
+    assert got[3] == (_ts("2024-01-01 09:00:00"), 1.0)
+    assert got[4] == (_ts("2024-01-01 09:00:00"), 1.0)
+
+
+def test_nearest_tolerance_each_direction(spark):
+    got = _run(
+        spark,
+        [(1, 7, _ts("2024-01-01 10:00:00")), (2, 7, _ts("2024-01-03 10:00:00"))],
+        [
+            (7, _ts("2024-01-01 09:30:00"), 1.0),
+            (7, _ts("2024-01-04 12:00:00"), 2.0),
+        ],
+        direction="nearest",
+        tolerance_seconds=3600,
+    )
+    assert got[1] == (_ts("2024-01-01 09:30:00"), 1.0)  # within 1h backward
+    assert got[2] == (None, None)  # both candidates out of tolerance

@@ -362,3 +362,39 @@ def test_lm_perplexity_score_vs_reference(spark):
     assert (
         out[2]["avg_neg_log_prob"] < out[1]["avg_neg_log_prob"]
     )
+
+
+def test_stratified_sample_equalizes_and_is_deterministic(spark):
+    from vectordb_data_ingestion_spark.operators.corpus import stratified_sample
+
+    rows = [(i, "big" if i < 400 else "small", f"t{i}") for i in range(440)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    kept = stratified_sample(df, group_col="source", id_col="doc_id")
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    # small group (40 rows) keeps everything; big is gated near 40/400 = 10%
+    assert counts["small"] == 40
+    assert 20 <= counts["big"] <= 70
+    # membership is a pure function of doc_id: identical on rerun
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(7), group_col="source", id_col="doc_id"
+        ).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_stratified_sample_explicit_target(spark):
+    from vectordb_data_ingestion_spark.operators.corpus import stratified_sample
+
+    rows = [(i, "a" if i % 2 else "b", "x") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    kept = stratified_sample(
+        df, target_per_group=10, group_col="source", id_col="doc_id"
+    )
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    # hash gate at rate 0.1 of 100 rows per group: binomial around 10
+    assert all(2 <= c <= 25 for c in counts.values())

@@ -342,3 +342,30 @@ def test_skew_drill_salted_agg_sf01(spark):
     # single ~90% straggler
     assert salted_max <= 4 * total / 32
     assert salted_max <= hot_max / 5
+
+
+def test_promo_revenue_broadcasts_part(spark):
+    df = qc.SPARK_QUERIES["promo_revenue"](spark, SF_SMALL)
+    # part is the small dim: broadcast into the lineitem scan, and the
+    # conditional sums partial-aggregate map-side before the 1-row merge
+    assert has_node(df, "BroadcastHashJoin")
+    assert has_node(df, "HashAggregate")
+    cols = [sorted(c) for c in scan_columns(df)]
+    assert ["l_discount", "l_extendedprice", "l_partkey"] in cols
+    assert ["p_partkey", "p_type"] in cols
+
+
+def test_nation_revenue_share_broadcasts_dims(spark):
+    df = qc.SPARK_QUERIES["nation_revenue_share"](spark, SF_SMALL)
+    assert has_node(df, "BroadcastHashJoin")
+    # the share window runs over the 25-row nation aggregate, after the agg
+    assert has_node(df, "Window")
+
+
+def test_late_shipment_semi_join(spark):
+    df = qc.SPARK_QUERIES["late_shipment_priority"](spark, SF_SMALL)
+    # EXISTS must become a semi join (each order emitted at most once),
+    # never an inner join + distinct
+    assert has_node(df, "LeftSemi")
+    cols = scan_columns(df)
+    assert ["l_orderkey", "l_shipdate"] in cols  # lineitem pruned to 2 cols

@@ -207,3 +207,44 @@ def test_merge_and_scd2_randomized_parity(spark):
             nxt = runs[i + 1][0] if i + 1 < len(runs) else None
             want_iv[(name, ts, st)] = (nxt, nxt is None)
     assert got_iv == want_iv
+
+
+def test_asof_directions_randomized_parity_vs_pandas(spark):
+    """asof_join(direction='forward'/'nearest') vs pandas.merge_asof on the
+    same 1k-row random data — including the nearest tie rule (backward)."""
+    rng = random.Random(2)
+    base = datetime(2024, 1, 1)
+    left_rows = [
+        (i, rng.randrange(20), base + timedelta(seconds=rng.randrange(0, 1800)))
+        for i in range(500)
+    ]
+    right_map = {}
+    for i in range(500):
+        k, ts = rng.randrange(20), base + timedelta(
+            seconds=rng.randrange(0, 1800)
+        )
+        right_map[(k, ts)] = max(right_map.get((k, ts), -1), i)
+    right_rows = [(k, ts, float(i)) for (k, ts), i in right_map.items()]
+
+    left = spark.createDataFrame(left_rows, "id long, k long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k long, ts timestamp, v double")
+    lpd = pd.DataFrame(left_rows, columns=["id", "k", "ts"]).sort_values(
+        "ts", kind="stable"
+    )
+    rpd = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values(
+        "ts", kind="stable"
+    )
+
+    for direction in ("forward", "nearest"):
+        got = {
+            r["id"]: r["asof_v"]
+            for r in asof_join(
+                left, right, key_cols=["k"], direction=direction
+            ).collect()
+        }
+        merged = pd.merge_asof(
+            lpd, rpd, on="ts", by="k", direction=direction, suffixes=("", "_r")
+        )
+        for _, row in merged.iterrows():
+            want_v = None if pd.isna(row["v"]) else row["v"]
+            assert got[row["id"]] == want_v, (direction, row["id"])

@@ -210,3 +210,37 @@ def test_bm25_indexed_matches_direct(spark, tmp_path):
         ).collect()
     )
     assert direct == indexed and len(direct) > 0
+
+
+def test_tfidf_ranks_matching_docs(spark):
+    from vectordb_data_ingestion_spark.operators.search import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "vector index scan vector vector"),
+            (2, "vector once among many other words here"),
+            (3, "nothing relevant at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_topk(docs, [(0, ["vector"])], k=3).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # doc 3 has no match at all — never emitted
+    assert ranked[0] in (1, 2) and 3 not in ranked
+    # higher tf but also higher norm; the cosine pick is deterministic —
+    # assert scores are strictly ordered and positive
+    scores = [r["score_micro"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True) and scores[-1] > 0
+
+
+def test_tfidf_multi_query_one_plan(spark):
+    from vectordb_data_ingestion_spark.operators.search import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i % 3} filler text") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    out = tfidf_topk(docs, [(0, ["word0"]), (1, ["word1"])], k=5)
+    got = {(r["q_id"], r["doc_id"]) for r in out.collect()}
+    assert len({q for q, _ in got}) == 2
+    assert all(d % 3 == q for q, d in got)

@@ -695,3 +695,63 @@ def lm_perplexity_score(
         F.count("*").cast("bigint").alias("n_ngrams"),
         F.round(F.avg("nlp"), 6).alias("avg_neg_log_prob"),
     )
+
+
+# --- stratified (equalizing) sampling ---------------------------------------
+
+def stratified_sample(
+    df: DataFrame,
+    target_per_group: int | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Stratified downsampling with rates DERIVED FROM THE DATA: each group
+    is hash-gated at ``rate_g = min(1, target / count_g)`` where ``target``
+    defaults to the smallest group's size — the equalize-sources step of a
+    mixture pipeline when no external weights are given (contrast
+    :func:`weighted_sample`, which takes the rates as input).
+
+    Membership stays a pure function of the row id (same md5 gate), so the
+    sample is reproducible across runs and partitionings. Cost: one
+    map-side-combinable count per group (tiny result), broadcast back —
+    the corpus itself never shuffles."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__cnt"))
+    if target_per_group is None:
+        tgt = counts.agg(F.min("__cnt").alias("__tgt"))
+    else:
+        tgt = df.sparkSession.range(1).select(
+            F.lit(int(target_per_group)).alias("__tgt")
+        )
+    rate = F.least(F.lit(1.0), F.col("__tgt") / F.col("__cnt"))
+    u = md5_hash32_seeded(F.col(id_col).cast("string"), seed) / F.lit(_HASH_SPACE)
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .crossJoin(F.broadcast(tgt))
+        .filter(u < rate)
+        .drop("__cnt", "__tgt")
+    )
+
+
+def stratified_sample_sql(
+    table: str,
+    target_per_group: int | None = None,
+    group_expr: str = "source",
+    id_expr: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """DuckDB fragment (FROM-clause subquery) matching
+    :func:`stratified_sample` row-for-row."""
+    tgt = (
+        "(SELECT MIN(cnt) FROM counts)"
+        if target_per_group is None
+        else str(int(target_per_group))
+    )
+    h = md5_hash32_seeded_sql(f"CAST(t.{id_expr} AS VARCHAR)", seed)
+    return f"""
+    WITH counts AS (
+      SELECT {group_expr} AS g, COUNT(*) AS cnt FROM {table} GROUP BY 1
+    )
+    SELECT t.* FROM {table} t JOIN counts c ON t.{group_expr} = c.g
+    WHERE ({h} / {_HASH_SPACE}) < least(1.0, CAST({tgt} AS DOUBLE) / c.cnt)
+    """

@@ -430,3 +430,137 @@ def doc_postings(
         .groupBy("term", id_col, "dl")
         .agg(F.count("*").alias("tf"))
     )
+
+
+# --- TF-IDF cosine retrieval ------------------------------------------------
+
+
+def tfidf_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query by cosine-normalized TF-IDF (the
+    classic VSM complement to BM25): term weight ``(1 + ln(tf)) * idf``
+    with smooth idf ``ln((N + 1) / (df + 1)) + 1``, document score
+    ``sum_{t in q} w_dt / ||d||``.
+
+    Scale shape: ONE corpus scan explodes to (doc, term, tf); the full
+    (doc, term) weight table feeds BOTH the per-doc L2 norm (a corpus-scale
+    but map-side-combinable groupBy - this is the honest cost of cosine
+    TF-IDF, and at index time it is computed once) AND the query-term
+    matches (filtered against the broadcast query-term set, so the scoring
+    join shuffles matches only).
+
+    Determinism: weights are quantized to integer *milli*-units before the
+    norm (``sum(w_milli^2)`` is an exact integer, so ``||d||`` is a
+    deterministic double), and per-term scores to integer micro-units
+    before the final sum - no float-summation-order ties against the
+    oracle (same convention as :func:`bm25_topk`)."""
+    toks = F.filter(word_split(F.lower(F.col(text_col))), lambda w: w != "")
+    docs = corpus.select(F.col(id_col), toks.alias("__toks"))
+    n_docs = docs.agg(F.count("*").alias("__n"))
+
+    term_tf = (
+        docs.select(id_col, F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("__tf"))
+    )
+    dfreq = term_tf.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    idf = F.log((F.col("__n") + 1.0) / (F.col("__df") + 1.0)) + 1.0
+    w_milli = F.round(
+        (1.0 + F.log(F.col("__tf"))) * idf * 1e3
+    ).cast("long")
+    weights = (
+        term_tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(n_docs))
+        .select(id_col, "term", w_milli.alias("__w_milli"))
+    )
+    norms = weights.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("__w_milli") * F.col("__w_milli"))).alias("__norm")
+    )
+
+    all_terms = sorted({t for _, terms in queries for t in terms})
+    qdf = corpus.sparkSession.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in sorted(set(terms))],
+        "q_id long, term string",
+    )
+    term_micro = F.round(
+        F.col("__w_milli") * 1e6 / F.col("__norm")
+    ).cast("long")
+    agg = (
+        weights.filter(F.col("term").isin(all_terms))
+        .join(broadcast(qdf), "term")
+        .join(norms, id_col)
+        .groupBy("q_id", id_col)
+        .agg(F.sum(term_micro).alias("score_micro"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def tfidf_sql(
+    table: str,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle mirroring :func:`tfidf_topk` stage for stage."""
+    toks = _TOKENS_SQL.format(e=text_col)
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in queries
+        for t in sorted(set(terms))
+    )
+    in_list = ", ".join(
+        f"'{t}'" for t in sorted({t for _, terms in queries for t in terms})
+    )
+    return f"""
+    WITH tt AS (
+      SELECT {id_col}, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT {id_col}, unnest({toks}) AS term FROM {table})
+      GROUP BY 1, 2
+    ),
+    n_docs AS (SELECT COUNT(*) AS n FROM {table}),
+    dfreq AS (SELECT term, COUNT(DISTINCT {id_col}) AS df FROM tt GROUP BY 1),
+    weights AS (
+      SELECT tt.{id_col}, tt.term,
+             CAST(ROUND((1.0 + ln(tt.tf))
+                  * (ln((s.n + 1.0) / (f.df + 1.0)) + 1.0) * 1e3) AS BIGINT)
+               AS w_milli
+      FROM tt JOIN dfreq f ON tt.term = f.term CROSS JOIN n_docs s
+    ),
+    norms AS (
+      SELECT {id_col}, sqrt(SUM(w_milli * w_milli)) AS nrm
+      FROM weights GROUP BY 1
+    ),
+    q(q_id, term) AS (VALUES {qvals}),
+    agg AS (
+      SELECT q.q_id, w.{id_col},
+             SUM(CAST(ROUND(w.w_milli * 1e6 / n.nrm) AS BIGINT)) AS score_micro
+      FROM weights w
+      JOIN q ON w.term = q.term
+      JOIN norms n ON w.{id_col} = n.{id_col}
+      WHERE w.term IN ({in_list})
+      GROUP BY 1, 2
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id,
+           CAST({id_col} AS BIGINT) AS {id_col},
+           CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY score_micro DESC, {id_col} ASC) AS rn
+      FROM agg
+    ) WHERE rn <= {k}
+    """

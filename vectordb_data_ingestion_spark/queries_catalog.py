@@ -478,6 +478,69 @@ def q_events_asof_join(spark, sf_dir):
     )
 
 
+@register(
+    "events_asof_nearest",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    b AS (
+      SELECT c.event_id, c.user_id, c.ts, p.ts AS b_ts, p.value AS b_v
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    ),
+    f AS (
+      SELECT c.event_id, p.ts AS f_ts, p.value AS f_v
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT CAST(b.event_id AS BIGINT) AS event_id,
+           CAST(b.user_id AS BIGINT) AS user_id,
+           b.ts AS ts,
+           CASE WHEN f.f_ts IS NULL THEN b.b_ts
+                WHEN b.b_ts IS NULL THEN f.f_ts
+                WHEN (epoch_us(b.ts) - epoch_us(b.b_ts))
+                     <= (epoch_us(f.f_ts) - epoch_us(b.ts)) THEN b.b_ts
+                ELSE f.f_ts END AS asof_ts,
+           ROUND(CASE WHEN f.f_ts IS NULL THEN b.b_v
+                      WHEN b.b_ts IS NULL THEN f.f_v
+                      WHEN (epoch_us(b.ts) - epoch_us(b.b_ts))
+                           <= (epoch_us(f.f_ts) - epoch_us(b.ts)) THEN b.b_v
+                      ELSE f.f_v END, 4) AS asof_value
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def q_events_asof_nearest(spark, sf_dir):
+    """Nearest-match as-of join (pandas merge_asof direction='nearest'):
+    each click matched to the same user's closest purchase in absolute
+    time, ties to the earlier one. Both directional candidates come from
+    two windows over ONE key shuffle (operators/asof.py::_asof_nearest) -
+    the oracle composes DuckDB's backward and forward ASOF joins."""
+    from vectordb_data_ingestion_spark.operators.asof import asof_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(clicks, purchases, key_cols=["user_id"], direction="nearest")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "asof_ts",
+        F.round("asof_value", 4).alias("asof_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity (SURVEY §2.8 extension; cfg.toml:23-25,48 semantics)
 # ---------------------------------------------------------------------------
@@ -3364,6 +3427,424 @@ def q_bm25_topk_indexed(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-2 extensions: TF-IDF retrieval, curriculum binning, stratified
+# sampling, exact quantiles, frame windows, relational breadth (TPC-H Q4/
+# Q14/Q8 shapes on the available columns), prefix dedup, cluster stats,
+# and index-quality (recall) evaluation.
+# ---------------------------------------------------------------------------
+
+_TFIDF_QUERIES = [
+    (0, ["dup", "key", "vector"]),
+    (1, ["window", "stream", "sort"]),
+    (2, ["hash", "join", "merge"]),
+]
+
+
+@register("tfidf_topk", srch.tfidf_sql("documents", _TFIDF_QUERIES, k=10))
+def q_tfidf_topk(spark, sf_dir):
+    """Cosine-normalized TF-IDF retrieval (the classic VSM ranking next to
+    BM25): log-tf * smooth-idf weights quantized to integer milli-units so
+    the per-doc L2 norm is exact, per-term contributions to micro-units so
+    the final sum is associative (operators/search.py::tfidf_topk)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return srch.tfidf_topk(spread(docs), _TFIDF_QUERIES, k=10)
+
+
+@register(
+    "quality_deciles",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, n_chars, {ta.quality_sql('text')['quality_score']} AS q
+      FROM documents
+    ),
+    binned AS (
+      SELECT doc_id, n_chars, q,
+             ntile(10) OVER (ORDER BY q ASC, doc_id ASC) AS decile
+      FROM scored
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(MIN(q), 6) AS min_score,
+           ROUND(MAX(q), 6) AS max_score,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM binned GROUP BY decile
+    """,
+)
+def q_quality_deciles(spark, sf_dir):
+    """Curriculum binning: the corpus split into 10 equal-count quality
+    deciles (ntile over a TOTAL order — score ties broken by doc_id, so
+    bin membership is deterministic and engine-independent) with per-bin
+    char budgets — the data-mixing readout a curriculum scheduler consumes.
+    The global sort is one range-partitioned exchange; at 100 TB use the
+    quantile-sketch cutpoints instead of an exact ntile when approximate
+    bins are acceptable."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "n_chars", ta.quality_score("text").alias("q")
+    )
+    w = Window.orderBy(F.asc("q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("q"), 6).alias("min_score"),
+            F.round(F.max("q"), 6).alias("max_score"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "stratified_sample",
+    f"""
+    WITH sampled AS (
+      {cp.stratified_sample_sql('documents')}
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM sampled GROUP BY source
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Stratified equalizing sample: every source hash-gated down to the
+    smallest source's size, rates derived from the data in one tiny
+    broadcast-back aggregate (operators/corpus.py::stratified_sample).
+    Membership is a pure function of doc_id — reproducible across runs,
+    partitionings, and corpus growth."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    kept = cp.stratified_sample(docs)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@register(
+    "length_quantiles",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+           ROUND(quantile_cont(n_chars, 0.75), 6) AS p75
+    FROM documents GROUP BY source
+    """,
+)
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-source length quartiles (linearly interpolated — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the definition).
+    Exact quantiles need the full value multiset per group; at 100 TB
+    swap in a KLL/t-digest sketch — the KMV sketch next door
+    (kmv_distinct_words) shows the mergeable-sketch pattern."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+@register(
+    "events_moving_avg",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 1e6) AS BIGINT) AS v_micro
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id, ts,
+           CAST(v_micro AS BIGINT) AS v_micro,
+           CAST(FLOOR(
+             CAST(SUM(v_micro) OVER w AS DOUBLE) / COUNT(*) OVER w
+           ) AS BIGINT) AS ma3_micro
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_moving_avg(spark, sf_dir):
+    """Per-user 3-row moving average over purchase values — the bounded
+    frame window every feature pipeline needs. Values ride as integer
+    micro-units; the frame sum is exact, the floor-divide deterministic.
+    One key shuffle; the frame is O(1) memory per row."""
+    (events,) = _t(spark, sf_dir, "events")
+    v = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 1e6).cast("long").alias("v_micro"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return v.withColumn(
+        "ma3_micro",
+        F.floor(
+            F.sum("v_micro").over(w).cast("double") / F.count("*").over(w)
+        ).cast("long"),
+    )
+
+
+@register(
+    "late_shipment_priority",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q4 shape on the available columns: orders having at least one
+    lineitem shipped >60 days after the order date, counted by priority.
+    The EXISTS becomes a LEFT SEMI hash join — each order emitted at most
+    once regardless of matching lineitem count, no pair blowup."""
+    tables = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o, li = tables["orders"], tables["lineitem"]
+    late = li.select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(late, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "promo_revenue",
+    """
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1e4)
+                         AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_micro,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1e4)
+                    AS BIGINT)) AS BIGINT) AS total_micro
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo-type revenue share. Part is the small dim —
+    broadcast into the lineitem scan; revenue accumulates in integer
+    1e-4 units so the conditional sums are order-independent."""
+    tables = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li, p = tables["lineitem"], tables["part"]
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_type")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+            ).alias("promo_micro"),
+            F.sum(rev).alias("total_micro"),
+        )
+    )
+
+
+@register(
+    "nation_revenue_share",
+    """
+    WITH rev AS (
+      SELECT n.n_name,
+             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1e4)
+                 AS BIGINT)) AS nation_micro
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, CAST(nation_micro AS BIGINT) AS nation_micro,
+           ROUND(CAST(nation_micro AS DOUBLE)
+                 / SUM(nation_micro) OVER (), 6) AS share
+    FROM rev
+    """,
+)
+def q_nation_revenue_share(spark, sf_dir):
+    """TPC-H Q8-flavored market share: lineitem revenue attributed through
+    orders -> customer -> nation, each nation's share of the total. The
+    two dims broadcast into the fact scan (customer+nation tiny); the only
+    wide exchange is the per-nation partial-agg; the share is a window
+    over a 25-row aggregate."""
+    tables = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "customer", "nation")
+    )
+    li, o, c, n = (
+        tables["lineitem"],
+        tables["orders"],
+        tables["customer"],
+        tables["nation"],
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4
+    ).cast("long")
+    per_nation = (
+        li.select("l_orderkey", rev.alias("__rev"))
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(
+                c.select("c_custkey", "c_nationkey").join(
+                    F.broadcast(n.select("n_nationkey", "n_name")),
+                    F.col("c_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("__rev").alias("nation_micro"))
+    )
+    total = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        "nation_micro",
+        F.round(
+            F.col("nation_micro").cast("double")
+            / F.sum("nation_micro").over(total),
+            6,
+        ).alias("share"),
+    )
+
+
+@register(
+    "doc_prefix_dup",
+    """
+    WITH g AS (
+      SELECT substr(text, 1, 64) AS prefix,
+             COUNT(*) AS n_docs, MIN(doc_id) AS canonical
+      FROM documents GROUP BY 1
+    )
+    SELECT prefix, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(canonical AS BIGINT) AS canonical
+    FROM g WHERE n_docs > 1
+    """,
+)
+def q_doc_prefix_dup(spark, sf_dir):
+    """Prefix-duplicate groups (the cheap URL/boilerplate dedup pass crawl
+    pipelines run before MinHash): documents sharing their first 64 chars,
+    with the smallest doc_id as the keeper. One hash shuffle on the
+    64-char key — the text itself never moves."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.substring("text", 1, 64).alias("prefix"), "doc_id"
+        )
+        .groupBy("prefix")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "component_size_histogram",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    {dd.connected_components_sql("SELECT id_a, id_b FROM pairs")},
+    sizes AS (
+      SELECT component, COUNT(*) AS cluster_size FROM components GROUP BY 1
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q_component_size_histogram(spark, sf_dir):
+    """Duplicate-cluster size distribution — the dedup QA readout (a heavy
+    tail of giant clusters means the threshold or shingling is wrong).
+    Composes connected components with two tiny aggregations; the
+    components table only holds docs that had a candidate pair."""
+    comp = dd.connected_components(_neardup_pairs(spark, sf_dir))
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    )
+
+
+@register(
+    "token_histogram",
+    f"""
+    SELECT CAST(CAST(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) // 32 AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY bucket
+    """,
+)
+def q_token_histogram(spark, sf_dir):
+    """Token-length histogram (bucket width 32): the sequence-length
+    profile that sizes packing budgets and truncation losses. Pure
+    projection + one tiny aggregate."""
+    from vectordb_data_ingestion_spark.functions.text import token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    return (
+        docs.select(
+            F.floor(n.cast("long") / 32).cast("long").alias("bucket"),
+            n.cast("long").alias("__n"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__n").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "ivf_recall_eval",
+    f"""
+    WITH bf AS ({{BF}}),
+    iv AS ({{IV}})
+    SELECT CAST((SELECT COUNT(*) FROM bf JOIN iv USING (vec_id)) AS BIGINT)
+             AS hits,
+           CAST((SELECT COUNT(*) FROM bf) AS BIGINT) AS k,
+           ROUND(CAST((SELECT COUNT(*) FROM bf JOIN iv USING (vec_id)) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM bf), 6) AS recall_at_k
+    """,
+)
+def q_ivf_recall_eval(spark, sf_dir):
+    """Index-quality evaluation: recall@10 of the IVF cell-pruned retrieval
+    against the exact brute-force top-10 for the same query — the
+    accuracy/throughput dial every ANN deployment must report. Both
+    retrievals run in one session; the intersection is a 10-row join."""
+    bf = SPARK_QUERIES["brute_force_topk"](spark, sf_dir).select("vec_id")
+    iv = SPARK_QUERIES["ivf_topk"](spark, sf_dir).select("vec_id")
+    hits = bf.join(iv, "vec_id").count()
+    k = bf.count()
+    return spark.createDataFrame(
+        [(hits, k, round(hits / k, 6))],
+        "hits bigint, k bigint, recall_at_k double",
+    )
+
+
+# the recall oracle nests the two retrieval oracles verbatim
+ORACLE_SQL["ivf_recall_eval"] = ORACLE_SQL["ivf_recall_eval"].format(
+    BF=ORACLE_SQL["brute_force_topk"], IV=ORACLE_SQL["ivf_topk"]
+)
+
+
+# ---------------------------------------------------------------------------
 # Registration-order priority
 # ---------------------------------------------------------------------------
 # The driver verifies the FIRST 50 entries of ``queries()`` against their
@@ -3410,6 +3891,20 @@ _DRIVER_PRIORITY = [
     "multimodal_features",
     "word_split",
     "chunk_recursive",
+    # round-2 additions (never driver-verified yet)
+    "events_asof_nearest",
+    "tfidf_topk",
+    "quality_deciles",
+    "stratified_sample",
+    "length_quantiles",
+    "events_moving_avg",
+    "late_shipment_priority",
+    "promo_revenue",
+    "nation_revenue_share",
+    "doc_prefix_dup",
+    "component_size_histogram",
+    "token_histogram",
+    "ivf_recall_eval",
 ]
 
 
