@@ -63,6 +63,9 @@ HEADLINE = [
     "tfidf_topk",
     "events_asof_nearest",
     "nation_revenue_share",
+    "dup_window_stats",
+    "kmeans_inertia",
+    "quantile_sketch_histogram",
 ]
 
 

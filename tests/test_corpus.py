@@ -398,3 +398,43 @@ def test_stratified_sample_explicit_target(spark):
         F.count("*").alias("n")).collect()}
     # hash gate at rate 0.1 of 100 rows per group: binomial around 10
     assert all(2 <= c <= 25 for c in counts.values())
+
+
+def test_duplicate_window_stats_detects_shared_spans(spark):
+    from vectordb_data_ingestion_spark.operators.dedup import (
+        duplicate_window_stats,
+    )
+
+    shared = "one two three four five six seven eight"  # exactly 8 words
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail a b c"),
+            (2, "prefix x y z " + shared),
+            (3, "totally different words with no overlap at all here"),
+            (4, "short doc"),  # < 8 words -> 0 windows
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in duplicate_window_stats(docs, window_words=8).collect()
+    }
+    # the shared 8-word span appears in docs 1 and 2 -> >=1 dup window each
+    assert got[1][1] >= 1 and got[2][1] >= 1
+    assert got[3] == (got[3][0], 0) and got[3][0] > 0
+    assert got[4] == (0, 0)
+
+
+def test_duplicate_window_stats_within_doc_repetition(spark):
+    from vectordb_data_ingestion_spark.operators.dedup import (
+        duplicate_window_stats,
+    )
+
+    span = "a b c d"
+    docs = spark.createDataFrame(
+        [(1, f"{span} zz {span} yy")], ["doc_id", "text"]
+    )
+    [r] = duplicate_window_stats(docs, window_words=4).collect()
+    # the 4-word span recurs inside one document -> counted twice
+    assert r["n_dup_windows"] >= 2
+    assert 0 < r["dup_ratio"] <= 1.0

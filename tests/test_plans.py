@@ -369,3 +369,33 @@ def test_late_shipment_semi_join(spark):
     assert has_node(df, "LeftSemi")
     cols = scan_columns(df)
     assert ["l_orderkey", "l_shipdate"] in cols  # lineitem pruned to 2 cols
+
+
+def test_ntile_distributed_matches_window(spark):
+    from pyspark.sql.window import Window
+
+    from vectordb_data_ingestion_spark.operators.catalog import (
+        ntile_distributed,
+    )
+    from vectordb_data_ingestion_spark.plans import physical_plan
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", F.length("text").alias("v")
+    )
+    w = Window.orderBy(F.asc("v"), F.asc("doc_id"))
+    want = {
+        r["doc_id"]: r["t"]
+        for r in docs.withColumn("t", F.ntile(7).over(w)).collect()
+    }
+    got_df = ntile_distributed(docs, 7, ["v", "doc_id"], out_col="t")
+    got = {r["doc_id"]: r["t"] for r in got_df.collect()}
+    assert got == want
+    # and the distributed form must never funnel through one partition
+    assert "SinglePartition" not in physical_plan(got_df)
+
+
+def test_quality_deciles_no_single_partition(spark):
+    from vectordb_data_ingestion_spark.plans import physical_plan
+
+    df = qc.SPARK_QUERIES["quality_deciles"](spark, SF_SMALL)
+    assert "SinglePartition" not in physical_plan(df)

@@ -56,22 +56,24 @@ def with_seqno(df: DataFrame, order_col: str, seqno_col: str = "index") -> DataF
 
 def with_seqno_distributed(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     seqno_col: str = "index",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Global ordinal without a single-partition sort — the corpus-scale
     form of :func:`with_seqno`.
 
-    Range-partition on ``order_col`` (parallel sort), count rows per
-    partition (tiny job), broadcast the cumulative offsets, then number
-    each partition locally with one Arrow pass. Two narrow passes over the
-    data instead of funneling 100 TB through one reducer. Ordinals match
-    ``ROW_NUMBER() OVER (ORDER BY order_col)`` whenever ``order_col`` is
-    unique (ties fall to partition order, like any row_number tiebreak)."""
+    Range-partition on ``order_col`` (one column or a list — parallel
+    sort), count rows per partition (tiny job), broadcast the cumulative
+    offsets, then number each partition locally with one Arrow pass. Two
+    narrow passes over the data instead of funneling 100 TB through one
+    reducer. Ordinals match ``ROW_NUMBER() OVER (ORDER BY order_cols)``
+    whenever the order-column tuple is unique (ties fall to partition
+    order, like any row_number tiebreak)."""
     import pandas as pd
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # localCheckpoint pins the partitioning/row placement: the count job and
     # the numbering pass must read the SAME materialization — re-executing a
@@ -79,8 +81,8 @@ def with_seqno_distributed(
     # order_col) could move rows between partitions and duplicate or skip
     # ordinals silently.
     ranged = (
-        df.repartitionByRange(parts, F.col(order_col))
-        .sortWithinPartitions(order_col)
+        df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint()
     )
@@ -110,6 +112,35 @@ def with_seqno_distributed(
             yield pdf
 
     return ranged.mapInPandas(number, schema=out_schema)
+
+
+def ntile_distributed(
+    df: DataFrame,
+    n: int,
+    order_cols: list[str],
+    out_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (ORDER BY order_cols)`` without a
+    single-partition window: global ranks come from
+    :func:`with_seqno_distributed` (range-partitioned parallel sort), the
+    tile is then a pure expression of (rank, total) — the first
+    ``total % n`` tiles get ``total // n + 1`` rows, exactly the SQL NTILE
+    distribution. Give it a total order (tie-break by id) or tile
+    membership is partition-dependent like any NTILE over ties."""
+    ranked = with_seqno_distributed(
+        df, order_cols, seqno_col="__rank0", num_partitions=num_partitions
+    )
+    total = df.count()
+    base, rem = total // n, total % n
+    r = F.col("__rank0") + 1  # 1-based rank
+    big = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+    tile = F.when(
+        r <= F.lit(big), F.ceil(r / F.lit(float(base + 1)))
+    ).otherwise(
+        F.lit(rem) + F.ceil((r - F.lit(big)) / F.lit(float(max(base, 1))))
+    )
+    return ranked.withColumn(out_col, tile.cast("int")).drop("__rank0")
 
 
 def synthesize_url(

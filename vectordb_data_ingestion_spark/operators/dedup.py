@@ -707,3 +707,113 @@ def semantic_dedup_vectorized(
         return pdf.loc[~dup]
 
     return assigned.groupBy("cell").applyInPandas(dedupe, schema=assigned.schema)
+
+
+# --- windowed duplicate-span detection --------------------------------------
+
+
+def duplicate_window_stats(
+    df: DataFrame,
+    window_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span statistics via rolling word windows —
+    the distributed approximation of exact-substring dedup (suffix-array
+    "dedup training data" pipelines): every ``window_words``-word window is
+    hashed; a window whose hash occurs anywhere else in the corpus (another
+    doc, or again in the same doc) marks a duplicated span.
+
+    Returns ``(id_col, n_windows, n_dup_windows, dup_ratio)`` — the rows a
+    span-removal or doc-drop policy consumes.
+
+    Scale shape: windows are formed as pure array expressions (no Python),
+    and the exploded table carries ONLY ``(doc_id, window_hash)`` — never
+    window text. Two hash-keyed shuffles (count per hash; join the dup set
+    back) plus one per-doc aggregate. The dup-hash set is usually a small
+    fraction of windows, so AQE broadcasts the join-back side when it fits.
+    """
+    words = F.filter(word_split(F.col(text_col)), lambda w: w != "")
+    n_win = F.greatest(F.size(words) - F.lit(window_words - 1), F.lit(0))
+    # sequence(1, 0) counts DOWNWARD in Spark — docs shorter than the
+    # window must yield an empty array, not slice(start=0)
+    win_hash = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.unhex(
+                F.substring(
+                    F.md5(F.array_join(F.slice(words, i, window_words), " ")),
+                    1,
+                    16,
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<binary>"))
+    wins = df.select(
+        F.col(id_col), F.explode(win_hash).alias("__wh")
+    )
+    per_hash = wins.groupBy("__wh").agg(F.count("*").alias("__occ"))
+    dup_hashes = per_hash.filter(F.col("__occ") > 1).select("__wh")
+    dup_counts = (
+        wins.join(dup_hashes, "__wh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    totals = df.select(F.col(id_col), n_win.alias("n_windows"))
+    return (
+        totals.join(dup_counts, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.when(
+                    F.col("n_windows") > 0,
+                    F.coalesce("n_dup_windows", F.lit(0))
+                    / F.col("n_windows").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def duplicate_window_stats_sql(
+    table: str,
+    window_words: int = 8,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB oracle mirroring :func:`duplicate_window_stats`."""
+    toks = (
+        f"list_filter(string_split(regexp_replace({text_expr}, '\\s+', ' ', 'g'),"
+        f" ' '), w -> w <> '')"
+    )
+    w = window_words
+    return f"""
+    WITH d AS (
+      SELECT {id_expr} AS id, {toks} AS words FROM {table}
+    ),
+    t AS (
+      SELECT id, greatest(len(words) - {w - 1}, 0) AS n_windows, words FROM d
+    ),
+    wins AS (
+      SELECT id,
+             md5(array_to_string(words[i : i + {w - 1}], ' '))[1:16] AS wh
+      FROM (SELECT id, words, unnest(range(1, greatest(len(words) - {w - 1}, 0) + 1)) AS i
+            FROM t)
+    ),
+    dup AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) > 1),
+    dc AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_dup FROM wins
+      JOIN dup USING (wh) GROUP BY id
+    )
+    SELECT CAST(t.id AS BIGINT) AS {id_expr},
+           CAST(t.n_windows AS INTEGER) AS n_windows,
+           CAST(COALESCE(dc.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           ROUND(CASE WHEN t.n_windows > 0
+                 THEN COALESCE(dc.n_dup, 0) / CAST(t.n_windows AS DOUBLE)
+                 ELSE 0.0 END, 6) AS dup_ratio
+    FROM t LEFT JOIN dc ON t.id = dc.id
+    """

@@ -110,3 +110,59 @@ def documents_as_assets(documents: DataFrame) -> DataFrame:
         F.lit("application/octet-stream").alias("mime_type"),
         F.create_map(F.lit("source"), F.col("source")).alias("metadata"),
     )
+
+
+def media_time_segments(
+    features: DataFrame, segment_ms: int = 5000
+) -> DataFrame:
+    """Fixed-length time segments for timed media (audio/video): one row
+    per ``segment_ms`` window — the chunking step before per-segment
+    transcription/embedding. Pure array expressions over the metadata
+    (``duration_ms``); the binary payload is never touched, so the plan is
+    a narrow codegen'd projection that column-prunes content away."""
+    timed = features.filter(
+        F.col("duration_ms").isNotNull() & (F.col("duration_ms") > 0)
+    )
+    starts = F.sequence(
+        F.lit(0), F.col("duration_ms") - 1, F.lit(segment_ms)
+    )
+    return timed.select(
+        "asset_id",
+        "modality",
+        "duration_ms",
+        F.posexplode(starts).alias("seg_idx", "start_ms"),
+    ).select(
+        "asset_id",
+        "modality",
+        "seg_idx",
+        "start_ms",
+        F.least(
+            F.col("start_ms") + F.lit(segment_ms), F.col("duration_ms")
+        ).alias("end_ms"),
+    )
+
+
+def sample_frames(features: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Uniform midpoint frame sampling for video: ``n_frames`` timestamps
+    at ``duration * (2i+1) / (2n)`` — the deterministic frame-selection
+    plan a clip-embedding pipeline feeds to the (environment-gated) frame
+    decoder. Metadata-only, like :func:`media_time_segments`."""
+    vids = features.filter(
+        (F.col("modality") == "video") & F.col("duration_ms").isNotNull()
+    )
+    idxs = F.sequence(F.lit(0), F.lit(n_frames - 1))
+    return vids.select(
+        "asset_id",
+        "modality",
+        F.posexplode(idxs).alias("frame_idx", "__i"),
+        "duration_ms",
+    ).select(
+        "asset_id",
+        "modality",
+        "frame_idx",
+        F.floor(
+            F.col("duration_ms") * (2 * F.col("__i") + 1) / F.lit(2 * n_frames)
+        )
+        .cast("long")
+        .alias("frame_ts_ms"),
+    )

@@ -468,6 +468,10 @@ def tfidf_topk(
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("__tf"))
     )
+    # full-vocab document frequencies: a plain equi-join, NOT broadcast —
+    # at 100 TB the vocabulary is itself huge (AQE still broadcasts it
+    # when it turns out small). Only the query-term slice (qdf) and the
+    # 1-row count are broadcast below.
     dfreq = term_tf.groupBy("term").agg(
         F.count_distinct(F.col(id_col)).alias("__df")
     )
@@ -476,10 +480,15 @@ def tfidf_topk(
         (1.0 + F.log(F.col("__tf"))) * idf * 1e3
     ).cast("long")
     weights = (
-        term_tf.join(broadcast(dfreq), "term")
+        term_tf.join(dfreq, "term")
         .crossJoin(broadcast(n_docs))
         .select(id_col, "term", w_milli.alias("__w_milli"))
     )
+    # both the norm aggregate and the scoring branch consume the weight
+    # table; a lazy local checkpoint materializes it once instead of
+    # re-running the explode+two-shuffle lineage per branch (at index
+    # time this table IS the persisted artifact)
+    weights = weights.localCheckpoint(eager=False)
     norms = weights.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("__w_milli") * F.col("__w_milli"))).alias("__norm")
     )

@@ -1727,6 +1727,80 @@ def _multimodal_features_oracle_sql() -> str:
     """
 
 
+def _media_sampling_oracle_sql(segment_ms: int = 5000, n_frames: int = 4) -> str:
+    """Segments + sampled frames re-derived in SQL from the same
+    sha256-based duration the stub decoder produces."""
+    return f"""
+    WITH d AS (
+      SELECT CAST(doc_id AS BIGINT) AS asset_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1]
+               AS modality,
+             sha256(text) AS h
+      FROM documents
+    ),
+    timed AS (
+      SELECT asset_id, modality,
+             CAST(1000 + ('0x' || substr(h, 21, 4))::INTEGER % 60000
+                  AS INTEGER) AS duration_ms
+      FROM d WHERE modality IN ('audio', 'video')
+    ),
+    segs AS (
+      SELECT asset_id, modality, 'segment' AS kind,
+             CAST(i AS INTEGER) AS idx,
+             CAST(i * {segment_ms} AS BIGINT) AS start_ms,
+             CAST(least((i + 1) * {segment_ms}, duration_ms) AS BIGINT)
+               AS end_ms
+      FROM timed,
+           unnest(range(0, CAST(ceil(duration_ms / {segment_ms}.0) AS BIGINT)))
+             AS t(i)
+    ),
+    frames AS (
+      SELECT asset_id, modality, 'frame' AS kind,
+             CAST(i AS INTEGER) AS idx,
+             CAST(floor(duration_ms * (2 * i + 1) / {2 * n_frames}.0) AS BIGINT)
+               AS start_ms,
+             CAST(floor(duration_ms * (2 * i + 1) / {2 * n_frames}.0) AS BIGINT)
+               AS end_ms
+      FROM timed, unnest(range(0, {n_frames})) AS t(i)
+      WHERE modality = 'video'
+    )
+    SELECT * FROM segs UNION ALL SELECT * FROM frames
+    """
+
+
+@register("media_sampling_plan", _media_sampling_oracle_sql())
+def q_media_sampling_plan(spark, sf_dir):
+    """Timed-media sampling plans in one result: 5 s time segments for
+    audio/video (per-segment transcribe/embed chunking) plus 4 uniform
+    midpoint frame timestamps per video (clip-embedding frame selection).
+    Both are metadata-only array expressions — the binary payload column
+    is pruned out of the scan entirely (operators/multimodal.py)."""
+    from vectordb_data_ingestion_spark.operators.multimodal import (
+        media_time_segments,
+        sample_frames,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_assets(docs))
+    segs = media_time_segments(feats, segment_ms=5000).select(
+        "asset_id",
+        "modality",
+        F.lit("segment").alias("kind"),
+        F.col("seg_idx").alias("idx"),
+        F.col("start_ms").cast("long").alias("start_ms"),
+        F.col("end_ms").cast("long").alias("end_ms"),
+    )
+    frames = sample_frames(feats, n_frames=4).select(
+        "asset_id",
+        "modality",
+        F.lit("frame").alias("kind"),
+        F.col("frame_idx").alias("idx"),
+        F.col("frame_ts_ms").alias("start_ms"),
+        F.col("frame_ts_ms").alias("end_ms"),
+    )
+    return segs.unionByName(frames)
+
+
 @register("multimodal_features", _multimodal_features_oracle_sql())
 def q_multimodal_features(spark, sf_dir):
     """Decode/featurize binary assets via mapInPandas; project each feature
@@ -2586,20 +2660,31 @@ def q_scd2_user_state(spark, sf_dir):
       FROM dims GROUP BY cell, pos
     )
     SELECT CAST(cell AS BIGINT) AS c_id,
-           list(ROUND(s / n, 6) ORDER BY pos) AS c_embedding,
-           CAST(MAX(n) AS BIGINT) AS n_members
-    FROM per_dim GROUP BY cell
+           CAST(pos AS INTEGER) AS pos,
+           ROUND(s / n, 6) AS c_val,
+           CAST(n AS BIGINT) AS n_members
+    FROM per_dim
     """,
 )
 def q_kmeans_refine_step(spark, sf_dir):
     """One Lloyd iteration over the deterministic seed centroids: broadcast
     assign (no corpus shuffle) + per-(cell, dim) partial-sum mean (the
     exchange carries k*dim partials, never the vectors). Iterated by
-    operators/similarity.py::kmeans_fit to train the IVF coarse quantizer."""
+    operators/similarity.py::kmeans_fit to train the IVF coarse quantizer.
+    Centroids are emitted as exploded (c_id, pos, c_val) scalar rows —
+    lossless, and the driver's pandas canonicalizer cannot hash array
+    cells."""
     from vectordb_data_ingestion_spark.operators.similarity import kmeans_refine
 
     emb, centroids, _ = _ivf_parts(spark, sf_dir)
-    return kmeans_refine(emb, centroids, centroid_id="c_id", centroid_vec="c_embedding")
+    refined = kmeans_refine(
+        emb, centroids, centroid_id="c_id", centroid_vec="c_embedding"
+    )
+    return refined.select(
+        "c_id",
+        F.posexplode("c_embedding").alias("pos", "c_val"),
+        "n_members",
+    ).select("c_id", F.col("pos").cast("int").alias("pos"), "c_val", "n_members")
 
 
 _SEMDEDUP_COS = (
@@ -3475,16 +3560,20 @@ def q_quality_deciles(spark, sf_dir):
     deciles (ntile over a TOTAL order — score ties broken by doc_id, so
     bin membership is deterministic and engine-independent) with per-bin
     char budgets — the data-mixing readout a curriculum scheduler consumes.
-    The global sort is one range-partitioned exchange; at 100 TB use the
-    quantile-sketch cutpoints instead of an exact ntile when approximate
-    bins are acceptable."""
+    NO single-partition window: ntile_distributed ranks via a
+    range-partitioned parallel sort + broadcast offsets
+    (operators/catalog.py) and derives the tile as a pure expression of
+    (rank, total) — the plan that survives 100 TB."""
+    from vectordb_data_ingestion_spark.operators.catalog import (
+        ntile_distributed,
+    )
+
     (docs,) = _t(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", "n_chars", ta.quality_score("text").alias("q")
     )
-    w = Window.orderBy(F.asc("q"), F.asc("doc_id"))
     return (
-        scored.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        ntile_distributed(scored, 10, ["q", "doc_id"], out_col="decile")
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_docs"),
@@ -3830,11 +3919,15 @@ def q_ivf_recall_eval(spark, sf_dir):
     retrievals run in one session; the intersection is a 10-row join."""
     bf = SPARK_QUERIES["brute_force_topk"](spark, sf_dir).select("vec_id")
     iv = SPARK_QUERIES["ivf_topk"](spark, sf_dir).select("vec_id")
-    hits = bf.join(iv, "vec_id").count()
-    k = bf.count()
-    return spark.createDataFrame(
-        [(hits, k, round(hits / k, 6))],
-        "hits bigint, k bigint, recall_at_k double",
+    hits = bf.join(iv, "vec_id").agg(F.count("*").alias("hits"))
+    k = bf.agg(F.count("*").alias("k"))
+    # one lazy plan (no driver-side counts): each retrieval executes once
+    return hits.crossJoin(k).select(
+        F.col("hits").cast("long").alias("hits"),
+        F.col("k").cast("long").alias("k"),
+        F.round(F.col("hits").cast("double") / F.col("k"), 6).alias(
+            "recall_at_k"
+        ),
     )
 
 
@@ -3842,6 +3935,160 @@ def q_ivf_recall_eval(spark, sf_dir):
 ORACLE_SQL["ivf_recall_eval"] = ORACLE_SQL["ivf_recall_eval"].format(
     BF=ORACLE_SQL["brute_force_topk"], IV=ORACLE_SQL["ivf_topk"]
 )
+
+
+@register(
+    "dup_window_stats",
+    dd.duplicate_window_stats_sql("documents", window_words=8),
+)
+def q_dup_window_stats(spark, sf_dir):
+    """Windowed duplicate-span statistics: every 8-word rolling window
+    hashed, windows whose hash recurs anywhere in the corpus counted per
+    document — the distributed approximation of suffix-array
+    exact-substring dedup ("deduplicating training data" pipelines). The
+    exploded table carries only (doc_id, hash8); see
+    operators/dedup.py::duplicate_window_stats."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dd.duplicate_window_stats(spread(docs), window_words=8)
+
+
+@register(
+    "kmeans_inertia",
+    f"""
+    WITH {_IVF_ASSIGN_SQL},
+    member AS (
+      SELECT a.cell, c.ve, cen.ce
+      FROM assigned a JOIN c USING (vec_id) JOIN cen ON a.cell = cen.c_id
+    )
+    SELECT CAST(cell AS BIGINT) AS c_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST(ROUND((1.0 - list_dot_product(ve, ce) /
+                 (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))))
+                 * 1e6) AS BIGINT)) AS BIGINT) AS inertia_micro
+    FROM member GROUP BY cell
+    """,
+)
+def q_kmeans_inertia(spark, sf_dir):
+    """Clustering-quality readout: per-cell cosine inertia
+    (sum of 1 - cos(v, centroid), integer micro-units) + membership — the
+    convergence/elbow metric a k-means training loop monitors. Centroids
+    broadcast; the only exchange carries k rows of partial sums."""
+    from vectordb_data_ingestion_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    emb, centroids, assigned = _ivf_parts(spark, sf_dir)
+    member = assigned.join(
+        emb.select("vec_id", to_double_array("embedding").alias("__v")),
+        "vec_id",
+    ).join(
+        F.broadcast(
+            centroids.select(
+                F.col("c_id").alias("cell"),
+                to_double_array("c_embedding").alias("__c"),
+            )
+        ),
+        "cell",
+    )
+    d_micro = F.round(
+        (1.0 - cosine_similarity(F.col("__v"), F.col("__c"))) * 1e6
+    ).cast("long")
+    return member.groupBy(F.col("cell").alias("c_id")).agg(
+        F.count("*").alias("n_members"),
+        F.sum(d_micro).alias("inertia_micro"),
+    )
+
+
+@register(
+    "quantile_sketch_histogram",
+    """
+    WITH mm AS (
+      SELECT MIN(n_chars) AS lo,
+             greatest((MAX(n_chars) - MIN(n_chars)) / 128.0, 1e-9) AS w
+      FROM documents
+    ),
+    b AS (
+      SELECT source,
+             CAST(least(127, floor((n_chars - lo) / w)) AS INTEGER) AS bucket,
+             lo, w
+      FROM documents CROSS JOIN mm
+    ),
+    hist AS (
+      SELECT source, bucket, lo, w, COUNT(*) AS n
+      FROM b GROUP BY source, bucket, lo, w
+    ),
+    cum AS (
+      SELECT source, bucket, lo, w,
+             SUM(n) OVER (PARTITION BY source ORDER BY bucket) AS c,
+             SUM(n) OVER (PARTITION BY source) AS total
+      FROM hist
+    )
+    SELECT source,
+           CAST(MAX(total) AS BIGINT) AS n_docs,
+           ROUND(MIN(CASE WHEN c >= 0.5 * total
+                 THEN lo + (bucket + 1) * w END), 6) AS p50_est,
+           ROUND(MIN(CASE WHEN c >= 0.9 * total
+                 THEN lo + (bucket + 1) * w END), 6) AS p90_est,
+           ROUND(MIN(CASE WHEN c >= 0.99 * total
+                 THEN lo + (bucket + 1) * w END), 6) AS p99_est
+    FROM cum GROUP BY source
+    """,
+)
+def q_quantile_sketch_histogram(spark, sf_dir):
+    """The mergeable-sketch scale path promised by length_quantiles: a
+    128-bucket equal-width histogram per source (a groupBy — trivially
+    mergeable and single-pass, unlike exact quantiles which need the full
+    value multiset), quantiles read off the cumulative counts as bucket
+    upper edges. Deterministic, so unlike t-digest/percentile_approx it is
+    oracle-checkable bit-for-bit."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    mm = docs.agg(
+        F.min("n_chars").alias("lo"),
+        F.greatest(
+            (F.max("n_chars") - F.min("n_chars")) / 128.0, F.lit(1e-9)
+        ).alias("w"),
+    )
+    b = docs.crossJoin(F.broadcast(mm)).select(
+        "source",
+        F.least(
+            F.lit(127), F.floor((F.col("n_chars") - F.col("lo")) / F.col("w"))
+        )
+        .cast("int")
+        .alias("bucket"),
+        "lo",
+        "w",
+    )
+    hist = b.groupBy("source", "bucket", "lo", "w").agg(
+        F.count("*").alias("n")
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "bucket",
+        "lo",
+        "w",
+        F.sum("n").over(wcum).alias("c"),
+        F.sum("n").over(wall).alias("total"),
+    )
+    edge = F.col("lo") + (F.col("bucket") + 1) * F.col("w")
+    return cum.groupBy("source").agg(
+        F.max("total").alias("n_docs"),
+        F.round(
+            F.min(F.when(F.col("c") >= 0.5 * F.col("total"), edge)), 6
+        ).alias("p50_est"),
+        F.round(
+            F.min(F.when(F.col("c") >= 0.9 * F.col("total"), edge)), 6
+        ).alias("p90_est"),
+        F.round(
+            F.min(F.when(F.col("c") >= 0.99 * F.col("total"), edge)), 6
+        ).alias("p99_est"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3905,6 +4152,10 @@ _DRIVER_PRIORITY = [
     "component_size_histogram",
     "token_histogram",
     "ivf_recall_eval",
+    "dup_window_stats",
+    "kmeans_inertia",
+    "quantile_sketch_histogram",
+    "media_sampling_plan",
 ]
 
 
