@@ -399,3 +399,48 @@ def test_quality_deciles_no_single_partition(spark):
 
     df = qc.SPARK_QUERIES["quality_deciles"](spark, SF_SMALL)
     assert "SinglePartition" not in physical_plan(df)
+
+
+def test_no_plan_antipatterns_across_all_queries(spark):
+    """Sweep EVERY registered query's physical plan for the three scale
+    killers: CartesianProduct (unbounded pair blowup), a full-data
+    single-partition Window/Sort, and row-at-a-time Python UDFs
+    (BatchEvalPython — Arrow paths show as ArrowEvalPython/MapInPandas).
+    BroadcastNestedLoopJoin is allowed: every instance here is a broadcast
+    crossJoin of a 1-row stats aggregate or a k-row query set, which is
+    the intended plan for tiny-side joins. SinglePartition is allowed only
+    where it comes from a global scalar/k-row aggregate or final top-k
+    sort, never from pushing the full corpus through one reducer — the
+    queries where that was true (seqno, quality_deciles) now use the
+    two-phase distributed forms, keeping this allowlist empty."""
+    from vectordb_data_ingestion_spark.plans import physical_plan
+
+    # SinglePartition from 1-row/k-row FINAL aggregates is benign; these
+    # queries end in a global agg or a window over an already-tiny agg.
+    single_partition_ok = {
+        "bm25_topk",           # 1-row corpus stats agg feeding a broadcast
+        "hybrid_rrf_search",   # same stats agg via the bm25 leg
+        "bm25_topk_indexed",   # 1-row stats table
+        "stratified_sample",   # 1-row min-group-target agg
+        "promo_revenue",       # global 1-row result
+        "nation_revenue_share",  # share window over the 25-row nation agg
+        "quantile_sketch_histogram",  # 1-row global (min,width) agg
+        "corpus_stats",        # tiny rollup
+        "corpus_stats_rollup",
+        "training_corpus_prep",
+        "corpus_split",        # 3-row summary
+        "ivf_recall_eval",     # 1-row recall result
+    }
+    offenders = {}
+    for name, fn in qc.SPARK_QUERIES.items():
+        plan = physical_plan(fn(spark, SF_SMALL))
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            bad.append("BatchEvalPython")
+        if "SinglePartition" in plan and name not in single_partition_ok:
+            bad.append("SinglePartition")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders

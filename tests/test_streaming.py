@@ -382,3 +382,84 @@ def test_streaming_bm25_index_refresh(spark, tmp_path):
     doc(1, corpus_v2[0][1]).write.mode("append").parquet(stream_dir)
     run_once()
     assert query_index() == query_direct(corpus_v2)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the equivalent batch
+    join on the same data (clicks matched to purchases <=30min before)."""
+    from datetime import datetime
+
+    from vectordb_data_ingestion_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    def ts(m):
+        return datetime(2024, 1, 1, 10, m)
+
+    clicks = [(1, 7, ts(30)), (2, 7, ts(50)), (3, 8, ts(30))]
+    buys = [(7, ts(10), 5.0), (7, ts(29), 6.0), (8, ts(45), 7.0)]
+    cdir, bdir = str(tmp_path / "c"), str(tmp_path / "b")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        clicks, "click_id long, user_id long, ts timestamp"
+    ).write.parquet(cdir)
+    spark.createDataFrame(
+        buys, "user_id long, ts timestamp, amount double"
+    ).write.parquet(bdir)
+
+    cstream = spark.readStream.schema(
+        "click_id long, user_id long, ts timestamp"
+    ).parquet(cdir)
+    bstream = spark.readStream.schema(
+        "user_id long, ts timestamp, amount double"
+    ).parquet(bdir)
+    joined = stream_stream_interval_join(
+        cstream, bstream, key="user_id", lookback_seconds=1800
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["click_id"], r["r_ts"], r["r_amount"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # click 1 (10:30): buy at 10:10 and 10:29 within 30min; click 2
+    # (10:50): only 10:29 is within [10:20, 10:50]; click 3 (10:30):
+    # user 8's buy is at 10:45 -> in the future, excluded
+    assert got == {
+        (1, ts(10), 5.0),
+        (1, ts(29), 6.0),
+        (2, ts(29), 6.0),
+    }
+
+
+def test_stream_static_enrich_broadcasts(spark, tmp_path):
+    from vectordb_data_ingestion_spark.streaming.joins import (
+        stream_static_enrich,
+    )
+
+    sdir, out = str(tmp_path / "s"), str(tmp_path / "out")
+    spark.createDataFrame(
+        [(1, "u1"), (2, "u2"), (3, "u9")], "event_id long, url string"
+    ).write.parquet(sdir)
+    dim = spark.createDataFrame(
+        [("u1", "kb"), ("u2", "catalog")], "url string, kind string"
+    )
+    stream = spark.readStream.schema("event_id long, url string").parquet(sdir)
+    q = (
+        stream_static_enrich(stream, dim, key="url")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["event_id"], r["kind"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "kb"), (2, "catalog"), (3, None)}

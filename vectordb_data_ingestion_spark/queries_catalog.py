@@ -189,9 +189,14 @@ def q_incremental_diff(spark, sf_dir):
     """,
 )
 def q_seqno(spark, sf_dir):
-    """Sequence-number derivation - sharepointutils.py:162-165."""
+    """Sequence-number derivation - sharepointutils.py:162-165. Uses the
+    distributed two-phase form (range-partitioned parallel sort + broadcast
+    offsets) - no single-partition window; s_name is unique so the
+    ordinals match ROW_NUMBER exactly."""
     (supplier,) = _t(spark, sf_dir, "supplier")
-    return cat.with_seqno(supplier, "s_name").select("s_suppkey", "s_name", "index")
+    return cat.with_seqno_distributed(supplier, "s_name").select(
+        "s_suppkey", "s_name", F.col("index").cast("int").alias("index")
+    )
 
 
 @register(
