@@ -162,3 +162,39 @@ def test_near_vector_string_ids(spark):
     # hybrid + retrieve_context route the same id column through bm25/rrf
     fused = col.hybrid("vector data", qv, k=5).collect()
     assert fused and all(isinstance(r["chunk_id"], str) for r in fused)
+
+
+def test_near_text_roundtrip_with_ingest_transport(spark):
+    """near_text embeds the query through the SAME transport the ingest
+    side used, so querying with a document's exact text must return that
+    document as the top hit with certainty 1.0."""
+    from vectordb_data_ingestion_spark.collection import VectorCollection
+    from vectordb_data_ingestion_spark.operators.enrichment import (
+        deterministic_fake_transport,
+        embed_via_api,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "reset your password"), (2, "configure the vpn"),
+         (3, "request new hardware")],
+        ["chunk_id", "text"],
+    )
+    corpus = embed_via_api(
+        docs, deterministic_fake_transport(dim=16), text_col="text",
+        vec_col="vector",
+    )
+    col = VectorCollection(
+        corpus, id_col="chunk_id", text_col="text", vec_col="vector"
+    )
+    rows = col.near_text("configure the vpn", k=2).collect()
+    assert rows[0]["chunk_id"] == 2
+    assert abs(rows[0]["certainty"] - 1.0) < 1e-6
+
+    # dim inferred from the corpus when no transport given; a where filter
+    # composes before scoring
+    from pyspark.sql import functions as F
+
+    rows = col.near_text(
+        "configure the vpn", k=2, where=F.col("chunk_id") != 2
+    ).collect()
+    assert rows and all(r["chunk_id"] != 2 for r in rows)

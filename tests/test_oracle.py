@@ -35,3 +35,21 @@ def test_flagship_entry(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"q_id", "chunk_id", "certainty"}
+
+
+def test_driver_priority_window_integrity():
+    """Every _DRIVER_PRIORITY name must exist (a typo would silently drop
+    a query from the driver's 50-query correctness window), the whole
+    priority list must fit inside the window, and every registered query
+    except the iterative BPE trainer must carry an oracle."""
+    from vectordb_data_ingestion_spark.queries_catalog import (
+        _DRIVER_PRIORITY,
+        ORACLE_SQL,
+        SPARK_QUERIES,
+    )
+
+    assert [n for n in _DRIVER_PRIORITY if n not in SPARK_QUERIES] == []
+    assert len(_DRIVER_PRIORITY) <= 50
+    first50 = set(list(SPARK_QUERIES)[:50])
+    assert set(_DRIVER_PRIORITY) <= first50
+    assert set(SPARK_QUERIES) - set(ORACLE_SQL) == {"bpe_train_merges"}

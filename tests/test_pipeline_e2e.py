@@ -1,0 +1,145 @@
+"""The reference's primary workflows, end to end in batch:
+
+E1 (data_ingestion.py full pipeline): files on disk -> binary catalog scan
+-> parser dispatch -> chunk with overlap -> clean/token-count -> embedding
+enrichment -> vector-store load with deterministic chunk ids.
+
+E2 (incremental refresh): one file updated, one added -> catalog diff picks
+exactly the delta -> delete-then-insert replaces only the changed file's
+chunks; untouched files' rows survive byte-for-byte.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from vectordb_data_ingestion_spark.operators.catalog import (
+    find_new_and_updated,
+)
+from vectordb_data_ingestion_spark.operators.chunk_pipeline import (
+    build_chunk_table,
+)
+from vectordb_data_ingestion_spark.operators.enrichment import (
+    deterministic_fake_transport,
+    embed_via_api,
+)
+from vectordb_data_ingestion_spark.sinks.vector_store import ParquetVectorSink
+from vectordb_data_ingestion_spark.sources.files import (
+    parse_documents,
+    read_binary_catalog,
+)
+
+
+def _write_docs(root, version=1):
+    (root / "kb").mkdir(exist_ok=True)
+    (root / "kb" / "a.txt").write_text(
+        f"v{version} alpha document about password resets " * 12
+    )
+    if version == 1:
+        (root / "kb" / "b.html").write_text(
+            "<p>vpn configuration guide</p>" * 8
+        )
+    else:
+        # b.html is NOT rewritten: its mtime must stay put so the
+        # timestamp diff proves it is excluded from the delta
+        (root / "kb" / "c.txt").write_text("brand new hardware request doc " * 9)
+
+
+def _ingest(spark, src_dir, sink):
+    catalog = read_binary_catalog(spark, src_dir + "/**")
+    parsed = parse_documents(catalog).filter(F.col("text").isNotNull())
+    docs = parsed.select(
+        F.col("file_id").alias("doc_id_str"),
+        F.col("url"),
+        F.col("name"),
+        "text",
+    ).withColumn("doc_id", F.abs(F.hash("url")).cast("long"))
+    chunks = build_chunk_table(
+        docs, chunk_size=16, overlap_fraction=0.25, kb_prefix=True,
+        title_col="name",
+    )
+    embedded = embed_via_api(
+        chunks.select("url", "doc_id", "chunk_index", "chunk_id",
+                      "chunk_text", "n_tokens"),
+        deterministic_fake_transport(dim=8),
+        text_col="chunk_text",
+        vec_col="vector",
+    )
+    sink.upsert(embedded)
+    return embedded
+
+
+def test_batch_pipeline_e1_then_incremental_e2(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_docs(src, version=1)
+    sink = ParquetVectorSink(spark, str(tmp_path / "vectors"), partition_col=None)
+
+    # ---- E1: full ingest --------------------------------------------------
+    _ingest(spark, str(src), sink)
+    loaded = sink.read().collect()
+    assert len(loaded) > 2
+    # deterministic chunk ids: one row per chunk, stable across reruns
+    ids1 = sorted(r["chunk_id"] for r in loaded)
+    assert len(ids1) == len(set(ids1))
+    # every chunk carries the KB prefix and a real embedding
+    assert all(r["chunk_text"].startswith("Short Description : ") for r in loaded)
+    assert all(len(r["vector"]) == 8 for r in loaded)
+    b_rows_v1 = sorted(
+        (r["chunk_id"], r["chunk_text"])
+        for r in loaded
+        if r["url"].endswith("b.html")
+    )
+
+    # rerun E1 with delete-then-insert per url: idempotent (same rows)
+    catalog_v1 = read_binary_catalog(spark, str(src) + "/**")
+    urls = [r["url"] for r in catalog_v1.select("url").collect()]
+    sink.delete_where("url", urls)
+    _ingest(spark, str(src), sink)
+    assert sorted(r["chunk_id"] for r in sink.read().collect()) == ids1
+
+    # ---- E2: incremental refresh -----------------------------------------
+    old_catalog = catalog_v1.select("name", "url", "modified_dt").localCheckpoint()
+    import time
+
+    time.sleep(1.1)  # ensure mtime strictly advances
+    _write_docs(src, version=2)  # a.txt updated in place, c.txt added
+
+    new_catalog = read_binary_catalog(spark, str(src) + "/**")
+    delta = find_new_and_updated(
+        new_catalog.select("name", "url", "modified_dt"), old_catalog
+    )
+    delta_names = {r["name"] for r in delta.collect()}
+    assert delta_names == {"a.txt", "c.txt"}  # b.html untouched
+
+    delta_urls = [r["url"] for r in delta.collect()]
+    sink.delete_where("url", delta_urls)
+    # re-ingest only the delta (pathGlobFilter-style: filter the catalog)
+    delta_cat = new_catalog.filter(F.col("url").isin(delta_urls))
+    parsed = parse_documents(delta_cat).filter(F.col("text").isNotNull())
+    docs = parsed.select(
+        "url", "name", "text",
+    ).withColumn("doc_id", F.abs(F.hash("url")).cast("long"))
+    chunks = build_chunk_table(
+        docs, chunk_size=16, overlap_fraction=0.25, kb_prefix=True,
+        title_col="name",
+    )
+    embedded = embed_via_api(
+        chunks.select("url", "doc_id", "chunk_index", "chunk_id",
+                      "chunk_text", "n_tokens"),
+        deterministic_fake_transport(dim=8),
+        text_col="chunk_text",
+        vec_col="vector",
+    )
+    sink.upsert(embedded)
+
+    final = sink.read().collect()
+    by_file = {}
+    for r in final:
+        by_file.setdefault(r["url"].rsplit("/", 1)[-1], []).append(r)
+    # updated file carries v2 text; new file present; untouched rows intact
+    assert all("v2" in r["chunk_text"] for r in by_file["a.txt"])
+    assert by_file.get("c.txt")
+    b_rows_now = sorted(
+        (r["chunk_id"], r["chunk_text"]) for r in by_file["b.html"]
+    )
+    assert b_rows_now == b_rows_v1

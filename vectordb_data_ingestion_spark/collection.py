@@ -8,6 +8,7 @@ config consumed by a chatbot. This facade makes them executable:
     col = VectorCollection(corpus, id_col="chunk_id", text_col="text",
                            vec_col="vector", certainty=0.9)
     col.near_vector(qvec, k=3)                       # nearVector
+    col.near_text("reset password", k=3)             # nearText (ingest transport)
     col.near_vector(qvec, k=3, where=F.col("source") == "kb")   # + where
     col.bm25("reset password", k=10)                 # keyword
     col.hybrid("reset password", qvec, k=10, alpha=0.5)         # fusion
@@ -79,6 +80,38 @@ class VectorCollection:
             corpus_vec=self.vec_col,
             corpus_id=self.id_col,
         ).drop("q_id")
+
+    def near_text(
+        self,
+        query: str,
+        k: int = 3,
+        certainty: float | None = None,
+        where: Column | None = None,
+        transport_factory=None,
+        dim: int | None = None,
+    ) -> DataFrame:
+        """Weaviate nearText: embed the query text through the same
+        transport the ingest side used (operators/enrichment.py — the
+        reference's LLM-gateway call, cmfunctions.py:43-71), then
+        nearVector. The single query string embeds driver-side (one tiny
+        call); the corpus-side plan is identical to :meth:`near_vector`.
+        Defaults to the deterministic hermetic transport so tests and
+        oracles reproduce; pass ``http_transport_factory(...)`` in a real
+        deployment."""
+        from vectordb_data_ingestion_spark.operators.enrichment import (
+            deterministic_fake_transport,
+        )
+
+        if transport_factory is None:
+            if dim is None:
+                dim = len(
+                    self.corpus.select(self.vec_col).first()[self.vec_col]
+                )
+            transport_factory = deterministic_fake_transport(dim=dim)
+        [qvec] = transport_factory()(
+            [query.replace("\n", " ")]  # the reference's newline normalize
+        )
+        return self.near_vector(qvec, k=k, certainty=certainty, where=where)
 
     def bm25(
         self, query: str, k: int = 10, where: Column | None = None
