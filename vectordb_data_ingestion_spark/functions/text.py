@@ -24,10 +24,22 @@ from pyspark.sql import functions as F
 # Runs of letters | single digit | any single non-alnum, non-space char.
 # Mirrors the shape of BPE-style tokenization (words, digits, punctuation)
 # while staying regex-expressible in both Spark and DuckDB.
-TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+#
+# Whitespace is the EXPLICIT class [ \x09-\x0D] (space, \t, \n, \v, \f,
+# \r) rather than ``\s``: Java's \s is exactly that set, but RE2's (DuckDB)
+# omits \x0B, so ``\s`` silently diverges between the engine and its oracle
+# on vertical tabs. Spelling the class out makes both engines bit-identical.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \x09-\x0D]"
 
-# Whitespace-collapse pattern shared by word_split / clean_text.
-_WS = r"\s+"
+# Whitespace-collapse pattern for word_split (Java-\s-equivalent, explicit).
+_WS = r"[ \x09-\x0D]+"
+
+# clean_text's collapse additionally treats the C0 separator block
+# \x1C-\x1F as whitespace: the reference collapses with PYTHON's \s
+# (parsers.py:181), which matches those — and after the ascii-strip these
+# are the only whitespace-ish code points Python recognises beyond
+# [ \x09-\x0D]. Property-tested against the pure-Python reference.
+_WS_CLEAN = r"[ \x09-\x0D\x1C-\x1F]+"
 
 
 def word_split(col: Column | str) -> Column:
@@ -117,7 +129,7 @@ def token_count_tiktoken(
 
 # DuckDB-equivalent SQL snippet for oracle queries (same semantics).
 def token_count_sql(expr: str) -> str:
-    return f"len(regexp_extract_all({expr}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))"
+    return f"len(regexp_extract_all({expr}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\x09-\\x0D]'))"
 
 
 def clean_text(col: Column | str) -> Column:
@@ -139,7 +151,7 @@ def clean_text(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, r"[\n\r]|[^\x00-\x7F]", "")
     c = F.regexp_replace(c, r"\\[rnt]?", "")
-    c = F.regexp_replace(c, _WS, " ")
+    c = F.regexp_replace(c, _WS_CLEAN, " ")
     return c
 
 
@@ -151,7 +163,7 @@ def clean_text_sql(expr: str) -> str:
     """
     e = f"regexp_replace({expr}, '[\\n\\r]|[^\\x00-\\x7F]', '', 'g')"
     e = f"regexp_replace({e}, '\\\\[rnt]?', '', 'g')"
-    e = f"regexp_replace({e}, '\\s+', ' ', 'g')"
+    e = f"regexp_replace({e}, '[ \\x09-\\x0D\\x1C-\\x1F]+', ' ', 'g')"
     return e
 
 

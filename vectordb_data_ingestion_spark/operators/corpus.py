@@ -122,7 +122,7 @@ def _tokens(text_col: str) -> Column:
 
 
 _TOKENS_SQL = (
-    "list_filter(string_split(regexp_replace({e}, '\\s+', ' ', 'g'), ' '), "
+    "list_filter(string_split(regexp_replace({e}, '[ \\x09-\\x0D]+', ' ', 'g'), ' '), "
     "w -> w <> '')"
 )
 

@@ -76,8 +76,8 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 def shingles_sql(expr: str, n: int = 3) -> str:
     return (
         f"list_distinct(list_transform("
-        f"range(0, greatest(len(string_split(regexp_replace({expr}, '\\s+', ' ', 'g'), ' ')) - {n}, 0) + 1), "
-        f"i -> array_to_string(string_split(regexp_replace({expr}, '\\s+', ' ', 'g'), ' ')[i + 1 : i + {n}], ' ')))"
+        f"range(0, greatest(len(string_split(regexp_replace({expr}, '[ \\x09-\\x0D]+', ' ', 'g'), ' ')) - {n}, 0) + 1), "
+        f"i -> array_to_string(string_split(regexp_replace({expr}, '[ \\x09-\\x0D]+', ' ', 'g'), ' ')[i + 1 : i + {n}], ' ')))"
     )
 
 
@@ -302,7 +302,7 @@ def simhash(
 
 def simhash_sql(expr: str, id_expr: str, table: str, bits: int = 16) -> str:
     """DuckDB oracle for :func:`simhash` (same vote semantics)."""
-    w = f"list_distinct(string_split(regexp_replace({expr}, '\\s+', ' ', 'g'), ' '))"
+    w = f"list_distinct(string_split(regexp_replace({expr}, '[ \\x09-\\x0D]+', ' ', 'g'), ' '))"
     h = md5_hash60_seeded_sql("x", 0)
     votes = ", ".join(
         f"list_sum(list_transform({w}, x -> CASE WHEN ({h} >> {j}) & 1 = 1 "
@@ -787,7 +787,7 @@ def duplicate_window_stats_sql(
 ) -> str:
     """DuckDB oracle mirroring :func:`duplicate_window_stats`."""
     toks = (
-        f"list_filter(string_split(regexp_replace({text_expr}, '\\s+', ' ', 'g'),"
+        f"list_filter(string_split(regexp_replace({text_expr}, '[ \\x09-\\x0D]+', ' ', 'g'),"
         f" ' '), w -> w <> '')"
     )
     w = window_words

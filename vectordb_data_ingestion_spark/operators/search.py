@@ -38,7 +38,7 @@ from pyspark.sql.window import Window
 from vectordb_data_ingestion_spark.functions.text import word_split
 
 _TOKENS_SQL = (
-    "list_filter(string_split(regexp_replace(lower({e}), '\\s+', ' ', 'g'), "
+    "list_filter(string_split(regexp_replace(lower({e}), '[ \\x09-\\x0D]+', ' ', 'g'), "
     "' '), w -> w <> '')"
 )
 

@@ -70,7 +70,7 @@ def lang_id_sql(expr: str) -> str:
 
 # --- quality ---------------------------------------------------------------
 
-_PUNCT = r"[^A-Za-z0-9\s]"
+_PUNCT = r"[^A-Za-z0-9 \x09-\x0D]"
 
 
 def quality_features(col: Column | str) -> dict[str, Column]:
@@ -104,10 +104,10 @@ def quality_sql(expr: str) -> dict[str, str]:
     n_chars = f"length({expr})"
     n_words = (
         f"(CASE WHEN length(trim({expr})) > 0 THEN "
-        f"len(string_split(trim(regexp_replace({expr}, '\\s+', ' ', 'g')), ' ')) "
+        f"len(string_split(trim(regexp_replace({expr}, '[ \\x09-\\x0D]+', ' ', 'g')), ' ')) "
         f"ELSE 0 END)"
     )
-    n_punct = f"len(regexp_extract_all({expr}, '[^A-Za-z0-9\\s]'))"
+    n_punct = f"len(regexp_extract_all({expr}, '[^A-Za-z0-9 \\x09-\\x0D]'))"
     stop_hits = lang_score_sql(expr, "en")
     punct_ratio = f"(CASE WHEN {n_chars} > 0 THEN CAST({n_punct} AS DOUBLE) / {n_chars} ELSE 0.0 END)"
     stop_ratio = f"(CASE WHEN {n_words} > 0 THEN CAST({stop_hits} AS DOUBLE) / {n_words} ELSE 0.0 END)"
@@ -166,7 +166,7 @@ def winnowing_fingerprint_sql(
     gram_n: int = 3,
     window: int = 4,
 ) -> str:
-    words = f"string_split(regexp_replace({text_col}, '\\s+', ' ', 'g'), ' ')"
+    words = f"string_split(regexp_replace({text_col}, '[ \\x09-\\x0D]+', ' ', 'g'), ' ')"
     h = md5_hash32_seeded_sql("g", 0)
     return f"""
     WITH g AS (

@@ -241,7 +241,7 @@ def q_clean_text(spark, sf_dir):
     "token_count",
     """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\x09-\\x0D]'))
                 AS INTEGER) AS n_tokens
     FROM documents
     """,
@@ -710,13 +710,17 @@ _IVF_ASSIGN_SQL = f"""
 
 
 def _ivf_parts(spark, sf_dir):
-    from vectordb_data_ingestion_spark.operators.similarity import assign_ivf_cells
+    # vectorized assign (matmul per Arrow batch) — bit-identical to the JVM
+    # fold (tie-break parity pinned in tests), ~2x faster on the corpus scan
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        assign_ivf_cells_vectorized,
+    )
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.expr(_CENTROID_PRED)).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_embedding")
     )
-    assigned = assign_ivf_cells(
+    assigned = assign_ivf_cells_vectorized(
         emb, centroids, centroid_id="c_id", centroid_vec="c_embedding"
     )
     return emb, centroids, assigned
@@ -1228,7 +1232,7 @@ from vectordb_data_ingestion_spark.operators import textanalysis as ta
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len(regexp_extract_all(text,
-                '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens
+                '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\x09-\\x0D]'))) AS BIGINT) AS total_tokens
     FROM exact e LEFT JOIN components k ON e.doc_id = k.node
     WHERE k.node IS NULL OR e.doc_id = k.component
     GROUP BY lang
@@ -1432,7 +1436,7 @@ def q_quality_score(spark, sf_dir):
            ROUND(quantile_cont(n_chars, 0.5), 6) AS median_chars,
            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
            CAST(SUM(len(regexp_extract_all(text,
-                '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens
+                '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\x09-\\x0D]'))) AS BIGINT) AS total_tokens
     FROM documents GROUP BY lang
     """,
 )
@@ -1612,8 +1616,8 @@ def q_service_catalog_compose(spark, sf_dir):
     ),
     meta AS (
       SELECT doc_id, t,
-             len(regexp_extract_all(t, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS tok,
-             string_split_regex(trim(t), '\\s+') AS words
+             len(regexp_extract_all(t, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\x09-\\x0D]')) AS tok,
+             string_split_regex(trim(t), '[ \\x09-\\x0D]+') AS words
       FROM base
     ),
     m2 AS (
@@ -1838,7 +1842,7 @@ def q_multimodal_features(spark, sf_dir):
            CAST(generate_subscripts(words, 1) - 1 AS INTEGER) AS pos,
            unnest(words) AS word
     FROM (SELECT doc_id,
-                 string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')
+                 string_split(regexp_replace(text, '[ \\x09-\\x0D]+', ' ', 'g'), ' ')
                    AS words
           FROM documents)
     """,
@@ -2030,7 +2034,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {clean_text_sql('text')} AS clean FROM documents
     ),
     w AS (
-      SELECT doc_id, string_split(regexp_replace(clean, '\\s+', ' ', 'g'), ' ') AS words
+      SELECT doc_id, string_split(regexp_replace(clean, '[ \\x09-\\x0D]+', ' ', 'g'), ' ') AS words
       FROM cleaned
     ),
     s AS (
@@ -2048,7 +2052,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(c.doc_id AS BIGINT) AS doc_id, c.chunk_index,
            CAST(len(regexp_extract_all(c.chunk_text,
-                '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens,
+                '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\x09-\\x0D]')) AS INTEGER) AS n_tokens,
            sha256(CAST(c.doc_id AS VARCHAR) || '#' || CAST(c.chunk_index AS VARCHAR))
              AS chunk_id
     FROM chunks c JOIN embeddings e ON c.doc_id = e.vec_id
@@ -2193,7 +2197,7 @@ def q_benchmark_decontaminate(spark, sf_dir):
 @register(
     "kmv_distinct_words",
     cp.kmv_distinct_sql(
-        "SELECT unnest(list_filter(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '), w -> w <> '')) AS word FROM documents",
+        "SELECT unnest(list_filter(string_split(regexp_replace(text, '[ \\x09-\\x0D]+', ' ', 'g'), ' '), w -> w <> '')) AS word FROM documents",
         "word",
         k=64,
     ),
@@ -2914,7 +2918,7 @@ def q_pq_adc_topk(spark, sf_dir):
 # Repetition signals (Gopher quality rules; operators/textanalysis.py)
 # ---------------------------------------------------------------------------
 
-_REP_WORDS = "string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')"
+_REP_WORDS = "string_split(regexp_replace(text, '[ \\x09-\\x0D]+', ' ', 'g'), ' ')"
 
 
 @register(
@@ -2980,7 +2984,7 @@ def q_repetition_signals(spark, sf_dir):
     """
     WITH words AS (
       SELECT word, COUNT(*) AS freq FROM (
-        SELECT unnest(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '))
+        SELECT unnest(string_split(regexp_replace(text, '[ \\x09-\\x0D]+', ' ', 'g'), ' '))
           AS word
         FROM documents
       ) WHERE word <> '' GROUP BY word
@@ -3298,7 +3302,7 @@ def q_lm_perplexity_score(spark, sf_dir):
     chunks2 AS (
       SELECT doc_id, text,
              concat('https://kb/', doc_id) AS url,
-             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_tokens
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \x09-\x0D]')) AS INTEGER) AS n_tokens
       FROM documents
     ),
     ranked AS (
@@ -3876,11 +3880,11 @@ def q_component_size_histogram(spark, sf_dir):
     "token_histogram",
     f"""
     SELECT CAST(CAST(len(regexp_extract_all(text,
-             '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) // 32 AS BIGINT)
+             '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\x09-\\x0D]')) AS BIGINT) // 32 AS BIGINT)
              AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len(regexp_extract_all(text,
-             '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens
+             '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\x09-\\x0D]'))) AS BIGINT) AS total_tokens
     FROM documents GROUP BY bucket
     """,
 )
