@@ -66,6 +66,17 @@ HEADLINE = [
     "dup_window_stats",
     "kmeans_inertia",
     "quantile_sketch_histogram",
+    # round-2 batch 2: span-removal dedup (explode + 2 hash shuffles + HOF
+    # cut), end-to-end tokenizer train+apply, the Gopher scan-speed gate,
+    # JSON parse + agg, and the Q10/Q13/Q18 relational shapes
+    "dup_span_removal",
+    "bpe_segment_tokens",
+    "gopher_quality_filter",
+    "events_json_props",
+    "returned_item_losses",
+    "customer_order_distribution",
+    "large_orders",
+    "length_cdf",
 ]
 
 

@@ -92,3 +92,39 @@ def test_bpe_segment_ignores_surrounding_whitespace(spark):
         merges,
     )
     assert seg.collect()[0]["bpe_tokens"] == ["low</w>", "lowe", "r", "</w>"]
+
+
+def test_bpe_segment_vectorized_matches_fold(spark):
+    """The Arrow-batched cached segmenter must produce byte-identical token
+    streams to the fold-based bpe_segment for the same learned merges,
+    including repeated words (cache hits), unseen-at-train words, and
+    leading/trailing whitespace."""
+    from vectordb_data_ingestion_spark.operators.bpe import (
+        bpe_segment_vectorized,
+    )
+
+    train_docs = spark.createDataFrame(
+        [(0, "low low low low low lower lower lowest lowest lowest")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(train_docs, num_merges=4)
+    probe = spark.createDataFrame(
+        [
+            (0, "low lower lowest low"),
+            (1, "  slow below  "),
+            (2, ""),
+            (3, "low\tlow\nlow"),
+        ],
+        "doc_id long, text string",
+    )
+    fold = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_segment(probe, merges).collect()
+    }
+    vec = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_segment_vectorized(probe, merges).collect()
+    }
+    assert vec == fold
+    assert vec[0][0] == "low</w>"  # learned merges actually applied
+    assert vec[2] == []

@@ -438,3 +438,68 @@ def test_duplicate_window_stats_within_doc_repetition(spark):
     # the 4-word span recurs inside one document -> counted twice
     assert r["n_dup_windows"] >= 2
     assert 0 < r["dup_ratio"] <= 1.0
+
+
+def test_gopher_document_filter_rules(spark):
+    """Each Gopher rule must independently trip the keep verdict: too-short
+    docs, absurd mean word length, symbol-heavy docs, and stopword-free
+    docs all drop; a normal English paragraph keeps."""
+    from vectordb_data_ingestion_spark.operators.textanalysis import (
+        gopher_document_filter,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog and runs away " * 6
+    docs = spark.createDataFrame(
+        [
+            (0, good),  # keeps: 60+ words, sane lengths, stopwords present
+            (1, "short text only"),  # too few words
+            (2, ("a " * 60).strip()),  # mean word len 1 < 3
+            (3, ("the supercalifragilisticexpialidocious " * 30).strip()),  # mean len > 10
+            (4, ("word ... " * 60).strip()),  # symbol ratio 0.5 > 0.1
+            (5, ("zzz qqq xxx " * 25).strip()),  # no stopword hits
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_document_filter(docs).collect()
+    }
+    assert out[0]["keep"] == 1
+    assert out[1]["keep"] == 0 and out[1]["n_words"] == 3
+    assert out[2]["keep"] == 0 and out[2]["mean_word_len"] < 3
+    assert out[3]["keep"] == 0 and out[3]["mean_word_len"] > 10
+    assert out[4]["keep"] == 0 and out[4]["symbol_word_ratio"] > 0.1
+    assert out[5]["keep"] == 0 and out[5]["stop_hits"] < 2
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """First occurrence survives, later cross-doc and intra-doc repeats of
+    a window are cut, spans merge when overlapping, and sub-window docs
+    pass through untouched."""
+    from vectordb_data_ingestion_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro words {shared} outro words"),
+            (1, f"prefix {shared} suffix"),  # loses the shared run
+            (2, f"{shared} {shared}"),  # intra-doc repeat: 2nd run cut
+            (3, "tiny doc"),  # shorter than the window
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_spans(docs, window_words=8).collect()
+    }
+    assert out[0]["n_removed"] == 0 and shared in out[0]["clean_text"]
+    assert shared not in out[1]["clean_text"]
+    assert out[1]["clean_text"].startswith("prefix")
+    assert out[1]["clean_text"].endswith("suffix")
+    assert out[1]["n_removed"] == 8
+    # doc2: first 8-word run is a later occurrence of doc0's windows -> both
+    # runs cut entirely
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 16
+    assert out[3]["clean_text"] == "tiny doc" and out[3]["n_removed"] == 0

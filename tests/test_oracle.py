@@ -52,4 +52,6 @@ def test_driver_priority_window_integrity():
     assert len(_DRIVER_PRIORITY) <= 50
     first50 = set(list(SPARK_QUERIES)[:50])
     assert set(_DRIVER_PRIORITY) <= first50
-    assert set(SPARK_QUERIES) - set(ORACLE_SQL) == {"bpe_train_merges"}
+    # bpe_train_merges gained a golden-parquet oracle in round 2; it only
+    # degrades to rows-only if testdata is absent at import time.
+    assert set(SPARK_QUERIES) - set(ORACLE_SQL) <= {"bpe_train_merges"}

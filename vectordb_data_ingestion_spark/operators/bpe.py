@@ -155,3 +155,74 @@ def bpe_segment(
     for left, right, _ in merges:
         col = apply_merge(col, left, right)
     return df.withColumn(out_col, col)
+
+
+def bpe_segment_vectorized(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    end_token: str = "</w>",
+) -> DataFrame:
+    """Scale path for :func:`bpe_segment`: identical output, executed as an
+    Arrow-batched ``mapInPandas`` with a per-executor word->tokens cache
+    instead of chained Catalyst folds.
+
+    Why this wins at corpus scale: the fold form re-derives every word's
+    segmentation character-by-character for every occurrence (8 chained
+    O(len) interpreted folds per document), while word frequency is Zipf -
+    the same few thousand distinct words cover almost all occurrences. The
+    cache makes the per-occurrence cost a dict lookup; only first-seen
+    words pay the merge scan. The merge list ships in the UDF closure
+    (tiny - it IS the tokenizer), so there is no join and no shuffle: a
+    pure narrow map, same as the fold form."""
+    import re
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    ws = re.compile("[ \x09-\x0d]+")
+    merge_pairs = [(l, r) for l, r, _ in merges]
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(StringType()))]
+    )
+
+    def segment(batches):
+        cache: dict[str, list[str]] = {}
+
+        def tokenize(word: str) -> list[str]:
+            got = cache.get(word)
+            if got is not None:
+                return got
+            syms = list(word) + [end_token]
+            for left, right in merge_pairs:
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[word] = syms
+            return syms
+
+        for pdf in batches:
+            toks = [
+                [
+                    t
+                    for w in ws.sub(" ", txt or "").split(" ")
+                    if w
+                    for t in tokenize(w)
+                ]
+                for txt in pdf[text_col]
+            ]
+            pdf = pdf.copy()
+            pdf[out_col] = toks
+            yield pdf
+
+    return df.mapInPandas(segment, schema=out_schema)

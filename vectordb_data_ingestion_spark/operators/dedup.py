@@ -817,3 +817,135 @@ def duplicate_window_stats_sql(
                  ELSE 0.0 END, 6) AS dup_ratio
     FROM t LEFT JOIN dc ON t.id = dc.id
     """
+
+
+# --- windowed duplicate-span REMOVAL ----------------------------------------
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    window_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring deduplication with span removal (the distributed
+    form of Lee et al. 2022's "Deduplicating Training Data" ExactSubstr
+    pass, windowed instead of suffix-array): every ``window_words``-word
+    window is keyed by its md5; per key the globally FIRST occurrence —
+    minimal ``(doc_id, position)`` — is canonical and kept, every later
+    occurrence marks its word span for removal. Overlapping marked spans
+    union naturally (a word survives only if NO marked window covers it),
+    so repeated boilerplate collapses to its first appearance corpus-wide.
+
+    Returns ``(id_col, clean_text, n_words, n_removed)``.
+
+    Scale shape: windows are pure array expressions; the exploded table
+    carries only ``(doc_id, pos, window_md5)`` — never window text. One
+    hash-keyed aggregate finds canonical occurrences, one join-back marks
+    later ones, one per-doc aggregate collects removal starts (bounded by
+    the doc's own window count), and the final cut is a narrow
+    higher-order-function projection. No Python in the path. Deterministic
+    for any partitioning: canonicity is a pure min over (doc_id, pos)."""
+    k = window_words
+    words = F.filter(word_split(F.col(text_col)), lambda w: w != "")
+    base = df.select(F.col(id_col), words.alias("__ws"))
+    n_win = F.greatest(F.size("__ws") - F.lit(k - 1), F.lit(0))
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                n_win >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_win),
+                    lambda i: F.md5(F.array_join(F.slice("__ws", i, k), " ")),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ).alias("__p0", "__wh"),
+    ).select(
+        id_col,
+        (F.col("__p0") + 1).alias("__pos"),  # 1-based window start
+        "__wh",
+    )
+    # total order on occurrences: doc first, then position (pos < 1e9)
+    code = (F.col(id_col).cast("long") * F.lit(1_000_000_000)) + F.col("__pos")
+    occ = wins.withColumn("__code", code)
+    canon = occ.groupBy("__wh").agg(F.min("__code").alias("__c"))
+    marks = (
+        occ.join(canon, "__wh")
+        .filter(F.col("__code") > F.col("__c"))
+        .select(id_col, "__pos")
+    )
+    starts = marks.groupBy(id_col).agg(
+        F.collect_list("__pos").alias("__sts")
+    )
+    joined = base.join(starts, id_col, "left").withColumn(
+        "__sts",
+        F.coalesce(F.col("__sts"), F.array().cast("array<int>")),
+    )
+    kept = F.filter(
+        F.col("__ws"),
+        lambda w, i: ~F.exists(
+            F.col("__sts"),
+            lambda s: (s <= i + 1) & (i + 1 < s + k),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("__ws").cast("bigint").alias("n_words"),
+        (F.size("__ws") - F.size(kept)).cast("bigint").alias("n_removed"),
+    )
+
+
+def remove_duplicate_spans_sql(
+    table: str,
+    window_words: int = 8,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB oracle mirroring :func:`remove_duplicate_spans`."""
+    toks = (
+        f"list_filter(string_split(regexp_replace({text_expr}, '[ \\x09-\\x0D]+', ' ', 'g'),"
+        f" ' '), w -> w <> '')"
+    )
+    k = window_words
+    return f"""
+    WITH d AS (
+      SELECT {id_expr} AS id, {toks} AS words FROM {table}
+    ),
+    wins AS (
+      SELECT id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(words[CAST(i AS INTEGER) :
+                                       CAST(i AS INTEGER) + {k - 1}], ' '))
+               AS wh
+      FROM (SELECT id, words,
+                   unnest(range(1, greatest(len(words) - {k - 1}, 0) + 1))
+                     AS i
+            FROM d)
+    ),
+    occ AS (SELECT id, pos, wh, id * 1000000000 + pos AS code FROM wins),
+    canon AS (SELECT wh, MIN(code) AS c FROM occ GROUP BY wh),
+    marks AS (
+      SELECT o.id, o.pos FROM occ o JOIN canon USING (wh) WHERE o.code > canon.c
+    ),
+    starts AS (SELECT id, list(pos) AS sts FROM marks GROUP BY id),
+    j AS (
+      SELECT d.id, d.words, COALESCE(s.sts, []) AS sts
+      FROM d LEFT JOIN starts s ON d.id = s.id
+    ),
+    kept AS (
+      SELECT j.id, t.p, j.words[CAST(t.p AS INTEGER)] AS w
+      FROM j, unnest(range(1, len(j.words) + 1)) AS t(p)
+      WHERE len(list_filter(j.sts, s -> s <= t.p AND t.p < s + {k})) = 0
+    ),
+    cleaned AS (
+      SELECT id, array_to_string(list(w ORDER BY p), ' ') AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY id
+    )
+    SELECT CAST(j.id AS BIGINT) AS {id_expr},
+           COALESCE(c.clean_text, '') AS clean_text,
+           CAST(len(j.words) AS BIGINT) AS n_words,
+           CAST(len(j.words) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
+    FROM j LEFT JOIN cleaned c ON j.id = c.id
+    """

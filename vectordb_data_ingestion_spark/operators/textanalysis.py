@@ -281,3 +281,125 @@ def repetition_signals(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-level quality gate (Rae et al. 2021 §A1.1, public
+# literature) - the hard keep/drop rules applied before training-data use
+# ---------------------------------------------------------------------------
+
+def gopher_document_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    max_symbol_word_ratio: float = 0.1,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher rule signals plus the composite ``keep`` verdict:
+
+    - word count within ``[min_words, max_words]``;
+    - mean word length within ``[min_mean_word_len, max_mean_word_len]``;
+    - fraction of words containing at least one alphabetic character
+      >= ``min_alpha_word_frac``;
+    - symbol-to-word ratio (``#`` and ``...`` occurrences per word)
+      <= ``max_symbol_word_ratio``;
+    - at least ``min_stop_hits`` stopword hits in the best-scoring
+      language (the multilingual form of Gopher's required-English-stopword
+      rule, reusing :data:`STOPWORDS`).
+
+    Everything is a pure column projection over one pass of the text - no
+    shuffle, no UDF; at 100 TB this runs inside whole-stage codegen at scan
+    speed and composes with any downstream filter pushdown."""
+    c = F.col(text_col)
+    words = F.filter(word_split(c), lambda w: w != "")
+    n_words = F.size(words)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        n_words > 0,
+        F.regexp_count(c, F.lit(r"#|\.\.\.")).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.greatest(*[lang_score(c, lang) for lang in LANGS])
+    keep = (
+        n_words.between(min_words, max_words)
+        & mean_wl.between(min_mean_word_len, max_mean_word_len)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (symbol_ratio <= max_symbol_word_ratio)
+        & (stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def gopher_document_filter_sql(
+    expr: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    max_symbol_word_ratio: float = 0.1,
+    min_stop_hits: int = 2,
+) -> dict[str, str]:
+    """DuckDB column expressions matching :func:`gopher_document_filter`."""
+    words = (
+        f"list_filter(string_split(regexp_replace({expr}, "
+        f"'[ \\x09-\\x0D]+', ' ', 'g'), ' '), w -> w <> '')"
+    )
+    n_words = f"len({words})"
+    mean_wl = (
+        f"(CASE WHEN {n_words} > 0 THEN CAST(list_sum(list_transform({words}, "
+        f"w -> length(w))) AS DOUBLE) / {n_words} ELSE 0.0 END)"
+    )
+    alpha_frac = (
+        f"(CASE WHEN {n_words} > 0 THEN CAST(len(list_filter({words}, "
+        f"w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / {n_words} "
+        f"ELSE 0.0 END)"
+    )
+    symbol_ratio = (
+        f"(CASE WHEN {n_words} > 0 THEN CAST("
+        f"len(regexp_extract_all({expr}, '#|\\.\\.\\.')) AS DOUBLE) "
+        f"/ {n_words} ELSE 0.0 END)"
+    )
+    stop_hits = (
+        "greatest("
+        + ", ".join(lang_score_sql(expr, lang) for lang in LANGS)
+        + ")"
+    )
+    keep = (
+        f"({n_words} BETWEEN {min_words} AND {max_words} "
+        f"AND {mean_wl} BETWEEN {min_mean_word_len} AND {max_mean_word_len} "
+        f"AND {alpha_frac} >= {min_alpha_word_frac} "
+        f"AND {symbol_ratio} <= {max_symbol_word_ratio} "
+        f"AND {stop_hits} >= {min_stop_hits})"
+    )
+    return {
+        "n_words": f"CAST({n_words} AS BIGINT)",
+        "mean_word_len": f"ROUND({mean_wl}, 6)",
+        "alpha_word_frac": f"ROUND({alpha_frac}, 6)",
+        "symbol_word_ratio": f"ROUND({symbol_ratio}, 6)",
+        "stop_hits": f"CAST({stop_hits} AS BIGINT)",
+        "keep": f"CAST({keep} AS INTEGER)",
+    }

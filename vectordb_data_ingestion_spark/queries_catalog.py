@@ -3026,11 +3026,125 @@ def q_bpe_pair_counts(spark, sf_dir):
     )
 
 
-@register("bpe_train_merges")
+def _bpe_train_merges_oracle_sql() -> str | None:
+    """Golden-parquet oracle for the iterative BPE trainer (same pattern as
+    :func:`_chunk_recursive_oracle_sql`): the merge loop is procedural, but
+    its output is deterministic, so an independent Spark-free rerun — a
+    dict-based Sennrich-style trainer over word frequencies fetched with
+    DuckDB — materializes the expected merge list for every testdata scale
+    factor, keyed by the corpus fingerprint (count, total text bytes). The
+    oracle self-selects the partition matching the registered ``documents``
+    view, so one SQL string is correct at every sf. Returns None
+    (rows-only) if testdata is absent."""
+    import glob
+    import os
+    import re
+    import tempfile
+
+    testdata = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    doc_paths = sorted(glob.glob(os.path.join(testdata, "sf*", "documents.parquet")))
+    if not doc_paths:
+        return None
+
+    def train(word_freqs: dict, num_merges: int, min_pair_count: int = 2):
+        # Independent dict-based BPE, semantics-identical to
+        # operators/bpe.py::bpe_train (greedy non-overlapping merge scan,
+        # ties -> lexicographically smallest pair).
+        vocab = {w: list(w) + ["</w>"] for w in word_freqs}
+        merges = []
+        for _ in range(num_merges):
+            counts: dict = {}
+            for w, syms in vocab.items():
+                f = word_freqs[w]
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + f
+            if not counts:
+                break
+            (left, right), total = sorted(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )[0]
+            if total < min_pair_count:
+                break
+            merges.append((left, right, total))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    golden = os.path.join(
+        tempfile.gettempdir(), "spark_graft_golden_bpe_merges.parquet"
+    )
+    ws = re.compile("[ \x09-\x0d]+")  # word_split's explicit Java-\s class
+    try:
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        con = duckdb.connect()
+        keys, idxs, lefts, rights, totals = [], [], [], [], []
+        for docs_path in doc_paths:
+            (key,) = con.execute(
+                "SELECT COUNT(*) * 1000000000000 + "
+                "COALESCE(SUM(octet_length(encode(text))), 0) "
+                "FROM read_parquet(?)",
+                [docs_path],
+            ).fetchone()
+            freqs: dict = {}
+            for (text,) in con.execute(
+                "SELECT text FROM read_parquet(?)", [docs_path]
+            ).fetchall():
+                for w in ws.sub(" ", text or "").split(" "):
+                    if w:
+                        freqs[w] = freqs.get(w, 0) + 1
+            for i, (l, r, c) in enumerate(train(freqs, num_merges=8)):
+                keys.append(int(key))
+                idxs.append(i)
+                lefts.append(l)
+                rights.append(r)
+                totals.append(c)
+        table = pa.table(
+            {
+                "corpus_key": pa.array(keys, pa.int64()),
+                "merge_index": pa.array(idxs, pa.int32()),
+                "left": pa.array(lefts, pa.string()),
+                "right": pa.array(rights, pa.string()),
+                "total": pa.array(totals, pa.int64()),
+            }
+        )
+        tmp = golden + f".tmp{os.getpid()}"
+        papq.write_table(table, tmp)
+        os.replace(tmp, golden)
+    except Exception:  # pragma: no cover - testdata/write hiccups -> rows-only
+        return None
+    return f"""
+    SELECT CAST(merge_index AS INTEGER) AS merge_index, "left", "right", total
+    FROM read_parquet('{golden}')
+    WHERE corpus_key = (
+      SELECT COUNT(*) * 1000000000000
+             + COALESCE(SUM(octet_length(encode(text))), 0)
+      FROM documents
+    )
+    """
+
+
+@register("bpe_train_merges", _bpe_train_merges_oracle_sql())
 def q_bpe_train_merges(spark, sf_dir):
-    """Full BPE training loop (8 merges) - iterative, driver-coordinated,
-    not SQL-expressible as one query (rows-only check). Deterministic
-    tie-breaks make the merge list engine- and partitioning-independent."""
+    """Full BPE training loop (8 merges) - iterative and driver-coordinated,
+    so the oracle is a deterministic golden parquet from an independent
+    Spark-free dict-based rerun (see :func:`_bpe_train_merges_oracle_sql`).
+    Deterministic tie-breaks make the merge list engine- and
+    partitioning-independent."""
     from vectordb_data_ingestion_spark.operators.bpe import bpe_train
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -4098,6 +4212,378 @@ def q_quantile_sketch_histogram(spark, sf_dir):
             F.min(F.when(F.col("c") >= 0.99 * F.col("total"), edge)), 6
         ).alias("p99_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: Gopher document gate, semi-structured JSON props,
+# vectorized BPE segmentation, TPC-H Q13/Q18/Q10 shapes, length CDF
+# ---------------------------------------------------------------------------
+
+
+def _gopher_oracle_sql() -> str:
+    from vectordb_data_ingestion_spark.operators.textanalysis import (
+        gopher_document_filter_sql,
+    )
+
+    cols = gopher_document_filter_sql("text")
+    sel = ",\n           ".join(f"{sql} AS {name}" for name, sql in cols.items())
+    return f"SELECT CAST(doc_id AS BIGINT) AS doc_id,\n           {sel}\nFROM documents"
+
+
+@register("gopher_quality_filter", _gopher_oracle_sql())
+def q_gopher_quality_filter(spark, sf_dir):
+    """Gopher hard document gate (Rae et al. 2021 §A1.1): word-count and
+    mean-word-length bounds, alphabetic-word fraction, symbol-to-word
+    ratio, and a multilingual stopword floor, composed into one keep/drop
+    verdict. Pure whole-stage-codegen projection — at 100 TB this filters
+    at scan speed with zero shuffle."""
+    from vectordb_data_ingestion_spark.operators.textanalysis import (
+        gopher_document_filter,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return gopher_document_filter(docs)
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k')
+                AS BIGINT)) AS BIGINT) AS k_distinct,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_centi_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_json_props(spark, sf_dir):
+    """Semi-structured payload processing: parse the ``props`` JSON string
+    column with the JVM-side ``get_json_object`` (no UDF — the path
+    expression runs inside codegen), aggregate per event type. Monetary
+    values accumulate in integer centi-units so cross-engine sums are
+    exact. At 100 TB the JSON parse rides the scan; only the tiny
+    per-type aggregate shuffles."""
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("k_sum"),
+        F.countDistinct(k).alias("k_distinct"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "value_centi_sum"
+        ),
+    )
+
+
+def _bpe_segment_oracle_sql() -> str | None:
+    """Golden-parquet oracle for end-to-end tokenizer application: an
+    independent Spark-free rerun trains 8 merges with the dict-based
+    Sennrich trainer (same as :func:`_bpe_train_merges_oracle_sql`) and
+    tokenizes every document with the resulting vocabulary — the trained
+    vocab dict IS each word's segmentation, so document token streams are
+    just per-word lookups. Keyed by corpus fingerprint; self-selecting
+    across scale factors."""
+    import glob
+    import os
+    import re
+    import tempfile
+
+    testdata = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    doc_paths = sorted(glob.glob(os.path.join(testdata, "sf*", "documents.parquet")))
+    if not doc_paths:
+        return None
+
+    def train_vocab(word_freqs: dict, num_merges: int, min_pair_count: int = 2):
+        vocab = {w: list(w) + ["</w>"] for w in word_freqs}
+        for _ in range(num_merges):
+            counts: dict = {}
+            for w, syms in vocab.items():
+                f = word_freqs[w]
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + f
+            if not counts:
+                break
+            (left, right), total = sorted(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )[0]
+            if total < min_pair_count:
+                break
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return vocab
+
+    golden = os.path.join(
+        tempfile.gettempdir(), "spark_graft_golden_bpe_segment.parquet"
+    )
+    ws = re.compile("[ \x09-\x0d]+")
+    try:
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        con = duckdb.connect()
+        keys, ids, poss, toks = [], [], [], []
+        for docs_path in doc_paths:
+            (key,) = con.execute(
+                "SELECT COUNT(*) * 1000000000000 + "
+                "COALESCE(SUM(octet_length(encode(text))), 0) "
+                "FROM read_parquet(?)",
+                [docs_path],
+            ).fetchone()
+            rows = con.execute(
+                "SELECT doc_id, text FROM read_parquet(?) ORDER BY doc_id",
+                [docs_path],
+            ).fetchall()
+            freqs: dict = {}
+            doc_words = []
+            for doc_id, text in rows:
+                words = [w for w in ws.sub(" ", text or "").split(" ") if w]
+                doc_words.append((doc_id, words))
+                for w in words:
+                    freqs[w] = freqs.get(w, 0) + 1
+            vocab = train_vocab(freqs, num_merges=8)
+            for doc_id, words in doc_words:
+                pos = 0
+                for w in words:
+                    for t in vocab[w]:
+                        keys.append(int(key))
+                        ids.append(int(doc_id))
+                        poss.append(pos)
+                        toks.append(t)
+                        pos += 1
+        table = pa.table(
+            {
+                "corpus_key": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int32()),
+                "token": pa.array(toks, pa.string()),
+            }
+        )
+        tmp = golden + f".tmp{os.getpid()}"
+        papq.write_table(table, tmp)
+        os.replace(tmp, golden)
+    except Exception:  # pragma: no cover - testdata/write hiccups -> rows-only
+        return None
+    return f"""
+    SELECT doc_id, CAST(pos AS INTEGER) AS pos, token
+    FROM read_parquet('{golden}')
+    WHERE corpus_key = (
+      SELECT COUNT(*) * 1000000000000
+             + COALESCE(SUM(octet_length(encode(text))), 0)
+      FROM documents
+    )
+    """
+
+
+@register("bpe_segment_tokens", _bpe_segment_oracle_sql())
+def q_bpe_segment_tokens(spark, sf_dir):
+    """End-to-end tokenizer application: train 8 BPE merges on the corpus,
+    then tokenize every document with the vectorized segmenter
+    (Arrow-batched, per-executor Zipf word cache — the scale path; the
+    fold-based ``bpe_segment`` shares semantics, parity-tested). Exploded
+    to (doc_id, pos, token) scalar rows; oracle is a golden parquet from
+    an independent dict-based rerun."""
+    from vectordb_data_ingestion_spark.operators.bpe import (
+        bpe_segment_vectorized,
+        bpe_train,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=8)
+    seg = bpe_segment_vectorized(docs, merges)
+    return seg.select(
+        "doc_id", F.posexplode("bpe_tokens").alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+
+
+@register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: orders-per-customer distribution including
+    zero-order customers (the LEFT join preserves them; COUNT over the
+    null-extended key counts 0). Two partial-aggregated shuffles — per
+    customer, then per count — and the second input is already tiny."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_centi
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 30000
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS totalprice_centi,
+           b.qty_centi
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice_centi DESC, o.o_orderkey ASC LIMIT 100
+    """,
+)
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING over a partial-aggregated groupBy), joined back to orders and
+    customer. The filtered aggregate is a tiny fraction of orders, so both
+    join sides after the HAVING are broadcastable; quantities accumulate
+    in integer centi-units for exact cross-engine HAVING boundaries."""
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    qty_centi = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_centi).alias("qty_centi"))
+        .filter(F.col("qty_centi") > 30000)
+    )
+    joined = broadcast(big).join(
+        orders, big["l_orderkey"] == orders["o_orderkey"]
+    ).join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        joined.select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("totalprice_centi"),
+            "qty_centi",
+        )
+        .orderBy(F.desc("totalprice_centi"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "returned_item_losses",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000) AS BIGINT)) AS BIGINT)
+             AS revenue_micro
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_micro DESC, c.c_custkey ASC LIMIT 20
+    """,
+)
+def q_returned_item_losses(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer. The
+    returnflag filter prunes the fact scan; orders/customer/nation dims
+    broadcast into it (no fact shuffle before the aggregate); revenue in
+    integer micro-units; top-20 is a TakeOrdered merge."""
+    cust, orders, li, nation = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    micro = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    joined = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(micro).alias("revenue_micro"))
+        .orderBy(F.desc("revenue_micro"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "length_cdf",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cdf
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+    """,
+)
+def q_length_cdf(spark, sf_dir):
+    """Per-language length CDF: percent_rank and cume_dist over document
+    length — the curriculum/pacing statistic behind length-balanced
+    sampling. One hash-partitioned window per language partition; ties
+    broken by doc_id so ranks are engine-independent. At 100 TB the
+    per-lang partitions parallelize; a skewed single language would use
+    the two-phase ntile_distributed form instead."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdf"),
+    )
+
+
+def _dup_span_removal_oracle_sql() -> str:
+    from vectordb_data_ingestion_spark.operators.dedup import (
+        remove_duplicate_spans_sql,
+    )
+
+    return remove_duplicate_spans_sql("documents", window_words=4)
+
+
+@register("dup_span_removal", _dup_span_removal_oracle_sql())
+def q_dup_span_removal(spark, sf_dir):
+    """Exact-substring dedup with span REMOVAL (Lee et al. 2022 ExactSubstr,
+    windowed): every 4-word window repeated anywhere in the corpus keeps
+    only its globally-first occurrence; later occurrences' spans are cut
+    from the text. Completes duplicate_window_stats (detection) with the
+    destructive pass a training-data pipeline actually runs."""
+    from vectordb_data_ingestion_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, window_words=4)
 
 
 # ---------------------------------------------------------------------------
