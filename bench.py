@@ -77,6 +77,15 @@ HEADLINE = [
     "customer_order_distribution",
     "large_orders",
     "length_cdf",
+    # round-2 batch 3: binned interval-overlap join and compaction planning
+    "events_interval_overlap",
+    "compaction_plan",
+    "hard_negatives",
+    # product-analytics staples: explicit-value pivot, cohort retention,
+    # single-shuffle ordered funnel
+    "lang_source_pivot",
+    "user_retention_cohorts",
+    "event_funnel",
 ]
 
 

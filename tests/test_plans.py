@@ -444,3 +444,32 @@ def test_no_plan_antipatterns_across_all_queries(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_plan_compaction_bins(spark):
+    """Greedy sequential fill: bins reach the target without splitting
+    files; an oversized file gets its own bin; groups plan independently."""
+    from vectordb_data_ingestion_spark.plans.layout import plan_compaction
+
+    files = spark.createDataFrame(
+        [
+            ("a", "f1", 600),
+            ("a", "f2", 600),
+            ("a", "f3", 600),  # 600+600 < 1000 cum crosses after f2
+            ("a", "f4", 5000),  # oversized -> own bin
+            ("a", "f5", 100),
+            ("b", "g1", 10),
+        ],
+        "source string, name string, bytes long",
+    )
+    out = {
+        (r["source"], r["name"]): r["compaction_bin"]
+        for r in plan_compaction(
+            files, "bytes", ["source"], target_bytes=1000, order_col="name"
+        ).collect()
+    }
+    assert out[("a", "f1")] == 0 and out[("a", "f2")] == 0
+    assert out[("a", "f3")] == 1  # cum-before 1200 crossed the 1000 boundary
+    assert out[("a", "f4")] == 1  # joins the open bin, overflows it...
+    assert out[("a", "f5")] == 6  # ...next file starts far past (6800//1000)
+    assert out[("b", "g1")] == 0

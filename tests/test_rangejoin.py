@@ -5,6 +5,7 @@ inequality join)."""
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from vectordb_data_ingestion_spark.operators.rangejoin import range_join_binned
 
@@ -76,3 +77,63 @@ def test_plan_is_equi_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Binned canonical-bin plan vs the naive theta join on intervals that
+    span multiple bins, touch at exact boundaries, and nest — every pair
+    exactly once."""
+    from vectordb_data_ingestion_spark.operators.rangejoin import (
+        interval_overlap_join_binned,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00", "2024-01-03 12:00:00"),  # 3 bins
+            (1, 11, "2024-01-05 00:00:00", "2024-01-05 01:00:00"),
+            (2, 20, "2024-01-02 00:00:00", "2024-01-02 00:00:01"),
+        ],
+        "user_id long, l_id long, s string, e string",
+    ).select(
+        "user_id",
+        "l_id",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-02 06:00:00", "2024-01-04 00:00:00"),  # overlaps 10
+            (1, 101, "2024-01-03 12:00:00", "2024-01-03 13:00:00"),  # touches 10's end
+            (1, 102, "2024-01-05 01:00:00", "2024-01-05 02:00:00"),  # touches 11's end
+            (1, 103, "2024-01-06 00:00:00", "2024-01-07 00:00:00"),  # no overlap
+            (2, 200, "2024-01-01 00:00:00", "2024-01-09 00:00:00"),  # spans 20
+        ],
+        "user_id long, r_id long, s string, e string",
+    ).select(
+        "user_id",
+        "r_id",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    got = sorted(
+        (r["user_id"], r["l_l_id"], r["r_r_id"])
+        for r in interval_overlap_join_binned(
+            left, right, ["user_id"], "s", "e", "s", "e", bin_seconds=86400
+        ).collect()
+    )
+    l, r = left.alias("l"), right.alias("r")
+    naive = sorted(
+        (row["user_id"], row["l_id"], row["r_id"])
+        for row in l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.s") <= F.col("r.e"))
+            & (F.col("r.s") <= F.col("l.e")),
+        )
+        .select(F.col("l.user_id"), "l_id", "r_id")
+        .collect()
+    )
+    assert got == naive
+    assert (1, 10, 100) in got and (1, 10, 101) in got
+    assert (1, 11, 102) in got and (2, 20, 200) in got
+    assert all(p[2] != 103 for p in got)

@@ -73,3 +73,78 @@ def range_join_binned(
         .filter(F.col(f"{right_prefix}ts").between(lo, hi))
         .drop("__bin")
     )
+
+
+def interval_overlap_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_seconds: int = 86400,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """All (left, right) pairs with equal ``key_cols`` whose time intervals
+    overlap: ``left_start <= right_end AND right_start <= left_end``
+    (inclusive) — the interval×interval sibling of :func:`range_join_binned`
+    (point-in-window). Needed for session×incident attribution, campaign
+    windows, and validity-interval reconciliation.
+
+    Scale shape: a naive theta join is a per-key cross product. Here each
+    side explodes its interval into the fixed-width time bins it covers and
+    the join is an equi-join on ``(key, bin)``; work scales with co-located
+    rows per bin, never per-key rows squared. An overlapping pair shares
+    every bin between the later start and the earlier end, so to emit it
+    exactly ONCE (without a distinct shuffle) we keep only the canonical
+    shared bin — the later of the two start bins, which both sides cover
+    whenever the intervals overlap. Exact overlap is then re-checked on the
+    candidate set. Bin width trades duplication (long intervals explode
+    into span/width bins) against candidate density; pick ~the typical
+    interval span."""
+    w = int(bin_seconds)
+    if w <= 0:
+        raise ValueError("bin_seconds must be positive")
+    w_us = w * 1_000_000  # bins on epoch-µs so exact tests share the clock
+
+    def bins(start: str, end: str):
+        return F.sequence(
+            F.floor(F.unix_micros(F.col(start)) / w_us),
+            F.floor(F.unix_micros(F.col(end)) / w_us),
+        )
+
+    def prefixed(df: DataFrame, prefix: str):
+        return [
+            F.col(c).alias(f"{prefix}{c}")
+            for c in df.columns
+            if c not in key_cols
+        ]
+
+    lhs = left.select(
+        *key_cols,
+        *prefixed(left, left_prefix),
+        F.explode(bins(left_start, left_end)).alias("__bin"),
+    )
+    rhs = right.select(
+        *key_cols,
+        *prefixed(right, right_prefix),
+        F.explode(bins(right_start, right_end)).alias("__bin"),
+    )
+    ls = F.unix_micros(F.col(f"{left_prefix}{left_start}"))
+    le = F.unix_micros(F.col(f"{left_prefix}{left_end}"))
+    rs = F.unix_micros(F.col(f"{right_prefix}{right_start}"))
+    re_ = F.unix_micros(F.col(f"{right_prefix}{right_end}"))
+    return (
+        lhs.join(rhs, [*key_cols, "__bin"])
+        .filter(
+            (
+                F.col("__bin")
+                == F.greatest(F.floor(ls / w_us), F.floor(rs / w_us))
+            )
+            & (ls <= re_)
+            & (rs <= le)
+        )
+        .drop("__bin")
+    )

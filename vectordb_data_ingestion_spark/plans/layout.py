@@ -140,3 +140,42 @@ def write_zordered(
     parts.sortWithinPartitions("__zkey").drop("__zkey").write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def plan_compaction(
+    files: DataFrame,
+    size_col: str,
+    group_cols: Sequence[str],
+    target_bytes: int,
+    order_col: str = "name",
+) -> DataFrame:
+    """Small-file compaction plan (the Delta/Iceberg OPTIMIZE bin-packing
+    step as a plain query): within each ``group_cols`` partition, walk files
+    in deterministic ``order_col`` order and fill bins greedily to
+    ``target_bytes`` — ``bin = floor((cumulative - size) / target)``, i.e. a
+    file opens a new bin exactly when the running total before it has
+    crossed the next target boundary. A file larger than the target gets a
+    bin of its own (bins may overflow by less than one file — the standard
+    greedy guarantee).
+
+    Returns the input plus ``compaction_bin`` — the rewrite task id a
+    compactor would execute per ``(group, bin)``.
+
+    Scale shape: one window per partition group (hash-partitioned by
+    ``group_cols``, the same key the table is stored under); no global
+    sort, no driver-side file listing walk. 100 TB of file metadata is
+    still millions of rows at most — window-friendly."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(size_col)).over(w)
+    return files.withColumn(
+        "compaction_bin",
+        F.floor((cum - F.col(size_col)) / F.lit(int(target_bytes))).cast(
+            "long"
+        ),
+    )

@@ -4586,6 +4586,387 @@ def q_dup_span_removal(spark, sf_dir):
     return remove_duplicate_spans(docs, window_words=4)
 
 
+def _interval_overlap_oracle_sql() -> str:
+    from vectordb_data_ingestion_spark.operators.sessions import sessionize_sql
+
+    return f"""
+    WITH sess AS ({sessionize_sql(gap_seconds=86400)}),
+    inc AS (
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(event_id AS BIGINT) AS incident_id,
+             ts - INTERVAL 300 SECOND AS w_start,
+             ts + INTERVAL 300 SECOND AS w_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT s.user_id, s.session_idx, i.incident_id,
+           s.session_start, s.session_end
+    FROM sess s JOIN inc i
+      ON s.user_id = i.user_id
+     AND epoch_us(s.session_start) <= epoch_us(i.w_end)
+     AND epoch_us(i.w_start) <= epoch_us(s.session_end)
+    """
+
+
+@register("events_interval_overlap", _interval_overlap_oracle_sql())
+def q_events_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join: user sessions against ±5-minute
+    incident windows around that user's error events — session/incident
+    attribution. Executed with the binned canonical-bin plan
+    (operators/rangejoin.py::interval_overlap_join_binned): both sides
+    explode into day-wide time bins, equi-join on (user, bin), each pair
+    kept exactly once at the later start's bin — no per-key cross product,
+    no distinct shuffle."""
+    from vectordb_data_ingestion_spark.operators.rangejoin import (
+        interval_overlap_join_binned,
+    )
+    from vectordb_data_ingestion_spark.operators.sessions import sessionize
+
+    (events,) = _t(spark, sf_dir, "events")
+    sessions = sessionize(events, gap_seconds=86400)
+    incidents = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("incident_id"),
+        (F.col("ts") - F.expr("INTERVAL 300 SECONDS")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("w_end"),
+    )
+    pairs = interval_overlap_join_binned(
+        sessions,
+        incidents,
+        ["user_id"],
+        "session_start",
+        "session_end",
+        "w_start",
+        "w_end",
+        bin_seconds=86400,
+    )
+    return pairs.select(
+        "user_id",
+        F.col("l_session_idx").alias("session_idx"),
+        F.col("r_incident_id").alias("incident_id"),
+        F.col("l_session_start").alias("session_start"),
+        F.col("l_session_end").alias("session_end"),
+    )
+
+
+@register(
+    "compaction_plan",
+    f"""
+    WITH files AS (
+      SELECT source, 'doc_' || doc_id || '.' || {_EXT_SQL} AS name,
+             CAST(n_chars AS BIGINT) AS bytes
+      FROM documents
+    )
+    SELECT source, name, bytes,
+           CAST(floor((SUM(bytes) OVER (PARTITION BY source ORDER BY name
+                         ROWS UNBOUNDED PRECEDING) - bytes) / 2000.0)
+                AS BIGINT) AS compaction_bin
+    FROM files
+    """,
+)
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (Delta/Iceberg OPTIMIZE bin-packing
+    as a query): per source partition, files fill 2 kB rewrite bins
+    greedily in deterministic name order — the task list a compactor
+    executes. One window per partition group, no global sort
+    (plans/layout.py::plan_compaction)."""
+    from vectordb_data_ingestion_spark.plans.layout import plan_compaction
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    files = _with_names(docs).select(
+        "source", "name", F.col("n_chars").cast("long").alias("bytes")
+    )
+    return plan_compaction(
+        files, "bytes", ["source"], target_bytes=2000, order_col="name"
+    )
+
+
+_MRL_DIM = 16
+
+
+@register(
+    "mrl_recall_eval",
+    f"""
+    WITH q AS (SELECT {_DBL} AS qe FROM embeddings WHERE vec_id = 7),
+    c AS (SELECT vec_id, {_DBL} AS ce FROM embeddings),
+    bf AS (
+      SELECT CAST(c.vec_id AS BIGINT) AS vec_id
+      FROM c CROSS JOIN q
+      ORDER BY ROUND(list_dot_product(ce, qe) /
+                     (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe))),
+                     6) DESC, c.vec_id ASC
+      LIMIT 10
+    ),
+    qt AS (SELECT qe[1:{_MRL_DIM}] AS qe FROM q),
+    ct AS (SELECT vec_id, ce[1:{_MRL_DIM}] AS ce FROM c),
+    tr AS (
+      SELECT CAST(ct.vec_id AS BIGINT) AS vec_id
+      FROM ct CROSS JOIN qt
+      ORDER BY ROUND(list_dot_product(ce, qe) /
+                     (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe))),
+                     6) DESC, ct.vec_id ASC
+      LIMIT 10
+    )
+    SELECT CAST((SELECT COUNT(*) FROM bf JOIN tr USING (vec_id)) AS BIGINT)
+             AS hits,
+           CAST((SELECT COUNT(*) FROM bf) AS BIGINT) AS k,
+           ROUND(CAST((SELECT COUNT(*) FROM bf JOIN tr USING (vec_id)) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM bf), 6) AS recall_at_k
+    """,
+)
+def q_mrl_recall_eval(spark, sf_dir):
+    """Matryoshka (MRL) truncation evaluation: recall@10 of retrieval over
+    the first 16 of 64 dimensions against full-dimension exact top-10 —
+    the storage/accuracy dial of truncatable embeddings (4× scan-byte
+    cut). Truncation is a pure slice projection; both retrievals are
+    narrow TakeOrdered scans; the intersection is a 10-row join."""
+    from vectordb_data_ingestion_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    full = to_double_array(F.col("embedding"))
+    trunc = F.slice(full, 1, _MRL_DIM)
+    qrow = emb.filter(F.col("vec_id") == 7)
+
+    def topk(corpus_vec, query_vec):
+        q = qrow.select(query_vec.alias("__q"))
+        scored = emb.crossJoin(broadcast(q)).select(
+            F.col("vec_id"),
+            F.round(cosine_similarity(corpus_vec, F.col("__q")), 6).alias(
+                "__cos"
+            ),
+        )
+        return (
+            scored.orderBy(F.desc("__cos"), F.asc("vec_id"))
+            .limit(10)
+            .select("vec_id")
+        )
+
+    bf = topk(full, full)
+    tr = topk(trunc, trunc)
+    hits = bf.join(tr, "vec_id").agg(F.count("*").alias("hits"))
+    k = bf.agg(F.count("*").alias("k"))
+    return hits.crossJoin(k).select(
+        F.col("hits").cast("long").alias("hits"),
+        F.col("k").cast("long").alias("k"),
+        F.round(F.col("hits").cast("double") / F.col("k"), 6).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+_HARDNEG_QIDS = (3, 7, 11)
+
+
+@register(
+    "hard_negatives",
+    f"""
+    WITH q AS (
+      SELECT CAST(vec_id AS BIGINT) AS q_id, label AS q_label, {_DBL} AS qe
+      FROM embeddings WHERE vec_id IN {_HARDNEG_QIDS}
+    ),
+    c AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, label, {_DBL} AS ce
+          FROM embeddings),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             ROUND(list_dot_product(ce, qe) /
+                   (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe))),
+                   6) AS cosine,
+             row_number() OVER (PARTITION BY q.q_id
+                                ORDER BY ROUND(list_dot_product(ce, qe) /
+                                  (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe))),
+                                  6) DESC, c.vec_id ASC) AS rn
+      FROM c CROSS JOIN q
+      WHERE c.label <> q.q_label
+    )
+    SELECT q_id, vec_id, cosine FROM scored WHERE rn <= 5
+    """,
+)
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive retrieval training: per query
+    vector, the 5 most-similar corpus vectors with a DIFFERENT label —
+    near-misses that make the strongest training negatives. Same broadcast
+    query / partition-local top-k shape as the ANN family, with the label
+    predicate applied before scoring so mismatched pairs never rank."""
+    from vectordb_data_ingestion_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(*_HARDNEG_QIDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        to_double_array(F.col("embedding")).alias("qe"),
+    )
+    scored = (
+        emb.crossJoin(broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(to_double_array(F.col("embedding")), F.col("qe")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+    )
+
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@register(
+    "lang_source_pivot",
+    f"""
+    SELECT source,
+           {", ".join(
+               f"CAST(COUNT(*) FILTER (WHERE lang = '{lg}') AS BIGINT) AS n_{lg}"
+               for lg in _PIVOT_LANGS
+           )}
+    FROM documents GROUP BY source
+    """,
+)
+def q_lang_source_pivot(spark, sf_dir):
+    """Wide-format corpus composition: documents per (source, language)
+    pivoted to one column per language. Pivot values are given explicitly
+    so Spark skips the extra distinct-values job and plans ONE
+    partial-aggregated shuffle — at 100 TB a pivot with inferred values
+    would scan the corpus twice."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    p = docs.groupBy("source").pivot("lang", _PIVOT_LANGS).count()
+    return p.select(
+        "source",
+        *[
+            F.coalesce(F.col(lg), F.lit(0)).cast("long").alias(f"n_{lg}")
+            for lg in _PIVOT_LANGS
+        ],
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    """
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(datediff('day', f.cohort_day, a.day) AS INTEGER) AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN first_day f USING (user_id)
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def q_user_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day, counted on each
+    later active day offset — the standard product-analytics retention
+    triangle. Two partial-aggregated shuffles on user_id (first-day and
+    distinct active days share the key, so AQE reuses the exchange) and a
+    broadcastable cohort join; the final (cohort, offset) aggregate is
+    tiny."""
+    (events,) = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    first_day = events.groupBy("user_id").agg(
+        F.min(day).alias("cohort_day")
+    )
+    active = events.select("user_id", day.alias("day")).distinct()
+    return (
+        active.join(broadcast(first_day), "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "event_funnel",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'view') AS t1,
+             list(ts ORDER BY ts) FILTER (WHERE event_type = 'click')
+               AS clicks,
+             list(ts ORDER BY ts) FILTER (WHERE event_type = 'purchase')
+               AS purchases
+      FROM events GROUP BY user_id
+    ),
+    staged AS (
+      SELECT user_id, t1,
+             list_filter(clicks, c -> c > t1)[1] AS t2
+      FROM per_user
+    ),
+    staged2 AS (
+      SELECT s.user_id, s.t1, s.t2,
+             list_filter(p.purchases, x -> x > s.t2)[1] AS t3
+      FROM staged s JOIN per_user p USING (user_id)
+    )
+    SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM staged2 GROUP BY stage
+    """,
+)
+def q_event_funnel(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): per user, the first view,
+    the first click strictly after it, the first purchase strictly after
+    that; users counted by deepest stage reached. ONE user-keyed shuffle:
+    the per-user event lists are built in a single aggregate and the
+    strictly-after chain is pure array logic (for pathological users with
+    millions of events, split into the equivalent three-phase
+    min-after-join form — same semantics, bounded state)."""
+    (events,) = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            )
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            )
+        ).alias("purchases"),
+    )
+    t2 = F.element_at(
+        F.filter(F.col("clicks"), lambda c: c > F.col("t1")), 1
+    )
+    staged = per_user.withColumn("t2", t2).withColumn(
+        "t3",
+        F.element_at(
+            F.filter(F.col("purchases"), lambda x: x > F.col("t2")), 1
+        ),
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        staged.select(stage.cast("int").alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order priority
 # ---------------------------------------------------------------------------
