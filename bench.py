@@ -86,6 +86,8 @@ HEADLINE = [
     "lang_source_pivot",
     "user_retention_cohorts",
     "event_funnel",
+    "cluster_topics",
+    "corpus_stats_cube",
 ]
 
 

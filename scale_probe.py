@@ -43,6 +43,10 @@ PROBE = [
     "hybrid_rrf_search",
     "ann_topk_batch",
     "repetition_signals",
+    # round-2 heavy additions: windowed span removal (explode + 2 hash
+    # shuffles) and tokenizer train+apply (word-count shuffle + cached map)
+    "dup_span_removal",
+    "bpe_segment_tokens",
 ]
 
 ALL_TABLES = (

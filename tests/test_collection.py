@@ -198,3 +198,26 @@ def test_near_text_roundtrip_with_ingest_transport(spark):
         "configure the vpn", k=2, where=F.col("chunk_id") != 2
     ).collect()
     assert rows and all(r["chunk_id"] != 2 for r in rows)
+
+
+def test_near_object_excludes_anchor(spark):
+    """nearObject = look up the anchor's stored vector, run nearVector,
+    anchor excluded; parity with near_vector on the same vector minus the
+    anchor row."""
+    corpus = _corpus(spark)
+    col = VectorCollection(corpus, id_col="doc_id")
+    hits = col.near_object(7, k=3, certainty=0.0).collect()
+    assert all(r["doc_id"] != 7 for r in hits)
+    via_vec = (
+        col.near_vector(
+            _vec(corpus, 7), k=4, certainty=0.0
+        )
+        .filter(F.col("doc_id") != 7)
+        .collect()[:3]
+    )
+    assert [r["doc_id"] for r in hits] == [r["doc_id"] for r in via_vec]
+    try:
+        col.near_object(10**9)
+        raise AssertionError("expected KeyError for a missing anchor id")
+    except KeyError:
+        pass

@@ -248,3 +248,59 @@ def test_asof_directions_randomized_parity_vs_pandas(spark):
         for _, row in merged.iterrows():
             want_v = None if pd.isna(row["v"]) else row["v"]
             assert got[row["id"]] == want_v, (direction, row["id"])
+
+
+def _ref_span_removal(texts, k):
+    """Independent dict-based windowed ExactSubstr: canonical occurrence =
+    min (doc_id, pos); later occurrences mark [pos, pos+k) for removal."""
+    import re as _re
+
+    ws_re = _re.compile("[ \x09-\x0d]+")
+    words_by = {
+        i: [w for w in ws_re.sub(" ", t).split(" ") if w]
+        for i, t in texts.items()
+    }
+    occ = {}
+    for i in sorted(words_by):
+        ws = words_by[i]
+        for p in range(len(ws) - k + 1):
+            key = " ".join(ws[p : p + k])
+            if key not in occ or (i, p) < occ[key]:
+                occ[key] = (i, p)
+    out = {}
+    for i, ws in words_by.items():
+        marked = set()
+        for p in range(len(ws) - k + 1):
+            if occ[" ".join(ws[p : p + k])] != (i, p):
+                marked.update(range(p, p + k))
+        kept = [w for j, w in enumerate(ws) if j not in marked]
+        out[i] = (" ".join(kept), len(ws), len(ws) - len(kept))
+    return out
+
+
+def test_span_removal_randomized_parity(spark):
+    """remove_duplicate_spans vs the dict-based reference on tiny-alphabet
+    random corpora that force heavy window collisions (k=2 over 4 words
+    collides constantly, exercising overlap-merge and intra-doc repeats)."""
+    from vectordb_data_ingestion_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(17)
+    for trial in range(3):
+        texts = {
+            i: " ".join(
+                rng.choice("ab cd ef gh".split())
+                for _ in range(rng.randrange(0, 30))
+            )
+            for i in range(8)
+        }
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed"])
+            for r in remove_duplicate_spans(docs, window_words=2).collect()
+        }
+        want = _ref_span_removal(texts, 2)
+        assert got == want, (trial, got, want)

@@ -463,3 +463,70 @@ def test_stream_static_enrich_broadcasts(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["event_id"], r["kind"]) for r in spark.read.parquet(out).collect()}
     assert got == {(1, "kb"), (2, "catalog"), (3, None)}
+
+
+def test_streaming_near_dup_filter(spark, tmp_path):
+    """Incremental MinHash/LSH admission: batch 2's near-copy of a batch-1
+    doc is rejected against the persisted index, within-batch near-dups
+    collapse to the smallest id, and distinct docs are admitted. One
+    availableNow run with maxFilesPerTrigger=1 -> two real micro-batches."""
+    from vectordb_data_ingestion_spark.streaming.incremental import (
+        foreach_batch_near_dup_filter,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long tune about distributed systems and shuffle free joins"
+    )
+    other = (
+        "completely different content about product quantization codebooks "
+        "inverted files and approximate nearest neighbor retrieval at scale"
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    wave1 = spark.createDataFrame(
+        [(0, base), (1, other)], "doc_id long, text string"
+    )
+    # near-copy of doc 0 (one word changed), a fresh doc, and an intra-batch
+    # near-dup pair (3 ~ 4): 4 must collapse into 3, 2 must be rejected
+    wave2 = spark.createDataFrame(
+        [
+            (2, base.replace("lazy", "sleepy")),
+            (3, "unique payload alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (4, "unique payload alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        ],
+        "doc_id long, text string",
+    )
+    wave1.coalesce(1).write.parquet(str(in_dir / "w1"))
+    wave2.coalesce(1).write.parquet(str(in_dir / "w2"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    q = foreach_batch_near_dup_filter(
+        stream,
+        index_dir=str(tmp_path / "index"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        jaccard_threshold=0.5,
+    ).start()
+    q.awaitTermination(120)
+
+    admitted = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert 0 in admitted and 1 in admitted
+    assert 2 not in admitted  # near-copy of admitted doc 0
+    assert 3 in admitted and 4 not in admitted  # intra-batch collapse
+    # the index grew only by survivors
+    idx_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "index/shingles"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert idx_ids == admitted

@@ -113,6 +113,32 @@ class VectorCollection:
         )
         return self.near_vector(qvec, k=k, certainty=certainty, where=where)
 
+    def near_object(
+        self,
+        object_id,
+        k: int = 3,
+        certainty: float | None = None,
+        where: Column | None = None,
+    ) -> DataFrame:
+        """Weaviate nearObject: retrieve by similarity to an EXISTING
+        object — look up its stored vector by id (one indexed/pruned point
+        read), then run the nearVector plan. The anchor object itself is
+        excluded from the result, per Weaviate semantics."""
+        row = (
+            self.corpus.filter(F.col(self.id_col) == F.lit(object_id))
+            .select(self.vec_col)
+            .first()
+        )
+        if row is None:
+            raise KeyError(f"no object with {self.id_col}={object_id!r}")
+        anchor_excluded = F.col(self.id_col) != F.lit(object_id)
+        combined = (
+            anchor_excluded if where is None else (where & anchor_excluded)
+        )
+        return self.near_vector(
+            list(row[self.vec_col]), k=k, certainty=certainty, where=combined
+        )
+
     def bm25(
         self, query: str, k: int = 10, where: Column | None = None
     ) -> DataFrame:

@@ -136,6 +136,15 @@ def minhash_sig_sql_terms(sh_expr: str, num_hashes: int) -> list[str]:
     ]
 
 
+def jaccard_of(a: str | Column, b: str | Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) array columns,
+    rounded to 6dp — the verification predicate shared by the batch
+    (:func:`minhash_lsh_pairs`) and streaming near-dup paths."""
+    return F.round(
+        F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b)), 6
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -850,6 +859,9 @@ def remove_duplicate_spans(
     words = F.filter(word_split(F.col(text_col)), lambda w: w != "")
     base = df.select(F.col(id_col), words.alias("__ws"))
     n_win = F.greatest(F.size("__ws") - F.lit(k - 1), F.lit(0))
+    # 8-byte binary hash key (md5 prefix), same as duplicate_window_stats:
+    # the exploded table rides two shuffles, so key width is the dominant
+    # shuffle payload — 8 bytes vs a 32-char hex string is a 4x cut
     wins = base.select(
         F.col(id_col),
         F.posexplode(
@@ -857,9 +869,15 @@ def remove_duplicate_spans(
                 n_win >= 1,
                 F.transform(
                     F.sequence(F.lit(1), n_win),
-                    lambda i: F.md5(F.array_join(F.slice("__ws", i, k), " ")),
+                    lambda i: F.unhex(
+                        F.substring(
+                            F.md5(F.array_join(F.slice("__ws", i, k), " ")),
+                            1,
+                            16,
+                        )
+                    ),
                 ),
-            ).otherwise(F.array().cast("array<string>")),
+            ).otherwise(F.array().cast("array<binary>")),
         ).alias("__p0", "__wh"),
     ).select(
         id_col,
@@ -916,7 +934,7 @@ def remove_duplicate_spans_sql(
     wins AS (
       SELECT id, CAST(i AS BIGINT) AS pos,
              md5(array_to_string(words[CAST(i AS INTEGER) :
-                                       CAST(i AS INTEGER) + {k - 1}], ' '))
+                                       CAST(i AS INTEGER) + {k - 1}], ' '))[1:16]
                AS wh
       FROM (SELECT id, words,
                    unnest(range(1, greatest(len(words) - {k - 1}, 0) + 1))

@@ -4967,6 +4967,96 @@ def q_event_funnel(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_stats_cube",
+    """
+    SELECT lang, source,
+           CAST(GROUPING(lang) * 2 + GROUPING(source) AS INTEGER) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+)
+def q_corpus_stats_cube(spark, sf_dir):
+    """CUBE completes the grouping-sets surface (ROLLUP is
+    corpus_stats_rollup): all four aggregation levels — (lang, source),
+    lang, source, grand total — from ONE shuffle with map-side partials;
+    grouping_id disambiguates levels where a dimension value is genuinely
+    NULL. Four separate aggregate jobs would scan the corpus four times."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "cluster_topics",
+    f"""
+    WITH {_IVF_ASSIGN_SQL},
+    doc_words AS (
+      SELECT a.cell, w.word
+      FROM assigned a
+      JOIN (
+        SELECT doc_id,
+               unnest(list_filter(string_split(regexp_replace(text,
+                        '[ \\x09-\\x0D]+', ' ', 'g'), ' '), x -> x <> ''))
+                 AS word
+        FROM documents
+      ) w ON w.doc_id = a.vec_id
+    ),
+    counts AS (
+      SELECT cell, word, COUNT(*) AS n FROM doc_words GROUP BY cell, word
+    ),
+    ranked AS (
+      SELECT cell, word, n,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY n DESC, word ASC) AS rnk
+      FROM counts
+    )
+    SELECT CAST(cell AS BIGINT) AS c_id, CAST(rnk AS INTEGER) AS rnk,
+           word, CAST(n AS BIGINT) AS n
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_cluster_topics(spark, sf_dir):
+    """Cluster labeling: each document rides its IVF cell assignment
+    (embeddings and documents share ids), word counts aggregate per cell,
+    and the top-3 terms name the cluster — the human-readable readout of
+    semantic clustering. The corpus-scale work is one exploded
+    (cell, word) partial-aggregated shuffle; the ranking window runs on
+    the already-tiny count table."""
+    from vectordb_data_ingestion_spark.functions.text import word_split
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    _, _, assigned = _ivf_parts(spark, sf_dir)
+    words = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.filter(word_split(F.col("text")), lambda w: w != "")
+        ).alias("word"),
+    )
+    cell_words = words.join(
+        assigned.select(F.col("vec_id").alias("doc_id"), "cell"), "doc_id"
+    )
+    counts = cell_words.groupBy("cell", "word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("cell").cast("long").alias("c_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            "word",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order priority
 # ---------------------------------------------------------------------------

@@ -117,3 +117,123 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(["__h"])
         .drop("__h")
     )
+
+
+def foreach_batch_near_dup_filter(
+    stream_df: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+):
+    """Streaming arm of the MinHash/LSH near-dup family: maintain the
+    banded-signature index incrementally and admit only documents with no
+    near-duplicate among everything already admitted.
+
+    Per micro-batch (the batch form of the batch-side
+    ``dedup.minhash_lsh_pairs``, sharing its build products):
+
+    1. shingle + band the batch (``banded_signature_table``);
+    2. candidate-join the batch's ``(band, band_hash)`` rows against the
+       PERSISTED index — an equi-join against a parquet table that a real
+       deployment partitions by band_hash prefix, so each batch probes a
+       sliver of the index, never rescans the admitted corpus;
+    3. exact-Jaccard-verify candidates against the stored shingle sets;
+       batch docs with a verified match are dropped;
+    4. within-batch near-dups collapse to their smallest id (same banded
+       self-join, batch-sized);
+    5. survivors' rows, shingles, and bands are APPENDED to the store —
+       the index is the single source of truth, exactly like the
+       incremental BM25 postings (search.py::derive_bm25_tables).
+
+    State is the index on storage, not executor memory — unlike
+    ``dropDuplicatesWithinWatermark`` (exact hashes, bounded horizon) this
+    catches NEAR duplicates with no time horizon. Deterministic: admission
+    depends only on previously-admitted content, and batch-internal ties
+    resolve to the smallest id."""
+    from vectordb_data_ingestion_spark.operators.dedup import (
+        banded_signature_table,
+        jaccard_of,
+    )
+
+    bands_path = f"{index_dir}/bands"
+    shingle_path = f"{index_dir}/shingles"
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        sh_tbl, banded = banded_signature_table(
+            batch_df, text_col, id_col, num_hashes, bands, shingle_n
+        )
+        try:
+            idx_bands = spark.read.parquet(bands_path)
+            idx_sh = spark.read.parquet(shingle_path)
+        except Exception:
+            idx_bands = None
+            idx_sh = None
+
+        dup_ids = None
+        if idx_bands is not None:
+            cand = (
+                banded.select(F.col(id_col).alias("id_new"), "band", "band_hash")
+                .join(
+                    idx_bands.select(
+                        F.col(id_col).alias("id_old"), "band", "band_hash"
+                    ),
+                    ["band", "band_hash"],
+                )
+                .select("id_new", "id_old")
+                .dropDuplicates()
+            )
+            verified = (
+                cand.join(
+                    sh_tbl.select(F.col(id_col).alias("id_new"), F.col("__sh").alias("sh_new")),
+                    "id_new",
+                )
+                .join(
+                    idx_sh.select(F.col(id_col).alias("id_old"), F.col("__sh").alias("sh_old")),
+                    "id_old",
+                )
+                .filter(jaccard_of("sh_new", "sh_old") >= jaccard_threshold)
+            )
+            dup_ids = verified.select(F.col("id_new").alias(id_col)).distinct()
+
+        survivors = batch_df
+        if dup_ids is not None:
+            survivors = survivors.join(dup_ids, id_col, "left_anti")
+
+        # within-batch collapse: near-dup pairs keep the smaller id
+        surv_sh = sh_tbl.join(survivors.select(id_col), id_col)
+        l = surv_sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+        r = surv_sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+        bl = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+        br = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+        intra = (
+            bl.join(br, ["band", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates()
+            .join(l, "id_a")
+            .join(r, "id_b")
+            .filter(jaccard_of("sh_a", "sh_b") >= jaccard_threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        survivors = survivors.join(intra, id_col, "left_anti").localCheckpoint()
+
+        kept = survivors.select(id_col)
+        survivors.write.mode("append").parquet(out_dir)
+        sh_tbl.join(kept, id_col).write.mode("append").parquet(shingle_path)
+        banded.join(kept, id_col).write.mode("append").parquet(bands_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
