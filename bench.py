@@ -88,6 +88,8 @@ HEADLINE = [
     "event_funnel",
     "cluster_topics",
     "corpus_stats_cube",
+    "tokenizer_compression_eval",
+    "minhash_estimate_error",
 ]
 
 

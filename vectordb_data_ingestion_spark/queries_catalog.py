@@ -5057,6 +5057,162 @@ def q_cluster_topics(spark, sf_dir):
     )
 
 
+def _tokenizer_compression_oracle_sql() -> str | None:
+    seg = _bpe_segment_oracle_sql()
+    if seg is None:
+        return None
+    words = (
+        "len(list_filter(string_split(regexp_replace(text, "
+        "'[ \\x09-\\x0D]+', ' ', 'g'), ' '), w -> w <> ''))"
+    )
+    return f"""
+    WITH toks AS ({seg}),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id)
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(p.n_tokens, 0)) AS BIGINT) AS n_tokens,
+           CAST(SUM({words}) AS BIGINT) AS n_words,
+           ROUND(CAST(SUM(d.n_chars) AS DOUBLE)
+                 / SUM(COALESCE(p.n_tokens, 0)), 6) AS chars_per_token
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    GROUP BY d.lang
+    """
+
+
+@register("tokenizer_compression_eval", _tokenizer_compression_oracle_sql())
+def q_tokenizer_compression_eval(spark, sf_dir):
+    """Tokenizer fertility/compression readout per language: documents,
+    words, BPE tokens, and chars-per-token for the corpus-trained 8-merge
+    vocabulary — the statistic that decides whether a tokenizer suits a
+    multilingual mix. One segmentation pass (cached vectorized segmenter)
+    + one tiny per-language aggregate."""
+    from vectordb_data_ingestion_spark.operators.bpe import (
+        bpe_segment_vectorized,
+        bpe_train,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=8)
+    seg = bpe_segment_vectorized(docs, merges)
+    words = F.filter(
+        F.split(F.regexp_replace("text", r"[ \x09-\x0D]+", " "), " "),
+        lambda w: w != "",
+    )
+    return (
+        seg.select(
+            "lang",
+            "n_chars",
+            F.size("bpe_tokens").alias("__nt"),
+            F.size(words).alias("__nw"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+            F.sum("__nw").cast("long").alias("n_words"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("__nt"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+@register(
+    "minhash_estimate_error",
+    f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM corpus),
+    sig AS (SELECT doc_id, sh, [{_SIG_SQL}] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, band, {_BAND_HASH_SQL} AS band_hash
+      FROM (SELECT doc_id, sig, unnest(range(0, {_MINHASH_BANDS})) AS band
+            FROM sig)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard,
+           ROUND(list_sum(list_transform(range(1, {_MINHASH_K + 1}),
+                 i -> CASE WHEN sa.sig[CAST(i AS INTEGER)]
+                                = sb.sig[CAST(i AS INTEGER)]
+                      THEN 1 ELSE 0 END)) / {_MINHASH_K}.0, 6) AS jaccard_est,
+           ROUND(abs(
+             ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                   len(list_distinct(list_concat(sa.sh, sb.sh))), 6)
+             - ROUND(list_sum(list_transform(range(1, {_MINHASH_K + 1}),
+                 i -> CASE WHEN sa.sig[CAST(i AS INTEGER)]
+                                = sb.sig[CAST(i AS INTEGER)]
+                      THEN 1 ELSE 0 END)) / {_MINHASH_K}.0, 6)), 6) AS abs_err
+    FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
+              JOIN sig sb ON cand.id_b = sb.doc_id
+    """,
+)
+def q_minhash_estimate_error(spark, sf_dir):
+    """Sketch-quality evaluation: for every LSH candidate pair, the
+    MinHash-estimated Jaccard (fraction of agreeing signature components)
+    against the exact Jaccard, with absolute error — the calibration
+    readout that justifies the (num_hashes, bands) operating point. Runs
+    on the candidate set only (never corpus²); signatures and shingles
+    join back by id exactly as in the production dedup path."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    corpus = _neardup_corpus(docs)
+    sh_tbl, banded = dd.banded_signature_table(
+        corpus, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS,
+        shingle_n=_SHINGLE_N,
+    )
+    sigs = sh_tbl.select(
+        "doc_id",
+        dd.minhash_sig_from_shingles(F.col("__sh"), _MINHASH_K).alias("sig"),
+        "__sh",
+    )
+    cand = (
+        banded.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
+        .join(
+            banded.select(F.col("doc_id").alias("id_b"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    pairs = cand.join(
+        sigs.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("sig").alias("sig_a"),
+            F.col("__sh").alias("sh_a"),
+        ),
+        "id_a",
+    ).join(
+        sigs.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("sig").alias("sig_b"),
+            F.col("__sh").alias("sh_b"),
+        ),
+        "id_b",
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    jac = dd.jaccard_of("sh_a", "sh_b")
+    est = F.round(matches / F.lit(float(_MINHASH_K)), 6)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        jac.alias("jaccard"),
+        est.alias("jaccard_est"),
+        F.round(F.abs(jac - est), 6).alias("abs_err"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order priority
 # ---------------------------------------------------------------------------
