@@ -227,3 +227,71 @@ def test_ivfpq_cell_partitioned_layout_prunes(spark, tmp_path):
     pf = scan.split("PartitionFilters")[1].split("]")[0]
     assert "cell" in pf and " in (" in pf.lower()
     assert pruned.count() > 0
+
+
+def test_persisted_ivfpq_index_lifecycle(spark, tmp_path):
+    """Build-once/query-many: the stored index answers bit-identically to
+    the rebuild-every-time ivfpq_topk, the codes scan carries a cell
+    PartitionFilter, and only the probed cells' files are read."""
+    from vectordb_data_ingestion_spark.operators.pq import ivfpq_topk
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        assign_ivf_cells_vectorized,
+    )
+    from vectordb_data_ingestion_spark.operators.vector_index import (
+        build_ivfpq_index,
+        load_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from vectordb_data_ingestion_spark.plans.inspect import physical_plan
+
+    emb = _emb(spark).cache()
+    cb = pq_train(emb, m=M, dim=DIM, k=4, iterations=1).cache()
+    centroids = emb.filter(F.col("vec_id") % 25 == 2).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_embedding"),
+    ).cache()
+    idx_dir = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, centroids, cb, idx_dir, m=M, dim=DIM)
+
+    index = load_ivfpq_index(spark, idx_dir, m=M, dim=DIM)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    ]
+    stored = query_ivfpq_index(index, qv, k=10, n_probe=2)
+    # parity with the rebuild-every-time path
+    from vectordb_data_ingestion_spark.operators.pq import (
+        pq_encode_vectorized,
+    )
+
+    cells = assign_ivf_cells_vectorized(emb, centroids).select(
+        "vec_id", "cell"
+    )
+    encoded = pq_encode_vectorized(emb, cb, M, DIM).join(cells, "vec_id")
+    direct = ivfpq_topk(encoded, centroids, cb, qv, k=10, n_probe=2, m=M, dim=DIM)
+    assert [tuple(r) for r in stored.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+    # the probe is a PARTITION filter: unprobed cells' files are never read
+    probed = query_ivfpq_index(index, qv, k=10, n_probe=2)
+    assert "PartitionFilters" in physical_plan(probed)
+    n_cells = centroids.count()
+    all_files = set(index.codes.inputFiles())
+    probe_files = {
+        f
+        for f in all_files
+        if any(
+            f"cell={c}/" in f
+            for c in [
+                r["cell"]
+                for r in query_ivfpq_index(index, qv, k=10, n_probe=2)
+                .select("vec_id")
+                .join(index.codes, "vec_id")
+                .select("cell")
+                .distinct()
+                .collect()
+            ]
+        )
+    }
+    assert len(probe_files) < len(all_files)  # genuinely pruned
+    assert n_cells > 2

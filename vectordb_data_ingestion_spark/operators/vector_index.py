@@ -1,0 +1,131 @@
+"""Persisted IVF+PQ vector index: build once, query many.
+
+The per-query paths (``pq.ivfpq_topk``) rebuild assignments and codes from
+the raw embeddings each run — right for tests, wrong for a deployment. A
+100 TB corpus builds its index ONCE and stores three tables, exactly like
+the materialized BM25 inverted index (``search.build_bm25_index``):
+
+- ``centroids/``  (c_id, c_embedding)            — k rows, broadcastable
+- ``codebooks/``  (sub, code, sv)                — m*k rows, broadcastable
+- ``codes/``      (vec_id, pq_codes) PARTITIONED BY cell — 1 byte/subspace
+  per vector plus the cell key; the ONLY corpus-scale table
+
+Partitioning ``codes/`` by cell makes the coarse-quantizer pruning a
+*partition filter*: probing ``n_probe`` of ``k`` cells reads ``n_probe/k``
+of the index files — the scan never touches unprobed cells' bytes
+(asserted in tests/test_pq.py). Queries answer from the index alone; the
+raw vectors are never read again.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class IvfPqIndex:
+    centroids: DataFrame
+    codebooks: DataFrame
+    codes: DataFrame  # (vec_id, pq_codes, cell) — cell is the partition key
+    m: int
+    dim: int
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    out_dir: str,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "c_id",
+    centroid_vec: str = "c_embedding",
+) -> None:
+    """One corpus pass: assign each vector's coarse cell (broadcast
+    centroids, vectorized matmul) and its PQ codes (broadcast codebooks,
+    matmul+argmin per Arrow batch), then write ``codes/`` partitioned by
+    cell. Centroids and codebooks persist alongside so queries need ONLY
+    ``out_dir``."""
+    from vectordb_data_ingestion_spark.operators.pq import pq_encode_vectorized
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        assign_ivf_cells_vectorized,
+    )
+
+    assigned = assign_ivf_cells_vectorized(
+        emb, centroids, centroid_id=centroid_id, centroid_vec=centroid_vec
+    )
+    encoded = pq_encode_vectorized(
+        emb, codebooks, m, dim, vec_col=vec_col, id_col=id_col
+    )
+    codes = encoded.join(assigned.select(id_col, "cell"), id_col)
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(out_dir, "codes")
+    )
+    centroids.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "centroids")
+    )
+    codebooks.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "codebooks")
+    )
+
+
+def load_ivfpq_index(
+    spark: SparkSession, out_dir: str, m: int = 8, dim: int = 64
+) -> IvfPqIndex:
+    return IvfPqIndex(
+        centroids=spark.read.parquet(os.path.join(out_dir, "centroids")),
+        codebooks=spark.read.parquet(os.path.join(out_dir, "codebooks")),
+        codes=spark.read.parquet(os.path.join(out_dir, "codes")),
+        m=m,
+        dim=dim,
+    )
+
+
+def query_ivfpq_index(
+    index: IvfPqIndex,
+    query_vector: list[float],
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    centroid_id: str = "c_id",
+    centroid_vec: str = "c_embedding",
+) -> DataFrame:
+    """Answer a query from the stored index: pick the ``n_probe`` nearest
+    centroids (tiny driver-side sort), prune ``codes/`` with a cell
+    partition filter, ADC-score only the probed rows. Bit-identical to the
+    rebuild-every-time ``pq.ivfpq_topk`` (parity-tested)."""
+    from vectordb_data_ingestion_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+    from vectordb_data_ingestion_spark.operators.pq import pq_adc_topk_codes
+
+    qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    probe_cells = [
+        r[0]
+        for r in index.centroids.select(
+            F.col(centroid_id),
+            F.round(
+                cosine_similarity(to_double_array(F.col(centroid_vec)), qv), 6
+            ).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc(centroid_id))
+        .limit(n_probe)
+        .collect()
+    ]
+    pruned = index.codes.filter(F.col("cell").isin(probe_cells))
+    return pq_adc_topk_codes(
+        pruned,
+        index.codebooks,
+        query_vector,
+        k,
+        m=index.m,
+        dim=index.dim,
+        id_col=id_col,
+    )

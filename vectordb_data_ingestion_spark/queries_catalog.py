@@ -5213,6 +5213,44 @@ def q_minhash_estimate_error(spark, sf_dir):
     )
 
 
+@register(
+    "lang_source_unpivot",
+    """
+    SELECT source, lang, CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT source,
+             {pairs}
+      FROM documents GROUP BY source
+    ) p
+    UNPIVOT (n FOR lang IN ({cols}))
+    WHERE n > 0
+    """.format(
+        pairs=", ".join(
+            f"COUNT(*) FILTER (WHERE lang = '{lg}') AS {lg}"
+            for lg in _PIVOT_LANGS
+        ),
+        cols=", ".join(_PIVOT_LANGS),
+    ),
+)
+def q_lang_source_unpivot(spark, sf_dir):
+    """Unpivot (melt) closes the reshape surface opened by
+    lang_source_pivot: the wide per-language columns stack back to tall
+    (source, lang, n) rows via the zero-shuffle ``stack`` generator —
+    round-tripping wide↔tall without touching the corpus again. Zero
+    counts are dropped, so pivot→unpivot equals the plain groupBy."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    wide = docs.groupBy("source").pivot("lang", _PIVOT_LANGS).count()
+    stack_expr = "stack({n}, {args}) as (lang, n)".format(
+        n=len(_PIVOT_LANGS),
+        args=", ".join(f"'{lg}', {lg}" for lg in _PIVOT_LANGS),
+    )
+    return (
+        wide.select("source", F.expr(stack_expr))
+        .filter(F.col("n").isNotNull() & (F.col("n") > 0))
+        .select("source", "lang", F.col("n").cast("long").alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order priority
 # ---------------------------------------------------------------------------
