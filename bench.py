@@ -90,6 +90,9 @@ HEADLINE = [
     "corpus_stats_cube",
     "tokenizer_compression_eval",
     "minhash_estimate_error",
+    "events_resample_ffill",
+    "snapshot_diff",
+    "lang_source_unpivot",
 ]
 
 

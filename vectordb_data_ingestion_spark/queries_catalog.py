@@ -5251,6 +5251,132 @@ def q_lang_source_unpivot(spark, sf_dir):
     )
 
 
+@register(
+    "events_resample_ffill",
+    """
+    WITH bounds AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g
+      FROM bounds
+    ),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS g,
+             last(value ORDER BY ts, event_id) AS v
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT grid.user_id, grid.g AS hour_ts,
+           ROUND(last_value(hourly.v IGNORE NULLS) OVER (
+             PARTITION BY grid.user_id ORDER BY grid.g
+             ROWS UNBOUNDED PRECEDING), 4) AS value_ffill
+    FROM grid LEFT JOIN hourly
+      ON grid.user_id = hourly.user_id AND grid.g = hourly.g
+    """,
+)
+def q_events_resample_ffill(spark, sf_dir):
+    """Time-series resampling: each user's event stream regularized to an
+    hourly grid, gaps forward-filled with the last observed value — the
+    feature-engineering primitive behind training-window alignment. The
+    grid is a pure ``sequence`` explode off a per-user bounds aggregate
+    (never a driver loop); the hourly last-observation is one partial
+    aggregate; the fill is ``last(ignorenulls)`` over the same user
+    partitioning, so the whole plan shares one user-keyed exchange."""
+    (events,) = _t(spark, sf_dir, "events")
+    bounds = events.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("g"),
+    )
+    hourly = (
+        events.withColumn("g", F.date_trunc("hour", "ts"))
+        .groupBy("user_id", "g")
+        .agg(
+            F.max(F.struct("ts", "event_id", "value"))["value"].alias("v")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "g"], "left")
+        .select(
+            "user_id",
+            F.col("g").alias("hour_ts"),
+            F.round(F.last("v", ignorenulls=True).over(w), 4).alias(
+                "value_ffill"
+            ),
+        )
+    )
+
+
+@register(
+    "snapshot_diff",
+    f"""
+    WITH old AS (
+      SELECT 'doc_' || doc_id || '.' || {_EXT_SQL} AS name,
+             CAST(n_chars AS BIGINT) AS size
+      FROM documents WHERE doc_id % 11 <> 3
+    ),
+    new AS (
+      SELECT 'doc_' || doc_id || '.' || {_EXT_SQL} AS name,
+             CAST(CASE WHEN doc_id % 5 = 1 THEN n_chars + 7
+                       ELSE n_chars END AS BIGINT) AS size
+      FROM documents WHERE doc_id % 13 <> 4
+    )
+    SELECT COALESCE(o.name, n.name) AS name,
+           CASE WHEN o.name IS NULL THEN 'insert'
+                WHEN n.name IS NULL THEN 'delete'
+                WHEN o.size <> n.size THEN 'update'
+                ELSE 'unchanged' END AS op,
+           o.size AS old_size, n.size AS new_size
+    FROM old o FULL OUTER JOIN new n ON o.name = n.name
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Change-data-capture classification between two catalog snapshots:
+    one FULL OUTER join on the key emits insert/delete/update/unchanged
+    rows — the diff feed a MERGE (catalog_merge) or SCD2 history consumes.
+    Single key-partitioned shuffle; null-safe size compare would extend to
+    nullable payloads."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    named = _with_names(docs)
+    old = named.filter(F.col("doc_id") % 11 != 3).select(
+        "name", F.col("n_chars").cast("long").alias("size")
+    )
+    new = named.filter(F.col("doc_id") % 13 != 4).select(
+        "name",
+        F.when(F.col("doc_id") % 5 == 1, F.col("n_chars") + 7)
+        .otherwise(F.col("n_chars"))
+        .cast("long")
+        .alias("size"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.name") == F.col("n.name"), "full_outer")
+    op = (
+        F.when(F.col("o.name").isNull(), "insert")
+        .when(F.col("n.name").isNull(), "delete")
+        .when(F.col("o.size") != F.col("n.size"), "update")
+        .otherwise("unchanged")
+    )
+    return joined.select(
+        F.coalesce(F.col("o.name"), F.col("n.name")).alias("name"),
+        op.alias("op"),
+        F.col("o.size").alias("old_size"),
+        F.col("n.size").alias("new_size"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order priority
 # ---------------------------------------------------------------------------
