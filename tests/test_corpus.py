@@ -503,3 +503,45 @@ def test_remove_duplicate_spans_semantics(spark):
     # runs cut entirely
     assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 16
     assert out[3]["clean_text"] == "tiny doc" and out[3]["n_removed"] == 0
+
+
+def test_new_ops_null_and_empty_inputs(spark):
+    """Null text, empty text, and empty corpora must not crash the round-2
+    operators, and Spark/DuckDB null semantics stay aligned (pinned here
+    so a refactor can't silently diverge from the oracles)."""
+    from vectordb_data_ingestion_spark.operators.bpe import (
+        bpe_segment_vectorized,
+    )
+    from vectordb_data_ingestion_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+    from vectordb_data_ingestion_spark.operators.textanalysis import (
+        gopher_document_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "real words here")],
+        "doc_id long, text string",
+    )
+    g = {r["doc_id"]: r.asDict() for r in gopher_document_filter(docs).collect()}
+    assert g[1]["n_words"] == 0 and g[1]["keep"] == 0
+    assert g[2]["n_words"] == 0 and g[2]["keep"] == 0
+    assert g[0]["n_words"] is None  # null text propagates null, like SQL
+
+    s = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_spans(docs, window_words=2).collect()
+    }
+    assert s[3]["clean_text"] == "real words here" and s[3]["n_removed"] == 0
+    assert s[1]["clean_text"] == "" and s[1]["n_words"] == 0
+
+    seg = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_segment_vectorized(docs, [("r", "e", 2)]).collect()
+    }
+    assert seg[0] == [] and seg[1] == [] and seg[2] == []
+    assert seg[3][0] == "re"
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert gopher_document_filter(empty).count() == 0
+    assert remove_duplicate_spans(empty).count() == 0

@@ -530,3 +530,57 @@ def test_streaming_near_dup_filter(spark, tmp_path):
         .collect()
     )
     assert idx_ids == admitted
+
+
+def test_streaming_vector_index_append(spark, tmp_path):
+    """Frozen-quantizer incremental index maintenance: vectors streamed
+    after the initial build are queryable immediately, and the grown index
+    answers identically to a full rebuild over the union."""
+    from vectordb_data_ingestion_spark.operators.pq import pq_train
+    from vectordb_data_ingestion_spark.operators.vector_index import (
+        build_ivfpq_index,
+        foreach_batch_index_append,
+        load_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = (
+        spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+        .cache()
+    )
+    initial = emb.filter(F.col("vec_id") < 400)
+    late = emb.filter(F.col("vec_id") >= 400)
+    cb = pq_train(initial, m=8, dim=64, k=4, iterations=1).cache()
+    centroids = initial.filter(F.col("vec_id") % 25 == 2).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_embedding"),
+    ).cache()
+    idx_dir = str(tmp_path / "idx")
+    build_ivfpq_index(initial, centroids, cb, idx_dir, m=8, dim=64)
+
+    stream_src = tmp_path / "stream_in"
+    late.coalesce(1).write.parquet(str(stream_src))
+    stream = spark.readStream.schema(late.schema).parquet(str(stream_src))
+    q = foreach_batch_index_append(
+        stream, idx_dir, checkpoint=str(tmp_path / "ckpt"), m=8, dim=64
+    ).start()
+    q.awaitTermination(120)
+
+    index = load_ivfpq_index(spark, idx_dir, m=8, dim=64)
+    assert index.codes.count() == emb.count()
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 450).collect()[0]["embedding"]
+    ]
+    grown = query_ivfpq_index(index, qv, k=10, n_probe=3).collect()
+    assert any(r["vec_id"] >= 400 for r in grown)  # late vectors retrievable
+
+    # parity vs a full rebuild over the union with the same frozen
+    # quantizer/codebooks
+    rebuilt_dir = str(tmp_path / "idx_full")
+    build_ivfpq_index(emb, centroids, cb, rebuilt_dir, m=8, dim=64)
+    full = query_ivfpq_index(
+        load_ivfpq_index(spark, rebuilt_dir, m=8, dim=64), qv, k=10, n_probe=3
+    ).collect()
+    assert [tuple(r) for r in grown] == [tuple(r) for r in full]

@@ -129,3 +129,55 @@ def query_ivfpq_index(
         dim=index.dim,
         id_col=id_col,
     )
+
+
+def foreach_batch_index_append(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "c_id",
+    centroid_vec: str = "c_embedding",
+):
+    """Incremental index maintenance (the vector-side sibling of the BM25
+    postings refresh): each micro-batch of new vectors is assigned its
+    coarse cell and PQ-encoded against the STORED centroids/codebooks, and
+    the rows append to the cell-partitioned ``codes/`` table. The coarse
+    quantizer and codebooks are frozen at build time — standard IVF
+    practice (re-train offline when drift accumulates; the index swap is a
+    directory rename). Queries see new vectors immediately: the index
+    tables are the single source of truth, no rebuild, no state in
+    executor memory."""
+    import os as _os
+
+    from vectordb_data_ingestion_spark.operators.pq import pq_encode_vectorized
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        assign_ivf_cells_vectorized,
+    )
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        centroids = spark.read.parquet(_os.path.join(out_dir, "centroids"))
+        codebooks = spark.read.parquet(_os.path.join(out_dir, "codebooks"))
+        assigned = assign_ivf_cells_vectorized(
+            batch_df, centroids, centroid_id=centroid_id,
+            centroid_vec=centroid_vec,
+        )
+        encoded = pq_encode_vectorized(
+            batch_df, codebooks, m, dim, vec_col=vec_col, id_col=id_col
+        )
+        codes = encoded.join(assigned.select(id_col, "cell"), id_col)
+        codes.write.mode("append").partitionBy("cell").parquet(
+            _os.path.join(out_dir, "codes")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
