@@ -93,6 +93,8 @@ HEADLINE = [
     "events_resample_ffill",
     "snapshot_diff",
     "lang_source_unpivot",
+    "bigram_pmi",
+    "word_entropy",
 ]
 
 

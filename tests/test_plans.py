@@ -425,6 +425,7 @@ def test_no_plan_antipatterns_across_all_queries(spark):
         "promo_revenue",       # global 1-row result
         "nation_revenue_share",  # share window over the 25-row nation agg
         "quantile_sketch_histogram",  # 1-row global (min,width) agg
+        "bigram_pmi",          # 1-row unigram/bigram totals broadcast
         "corpus_stats",        # tiny rollup
         "corpus_stats_rollup",
         "training_corpus_prep",
@@ -473,3 +474,34 @@ def test_plan_compaction_bins(spark):
     assert out[("a", "f4")] == 1  # joins the open bin, overflows it...
     assert out[("a", "f5")] == 6  # ...next file starts far past (6800//1000)
     assert out[("b", "g1")] == 0
+
+
+def test_execute_compaction_rewrites_small_files(spark, tmp_path):
+    """End-to-end OPTIMIZE: 20 small parquet files plan into a handful of
+    target-size bins, each rewritten as one file, content identical."""
+    import glob
+    import os
+
+    from vectordb_data_ingestion_spark.plans.layout import (
+        execute_compaction,
+        plan_compaction,
+    )
+
+    src = str(tmp_path / "small")
+    docs = spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet"))
+    docs.repartition(20).write.parquet(src)
+    files = sorted(glob.glob(src + "/part-*.parquet"))
+    assert len(files) == 20
+    meta = spark.createDataFrame(
+        [(f, os.path.getsize(f)) for f in files], "path string, bytes long"
+    )
+    target = sum(os.path.getsize(f) for f in files) // 4
+    plan = plan_compaction(meta, "bytes", [], target, order_col="path")
+    out = str(tmp_path / "compacted")
+    n_tasks = execute_compaction(spark, plan, out)
+    assert 3 <= n_tasks <= 6  # ~4 target-size bins, greedy overflow allowed
+    written = glob.glob(out + "/bin=*/part-*.parquet")
+    assert len(written) == n_tasks  # one file per rewrite task
+    before = docs.orderBy("doc_id").collect()
+    after = spark.read.parquet(out + "/bin=*").orderBy("doc_id").collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]

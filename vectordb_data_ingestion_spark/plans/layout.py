@@ -179,3 +179,42 @@ def plan_compaction(
             "long"
         ),
     )
+
+
+def execute_compaction(
+    spark,
+    plan: DataFrame,
+    out_dir: str,
+    path_col: str = "path",
+    bin_col: str = "compaction_bin",
+    group_cols: Sequence[str] = (),
+) -> int:
+    """Execute a :func:`plan_compaction` plan: each (group, bin) of small
+    files is read together and rewritten as ONE file — the Delta/Iceberg
+    OPTIMIZE rewrite step. Returns the number of rewrite tasks run.
+
+    The plan is file METADATA (one row per file), so collecting it
+    driver-side is the same scale as any table's file listing; the
+    rewrites themselves are Spark jobs over the files' bytes. Rewrite
+    tasks are independent — a deployment runs them concurrently (thread
+    pool over Spark jobs) and commits the swap atomically in its table
+    format; here they run sequentially and land under
+    ``out_dir/<group=...>/bin=N`` for inspection."""
+    rows = plan.select(*group_cols, bin_col, path_col).collect()
+    groups: dict = {}
+    for r in rows:
+        key = tuple(r[c] for c in group_cols) + (r[bin_col],)
+        groups.setdefault(key, []).append(r[path_col])
+    for key in sorted(groups):
+        paths = groups[key]
+        sub = "/".join(
+            [f"{c}={v}" for c, v in zip(group_cols, key[:-1])]
+            + [f"bin={key[-1]}"]
+        )
+        (
+            spark.read.parquet(*paths)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/{sub}")
+        )
+    return len(groups)

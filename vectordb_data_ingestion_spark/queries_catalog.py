@@ -5377,6 +5377,143 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+_WORDS_SQL = (
+    "list_filter(string_split(regexp_replace(text, '[ \\x09-\\x0D]+', ' ', "
+    "'g'), ' '), w -> w <> '')"
+)
+
+
+@register(
+    "bigram_pmi",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+    ),
+    uni AS (
+      SELECT unnest(ws) AS word FROM w
+    ),
+    ucnt AS (SELECT word, COUNT(*) AS c FROM uni GROUP BY word),
+    n AS (SELECT COUNT(*) AS n FROM uni),
+    bi AS (
+      SELECT ws[CAST(i AS INTEGER)] AS a, ws[CAST(i AS INTEGER) + 1] AS b
+      FROM w, unnest(range(1, greatest(len(ws), 1))) AS t(i)
+    ),
+    bcnt AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY a, b),
+    btot AS (SELECT COUNT(*) AS bt FROM bi)
+    SELECT bcnt.a, bcnt.b, CAST(c_ab AS BIGINT) AS c_ab,
+           ROUND(ln((CAST(c_ab AS DOUBLE) / bt) /
+                    ((CAST(ua.c AS DOUBLE) / n.n) * (CAST(ub.c AS DOUBLE) / n.n))),
+                 6) AS pmi
+    FROM bcnt
+    JOIN ucnt ua ON bcnt.a = ua.word
+    JOIN ucnt ub ON bcnt.b = ub.word
+    CROSS JOIN n CROSS JOIN btot
+    WHERE c_ab >= 5
+    """,
+)
+def q_bigram_pmi(spark, sf_dir):
+    """Collocation mining: pointwise mutual information of adjacent word
+    pairs (the phrase-detection statistic behind word2vec-style phrase
+    merging), for bigrams seen ≥5 times. Two partial-aggregated shuffles
+    (unigrams, bigrams) over exploded gram streams; the corpus totals are
+    1-row aggregates broadcast into the scoring join; no ordering
+    dependence — the full qualifying set is emitted."""
+    from vectordb_data_ingestion_spark.functions.text import word_split
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    ws = F.filter(word_split(F.col("text")), lambda w: w != "")
+    w = spread(docs).select("doc_id", ws.alias("ws"))
+    uni = w.select(F.explode("ws").alias("word"))
+    ucnt = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    n = uni.agg(F.count(F.lit(1)).alias("n"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("ws") - 1, F.lit(1)))
+    bi = w.select(
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("a"),
+                        F.element_at("ws", i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<a:string,b:string>>")
+            )
+        ).alias("g")
+    ).select(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+    bcnt = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    btot = bi.agg(F.count(F.lit(1)).alias("bt"))
+    ua = ucnt.select(F.col("word").alias("a"), F.col("c").alias("c_a"))
+    ub = ucnt.select(F.col("word").alias("b"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") / F.col("bt"))
+            / (
+                (F.col("c_a").cast("double") / F.col("n"))
+                * (F.col("c_b").cast("double") / F.col("n"))
+            )
+        ),
+        6,
+    )
+    return (
+        bcnt.filter(F.col("c_ab") >= 5)
+        .join(broadcast(ua), "a")
+        .join(broadcast(ub), "b")
+        .crossJoin(broadcast(n))
+        .crossJoin(broadcast(btot))
+        .select("a", "b", F.col("c_ab").cast("long").alias("c_ab"), pmi.alias("pmi"))
+    )
+
+
+@register(
+    "word_entropy",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+    ),
+    tot AS (SELECT doc_id, SUM(c) AS nw FROM cnt GROUP BY doc_id)
+    SELECT CAST(cnt.doc_id AS BIGINT) AS doc_id,
+           CAST(MAX(tot.nw) AS BIGINT) AS n_words,
+           ROUND(-SUM((CAST(c AS DOUBLE) / tot.nw)
+                      * ln(CAST(c AS DOUBLE) / tot.nw)), 6) AS entropy
+    FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+    GROUP BY cnt.doc_id
+    """,
+)
+def q_word_entropy(spark, sf_dir):
+    """Per-document word-distribution entropy — the information-density
+    quality signal (low entropy = repetitive/templated text; complements
+    repetition_signals' char fractions). One (doc, word) partial-agg
+    shuffle; per-doc totals ride a window over the same partitioning, so
+    the whole plan is a single exchange."""
+    from vectordb_data_ingestion_spark.functions.text import word_split
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    ws = F.filter(word_split(F.col("text")), lambda w: w != "")
+    cnt = (
+        spread(docs)
+        .select("doc_id", F.explode(ws).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wdoc = Window.partitionBy("doc_id")
+    p = F.col("c").cast("double") / F.col("nw")
+    return (
+        cnt.withColumn("nw", F.sum("c").over(wdoc))
+        .select("doc_id", "nw", (-p * F.log(p)).alias("__h"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("nw").cast("long").alias("n_words"),
+            F.round(F.sum("__h"), 6).alias("entropy"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order priority
 # ---------------------------------------------------------------------------
