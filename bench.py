@@ -95,6 +95,9 @@ HEADLINE = [
     "lang_source_unpivot",
     "bigram_pmi",
     "word_entropy",
+    "doc_keywords_tfidf",
+    "countmin_heavy_hitters",
+    "near_dup_recall_eval",
 ]
 
 

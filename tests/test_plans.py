@@ -426,6 +426,8 @@ def test_no_plan_antipatterns_across_all_queries(spark):
         "nation_revenue_share",  # share window over the 25-row nation agg
         "quantile_sketch_histogram",  # 1-row global (min,width) agg
         "bigram_pmi",          # 1-row unigram/bigram totals broadcast
+        "doc_keywords_tfidf",  # 1-row doc-count agg broadcast into IDF
+        "near_dup_recall_eval",  # 1-row hits/planted aggs
         "corpus_stats",        # tiny rollup
         "corpus_stats_rollup",
         "training_corpus_prep",

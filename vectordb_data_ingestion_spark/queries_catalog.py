@@ -5514,6 +5514,282 @@ def q_word_entropy(spark, sf_dir):
     )
 
 
+_CM_D, _CM_W = 4, 256
+
+
+def _countmin_oracle_sql() -> str:
+    from vectordb_data_ingestion_spark.functions.hashing import (
+        md5_hash32_seeded_sql,
+    )
+
+    bucket = lambda expr, r: f"({md5_hash32_seeded_sql(expr, r)} % {_CM_W})"
+    est_rows = ", ".join(
+        f"(SELECT c FROM cm WHERE cm.r = {r} AND cm.bucket = {bucket('e.word', r)})"
+        for r in range(_CM_D)
+    )
+    sketch_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT {r} AS r, {bucket('word', r)} AS bucket, COUNT(*) AS c "
+        f"FROM words GROUP BY bucket"
+        for r in range(_CM_D)
+    )
+    return f"""
+    WITH words AS (
+      SELECT unnest({_WORDS_SQL}) AS word FROM documents
+    ),
+    cm AS (
+      {sketch_rows}
+    ),
+    exact AS (
+      SELECT word, COUNT(*) AS exact_c FROM words GROUP BY word
+      ORDER BY exact_c DESC, word ASC LIMIT 20
+    )
+    SELECT e.word, CAST(e.exact_c AS BIGINT) AS exact_c,
+           CAST(least({est_rows}) AS BIGINT) AS est_c,
+           CAST(least({est_rows}) - e.exact_c AS BIGINT) AS overestimate
+    FROM exact e
+    """
+
+
+@register("countmin_heavy_hitters", _countmin_oracle_sql())
+def q_countmin_heavy_hitters(spark, sf_dir):
+    """Count-min sketch calibration: a {d}x{w} deterministic CM sketch of
+    the corpus word stream (cross-engine md5 bucket hashing), evaluated on
+    the exact top-20 words — estimate, truth, and the sketch's
+    overestimate. The sketch itself is the mergeable fixed-size summary a
+    100 TB pipeline keeps per shard (d*w integers, map-side combined; the
+    shuffle carries at most d*w rows per partition regardless of corpus
+    size); the eval joins the tiny sketch back broadcast-side.""".format(
+        d=_CM_D, w=_CM_W
+    )
+    from vectordb_data_ingestion_spark.functions.hashing import (
+        md5_hash32_seeded,
+    )
+    from vectordb_data_ingestion_spark.functions.text import word_split
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    words = spread(docs).select(
+        F.explode(
+            F.filter(word_split(F.col("text")), lambda w: w != "")
+        ).alias("word")
+    )
+    sketch = (
+        words.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            (md5_hash32_seeded(F.col("word"), r) % _CM_W).alias(
+                                "bucket"
+                            ),
+                        )
+                        for r in range(_CM_D)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .groupBy("rb.r", "rb.bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_c"))
+        .orderBy(F.desc("exact_c"), F.asc("word"))
+        .limit(20)
+    )
+    probes = exact.select(
+        "word",
+        "exact_c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (md5_hash32_seeded(F.col("word"), r) % _CM_W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(_CM_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("word", "exact_c", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    est = (
+        probes.join(broadcast(sketch), ["r", "bucket"])
+        .groupBy("word", "exact_c")
+        .agg(F.min("c").alias("est_c"))
+    )
+    return est.select(
+        "word",
+        F.col("exact_c").cast("long").alias("exact_c"),
+        F.col("est_c").cast("long").alias("est_c"),
+        (F.col("est_c") - F.col("exact_c")).cast("long").alias("overestimate"),
+    )
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    SELECT lang AS true_lang,
+           {ta.lang_id_sql('text')} AS predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY lang, predicted_lang
+    """,
+)
+def q_lang_id_confusion(spark, sf_dir):
+    """Language-ID quality eval: confusion matrix of the stopword
+    heuristic against the labeled ``lang`` column — the accuracy readout
+    that gates whether the cheap classifier suffices before paying for a
+    model-based one. Pure codegen classify + one tiny aggregate."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            ta.lang_id("text").alias("predicted_lang"),
+        )
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "doc_keywords_tfidf",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             CAST(ROUND((1 + ln(tf)) * ln((n.n + 1) / CAST(df.df + 1 AS DOUBLE))
+                        * 1000000) AS BIGINT) AS score_micro
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, word, score_micro,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_micro DESC, word ASC) AS rnk
+      FROM scored
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rnk AS INTEGER) AS rnk,
+           word, score_micro
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_doc_keywords_tfidf(spark, sf_dir):
+    """Per-document keyword extraction: top-5 terms by log-TF × smooth-IDF
+    (integer micro-unit scores — same determinism convention as the
+    retrieval family). One (doc, word) partial-agg shuffle for TF, one
+    word-keyed for DF (broadcast back), ranking window per doc — the
+    annotation a search/RAG pipeline stores alongside each chunk."""
+    from vectordb_data_ingestion_spark.functions.text import word_split
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = spread(docs).select(
+        "doc_id",
+        F.explode(
+            F.filter(word_split(F.col("text")), lambda x: x != "")
+        ).alias("word"),
+    )
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    score = F.round(
+        (F.lit(1) + F.log("tf"))
+        * F.log((F.col("n") + 1) / (F.col("df") + 1).cast("double"))
+        * 1_000_000
+    ).cast("long")
+    scored = (
+        tf.join(broadcast(dfreq), "word")
+        .crossJoin(broadcast(n))
+        .select("doc_id", "word", score.alias("score_micro"))
+    )
+    wnd = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wnd))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "word",
+            "score_micro",
+        )
+    )
+
+
+@register(
+    "near_dup_recall_eval",
+    f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM corpus),
+    sig AS (SELECT doc_id, sh, [{_SIG_SQL}] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, band, {_BAND_HASH_SQL} AS band_hash
+      FROM (SELECT doc_id, sig, unnest(range(0, {_MINHASH_BANDS})) AS band
+            FROM sig)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ),
+    planted AS (
+      SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    hit AS (SELECT COUNT(*) AS hits FROM planted JOIN cand USING (id_a, id_b)),
+    tot AS (SELECT COUNT(*) AS planted FROM planted)
+    SELECT CAST(hits AS BIGINT) AS hits, CAST(planted AS BIGINT) AS planted,
+           ROUND(CAST(hits AS DOUBLE) / planted, 6) AS recall
+    FROM hit CROSS JOIN tot
+    """,
+)
+def q_near_dup_recall_eval(spark, sf_dir):
+    """Ground-truth recall of the LSH candidate stage: the near-dup corpus
+    PLANTS a perturbed copy of every 7th document (first word dropped,
+    id + 1e6); this query measures how many planted pairs the banded
+    bucket join actually surfaces — the end-to-end detection-rate eval for
+    the (hashes, bands) operating point, complementing
+    minhash_estimate_error's per-pair calibration."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    corpus = _neardup_corpus(docs)
+    _, banded = dd.banded_signature_table(
+        corpus, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS,
+        shingle_n=_SHINGLE_N,
+    )
+    cand = (
+        banded.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
+        .join(
+            banded.select(F.col("doc_id").alias("id_b"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1000000).alias("id_b"),
+    )
+    hit = planted.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    tot = planted.agg(F.count(F.lit(1)).alias("planted"))
+    return hit.crossJoin(tot).select(
+        F.col("hits").cast("long").alias("hits"),
+        F.col("planted").cast("long").alias("planted"),
+        F.round(F.col("hits").cast("double") / F.col("planted"), 6).alias(
+            "recall"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order priority
 # ---------------------------------------------------------------------------
