@@ -98,6 +98,8 @@ HEADLINE = [
     "doc_keywords_tfidf",
     "countmin_heavy_hitters",
     "near_dup_recall_eval",
+    "events_session_window",
+    "events_value_anomalies",
 ]
 
 

@@ -5790,6 +5790,109 @@ def q_near_dup_recall_eval(spark, sf_dir):
     )
 
 
+@register(
+    "events_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, ts, CASE WHEN prev IS NULL
+                 OR epoch_us(ts) - epoch_us(prev) > CAST(86400 AS BIGINT) * 1000000
+            THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 1 DAY AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_events_session_window(spark, sf_dir):
+    """Gap-based sessions via Spark's NATIVE ``session_window`` aggregate
+    (one groupBy, merging-window state machine — the same operator the
+    streaming engine uses) instead of the lag/flag/running-sum form of
+    events_sessionize. Both forms are first-class; session_window's end is
+    defined as last event + gap, which the oracle replicates. Verifies the
+    built-in operator agrees with the window-function derivation."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "1 day").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "events_value_anomalies",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             stddev_pop(value) AS sigma,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(stats.n AS BIGINT) AS n_events,
+           ROUND(stats.mu, 6) AS mean_value,
+           ROUND(stats.sigma, 6) AS stddev_value,
+           CAST(COUNT(*) FILTER (WHERE abs(e.value - stats.mu)
+                                       > 3 * stats.sigma) AS BIGINT)
+             AS n_outliers
+    FROM events e JOIN stats USING (event_type)
+    GROUP BY e.event_type, stats.n, stats.mu, stats.sigma
+    """,
+)
+def q_events_value_anomalies(spark, sf_dir):
+    """Per-type 3-sigma outlier detection: population mean/stddev per
+    event type (tiny broadcast stats), then one filtered count over the
+    stream — the monitoring primitive for metric-value anomalies. Two
+    passes over the fact (stats, then flag) with the stats side broadcast;
+    an incremental deployment keeps (n, sum, sum²) as mergeable state."""
+    (events,) = _t(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    flagged = events.join(broadcast(stats), "event_type")
+    return (
+        flagged.groupBy("event_type", "n", "mu", "sigma")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.round("mu", 6).alias("mean_value"),
+            F.round("sigma", 6).alias("stddev_value"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order priority
 # ---------------------------------------------------------------------------
