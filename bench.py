@@ -100,6 +100,7 @@ HEADLINE = [
     "near_dup_recall_eval",
     "events_session_window",
     "events_value_anomalies",
+    "cross_modal_topk",
 ]
 
 

@@ -5893,6 +5893,92 @@ def q_events_value_anomalies(spark, sf_dir):
     )
 
 
+_XMODAL_QUERIES = [
+    (0, "vector index scan"),
+    (1, "stream window join"),
+    (2, "hash shuffle partition"),
+]
+
+
+def _cross_modal_oracle_sql() -> str:
+    from vectordb_data_ingestion_spark.operators.enrichment import (
+        hash_vector_sql_terms,
+    )
+    from vectordb_data_ingestion_spark.operators.multimodal import FEATURE_DIM
+
+    vals, norm = hash_vector_sql_terms("qtext", FEATURE_DIM)
+    qe = "[" + ", ".join(f"({v}) / ({norm})" for v in vals) + "]"
+    byte = lambda i: f"('0x' || substr(h, {2 * i + 1}, 2))::INTEGER / 255.0"
+    fe = "[" + ", ".join(byte(i) for i in range(FEATURE_DIM)) + "]"
+    values = ", ".join(f"({q}, '{t}')" for q, t in _XMODAL_QUERIES)
+    return f"""
+    WITH q(q_id, qtext) AS (VALUES {values}),
+    qv AS (SELECT CAST(q_id AS BIGINT) AS q_id, {qe} AS qe FROM q),
+    img AS (
+      SELECT CAST(doc_id AS BIGINT) AS asset_id, sha256(text) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    f AS (SELECT asset_id, {fe} AS fe FROM img),
+    scored AS (
+      SELECT qv.q_id, f.asset_id,
+             ROUND(list_dot_product(fe, qe) /
+                   (sqrt(list_dot_product(fe, fe)) * sqrt(list_dot_product(qe, qe))),
+                   6) AS cosine,
+             row_number() OVER (PARTITION BY qv.q_id
+                                ORDER BY ROUND(list_dot_product(fe, qe) /
+                                  (sqrt(list_dot_product(fe, fe)) * sqrt(list_dot_product(qe, qe))), 6) DESC,
+                                f.asset_id ASC) AS rn
+      FROM f CROSS JOIN qv
+    )
+    SELECT q_id, asset_id, cosine FROM scored WHERE rn <= 5
+    """
+
+
+@register("cross_modal_topk", _cross_modal_oracle_sql())
+def q_cross_modal_topk(spark, sf_dir):
+    """Cross-modal retrieval: text queries embedded through the SAME
+    pluggable transport as ingest (8-dim to match the image feature
+    space), scored against the stub-decoded image-asset feature vectors —
+    the CLIP-style joint-space retrieval plumbing with every stage
+    deterministic and SQL-re-derivable. Same broadcast-queries /
+    window-top-k plan as the ANN family; the binary decode runs once per
+    asset in the Arrow-batched extractor."""
+    from vectordb_data_ingestion_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from vectordb_data_ingestion_spark.operators.enrichment import (
+        _hash_vector,
+    )
+    from vectordb_data_ingestion_spark.operators.multimodal import (
+        FEATURE_DIM,
+        documents_as_assets,
+        extract_features,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_assets(docs)).filter(
+        F.col("modality") == "image"
+    )
+    corpus = feats.select("asset_id", "feature")
+    qdf = spark.createDataFrame(
+        [(q, _hash_vector(t, FEATURE_DIM)) for q, t in _XMODAL_QUERIES],
+        "q_id long, qe array<double>",
+    )
+    scored = corpus.crossJoin(broadcast(qdf)).select(
+        "q_id",
+        "asset_id",
+        F.round(cosine_similarity(F.col("feature"), F.col("qe")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("asset_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order priority
 # ---------------------------------------------------------------------------
