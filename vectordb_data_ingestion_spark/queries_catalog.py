@@ -5979,6 +5979,94 @@ def q_cross_modal_topk(spark, sf_dir):
     )
 
 
+@register(
+    "parts_supplier_stats",
+    """
+    SELECT p.p_brand, p.p_type,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 15
+    GROUP BY p.p_brand, p.p_type
+    """,
+)
+def q_parts_supplier_stats(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier counts per part attribute group.
+    The selective part dim broadcasts into the fact scan; COUNT DISTINCT
+    plans as two partial-aggregated exchanges (dedupe on the full key,
+    then count) — never a driver-side distinct."""
+    part, li = _t(spark, sf_dir, "part", "lineitem")
+    p = part.filter(F.col("p_size") <= 15).select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    joined = li.select("l_partkey", "l_suppkey").join(
+        broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return joined.groupBy("p_brand", "p_type").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT))
+               AS unit_centi
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_centi) AS best_centi
+      FROM cost GROUP BY l_partkey
+    )
+    SELECT CAST(c.l_partkey AS BIGINT) AS p_partkey,
+           CAST(MIN(c.l_suppkey) AS BIGINT) AS s_suppkey,
+           b.best_centi AS unit_centi
+    FROM cost c JOIN best b
+      ON c.l_partkey = b.l_partkey AND c.unit_centi = b.best_centi
+    GROUP BY c.l_partkey, b.best_centi
+    """,
+)
+def q_cheapest_supplier_per_part(spark, sf_dir):
+    """TPC-H Q2 shape (correlated-min subquery, decorrelated): per part,
+    the supplier offering the lowest observed unit price. The classic
+    min-then-join-back decorrelation: per-(part, supplier) partial agg,
+    per-part min, equality join back — all three share the part key so
+    AQE reuses one exchange; unit prices in integer centi-units; ties on
+    the min collapse to the smallest supplier key."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    unit = F.round(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100
+    ).cast("long")
+    cost = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit).alias("unit_centi"))
+        .alias("c")
+    )
+    best = (
+        cost.groupBy("l_partkey")
+        .agg(F.min("unit_centi").alias("best_centi"))
+        .select(F.col("l_partkey").alias("b_partkey"), "best_centi")
+        .alias("b")
+    )
+    return (
+        cost.join(
+            best,
+            (F.col("c.l_partkey") == F.col("b.b_partkey"))
+            & (F.col("c.unit_centi") == F.col("b.best_centi")),
+        )
+        .groupBy(F.col("c.l_partkey"), F.col("b.best_centi"))
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+        .select(
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            F.col("best_centi").alias("unit_centi"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order priority
 # ---------------------------------------------------------------------------
