@@ -101,6 +101,8 @@ HEADLINE = [
     "events_session_window",
     "events_value_anomalies",
     "cross_modal_topk",
+    "llm_annotate",
+    "cheapest_supplier_per_part",
 ]
 
 

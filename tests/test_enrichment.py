@@ -91,3 +91,45 @@ def test_transport_size_mismatch_raises(spark):
 
     with pytest.raises(Exception, match="vectors"):
         embed_via_api(df, bad_factory, text_col="text", max_retries=1).collect()
+
+
+def test_annotate_via_api_batching_and_backoff(spark):
+    """The annotator batches requests, retries transient failures, and
+    appends (label, score) without disturbing input columns."""
+    from vectordb_data_ingestion_spark.operators.enrichment import (
+        ANNOTATE_LABELS,
+        annotate_via_api,
+        deterministic_fake_annotator,
+    )
+
+    inner = deterministic_fake_annotator()
+
+    def flaky_factory():
+        base = inner()
+        state = {"fail_left": 1}  # per-transport (per-partition) failure
+
+        def annotate(texts):
+            if state["fail_left"] > 0:
+                state["fail_left"] -= 1
+                raise ConnectionError("transient")
+            return base(texts)
+
+        return annotate
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(10)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    out = annotate_via_api(
+        docs, flaky_factory, text_col="text", batch_size=4, base_delay=0.01
+    ).collect()
+    # success despite each partition's first request failing == backoff works
+    assert len(out) == 10
+    assert all(r["label"] in ANNOTATE_LABELS for r in out)
+    assert all(0.0 <= r["label_score"] <= 1.0 for r in out)
+    # labels match the direct fake (batching/ordering preserved)
+    direct = inner()([f"text number {i}" for i in range(10)])
+    got = {r["doc_id"]: (r["label"], r["label_score"]) for r in out}
+    for i in range(10):
+        assert got[i][0] == direct[i][0]
+        assert abs(got[i][1] - direct[i][1]) < 1e-6

@@ -188,3 +188,86 @@ def hash_vector_sql_terms(expr: str, dim: int) -> tuple[list[str], str]:
         )
     norm = "sqrt(" + " + ".join(f"({v}) * ({v})" for v in vals) + ")"
     return vals, norm
+
+
+# --- LLM batch annotation ---------------------------------------------------
+#
+# Training-data pipelines increasingly run MODEL-IN-THE-LOOP labeling at
+# corpus scale (quality judgments, topic tags, safety labels). The Spark
+# shape is identical to the embedding stage: Arrow-batched mapInPandas, a
+# per-executor transport, many texts per request, exponential backoff. The
+# hermetic fake below derives labels from sha256 so the stage oracle-checks
+# like any other operator; deployments swap an HTTP factory in.
+
+ANNOTATE_LABELS = ("keep", "review", "drop")
+
+
+def deterministic_fake_annotator(
+    labels: tuple[str, ...] = ANNOTATE_LABELS,
+) -> TransportFactory:
+    """Hermetic stand-in for a labeling model — clearly-marked FAKE. The
+    label is ``labels[first_sha256_byte % len(labels)]`` and the score is
+    ``second_byte / 255`` — both re-derivable in ANSI SQL."""
+
+    def factory() -> Transport:
+        def annotate(texts: list[str]) -> list[list]:
+            import hashlib as _hl
+
+            out = []
+            for t in texts:
+                d = _hl.sha256(t.encode("utf-8", errors="ignore")).digest()
+                out.append([labels[d[0] % len(labels)], d[1] / 255.0])
+            return out
+
+        return annotate
+
+    return factory
+
+
+def annotate_via_api(
+    df: DataFrame,
+    transport_factory: TransportFactory,
+    text_col: str = "text",
+    label_col: str = "label",
+    score_col: str = "label_score",
+    batch_size: int = 64,
+    max_retries: int = 5,
+    base_delay: float = 0.1,
+) -> DataFrame:
+    """Append ``(label_col: string, score_col: double)`` by calling the
+    annotation transport over Arrow batches — the labeling sibling of
+    :func:`embed_via_api` (same batching, same per-partition request
+    stream, same backoff)."""
+    from pyspark.sql.types import DoubleType, StringType
+
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField(label_col, StringType()), StructField(score_col, DoubleType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = transport_factory()
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            texts = (
+                pdf[text_col].astype(str).str.replace("\n", " ", regex=False)
+            ).tolist()
+            results: list[list] = []
+            for start in range(0, len(texts), batch_size):
+                group = texts[start : start + batch_size]
+                got = call_with_backoff(
+                    lambda g=group: transport(g), max_retries, base_delay
+                )
+                if len(got) != len(group):
+                    raise ValueError(
+                        f"annotator returned {len(got)} labels "
+                        f"for {len(group)} inputs"
+                    )
+                results.extend(got)
+            out = pdf.copy()
+            out[label_col] = [r[0] for r in results]
+            out[score_col] = [round(float(r[1]), 6) for r in results]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
