@@ -304,3 +304,98 @@ def test_span_removal_randomized_parity(spark):
         }
         want = _ref_span_removal(texts, 2)
         assert got == want, (trial, got, want)
+
+
+def test_gopher_and_entropy_cross_engine_on_adversarial_text(spark, tmp_path):
+    """gopher_document_filter and the word-entropy expression vs their
+    DuckDB SQL forms on adversarial strings (tab/vertical-tab/CR runs,
+    unicode, punctuation soup, repeated words) — the fixed corpora are
+    pure lowercase ASCII, so this is where whitespace-class and null
+    semantics could silently diverge."""
+    import duckdb
+
+    from vectordb_data_ingestion_spark.operators.textanalysis import (
+        gopher_document_filter,
+        gopher_document_filter_sql,
+    )
+
+    rng = random.Random(23)
+    frag = [
+        "the", "and", "of", "Zürich", "naïve", "###", "...", "a",
+        "x" * 25, "word", "mixedCASE", "12", "!?", "der", "la", "的",
+    ]
+    ws = [" ", "\t", "\n", "\x0b", "\x0c", "\r", "  "]
+    texts = [
+        "".join(
+            rng.choice(frag) + rng.choice(ws)
+            for _ in range(rng.randrange(0, 120))
+        )
+        for _ in range(40)
+    ] + ["", "   ", "\t\t", "\x0b\x0c\r"]
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pq = str(tmp_path / "adv.parquet")
+    docs.coalesce(1).write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+
+    cols = gopher_document_filter_sql("text")
+    sel = ", ".join(f"{sql} AS {name}" for name, sql in cols.items())
+    duck = {
+        r[0]: r[1:]
+        for r in con.execute(
+            f"SELECT doc_id, {sel} FROM documents ORDER BY doc_id"
+        ).fetchall()
+    }
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["mean_word_len"], r["alpha_word_frac"],
+            r["symbol_word_ratio"], r["stop_hits"], r["keep"],
+        )
+        for r in gopher_document_filter(docs).collect()
+    }
+    for i in sorted(duck):
+        a, b = got[i], duck[i]
+        for x, y in zip(a, b):
+            if isinstance(x, float) or isinstance(y, float):
+                assert x is not None and y is not None and abs(x - y) < 1e-6, (i, a, b)
+            else:
+                assert x == y, (i, a, b)
+
+    # word-entropy expression parity on the same adversarial table
+    from vectordb_data_ingestion_spark.queries_catalog import ORACLE_SQL
+
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(ORACLE_SQL["word_entropy"]).fetchall()
+    }
+    # the registered query loads from a testdata dir; re-express the same
+    # plan inline over the adversarial table
+    from pyspark.sql import functions as Fn
+    from pyspark.sql.window import Window as Wn
+
+    from vectordb_data_ingestion_spark.functions.text import word_split
+
+    ws_col = Fn.filter(word_split(Fn.col("text")), lambda w: w != "")
+    cnt = (
+        docs.select("doc_id", Fn.explode(ws_col).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(Fn.count(Fn.lit(1)).alias("c"))
+    )
+    wd = Wn.partitionBy("doc_id")
+    p = Fn.col("c").cast("double") / Fn.col("nw")
+    ent = (
+        cnt.withColumn("nw", Fn.sum("c").over(wd))
+        .select("doc_id", "nw", (-p * Fn.log(p)).alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            Fn.max("nw").cast("long").alias("n_words"),
+            Fn.round(Fn.sum("h"), 6).alias("entropy"),
+        )
+    )
+    have = {r["doc_id"]: (r["n_words"], r["entropy"]) for r in ent.collect()}
+    assert set(have) == set(want)
+    for i in want:
+        assert have[i][0] == want[i][0], i
+        assert abs(have[i][1] - want[i][1]) < 1e-6, i

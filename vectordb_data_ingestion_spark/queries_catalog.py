@@ -6128,6 +6128,12 @@ def q_llm_annotate(spark, sf_dir):
 # shapes were fixed this round) lands inside the checked window; the
 # already-proven rows fill the remaining slots and the tail.
 
+# ROUND-3 NOTE: after the round-2 driver run verifies this window, rebuild
+# this list with the ~34 round-2 additions that registered past the cap
+# (gopher_quality_filter ... cheapest_supplier_per_part, llm_annotate, the
+# evals) so they get their first driver row; the r01+r02-proven rows move
+# to the tail. Every query already passes the local mirror at three scale
+# factors, so the reorder is bookkeeping, not risk.
 _DRIVER_PRIORITY = [
     # round-1 unverified (registered past the 50-query cap)
     "trigram_counts",
