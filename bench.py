@@ -103,6 +103,8 @@ HEADLINE = [
     "cross_modal_topk",
     "llm_annotate",
     "cheapest_supplier_per_part",
+    "key_skew_report",
+    "table_profile",
 ]
 
 

@@ -47,6 +47,10 @@ PROBE = [
     # shuffles) and tokenizer train+apply (word-count shuffle + cached map)
     "dup_span_removal",
     "bpe_segment_tokens",
+    # round-2 batch-3 heavy text aggregates: per-doc TF-IDF ranking and
+    # PMI's double gram shuffle
+    "doc_keywords_tfidf",
+    "bigram_pmi",
 ]
 
 ALL_TABLES = (

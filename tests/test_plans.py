@@ -428,6 +428,8 @@ def test_no_plan_antipatterns_across_all_queries(spark):
         "bigram_pmi",          # 1-row unigram/bigram totals broadcast
         "doc_keywords_tfidf",  # 1-row doc-count agg broadcast into IDF
         "near_dup_recall_eval",  # 1-row hits/planted aggs
+        "key_skew_report",     # 1-row stats over the key-count table
+        "table_profile",       # 1-row multi-distinct profile agg
         "corpus_stats",        # tiny rollup
         "corpus_stats_rollup",
         "training_corpus_prep",

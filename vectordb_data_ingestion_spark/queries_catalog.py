@@ -6128,6 +6128,138 @@ def q_llm_annotate(spark, sf_dir):
 # shapes were fixed this round) lands inside the checked window; the
 # already-proven rows fill the remaining slots and the tail.
 
+@register(
+    "key_skew_report",
+    """
+    WITH pk AS (
+      SELECT o_custkey AS key, COUNT(*) AS c FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(MAX(c) AS BIGINT) AS max_rows,
+             CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_rows,
+             CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_rows
+      FROM pk
+    ),
+    top AS (
+      SELECT list(key ORDER BY c DESC, key ASC)[1:5] AS hot FROM pk
+    )
+    SELECT s.n_keys, s.n_rows, s.max_rows, s.p50_rows, s.p99_rows,
+           ROUND(CAST(s.max_rows AS DOUBLE) * s.n_keys / s.n_rows, 6)
+             AS skew_factor,
+           CAST(t.hot[1] AS BIGINT) AS hot_key_1,
+           CAST(t.hot[2] AS BIGINT) AS hot_key_2,
+           CAST(t.hot[3] AS BIGINT) AS hot_key_3
+    FROM stats s CROSS JOIN top t
+    """,
+)
+def q_key_skew_report(spark, sf_dir):
+    """Pre-join skew diagnostic for a shuffle key (orders per customer):
+    key count, row count, max/median/p99 rows-per-key, the max-vs-mean
+    skew factor, and the top hot keys — the report that decides between a
+    plain shuffle, AQE skew-join, and explicit salting
+    (plans/layout.py::salted_join). One partial-agg shuffle over the fact;
+    everything downstream is key-count-table sized."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    pk = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = pk.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_rows"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)").alias(
+            "p50_rows"
+        ),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)").alias(
+            "p99_rows"
+        ),
+    )
+    top = (
+        pk.orderBy(F.desc("c"), F.asc("key"))
+        .limit(5)
+        .agg(F.collect_list("key").alias("hot"))
+    )
+    return stats.crossJoin(broadcast(top)).select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("max_rows").cast("long").alias("max_rows"),
+        F.col("p50_rows").cast("long").alias("p50_rows"),
+        F.col("p99_rows").cast("long").alias("p99_rows"),
+        F.round(
+            F.col("max_rows").cast("double")
+            * F.col("n_keys")
+            / F.col("n_rows"),
+            6,
+        ).alias("skew_factor"),
+        F.element_at("hot", 1).cast("long").alias("hot_key_1"),
+        F.element_at("hot", 2).cast("long").alias("hot_key_2"),
+        F.element_at("hot", 3).cast("long").alias("hot_key_3"),
+    )
+
+
+@register(
+    "table_profile",
+    """
+    SELECT 'event_type' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(event_type) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(user_id) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(value) AS BIGINT),
+           CAST(COUNT(DISTINCT value) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'props', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(props) AS BIGINT),
+           CAST(COUNT(DISTINCT props) AS BIGINT)
+    FROM events
+    """,
+)
+def q_table_profile(spark, sf_dir):
+    """Data-profiling staple: per-column row/non-null/distinct counts in
+    ONE corpus pass — Spark rewrites the multi-distinct aggregate with
+    expand+partial-agg, so adding columns does not add scans (the UNION
+    in the oracle is DuckDB-side only). The null/cardinality report every
+    ingest run logs before downstream stages trust a table."""
+    (events,) = _t(spark, sf_dir, "events")
+    cols = ["event_type", "user_id", "value", "props"]
+    agg = events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
+    )
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"nn_{c}").alias("n_nonnull"),
+                        F.col(f"nd_{c}").alias("n_distinct"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select(
+        "p.column_name",
+        F.col("p.n_rows").cast("long").alias("n_rows"),
+        F.col("p.n_nonnull").cast("long").alias("n_nonnull"),
+        F.col("p.n_distinct").cast("long").alias("n_distinct"),
+    )
+
+
 # ROUND-3 NOTE: after the round-2 driver run verifies this window, rebuild
 # this list with the ~34 round-2 additions that registered past the cap
 # (gopher_quality_filter ... cheapest_supplier_per_part, llm_annotate, the
