@@ -105,6 +105,7 @@ HEADLINE = [
     "cheapest_supplier_per_part",
     "key_skew_report",
     "table_profile",
+    "local_supplier_volume",
 ]
 
 

@@ -6260,6 +6260,66 @@ def q_table_profile(spark, sf_dir):
     )
 
 
+@register(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000) AS BIGINT)) AS BIGINT)
+             AS revenue_micro
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o.o_orderdate < TIMESTAMP '1995-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: the full region→nation→customer/supplier join
+    cycle, with the local-supplier constraint (supplier and customer share
+    a nation) expressed as part of the supplier join. All five dims are
+    broadcast into the single lineitem scan; the only exchange is the
+    25-row nation aggregate; revenue in integer micro-units."""
+    cust, orders, li, sup, nat, reg = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+        "nation", "region",
+    )
+    lo = F.lit("1994-01-01").cast("timestamp")
+    hi = F.lit("1995-01-01").cast("timestamp")
+    o = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey")
+    n_asia = nat.join(
+        broadcast(reg.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    s = sup.join(
+        broadcast(n_asia), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    micro = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    joined = (
+        li.join(broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(F.sum(micro).alias("revenue_micro"))
+
+
 # ROUND-3 NOTE: after the round-2 driver run verifies this window, rebuild
 # this list with the ~34 round-2 additions that registered past the cap
 # (gopher_quality_filter ... cheapest_supplier_per_part, llm_annotate, the
