@@ -106,6 +106,8 @@ HEADLINE = [
     "key_skew_report",
     "table_profile",
     "local_supplier_volume",
+    "eval_set_sample",
+    "purchase_attribution",
 ]
 
 

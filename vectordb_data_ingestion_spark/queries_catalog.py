@@ -6320,6 +6320,98 @@ def q_local_supplier_volume(spark, sf_dir):
     return joined.groupBy("n_name").agg(F.sum(micro).alias("revenue_micro"))
 
 
+@register(
+    "eval_set_sample",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '#eval'), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q_eval_set_sample(spark, sf_dir):
+    """Fixed-size per-stratum sampling: exactly 20 documents per language,
+    chosen by hash order — the held-out-eval-set primitive
+    (stratified_sample draws hash-gated RATES; this draws an exact k).
+    Hash order makes membership stable under corpus reorder and appends
+    can only displace items at the rank boundary; one window per stratum,
+    no global sort."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#eval"))),
+        "doc_id",
+    )
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "purchase_attribution",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           p.ts AS purchase_ts,
+           CAST(lc.click_id AS BIGINT) AS click_id,
+           lc.click_ts AS click_ts
+    FROM p LEFT JOIN LATERAL (
+      SELECT c.event_id AS click_id, c.ts AS click_ts
+      FROM c
+      WHERE c.user_id = p.user_id AND c.ts <= p.ts
+      ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+    ) lc ON TRUE
+    """,
+)
+def q_purchase_attribution(spark, sf_dir):
+    """Last-touch attribution: for every purchase, the user's most recent
+    click at-or-before it — the as-of join applied to marketing
+    attribution (operators/asof.py: tag-union-window, ONE user-keyed
+    shuffle; the oracle's LATERAL nearest-row subquery is the semantics,
+    the tag-union plan is the scale shape — no per-user pair blowup)."""
+    from vectordb_data_ingestion_spark.operators.asof import asof_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    # asof_join needs unique (key, ts); same-instant clicks collapse to the
+    # max event_id — identical to the oracle's (ts DESC, event_id DESC) pick
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["click_id"],
+        prefix="c_",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("c_click_id").cast("long").alias("click_id"),
+        F.col("c_ts").alias("click_ts"),
+    )
+
+
 # ROUND-3 NOTE: after the round-2 driver run verifies this window, rebuild
 # this list with the ~34 round-2 additions that registered past the cap
 # (gopher_quality_filter ... cheapest_supplier_per_part, llm_annotate, the
