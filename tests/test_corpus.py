@@ -545,3 +545,49 @@ def test_new_ops_null_and_empty_inputs(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert gopher_document_filter(empty).count() == 0
     assert remove_duplicate_spans(empty).count() == 0
+
+
+# --- temperature mixture ----------------------------------------------------
+
+def test_temperature_mixture_flattens_skew(spark):
+    """sqrt weighting upweights small sources relative to proportional
+    sampling: share ratio between a 900-doc and a 100-doc source must be
+    3 (sqrt(9)), not 9; rates are capped at 1e6 ppm."""
+    rows = [(i, "big" if i < 900 else "small", "x") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {
+        r["source"]: r
+        for r in cp.temperature_mixture(df, target_docs=400).collect()
+    }
+    assert out["big"]["n_docs"] == 900 and out["small"]["n_docs"] == 100
+    ratio = out["big"]["share_ppm"] / out["small"]["share_ppm"]
+    assert abs(ratio - 3.0) < 0.01
+    assert all(r["rate_ppm"] <= 1_000_000 for r in out.values())
+    # expected kept docs ~ target * share: small keeps a larger FRACTION
+    assert out["small"]["rate_ppm"] > out["big"]["rate_ppm"]
+
+
+def test_temperature_sample_subset_and_deterministic(spark):
+    rows = [(i, "a" if i % 3 else "b", "x") for i in range(600)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    kept1 = _ids(cp.temperature_sample(df, target_docs=100).collect())
+    kept2 = _ids(
+        cp.temperature_sample(df.repartition(5), target_docs=100).collect()
+    )
+    assert kept1 == kept2
+    assert set(kept1) <= set(range(600))
+    assert 40 <= len(kept1) <= 180  # hash-gated around the 100-doc target
+
+
+def test_source_vocab_overlap_bounds(spark):
+    rows = [
+        (0, "s1", "alpha beta gamma"),
+        (1, "s2", "alpha beta gamma"),
+        (2, "s3", "delta epsilon"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {(r["g1"], r["g2"]): r for r in cp.source_vocab_overlap(df).collect()}
+    # identical vocabularies -> jaccard 1e6 exactly
+    assert out[("s1", "s2")]["jaccard_ppm"] == 1_000_000
+    # disjoint pairs appear only via the inner join when inter >= 1
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out

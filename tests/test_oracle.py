@@ -55,3 +55,19 @@ def test_driver_priority_window_integrity():
     # bpe_train_merges gained a golden-parquet oracle in round 2; it only
     # degrades to rows-only if testdata is absent at import time.
     assert set(SPARK_QUERIES) - set(ORACLE_SQL) <= {"bpe_train_merges"}
+
+
+def test_all_query_outputs_are_scalar(spark):
+    """The driver's canonicalizer pandas-sorts every output column; an
+    ArrayType/MapType/StructType column crashes it (`unhashable type: 'list'`
+    — the round-1 word_split/multimodal_features failure). Guard every
+    registered query's output schema so the class can't reappear."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, fn in queries_catalog.SPARK_QUERIES.items():
+        df = fn(spark, SF_SMALL)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert bad == [], f"non-scalar output columns (driver-unhashable): {bad}"

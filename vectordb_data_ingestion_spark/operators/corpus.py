@@ -755,3 +755,189 @@ def stratified_sample_sql(
     SELECT t.* FROM {table} t JOIN counts c ON t.{group_expr} = c.g
     WHERE ({h} / {_HASH_SPACE}) < least(1.0, CAST({tgt} AS DOUBLE) / c.cnt)
     """
+
+
+# --- temperature-scaled mixture weighting -----------------------------------
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str = "source",
+    target_docs: int = 1000,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled source weights — the multilingual-LM sampling rule
+    (mT5 / XLM-R style): sample group ``g`` proportionally to
+    ``n_g ** alpha`` with ``alpha`` fixed at 0.5, i.e. ``sqrt``, because
+    IEEE-754 requires ``sqrt`` to be correctly rounded (``pow`` is not), so
+    Spark and the DuckDB oracle compute bit-identical weights. Everything
+    downstream is integer arithmetic:
+
+    - ``weight_micro = floor(sqrt(n_g) * micro)``
+    - ``share_ppm   = (weight_micro * 1e6) div total_micro``
+    - ``rate_ppm    = min(1e6, (target_docs * share_ppm) div n_g)``
+
+    so the result is exactly reproducible cross-engine (no float summation
+    order anywhere — the one float op, ``sqrt(count) * micro``, has a single
+    deterministic rounding on both engines).
+
+    Cost: one map-side-combinable count per group (|groups| rows), then a
+    global window over that tiny table — the corpus itself never shuffles.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    counts = counts.withColumn(
+        "weight_micro", F.floor(F.sqrt(F.col("n_docs")) * micro).cast("long")
+    )
+    total = Window.partitionBy()
+    return (
+        counts.withColumn("__total", F.sum("weight_micro").over(total))
+        .withColumn("share_ppm", F.expr("weight_micro * 1000000L div __total"))
+        .withColumn(
+            "rate_ppm",
+            F.expr(
+                f"least(1000000L, ({int(target_docs)}L * share_ppm) div n_docs)"
+            ),
+        )
+        .drop("__total")
+    )
+
+
+def temperature_mixture_sql(
+    table: str,
+    group_expr: str = "source",
+    target_docs: int = 1000,
+    micro: int = 1_000_000,
+) -> str:
+    """DuckDB query matching :func:`temperature_mixture` bit-for-bit."""
+    return f"""
+    WITH counts AS (
+      SELECT {group_expr} AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM {table} GROUP BY 1
+    ), w AS (
+      SELECT grp, n_docs,
+             CAST(FLOOR(SQRT(n_docs) * {micro}) AS BIGINT) AS weight_micro
+      FROM counts
+    ), s AS (
+      SELECT grp, n_docs, weight_micro,
+             (weight_micro * 1000000) // SUM(weight_micro) OVER () AS share_ppm
+      FROM w
+    )
+    SELECT grp AS {group_expr}, n_docs, weight_micro, share_ppm,
+           least(1000000, ({int(target_docs)} * share_ppm) // n_docs)
+             AS rate_ppm
+    FROM s
+    """
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    target_docs: int = 1000,
+    seed: int = 0,
+) -> DataFrame:
+    """Apply :func:`temperature_mixture` rates *in-plan*: the |groups|-row
+    rates table broadcasts back onto the corpus and each row is hash-gated
+    at its group's rate — no driver-side collect of the rates (contrast
+    :func:`weighted_sample`, which takes externally supplied rates). The
+    sample is a pure function of ``(id, seed)``: stable across runs,
+    partitionings, and corpus growth within a group."""
+    rates = temperature_mixture(df, group_col, target_docs).select(
+        group_col, "rate_ppm"
+    )
+    u = md5_hash32_seeded(F.col(id_col).cast("string"), seed) / F.lit(_HASH_SPACE)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(u < F.col("rate_ppm") / F.lit(1e6))
+        .drop("rate_ppm")
+    )
+
+
+def temperature_sample_sql(
+    table: str,
+    group_expr: str = "source",
+    id_expr: str = "doc_id",
+    target_docs: int = 1000,
+    seed: int = 0,
+) -> str:
+    """DuckDB FROM-clause subquery matching :func:`temperature_sample`
+    row-for-row (same integer rates, same md5 gate)."""
+    rates = temperature_mixture_sql(table, group_expr, target_docs)
+    h = md5_hash32_seeded_sql(f"CAST(t.{id_expr} AS VARCHAR)", seed)
+    return f"""
+    WITH rates AS ({rates})
+    SELECT t.* FROM {table} t
+    JOIN rates r ON t.{group_expr} = r.{group_expr}
+    WHERE ({h} / {_HASH_SPACE}) < (r.rate_ppm / 1e6)
+    """
+
+
+# --- cross-source vocabulary overlap ----------------------------------------
+
+def source_vocab_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the diversity /
+    redundancy diagnostic a mixture designer reads before setting weights
+    (two sources with near-identical vocabularies add less diversity than
+    their combined size suggests). Returns one row per unordered source
+    pair: ``(g1, g2, inter, n1, n2, jaccard_ppm)`` with
+    ``jaccard_ppm = (|A∩B| * 1e6) div |A∪B|`` — integer, oracle-exact.
+
+    Scale shape: the self-join runs on the *distinct (group, word)* table,
+    which is vocabulary-sized (Zipf-bounded), never corpus-sized; the join
+    key is the word, and each word fans out to at most |groups|² pairs, so
+    the shuffle is O(vocab × G²) with G ~ tens. The corpus itself is
+    touched once (explode → distinct with map-side partial aggregation)."""
+    vocab = (
+        df.select(
+            F.col(group_col).alias("g"), F.explode(_tokens(text_col)).alias("w")
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("g").agg(F.count("*").alias("n"))
+    pairs = (
+        vocab.alias("a")
+        .join(vocab.alias("b"), "w")
+        .filter(F.col("a.g") < F.col("b.g"))
+        .groupBy(F.col("a.g").alias("g1"), F.col("b.g").alias("g2"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("g").alias("g1"), F.col("n").alias("n1"))),
+            "g1",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("g").alias("g2"), F.col("n").alias("n2"))),
+            "g2",
+        )
+        .withColumn(
+            "jaccard_ppm", F.expr("inter * 1000000L div (n1 + n2 - inter)")
+        )
+        .select("g1", "g2", "inter", "n1", "n2", "jaccard_ppm")
+    )
+
+
+def source_vocab_overlap_sql(
+    table: str, text_expr: str = "text", group_expr: str = "source"
+) -> str:
+    """DuckDB query matching :func:`source_vocab_overlap`."""
+    return f"""
+    WITH vocab AS (
+      SELECT DISTINCT {group_expr} AS g, w
+      FROM {table}, unnest({_TOKENS_SQL.format(e=text_expr)}) AS t(w)
+    ), sizes AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM vocab GROUP BY 1
+    ), pairs AS (
+      SELECT a.g AS g1, b.g AS g2, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM vocab a JOIN vocab b ON a.w = b.w AND a.g < b.g
+      GROUP BY 1, 2
+    )
+    SELECT p.g1, p.g2, p.inter, s1.n AS n1, s2.n AS n2,
+           (p.inter * 1000000) // (s1.n + s2.n - p.inter) AS jaccard_ppm
+    FROM pairs p
+    JOIN sizes s1 ON p.g1 = s1.g
+    JOIN sizes s2 ON p.g2 = s2.g
+    """

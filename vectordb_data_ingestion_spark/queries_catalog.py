@@ -6412,6 +6412,53 @@ def q_purchase_attribution(spark, sf_dir):
     )
 
 
+@register(
+    "temperature_mixture",
+    cp.temperature_mixture_sql("documents", "source", target_docs=200),
+)
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled source mixture weights (mT5/XLM-R sampling rule,
+    alpha = 0.5 as exact IEEE sqrt): per-source sampling rates in integer
+    ppm so both engines agree bit-for-bit. One tiny groupBy count + a
+    window over the |sources|-row result — the corpus never reshuffles."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return cp.temperature_mixture(docs, "source", target_docs=200)
+
+
+@register(
+    "temperature_sample",
+    cp.temperature_sample_sql("documents", "source", "doc_id", target_docs=200)
+    .replace("SELECT t.*", "SELECT t.doc_id, t.source, t.lang"),
+)
+def q_temperature_sample(spark, sf_dir):
+    """Apply the temperature rates in-plan: broadcast the |sources|-row
+    rates table onto the corpus and hash-gate each row at its source's
+    rate_ppm — membership a pure function of (doc_id, seed), no driver
+    collect of the rates."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return cp.temperature_sample(docs, "source", "doc_id", target_docs=200).select(
+        "doc_id", "source", "lang"
+    )
+
+
+@register(
+    "source_vocab_overlap",
+    cp.source_vocab_overlap_sql("documents", "text", "source")
+    + " ORDER BY jaccard_ppm DESC, g1, g2 LIMIT 30",
+)
+def q_source_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between sources (mixture-diversity
+    diagnostic), top-30 most-overlapping pairs. The self-join runs on the
+    distinct (source, word) table — vocabulary-sized, Zipf-bounded — with
+    per-word fanout capped at |sources|²; the corpus is scanned once."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        cp.source_vocab_overlap(docs, "text", "source")
+        .orderBy(F.desc("jaccard_ppm"), "g1", "g2")
+        .limit(30)
+    )
+
+
 # ROUND-3 NOTE: after the round-2 driver run verifies this window, rebuild
 # this list with the ~34 round-2 additions that registered past the cap
 # (gopher_quality_filter ... cheapest_supplier_per_part, llm_annotate, the
