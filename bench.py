@@ -108,6 +108,15 @@ HEADLINE = [
     "local_supplier_volume",
     "eval_set_sample",
     "purchase_attribution",
+    # round-2 batch 4: temperature mixture (data-derived rates applied
+    # in-plan), the vocab-sized self-join diagnostic, and the Q7/Q17/Q21
+    # relational shapes (nation-pair 6-way join, decorrelated avg-quantity
+    # probe, double-decorrelated sole-late-supplier)
+    "temperature_sample",
+    "source_vocab_overlap",
+    "nation_pair_volume",
+    "small_quantity_revenue",
+    "sole_late_supplier",
 ]
 
 

@@ -6459,6 +6459,313 @@ def q_source_vocab_overlap(spark, sf_dir):
     )
 
 
+@register(
+    "small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 10000) AS BIGINT))
+                AS BIGINT) / 10000.0 AS total_price
+    FROM lineitem l
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS BIGINT) * 5 * pa.cnt < pa.sum_qty
+    GROUP BY 1
+    """,
+)
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — the correlated scalar subquery (``l_quantity <
+    0.2 * avg(qty for this part)``) decorrelated into a per-part aggregate
+    joined back to the fact scan. The avg compare is exact integer math:
+    ``qty*5*cnt < sum_qty`` avoids the float divide entirely. Lineitem is
+    scanned twice (once for the per-part stats, once for the probe) but
+    shuffled only on ``l_partkey``; the |parts|-row stats table is
+    AQE-broadcastable."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    qty = F.col("l_quantity").cast("long")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    probe = li.select(
+        "l_partkey",
+        qty.alias("__qty"),
+        F.round(F.col("l_extendedprice") * 10000).cast("long").alias("__pm"),
+    )
+    return (
+        probe.join(pa, "l_partkey")
+        .filter(F.col("__qty") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .join(broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            (F.sum("__pm") / 10000.0).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "lapsed_customer_balance",
+    """
+    WITH recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    ), stats AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS total_bal
+    FROM customer c, stats
+    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * stats.n > stats.s
+      AND NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def q_lapsed_customer_balance(spark, sf_dir):
+    """TPC-H Q22 shape — a global scalar aggregate (average positive
+    balance, in exact integer cents: ``bal_cents * n > sum_cents``) gating
+    the scan, plus an anti join against customers with recent orders.
+    The 1-row stats aggregate cross-joins back broadcast; the recent-buyer
+    key set is a LEFT ANTI hash join — customer never shuffles twice."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("__s"), F.count("*").alias("__n")
+    )
+    recent = (
+        orders.filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .crossJoin(broadcast(stats))
+        .filter(cents * F.col("__n") > F.col("__s"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            (F.sum(cents) / 100.0).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "sole_late_supplier",
+    """
+    WITH ls AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                 THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), per_order AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_supp,
+             CAST(SUM(is_late) AS BIGINT) AS n_late
+      FROM ls GROUP BY 1
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM ls
+    JOIN per_order po ON ls.l_orderkey = po.l_orderkey
+    JOIN supplier s ON s.s_suppkey = ls.l_suppkey
+    WHERE ls.is_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+    GROUP BY 1
+    ORDER BY numwait DESC, s.s_name LIMIT 20
+    """,
+)
+def q_sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape — the EXISTS (another supplier on the order) +
+    NOT EXISTS (another LATE supplier) pair decorrelated into one
+    per-(order, supplier) lateness rollup plus a per-order count table:
+    ``n_supp >= 2 AND n_late = 1 AND is_late`` replaces both correlated
+    subqueries with two aggregations sharing the same ``l_orderkey``
+    shuffle. Top-20 is a TakeOrdered merge."""
+    li, orders, supp = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        1,
+    ).otherwise(0)
+    ls = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = ls.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        ls.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
+        .join(broadcast(supp.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                           AS BIGINT)) AS BIGINT) AS r_micro
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, rev.r_micro / 10000.0 AS total_revenue
+    FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.r_micro = (SELECT MAX(r_micro) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape — an aggregate view (quarterly revenue per
+    supplier) filtered to its own maximum. The max is a 1-row aggregate
+    over the |suppliers|-row revenue table, broadcast back as an exact
+    integer-micro equality — no float ties, so the winning set is
+    deterministic cross-engine."""
+    li, supp = _t(spark, sf_dir, "lineitem", "supplier")
+    micro = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(micro).alias("r_micro"))
+    )
+    mx = rev.agg(F.max("r_micro").alias("__mx"))
+    return (
+        rev.crossJoin(broadcast(mx))
+        .filter(F.col("r_micro") == F.col("__mx"))
+        .join(broadcast(supp.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("r_micro") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "shipping_delay_buckets",
+    """
+    SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) < 30
+                THEN 'fast'
+                WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 60
+                THEN 'medium' ELSE 'slow' END AS delay_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_shipping_delay_buckets(spark, sf_dir):
+    """TPC-H Q12 shape — conditional aggregation over a fact-dim join:
+    one pass over lineitem x orders, CASE expressions folded into the
+    aggregate so high/low priority counts come out of a single 3-row
+    groupBy (map-side partial). No second scan, no pivot shuffle."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    d = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(d < 30, "fast").when(d <= 60, "medium").otherwise("slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_lines"),
+        )
+    )
+
+
+@register(
+    "nation_pair_volume",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) / 10000.0 AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY 1, 2
+    """,
+)
+def q_nation_pair_volume(spark, sf_dir):
+    """TPC-H Q7 shape — cross-border trade volume per (customer nation,
+    supplier nation) pair. Supplier and nation broadcast into the fact
+    scan; the orders-customer side resolves the customer's nation before
+    the fact join, so lineitem shuffles once (on ``l_orderkey``) and the
+    pair aggregate partials map-side. Revenue in exact integer micros."""
+    li, orders, cust, nation, supp = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "supplier"
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    o_side = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .select("o_orderkey", "cust_nation")
+    )
+    s_side = supp.select("s_suppkey", "s_nationkey").join(
+        broadcast(sn), F.col("s_nationkey") == F.col("s_nk")
+    ).select("s_suppkey", "supp_nation")
+    micro = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.select("l_orderkey", "l_suppkey", micro.alias("__m"))
+        .join(broadcast(s_side), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o_side, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg((F.sum("__m") / 10000.0).alias("volume"))
+    )
+
+
 # ROUND-3 NOTE: after the round-2 driver run verifies this window, rebuild
 # this list with the ~34 round-2 additions that registered past the cap
 # (gopher_quality_filter ... cheapest_supplier_per_part, llm_annotate, the
