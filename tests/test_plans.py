@@ -435,6 +435,10 @@ def test_no_plan_antipatterns_across_all_queries(spark):
         "training_corpus_prep",
         "corpus_split",        # 3-row summary
         "ivf_recall_eval",     # 1-row recall result
+        "temperature_mixture",  # total-weight window over the |sources|-row agg
+        "temperature_sample",   # same rates table, broadcast back
+        "lapsed_customer_balance",  # 1-row avg-balance stats agg
+        "top_supplier_revenue",     # 1-row max-revenue agg over |suppliers| rows
     }
     offenders = {}
     for name, fn in qc.SPARK_QUERIES.items():
