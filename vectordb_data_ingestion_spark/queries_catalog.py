@@ -5859,15 +5859,15 @@ def q_events_session_window(spark, sf_dir):
     """
     WITH stats AS (
       SELECT event_type,
-             AVG(value) AS mu,
-             stddev_pop(value) AS sigma,
+             ROUND(AVG(value), 6) AS mu,
+             ROUND(stddev_pop(value), 6) AS sigma,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM events GROUP BY event_type
     )
     SELECT e.event_type,
            CAST(stats.n AS BIGINT) AS n_events,
-           ROUND(stats.mu, 6) AS mean_value,
-           ROUND(stats.sigma, 6) AS stddev_value,
+           stats.mu AS mean_value,
+           stats.sigma AS stddev_value,
            CAST(COUNT(*) FILTER (WHERE abs(e.value - stats.mu)
                                        > 3 * stats.sigma) AS BIGINT)
              AS n_outliers
@@ -5880,11 +5880,18 @@ def q_events_value_anomalies(spark, sf_dir):
     event type (tiny broadcast stats), then one filtered count over the
     stream — the monitoring primitive for metric-value anomalies. Two
     passes over the fact (stats, then flag) with the stats side broadcast;
-    an incremental deployment keeps (n, sum, sum²) as mergeable state."""
+    an incremental deployment keeps (n, sum, sum²) as mergeable state.
+
+    mu/sigma are rounded to 6dp BEFORE the 3-sigma predicate: the raw
+    aggregates differ between engines in the last ulps (summation order,
+    stddev accumulation algorithm), and an event value sitting exactly at
+    the unrounded boundary would flip n_outliers cross-engine. After
+    rounding, every op in the predicate is a single deterministic IEEE
+    operation on identical operands."""
     (events,) = _t(spark, sf_dir, "events")
     stats = events.groupBy("event_type").agg(
-        F.avg("value").alias("mu"),
-        F.stddev_pop("value").alias("sigma"),
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_pop("value"), 6).alias("sigma"),
         F.count(F.lit(1)).alias("n"),
     )
     flagged = events.join(broadcast(stats), "event_type")
@@ -5901,8 +5908,8 @@ def q_events_value_anomalies(spark, sf_dir):
         .select(
             "event_type",
             F.col("n").cast("long").alias("n_events"),
-            F.round("mu", 6).alias("mean_value"),
-            F.round("sigma", 6).alias("stddev_value"),
+            F.col("mu").alias("mean_value"),
+            F.col("sigma").alias("stddev_value"),
             F.col("n_outliers").cast("long").alias("n_outliers"),
         )
     )
