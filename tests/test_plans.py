@@ -513,3 +513,42 @@ def test_execute_compaction_rewrites_small_files(spark, tmp_path):
     before = docs.orderBy("doc_id").collect()
     after = spark.read.parquet(out + "/bin=*").orderBy("doc_id").collect()
     assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+
+# --- sizing advisor ---------------------------------------------------------
+
+def test_sizing_recommend_scales_with_volume():
+    from vectordb_data_ingestion_spark.plans.sizing import recommend
+
+    gib = 1 << 30
+    small = recommend(10 * gib, total_cores=64, executor_mem_bytes=16 * gib)
+    big = recommend(100 * 1024 * gib, total_cores=4000,
+                    executor_mem_bytes=16 * gib)
+    # small job floors at 2x cores; 100 TB is volume-driven
+    assert small.shuffle_partitions == 128
+    # 100 TB * 0.5 shuffle ratio / 128 MiB = 409600 partitions
+    assert big.shuffle_partitions == 409_600
+    assert big.shuffle_partitions > big.est_shuffle_bytes // (256 << 20)
+    # split never exceeds the target and respects the memory cap
+    tight = recommend(10 * gib, total_cores=64,
+                      executor_mem_bytes=2 * gib, cores_per_executor=8)
+    assert tight.max_partition_bytes < 128 << 20
+    assert tight.max_partition_bytes >= 8 << 20
+
+
+def test_sizing_table_bytes_and_apply(spark, tmp_path):
+    from vectordb_data_ingestion_spark.plans import sizing
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(0, 10000).write.parquet(p)
+    b = sizing.table_bytes(p)
+    assert b > 0
+    plan = sizing.recommend(b, total_cores=32, executor_mem_bytes=1 << 32)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        sizing.apply(spark, plan)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+            plan.shuffle_partitions
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

@@ -14,6 +14,11 @@ from vectordb_data_ingestion_spark.plans.inspect import (
     physical_plan,
     scan_columns,
 )
+from vectordb_data_ingestion_spark.plans.sizing import (
+    SizingPlan,
+    recommend,
+    table_bytes,
+)
 from vectordb_data_ingestion_spark.plans.layout import (
     salted_agg,
     salted_join,
@@ -28,4 +33,7 @@ __all__ = [
     "salted_agg",
     "salted_join",
     "write_bucketed",
+    "SizingPlan",
+    "recommend",
+    "table_bytes",
 ]
