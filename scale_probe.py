@@ -51,6 +51,12 @@ PROBE = [
     # PMI's double gram shuffle
     "doc_keywords_tfidf",
     "bigram_pmi",
+    # round-2 batch-4 relational heavies: these scale with lineitem (the
+    # fact side grows per copy, dimensions stay fixed — the realistic
+    # fact/dim growth profile), so the probe multiplies orders+lineitem too
+    "sole_late_supplier",
+    "small_quantity_revenue",
+    "nation_pair_volume",
 ]
 
 ALL_TABLES = (
@@ -89,6 +95,28 @@ def build_scaled_dir(spark, mult: int, root: str) -> str:
         scaled_embs = scaled_embs.unionByName(e)
     scaled_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
     scaled_embs.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    # Fact-side growth for the relational probes: orderkeys offset per copy
+    # (facts grow linearly, dimension tables stay fixed — per-order rollups
+    # and per-part stats then scale linearly by construction).
+    rel = load_tables(spark, SF_DIR, ("orders", "lineitem"))
+    orders, li = rel["orders"], rel["lineitem"]
+    max_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    o_parts = [
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * max_ord))
+        for i in range(mult)
+    ]
+    l_parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_ord))
+        for i in range(mult)
+    ]
+    scaled_o, scaled_l = o_parts[0], l_parts[0]
+    for o in o_parts[1:]:
+        scaled_o = scaled_o.unionByName(o)
+    for l in l_parts[1:]:
+        scaled_l = scaled_l.unionByName(l)
+    scaled_o.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    scaled_l.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
     for t in ALL_TABLES:
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
