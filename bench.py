@@ -117,6 +117,8 @@ HEADLINE = [
     "nation_pair_volume",
     "small_quantity_revenue",
     "sole_late_supplier",
+    "dominant_part_suppliers",
+    "disjunctive_brand_revenue",
 ]
 
 

@@ -439,6 +439,8 @@ def test_no_plan_antipatterns_across_all_queries(spark):
         "temperature_sample",   # same rates table, broadcast back
         "lapsed_customer_balance",  # 1-row avg-balance stats agg
         "top_supplier_revenue",     # 1-row max-revenue agg over |suppliers| rows
+        "disjunctive_brand_revenue",  # 1-row global revenue result
+        "important_part_share",       # 1-row grand-total agg over the rollup
     }
     offenders = {}
     for name, fn in qc.SPARK_QUERIES.items():
@@ -552,3 +554,22 @@ def test_sizing_table_bytes_and_apply(spark, tmp_path):
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_disjunctive_predicate_pushes_to_both_scans(spark):
+    """TPC-H Q19's point: Catalyst must factor the OR-of-conjuncts so the
+    quantity envelope reaches the lineitem scan and the brand/size
+    envelope reaches the part scan — without this, a 100 TB lineitem scan
+    reads every row and filters post-join."""
+    from vectordb_data_ingestion_spark.plans.inspect import pushed_filters
+
+    df = qc.SPARK_QUERIES["disjunctive_brand_revenue"](spark, SF_SMALL)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed
+    assert "p_brand" in pushed or "Brand#" in pushed
+    # scans pruned: lineitem reads only the 4 needed columns
+    assert any(
+        set(c) <= {"l_partkey", "l_quantity", "l_extendedprice", "l_discount"}
+        and len(c) > 0
+        for c in scan_columns(df)
+    )

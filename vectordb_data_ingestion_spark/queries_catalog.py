@@ -6773,6 +6773,136 @@ def q_nation_pair_volume(spark, sf_dir):
     )
 
 
+@register(
+    "disjunctive_brand_revenue",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_disjunctive_brand_revenue(spark, sf_dir):
+    """TPC-H Q19 shape — a disjunction of conjunct groups spanning both
+    join sides. Catalyst factors the common implications out of the OR:
+    the part side gets `p_brand IN (...)` + the size envelope pushed into
+    its scan, the lineitem side gets the quantity envelope, and only the
+    residual disjunction evaluates post-join — the predicate-pushdown
+    stress test. Revenue in exact integer micros; 1-row result."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    j = li.join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#13") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#19") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#5") & s.between(1, 35) & q.between(20, 30))
+    )
+    micro = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return j.filter(cond).agg(
+        (F.sum(micro) / 10000.0).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "dominant_part_suppliers",
+    """
+    WITH widget_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+    ), per_ps AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sq
+      FROM lineitem l
+      JOIN widget_parts w ON w.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ), per_p AS (
+      SELECT l_partkey, CAST(SUM(sq) AS BIGINT) AS tq
+      FROM per_ps GROUP BY 1
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM per_ps
+    JOIN per_p USING (l_partkey)
+    JOIN supplier s ON s.s_suppkey = per_ps.l_suppkey
+    WHERE per_ps.sq * 2 > per_p.tq
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_dominant_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape — the nested semi-join chain (parts by name
+    pattern → qualifying (part, supplier) volumes → suppliers) with the
+    correlated half-of-total-qty subquery decorrelated into a second
+    aggregate over the SAME partkey-keyed rollup — the two agg levels
+    share one exchange. ``sq*2 > tq`` keeps the 50% compare integer."""
+    li, part, supp = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    widget = part.filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    per_ps = (
+        li.join(broadcast(widget), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+    )
+    per_p = per_ps.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    return (
+        per_ps.join(per_p, "l_partkey")
+        .filter(F.col("sq") * 2 > F.col("tq"))
+        .join(broadcast(supp.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "important_part_share",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * l_quantity * 100)
+                           AS BIGINT)) AS BIGINT) AS value_centi
+      FROM lineitem GROUP BY 1
+    ), total AS (
+      SELECT CAST(SUM(value_centi) AS BIGINT) AS t FROM pv
+    )
+    SELECT pv.l_partkey, pv.value_centi / 100.0 AS part_value,
+           (pv.value_centi * 1000000) // total.t AS share_ppm
+    FROM pv, total
+    WHERE pv.value_centi * 1000 > total.t
+    ORDER BY pv.value_centi DESC, pv.l_partkey LIMIT 25
+    """,
+)
+def q_important_part_share(spark, sf_dir):
+    """TPC-H Q11 shape — per-group aggregate filtered against a fraction
+    of the grand total (HAVING SUM(...) > total * f). The grand total is a
+    1-row aggregate OVER the per-part rollup (not a second fact scan),
+    broadcast back; value and threshold stay integer centi-units so the
+    0.1% gate (``value*1000 > total``) is exact cross-engine."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    centi = F.round(
+        F.col("l_extendedprice") * F.col("l_quantity") * 100
+    ).cast("long")
+    pv = li.groupBy("l_partkey").agg(F.sum(centi).alias("value_centi"))
+    total = pv.agg(F.sum("value_centi").alias("__t"))
+    return (
+        pv.crossJoin(broadcast(total))
+        .filter(F.col("value_centi") * 1000 > F.col("__t"))
+        .select(
+            "l_partkey",
+            (F.col("value_centi") / 100.0).alias("part_value"),
+            F.expr("value_centi * 1000000L div __t").alias("share_ppm"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+        .limit(25)
+    )
+
+
 # ROUND-3 NOTE: after the round-2 driver run verifies this window, rebuild
 # this list with the ~34 round-2 additions that registered past the cap
 # (gopher_quality_filter ... cheapest_supplier_per_part, llm_annotate, the
