@@ -247,3 +247,53 @@ def test_extract_pdf_tables(spark, tmp_path):
     expected = _stub_pdf_tables(payload)
     assert [r["table_text"] for r in sorted(rows, key=lambda r: r["table_index"])] == expected
     assert all("|" in r["table_text"] for r in rows)
+
+
+def test_document_catalog_stream_reader(spark, tmp_path):
+    """Streaming catalog: batch 1 reads the initial files, batch 2 (same
+    checkpoint) picks up ONLY the file that appeared after the committed
+    offset — the reference's modified_dt > load_dt incremental predicate
+    driven by the stream's offset log instead of a hand-rolled state row."""
+    import os
+
+    from vectordb_data_ingestion_spark.sources.datasource import (
+        DocumentCatalogDataSource,
+    )
+
+    root = tmp_path / "stream_ds"
+    root.mkdir()
+    f1 = root / "a.txt"
+    f1.write_text("alpha")
+    os.utime(f1, ns=(1_000_000_000, 1_000_000_000))
+    spark.dataSource.register(DocumentCatalogDataSource)
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+
+    def run_batch():
+        q = (
+            spark.readStream.format("document_catalog")
+            .option("path", str(root))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_batch()
+    first = {r["name"] for r in spark.read.parquet(out).collect()}
+    assert first == {"a.txt"}
+
+    f2 = root / "b.txt"
+    f2.write_text("beta")
+    os.utime(f2, ns=(2_000_000_000, 2_000_000_000))
+    run_batch()
+    rows = spark.read.parquet(out).collect()
+    names = sorted(r["name"] for r in rows)
+    # a.txt must NOT replay: its mtime is at-or-before the committed offset
+    assert names == ["a.txt", "b.txt"]
+    got = {r["name"]: bytes(r["content"]) for r in rows}
+    assert got["b.txt"] == b"beta"
