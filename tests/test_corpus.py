@@ -591,3 +591,21 @@ def test_source_vocab_overlap_bounds(spark):
     assert out[("s1", "s2")]["jaccard_ppm"] == 1_000_000
     # disjoint pairs appear only via the inner join when inter >= 1
     assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_token_budget_fill_boundary_semantics(spark):
+    rows = [
+        (1, "a", 40), (2, "a", 30), (3, "a", 20), (4, "a", 10),
+        (5, "b", 100),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    kept = {
+        r["doc_id"]: r["cum_before"]
+        for r in cp.token_budget_fill(
+            df, budget=75, token_col="n_chars", group_col="source",
+            order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        ).collect()
+    }
+    # a: 40 (before=0) + 30 (before=40) + 20 (before=70 < 75, straddles,
+    # kept) + 10 (before=90, dropped); b: single doc over budget still kept
+    assert kept == {1: 0, 2: 40, 3: 70, 5: 0}

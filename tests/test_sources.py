@@ -297,3 +297,30 @@ def test_document_catalog_stream_reader(spark, tmp_path):
     assert names == ["a.txt", "b.txt"]
     got = {r["name"]: bytes(r["content"]) for r in rows}
     assert got["b.txt"] == b"beta"
+
+
+def test_parse_json_quarantine_routes_bad_rows(spark):
+    from vectordb_data_ingestion_spark.operators.catalog import (
+        parse_json_quarantine,
+    )
+
+    rows = [
+        (1, '{"k": 5, "tag": "x"}'),
+        (2, "{not json"),
+        (3, None),
+        (4, '{"k": 7}'),
+    ]
+    df = spark.createDataFrame(rows, ["id", "props"])
+    out = parse_json_quarantine(df, "props", "k long, tag string")
+    good = {
+        r["id"]: (r["props_parsed"]["k"], r["props_parsed"]["tag"])
+        for r in out.filter(F.col("_corrupt").isNull()
+                            & F.col("props_parsed").isNotNull()).collect()
+    }
+    bad = {r["id"]: r["_corrupt"] for r in out.filter(
+        F.col("_corrupt").isNotNull()).collect()}
+    assert good == {1: (5, "x"), 4: (7, None)}
+    assert bad == {2: "{not json"}
+    # NULL input is neither parsed nor quarantined (no payload to recover)
+    null_row = out.filter(F.col("id") == 3).collect()[0]
+    assert null_row["props_parsed"] is None and null_row["_corrupt"] is None

@@ -259,3 +259,90 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("__prev", "__rn")
     )
+
+
+# --- backfill planning -------------------------------------------------------
+
+def missing_partitions(
+    df: DataFrame,
+    ts_col: str = "ts",
+    granularity: str = "hour",
+) -> DataFrame:
+    """Backfill planner: which time partitions between the table's min and
+    max are EMPTY? Builds the expected calendar with ``sequence()`` off the
+    1-row min/max aggregate (never a driver loop), then anti-joins the
+    partitions actually present — the standard late-landing-data /
+    ingestion-gap audit before scheduling a backfill.
+
+    Cost at 100 TB: one min/max aggregate over the (pruned, ts-only) scan,
+    one distinct over truncated timestamps (map-side partial), and an anti
+    join between two calendar-sized (tiny) tables."""
+    trunc = F.date_trunc(granularity, F.col(ts_col))
+    present = df.select(trunc.alias("part")).distinct()
+    bounds = df.agg(
+        F.date_trunc(granularity, F.min(ts_col)).alias("lo"),
+        F.date_trunc(granularity, F.max(ts_col)).alias("hi"),
+    )
+    expected = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"INTERVAL 1 {granularity}"))
+        ).alias("part")
+    )
+    return expected.join(present, "part", "left_anti")
+
+
+def missing_partitions_sql(
+    table: str, ts_expr: str = "ts", granularity: str = "hour"
+) -> str:
+    """DuckDB query matching :func:`missing_partitions`."""
+    return f"""
+    WITH bounds AS (
+      SELECT date_trunc('{granularity}', MIN({ts_expr})) AS lo,
+             date_trunc('{granularity}', MAX({ts_expr})) AS hi
+      FROM {table}
+    ), expected AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 {granularity})) AS part
+      FROM bounds
+    ), present AS (
+      SELECT DISTINCT date_trunc('{granularity}', {ts_expr}) AS part
+      FROM {table}
+    )
+    SELECT e.part FROM expected e
+    WHERE NOT EXISTS (SELECT 1 FROM present p WHERE p.part = e.part)
+    """
+
+
+# --- semi-structured quarantine scan ----------------------------------------
+
+def parse_json_quarantine(
+    df: DataFrame,
+    json_col: str,
+    schema: str,
+    quarantine_col: str = "_corrupt",
+) -> DataFrame:
+    """Parse a JSON string column against ``schema``, routing malformed
+    payloads to a quarantine column instead of dropping them silently (the
+    `badRecordsPath` pattern applied to an in-flight column): well-formed
+    rows get the parsed struct fields, malformed rows keep the raw string
+    in ``quarantine_col`` for a dead-letter sink. ``from_json`` is
+    PERMISSIVE (an all-null struct, NOT a null struct, on corrupt input),
+    so detection goes through the parser's own corrupt-record channel: the
+    schema gains a ``columnNameOfCorruptRecord`` field the parser fills
+    only for malformed payloads. One narrow projection — no UDF, no second
+    scan. Split the result with ``.filter(col(quarantine_col).isNull())``
+    / ``.isNotNull()`` for the good/dead-letter branches."""
+    parsed = F.from_json(
+        F.col(json_col),
+        f"{schema}, {quarantine_col} string",
+        {"columnNameOfCorruptRecord": quarantine_col},
+    )
+    return (
+        df.withColumn("__parsed", parsed)
+        .select(
+            *[c for c in df.columns],
+            F.col("__parsed")
+            .dropFields(quarantine_col)
+            .alias(f"{json_col}_parsed"),
+            F.col(f"__parsed.{quarantine_col}").alias(quarantine_col),
+        )
+    )

@@ -941,3 +941,55 @@ def source_vocab_overlap_sql(
     JOIN sizes s1 ON p.g1 = s1.g
     JOIN sizes s2 ON p.g2 = s2.g
     """
+
+
+# --- token-budgeted quality fill ---------------------------------------------
+
+def token_budget_fill(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    group_col: str = "source",
+    order_by: list[Column] | None = None,
+    keep_col: str = "cum_before",
+) -> DataFrame:
+    """Fill a per-group token budget best-first: lay the group's documents
+    out in quality order (``order_by``, best first — pass a deterministic
+    total order) and keep each document whose cumulative token count
+    *before* it is still under ``budget`` — the quality-quota step of a
+    mixture pipeline ("take the best N tokens per source", DoReMi/quality-
+    filter style), as one hash-partitioned window per group. The boundary
+    document that straddles the budget is kept (start-based rule, same
+    convention as :func:`pack_sequences`), so each group overshoots by at
+    most one document. Also emits ``keep_col``: the tokens consumed before
+    this document within its group."""
+    if order_by is None:
+        order_by = [F.col(token_col).desc()]
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    before = F.coalesce(
+        F.sum(F.col(token_col)).over(w) - F.col(token_col), F.lit(0)
+    ).cast("long")
+    return (
+        df.withColumn(keep_col, before)
+        .filter(F.col(keep_col) < budget)
+    )
+
+
+def token_budget_fill_sql(
+    table: str,
+    budget: int,
+    token_expr: str = "n_tokens",
+    group_expr: str = "source",
+    order_sql: str = "n_tokens DESC",
+) -> str:
+    """DuckDB FROM-clause subquery matching :func:`token_budget_fill`."""
+    return f"""
+    SELECT * FROM (
+      SELECT *,
+             CAST(COALESCE(SUM({token_expr}) OVER (
+               PARTITION BY {group_expr} ORDER BY {order_sql}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - {token_expr}, 0) AS BIGINT) AS cum_before
+      FROM {table}
+    ) WHERE cum_before < {budget}
+    """

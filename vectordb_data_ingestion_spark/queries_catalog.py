@@ -6903,6 +6903,45 @@ def q_important_part_share(spark, sf_dir):
     )
 
 
+@register(
+    "missing_event_hours",
+    cat.missing_partitions_sql("events", "ts", "hour")
+    + " ORDER BY e.part",
+)
+def q_missing_event_hours(spark, sf_dir):
+    """Backfill planner: hours inside the events table's [min, max] span
+    with NO rows — the ingestion-gap audit that decides what to backfill.
+    Expected calendar via sequence() off the 1-row min/max agg (no driver
+    loop), anti-joined against the distinct present hours; both sides are
+    calendar-sized."""
+    (events,) = _t(spark, sf_dir, "events")
+    return cat.missing_partitions(events, "ts", "hour").orderBy("part")
+
+
+@register(
+    "token_budget_fill",
+    cp.token_budget_fill_sql(
+        "documents", 50_000, "n_chars", "source", "n_chars DESC, doc_id"
+    )
+    .replace("SELECT *,", "SELECT doc_id, source, n_chars,")
+    .replace("SELECT * FROM (", "SELECT * FROM (", 1),
+)
+def q_token_budget_fill(spark, sf_dir):
+    """Quality-quota corpus fill: per source, take documents best-first
+    (longest here — the scoring column is pluggable) until a 50k-char
+    budget fills; the straddling document is kept (start-based rule).
+    One window per source, no global sort — the "best N tokens per
+    source" step of a mixture pipeline."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return cp.token_budget_fill(
+        docs.select("doc_id", "source", "n_chars"),
+        budget=50_000,
+        token_col="n_chars",
+        group_col="source",
+        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+
+
 # ROUND-3 NOTE: after the round-2 driver run verifies this window, rebuild
 # this list with the ~34 round-2 additions that registered past the cap
 # (gopher_quality_filter ... cheapest_supplier_per_part, llm_annotate, the
