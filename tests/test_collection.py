@@ -221,3 +221,23 @@ def test_near_object_excludes_anchor(spark):
         raise AssertionError("expected KeyError for a missing anchor id")
     except KeyError:
         pass
+
+
+def test_aggregate_counts_and_means(spark):
+    corpus = _corpus(spark).withColumn("n_chars", F.length("text"))
+    col = VectorCollection(corpus, id_col="doc_id")
+    out = {
+        r["lang"]: r
+        for r in col.aggregate(group_by="lang", mean_cols=["n_chars"]).collect()
+    }
+    expected = {
+        r["lang"]: (r["c"], r["m"])
+        for r in corpus.groupBy("lang")
+        .agg(F.count("*").alias("c"), F.round(F.avg("n_chars"), 6).alias("m"))
+        .collect()
+    }
+    assert {k: (v["count"], v["mean_n_chars"]) for k, v in out.items()} == expected
+    total = col.aggregate().collect()[0]
+    assert total["count"] == corpus.count()
+    filtered = col.aggregate(where=F.col("lang") == "en").collect()[0]
+    assert filtered["count"] == corpus.filter("lang = 'en'").count()

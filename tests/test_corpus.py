@@ -609,3 +609,39 @@ def test_token_budget_fill_boundary_semantics(spark):
     # a: 40 (before=0) + 30 (before=40) + 20 (before=70 < 75, straddles,
     # kept) + 10 (before=90, dropped); b: single doc over budget still kept
     assert kept == {1: 0, 2: 40, 3: 70, 5: 0}
+
+
+def test_weighted_reservoir_bias_and_determinism(spark):
+    """Heavier rows must win more often across seeds, and membership is
+    partition-invariant."""
+    rows = [(i, "g", 1000 if i < 10 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+    heavy_wins = 0
+    for seed in range(5):
+        got = {
+            r["doc_id"]
+            for r in cp.weighted_reservoir_sample(
+                df, k=10, weight_col="w", group_col="source", seed=seed
+            ).collect()
+        }
+        heavy_wins += len(got & set(range(10)))
+    # 10 rows carry 1000x the weight of the other 990: they dominate
+    assert heavy_wins >= 35  # out of 50 slots
+    a = {r["doc_id"] for r in cp.weighted_reservoir_sample(
+        df, k=10, weight_col="w", group_col="source").collect()}
+    b = {r["doc_id"] for r in cp.weighted_reservoir_sample(
+        df.repartition(7), k=10, weight_col="w", group_col="source").collect()}
+    assert a == b
+    # global (no-group) path returns exactly k via TakeOrdered
+    g = cp.weighted_reservoir_sample(df, k=10, weight_col="w").collect()
+    assert len(g) == 10
+
+
+def test_interleave_order_mixes_shards(spark):
+    df = spark.range(0, 256).withColumnRenamed("id", "doc_id")
+    out = cp.interleave_order(df, n_shards=8).collect()
+    # global_pos is unique and the first 8 positions hit 8 distinct shards
+    pos = sorted(r["global_pos"] for r in out)
+    assert len(set(pos)) == len(pos)
+    first = sorted(out, key=lambda r: r["global_pos"])[:8]
+    assert len({r["shard"] for r in first}) == 8

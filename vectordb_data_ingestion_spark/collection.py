@@ -266,3 +266,23 @@ class VectorCollection:
             url_col=url_col,
             tokens_col=tokens_col,
         ).drop("q_id")
+
+    def aggregate(
+        self,
+        group_by: str | list[str] | None = None,
+        where: Column | None = None,
+        mean_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Weaviate-style ``aggregate``: object counts (optionally per
+        ``group_by`` metadata field) with optional per-column means, over
+        the predicate-filtered corpus. The filter rides the scan
+        (pushdown), the count is one map-side-combinable aggregate —
+        metadata analytics never touch the vector column."""
+        base = self._filtered(where)
+        aggs = [F.count(F.lit(1)).alias("count")]
+        for c in mean_cols or []:
+            aggs.append(F.round(F.avg(c), 6).alias(f"mean_{c}"))
+        if group_by is None:
+            return base.agg(*aggs)
+        keys = [group_by] if isinstance(group_by, str) else list(group_by)
+        return base.groupBy(*keys).agg(*aggs)

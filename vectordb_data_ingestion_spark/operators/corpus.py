@@ -993,3 +993,102 @@ def token_budget_fill_sql(
       FROM {table}
     ) WHERE cum_before < {budget}
     """
+
+
+# --- training-order interleave manifest --------------------------------------
+
+def interleave_order(
+    df: DataFrame,
+    n_shards: int = 1024,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Global training-order manifest over :func:`assign_shards`: a
+    round-robin interleave of the shards (``global_pos = (pos-1)*n_shards
+    + shard``) so a sequential reader visiting positions 0,1,2,… cycles
+    through shards — every window of the training stream mixes all shards,
+    the property data-ordering studies want from a "well-shuffled" corpus,
+    without ever materializing a global sort (the order is a pure
+    expression off the per-shard rank)."""
+    sharded = assign_shards(df, n_shards=n_shards, id_col=id_col, seed=seed)
+    return sharded.withColumn(
+        "global_pos",
+        ((F.col("pos") - 1) * n_shards + F.col("shard")).cast("long"),
+    )
+
+
+def interleave_order_sql(
+    n_shards: int, id_expr: str = "doc_id", seed: int = 0
+) -> dict[str, str]:
+    """DuckDB expressions matching :func:`interleave_order` (compose with
+    :func:`assign_shards_sql`'s shard/pos)."""
+    exprs = assign_shards_sql(n_shards, id_expr, seed)
+    exprs["global_pos"] = (
+        f"CAST((({exprs['pos']}) - 1) * {n_shards} + ({exprs['shard']}) AS BIGINT)"
+    )
+    return exprs
+
+
+# --- exact-k weighted sampling (Efraimidis–Spirakis) --------------------------
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Exact-k sampling with probability proportional to ``weight_col``
+    (A-ES / Efraimidis–Spirakis): each row gets key ``u^(1/w)`` with ``u``
+    a deterministic uniform from the id hash, and the k largest keys win.
+    Computed as ``ln(u)/w`` (monotone in u^(1/w) for the top-k order, no
+    overflow for tiny u). Membership is a pure function of (id, seed) —
+    reproducible across runs and partitionings, unlike ``df.sample``.
+
+    Per ``group_col``: one hash-partitioned window per group. Global:
+    ``orderBy().limit(k)`` — a TakeOrdered per-partition heap + k-row
+    driver merge, never a full sort.
+
+    Cross-engine note: the key involves ``ln`` (≤1 ulp libm error, not
+    IEEE-mandated exact), so the oracle can disagree only if two keys sit
+    within ~1e-15 of each other AND straddle rank k — negligible, and the
+    id tiebreak fixes exact ties."""
+    u = (
+        md5_hash32_seeded(F.col(id_col).cast("string"), seed) + 1
+    ) / F.lit(_HASH_SPACE)
+    key = F.log(u) / F.col(weight_col)
+    if group_col is None:
+        return df.orderBy(F.desc(key), F.asc(id_col)).limit(k)
+    w = Window.partitionBy(group_col).orderBy(F.desc(key), F.asc(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def weighted_reservoir_sample_sql(
+    table: str,
+    k: int,
+    weight_expr: str,
+    id_expr: str = "doc_id",
+    group_expr: str | None = None,
+    seed: int = 0,
+) -> str:
+    """DuckDB FROM-clause subquery matching :func:`weighted_reservoir_sample`."""
+    h = md5_hash32_seeded_sql(f"CAST({id_expr} AS VARCHAR)", seed)
+    key = f"(ln(({h} + 1) / {_HASH_SPACE}) / {weight_expr})"
+    if group_expr is None:
+        return (
+            f"SELECT * FROM {table} "
+            f"ORDER BY {key} DESC, {id_expr} ASC LIMIT {k}"
+        )
+    return f"""
+    SELECT * EXCLUDE (__rn) FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY {group_expr} ORDER BY {key} DESC, {id_expr} ASC
+      ) AS __rn
+      FROM {table}
+    ) WHERE __rn <= {k}
+    """

@@ -6942,6 +6942,54 @@ def q_token_budget_fill(spark, sf_dir):
     )
 
 
+_INTERLEAVE_SQL = cp.interleave_order_sql(16)
+
+
+@register(
+    "interleave_manifest",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {_INTERLEAVE_SQL['shard']} AS shard,
+           {_INTERLEAVE_SQL['pos']} AS pos,
+           {_INTERLEAVE_SQL['global_pos']} AS global_pos
+    FROM documents
+    """,
+)
+def q_interleave_manifest(spark, sf_dir):
+    """Global training-order manifest: round-robin interleave of the 16
+    shards (global_pos = (pos-1)*16 + shard) so a sequential reader cycles
+    through shards — every window of the training stream mixes all shards,
+    with no global sort (the order is an expression off the per-shard
+    rank)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return cp.interleave_order(spread(docs), n_shards=16).select(
+        "doc_id", "shard", "pos", "global_pos"
+    )
+
+
+@register(
+    "weighted_reservoir_sample",
+    "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM ("
+    + cp.weighted_reservoir_sample_sql(
+        "documents", 20, "n_chars", "doc_id", "lang"
+    )
+    + ")",
+)
+def q_weighted_reservoir_sample(spark, sf_dir):
+    """Exact-k weighted sampling per language (Efraimidis–Spirakis keys
+    off the deterministic id hash): longer documents proportionally more
+    likely, exactly 20 winners per language, membership a pure function of
+    (doc_id, seed). One window per language."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return cp.weighted_reservoir_sample(
+        docs.select("doc_id", "lang", "n_chars"),
+        k=20,
+        weight_col="n_chars",
+        id_col="doc_id",
+        group_col="lang",
+    )
+
+
 # ROUND-3 NOTE: after the round-2 driver run verifies this window, rebuild
 # this list with the ~34 round-2 additions that registered past the cap
 # (gopher_quality_filter ... cheapest_supplier_per_part, llm_annotate, the
