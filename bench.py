@@ -119,6 +119,11 @@ HEADLINE = [
     "sole_late_supplier",
     "dominant_part_suppliers",
     "disjunctive_brand_revenue",
+    # the composed curation flagship: gate -> dedup -> decontaminate ->
+    # split -> temperature sample -> shards in ONE plan
+    "full_curation_pipeline",
+    "token_budget_fill",
+    "weighted_reservoir_sample",
 ]
 
 

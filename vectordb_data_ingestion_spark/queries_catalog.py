@@ -6990,6 +6990,107 @@ def q_weighted_reservoir_sample(spark, sf_dir):
     )
 
 
+def _full_curation_oracle_sql() -> str:
+    from vectordb_data_ingestion_spark.operators.textanalysis import (
+        gopher_document_filter_sql,
+    )
+
+    # the helper exposes the composite verdict as an INT column expression
+    keep_bool = gopher_document_filter_sql("text")["keep"] + " = 1"
+    split_case = cp.deterministic_split_sql("doc_id")
+    shard = cp.assign_shards_sql(8)["shard"]
+    sampled = cp.temperature_sample_sql("train", "source", "doc_id", 150)
+    return f"""
+    WITH kept AS (
+      SELECT * FROM documents WHERE {keep_bool}
+    ), deduped AS (
+      SELECT * EXCLUDE (__rn) FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(text) ORDER BY doc_id) AS __rn
+        FROM kept
+      ) WHERE __rn = 1
+    ), corpus0 AS (
+      SELECT doc_id, text, source, lang, n_chars FROM deduped
+      WHERE doc_id % 97 <> 0
+    ), decon AS (
+      {cp.decontaminate_sql(
+          "SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0",
+          "SELECT text FROM documents WHERE doc_id % 97 = 0",
+          gram_n=3,
+          select="doc_id",
+      )}
+    ), train AS (
+      SELECT doc_id, text, source, lang, n_chars FROM corpus0
+      WHERE doc_id NOT IN (SELECT doc_id FROM decon WHERE contaminated)
+        AND {split_case} = 'train'
+    ), sampled AS (
+      {sampled}
+    )
+    SELECT {shard} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+    FROM sampled
+    GROUP BY 1
+    """
+
+
+@register("full_curation_pipeline", _full_curation_oracle_sql())
+def q_full_curation_pipeline(spark, sf_dir):
+    """The whole curation layer composed end-to-end in ONE lazy plan:
+    Gopher quality gate (scan-speed projection) → exact dedup (one text-
+    hash shuffle, first-doc-wins) → benchmark decontamination (broadcast
+    gram semi-join, corpus never shuffles) → deterministic train split
+    (hash projection) → temperature mixture sampling (data-derived rates
+    broadcast back in-plan) → training shards → per-shard manifest. Every
+    stage is the same operator the standalone queries verify; this query
+    pins that they COMPOSE — one job, no driver round-trips between
+    stages, Catalyst free to pipeline the narrow stages between the three
+    genuine exchanges (dedup hash, gram explode agg, shard count)."""
+    from vectordb_data_ingestion_spark.operators.textanalysis import (
+        gopher_document_filter,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = spread(docs)
+    gates = gopher_document_filter(docs).select("doc_id", "keep")
+    kept = (
+        docs.join(gates, "doc_id").filter(F.col("keep") == 1).drop("keep")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    corpus0 = deduped.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "text", "source", "lang", "n_chars"
+    )
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    # contamination depends only on a doc's OWN grams, so the hit set is
+    # computed off the cheap raw scan (not the gated+deduped subtree, which
+    # decontaminate's flag join-back would otherwise recompute) and applied
+    # to the survivors as one broadcast anti join — same survivor set,
+    # one evaluation of the dedup window instead of three
+    raw_slim = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    contaminated_ids = (
+        cp.decontaminate(raw_slim, benchmark, gram_n=3)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = corpus0.join(F.broadcast(contaminated_ids), "doc_id", "left_anti")
+    train = (
+        cp.deterministic_split(clean)
+        .filter(F.col("split") == "train")
+        .drop("split")
+    )
+    sampled = cp.temperature_sample(train, "source", "doc_id", target_docs=150)
+    sharded = cp.assign_shards(sampled, n_shards=8)
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+    )
+
+
 # ROUND-3 NOTE: after the round-2 driver run verifies this window, rebuild
 # this list with the ~34 round-2 additions that registered past the cap
 # (gopher_quality_filter ... cheapest_supplier_per_part, llm_annotate, the
