@@ -124,6 +124,7 @@ HEADLINE = [
     "full_curation_pipeline",
     "token_budget_fill",
     "weighted_reservoir_sample",
+    "bitext_margin_pairs",
 ]
 
 

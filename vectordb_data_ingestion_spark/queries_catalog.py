@@ -7091,6 +7091,109 @@ def q_full_curation_pipeline(spark, sf_dir):
     )
 
 
+@register(
+    "bitext_margin_pairs",
+    f"""
+    WITH a AS (
+      SELECT d.doc_id AS a_id, {_DBL} AS ae
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      WHERE d.lang = 'en' ORDER BY d.doc_id LIMIT 50
+    ), b AS (
+      SELECT d.doc_id AS b_id, {_DBL} AS be
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      WHERE d.lang = 'de' ORDER BY d.doc_id LIMIT 400
+    ), pairs AS (
+      SELECT a_id, b_id,
+             CAST(ROUND((list_dot_product(ae, be) /
+                   (sqrt(list_dot_product(ae, ae)) *
+                    sqrt(list_dot_product(be, be)))) * 1000000) AS BIGINT)
+               AS cos_ppm
+      FROM a CROSS JOIN b
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY a_id
+                                ORDER BY cos_ppm DESC, b_id ASC) AS ra,
+             row_number() OVER (PARTITION BY b_id
+                                ORDER BY cos_ppm DESC, a_id ASC) AS rb
+      FROM pairs
+    ), denom_a AS (
+      SELECT a_id, CAST(SUM(cos_ppm) AS BIGINT) // 4 AS avg_a
+      FROM ranked WHERE ra <= 4 GROUP BY 1
+    ), denom_b AS (
+      SELECT b_id, CAST(SUM(cos_ppm) AS BIGINT) // 4 AS avg_b
+      FROM ranked WHERE rb <= 4 GROUP BY 1
+    )
+    SELECT r.a_id, r.b_id, r.cos_ppm,
+           (r.cos_ppm * 2000000) // (da.avg_a + db.avg_b) AS margin_ppm
+    FROM ranked r
+    JOIN denom_a da USING (a_id)
+    JOIN denom_b db USING (b_id)
+    WHERE r.ra = 1
+    ORDER BY margin_ppm DESC, r.a_id ASC LIMIT 20
+    """,
+)
+def q_bitext_margin_pairs(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk / CCMatrix): for each
+    source-language document, its best target-language neighbor scored by
+    ``margin = cos(x,y) / mean(cos of the 4-NN of x and of y)`` — the
+    ratio-margin criterion that suppresses hubness false positives a raw
+    cosine threshold lets through. All scoring is integer ppm after one
+    rounded cosine (the fold both engines evaluate left-to-right), so the
+    ranking is engine-exact.
+
+    This query mines a bounded candidate block (50 × 400 by id order) —
+    the verifiable kernel. At 100 TB the same kernel runs per IVF cell
+    (assign both languages to shared centroids, mine within each cell):
+    Σcell² pairs, never |A|×|B|, exactly the semantic-dedup blocking
+    already in operators/dedup.py."""
+    docs, emb = _t(spark, sf_dir, "documents", "embeddings")
+    j = docs.join(emb, docs["doc_id"] == emb["vec_id"])
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    a = (
+        j.filter(F.col("lang") == "en")
+        .orderBy("doc_id").limit(50)
+        .select(F.col("doc_id").alias("a_id"), dbl.alias("ae"))
+    )
+    b = (
+        j.filter(F.col("lang") == "de")
+        .orderBy("doc_id").limit(400)
+        .select(F.col("doc_id").alias("b_id"), dbl.alias("be"))
+    )
+    cos_ppm = F.round(
+        vec.cosine_similarity(F.col("ae"), F.col("be")) * 1_000_000
+    ).cast("long")
+    pairs = a.crossJoin(broadcast(b)).select(
+        "a_id", "b_id", cos_ppm.alias("cos_ppm")
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.desc("cos_ppm"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("cos_ppm"), F.asc("a_id"))
+    ranked = pairs.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rb", F.row_number().over(wb)
+    )
+    denom_a = (
+        ranked.filter(F.col("ra") <= 4)
+        .groupBy("a_id")
+        .agg(F.expr("CAST(SUM(cos_ppm) AS BIGINT) div 4").alias("avg_a"))
+    )
+    denom_b = (
+        ranked.filter(F.col("rb") <= 4)
+        .groupBy("b_id")
+        .agg(F.expr("CAST(SUM(cos_ppm) AS BIGINT) div 4").alias("avg_b"))
+    )
+    return (
+        ranked.filter(F.col("ra") == 1)
+        .join(denom_a, "a_id")
+        .join(denom_b, "b_id")
+        .withColumn(
+            "margin_ppm",
+            F.expr("cos_ppm * 2000000L div (avg_a + avg_b)"),
+        )
+        .select("a_id", "b_id", "cos_ppm", "margin_ppm")
+        .orderBy(F.desc("margin_ppm"), F.asc("a_id"))
+        .limit(20)
+    )
+
+
 # ROUND-3 NOTE: after the round-2 driver run verifies this window, rebuild
 # this list with the ~34 round-2 additions that registered past the cap
 # (gopher_quality_filter ... cheapest_supplier_per_part, llm_annotate, the
