@@ -81,3 +81,58 @@ def test_batching_sink_delete_where(spark, tmp_path):
     sink.delete_where("url", ["doc1", "doc2"])
     objs = FileBackedClient.read_objects(base)
     assert {o["properties"]["url"] for o in objs} == {"doc0"}
+
+
+def test_vector_store_datasource_writer_commit_protocol(spark, tmp_path):
+    """Two-phase load: rows spool per task, the manifest publishes them
+    atomically on commit; orphaned spool files stay invisible; append
+    grows the manifest."""
+    import json
+    import os
+
+    from vectordb_data_ingestion_spark.sinks.datasource_writer import (
+        VectorStoreDataSource,
+        read_committed,
+    )
+
+    spark.dataSource.register(VectorStoreDataSource)
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(f"c{i}", f"text {i}", [float(i), 0.5]) for i in range(10)],
+        ["chunk_id", "text", "vector"],
+    ).repartition(3)
+    df.write.format("vector_store").option("path", path).option(
+        "class_name", "KB"
+    ).mode("append").save()
+
+    rows = read_committed(path)
+    assert len(rows) == 10
+    assert {r["chunk_id"] for r in rows} == {f"c{i}" for i in range(10)}
+    assert all(r["class"] == "KB" for r in rows)
+    assert rows[0]["vector"] is not None
+
+    # an orphaned spool file (in-flight/aborted task) is NOT visible
+    orphan = os.path.join(path, "_spool", "orphan.jsonl")
+    with open(orphan, "w") as f:
+        f.write(json.dumps({"class": "KB", "chunk_id": "ghost"}) + "\n")
+    assert {r["chunk_id"] for r in read_committed(path)} == {
+        f"c{i}" for i in range(10)
+    }
+
+    # append mode: second load extends the manifest
+    df.limit(2).write.format("vector_store").option("path", path).mode(
+        "append"
+    ).save()
+    assert len(read_committed(path)) == 12
+
+    # abort() removes spooled-but-uncommitted files
+    from vectordb_data_ingestion_spark.sinks.datasource_writer import (
+        VectorStoreWriter,
+        _SpoolCommit,
+    )
+
+    w = VectorStoreWriter({"path": path}, overwrite=False)
+    with open(os.path.join(path, "_spool", "doomed.jsonl"), "w") as f:
+        f.write("{}\n")
+    w.abort([_SpoolCommit(filename="doomed.jsonl", n_rows=1), None])
+    assert not os.path.exists(os.path.join(path, "_spool", "doomed.jsonl"))

@@ -7195,10 +7195,14 @@ def q_bitext_margin_pairs(spark, sf_dir):
 
 
 # ROUND-3 NOTE: after the round-2 driver run verifies this window, rebuild
-# this list with the ~34 round-2 additions that registered past the cap
+# this list with the round-2 additions that registered past the cap
 # (gopher_quality_filter ... cheapest_supplier_per_part, llm_annotate, the
-# evals) so they get their first driver row; the r01+r02-proven rows move
-# to the tail. Every query already passes the local mirror at three scale
+# evals, and the late-round-2 batch: temperature_mixture/_sample,
+# source_vocab_overlap, the TPC-H Q7/Q11/Q12/Q15/Q17/Q19/Q20/Q21/Q22
+# shapes, missing_event_hours, token_budget_fill, interleave_manifest,
+# weighted_reservoir_sample, full_curation_pipeline, bitext_margin_pairs)
+# so they get their first driver row; the r01+r02-proven rows move to the
+# tail. Every query already passes the local mirror at three scale
 # factors, so the reorder is bookkeeping, not risk.
 _DRIVER_PRIORITY = [
     # round-1 unverified (registered past the 50-query cap)

@@ -1,0 +1,120 @@
+"""Vector-store sink as a Spark 4 Python DataSource *writer*.
+
+``BatchingClientSink`` (vector_store.py) is the ``foreachPartition`` form of
+the reference's ``data_load_weaviate`` loop (cmfunctions.py:177-223); it adds
+batching, backoff and idempotent ids, but inherits the loop's weakest
+property: a task that fails AFTER some batches flushed leaves them visible
+(the retry re-upserts idempotently, but a killed job leaves a partial load).
+
+This module is the two-phase form: ``df.write.format("vector_store")`` spools
+each task's batches to an uncommitted staging area and returns a
+``WriterCommitMessage``; only when EVERY task succeeded does the driver-side
+``commit`` publish a manifest making the load visible. ``abort`` removes the
+spool — a failed or cancelled job leaves nothing visible. That is the same
+commit protocol Spark's file sinks use, expressed over a vector-store-shaped
+payload (one JSON object per chunk row: id, properties, vector).
+
+The staging substrate here is a directory (hermetic, testable); a real
+deployment points the same protocol at a store with staged-collection or
+alias-swap support (e.g. load into ``class__staging``, alias-flip on commit).
+``read_committed`` is the read side of the contract: only manifest-listed
+spool files count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+MANIFEST = "_committed_manifest.jsonl"
+
+
+@dataclass
+class _SpoolCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class VectorStoreWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vector_store writer requires option 'path'")
+        self.class_name = options.get("class_name", "Chunk")
+        self.batch_size = int(options.get("batch_size", "150"))
+        self.overwrite = overwrite
+
+    # -- executor side --------------------------------------------------
+    def write(self, iterator):
+        spool = os.path.join(self.path, "_spool")
+        os.makedirs(spool, exist_ok=True)
+        fname = f"{uuid.uuid4().hex}.jsonl"
+        n = 0
+        batch: list[str] = []
+        with open(os.path.join(spool, fname), "w") as f:
+            for row in iterator:
+                obj = row.asDict(recursive=True)
+                batch.append(json.dumps({"class": self.class_name, **obj}))
+                n += 1
+                if len(batch) >= self.batch_size:
+                    f.write("\n".join(batch) + "\n")
+                    batch = []
+            if batch:
+                f.write("\n".join(batch) + "\n")
+        return _SpoolCommit(filename=fname, n_rows=n)
+
+    # -- driver side -----------------------------------------------------
+    def commit(self, messages):
+        manifest = os.path.join(self.path, MANIFEST)
+        mode = "w" if self.overwrite else "a"
+        with open(manifest, mode) as f:
+            for m in messages:
+                if m is not None:
+                    f.write(
+                        json.dumps({"file": m.filename, "n_rows": m.n_rows})
+                        + "\n"
+                    )
+
+    def abort(self, messages):
+        spool = os.path.join(self.path, "_spool")
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(spool, m.filename))
+            except FileNotFoundError:
+                pass
+
+
+class VectorStoreDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "vector_store"
+
+    def writer(self, schema, overwrite: bool) -> VectorStoreWriter:
+        return VectorStoreWriter(self.options, overwrite)
+
+
+def read_committed(path: str) -> list[dict]:
+    """The read side of the commit protocol: only spool files listed in the
+    manifest are visible; orphaned spool files (from aborted or in-flight
+    jobs) are ignored."""
+    manifest = os.path.join(path, MANIFEST)
+    if not os.path.exists(manifest):
+        return []
+    out: list[dict] = []
+    with open(manifest) as mf:
+        for line in mf:
+            entry = json.loads(line)
+            fp = os.path.join(path, "_spool", entry["file"])
+            with open(fp) as f:
+                out.extend(json.loads(l) for l in f if l.strip())
+    return out
