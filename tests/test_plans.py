@@ -441,6 +441,8 @@ def test_no_plan_antipatterns_across_all_queries(spark):
         "top_supplier_revenue",     # 1-row max-revenue agg over |suppliers| rows
         "disjunctive_brand_revenue",  # 1-row global revenue result
         "important_part_share",       # 1-row grand-total agg over the rollup
+        "missing_event_hours",        # 1-row min/max bounds agg
+        "full_curation_pipeline",     # temperature rates window over |sources| rows
     }
     offenders = {}
     for name, fn in qc.SPARK_QUERIES.items():
