@@ -125,6 +125,7 @@ HEADLINE = [
     "token_budget_fill",
     "weighted_reservoir_sample",
     "bitext_margin_pairs",
+    "retrieval_mrr_eval",
 ]
 
 

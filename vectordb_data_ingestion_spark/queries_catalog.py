@@ -7194,6 +7194,113 @@ def q_bitext_margin_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "retrieval_mrr_eval",
+    f"""
+    WITH {_LSH_SIG_SQL},
+    q AS (
+      SELECT c.vec_id AS q_id, ve AS qe, s.sig AS qsig
+      FROM c JOIN sig s USING (vec_id) WHERE c.vec_id % 97 = 3
+    ),
+    scored AS (
+      SELECT q.q_id, q.qsig, c.vec_id, s.sig,
+             CAST(ROUND((list_dot_product(ve, qe) /
+                   (sqrt(list_dot_product(ve, ve)) *
+                    sqrt(list_dot_product(qe, qe)))) * 1000000) AS BIGINT)
+               AS cos_ppm
+      FROM c JOIN sig s USING (vec_id) CROSS JOIN q
+      WHERE c.vec_id <> q.q_id
+    ),
+    truth AS (
+      SELECT q_id, vec_id AS t_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_ppm DESC, vec_id ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    sys_ranked AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos_ppm DESC, vec_id ASC) AS rank
+      FROM scored WHERE bit_count(xor(sig, qsig)) <= 2
+    ),
+    hits AS (
+      SELECT t.q_id, s.rank FROM truth t
+      JOIN sys_ranked s ON s.q_id = t.q_id AND s.vec_id = t.t_id
+      WHERE s.rank <= 10
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_queries,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_top10_hits,
+           (SELECT CAST(COALESCE(SUM(1000000 // rank), 0) AS BIGINT)
+            FROM hits) // (SELECT COUNT(*) FROM q) AS mrr_ppm
+    """,
+)
+def q_retrieval_mrr_eval(spark, sf_dir):
+    """MRR@10 of the approximate retriever against exact-scan truth: for
+    each query vector, truth is the exact cosine top-1 (self excluded);
+    the system list is the multi-probe LSH shortlist (Hamming radius ≤ 2)
+    ranked by cosine. Reciprocal ranks accumulate as floor(1e6/rank) —
+    exact integer MRR, no float summation. The eval's cost IS the exact
+    truth scan (|Q| × corpus, vectorized JVM fold); the system side only
+    scores bucket survivors — the production asymmetry this eval exists
+    to quantify."""
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        with_lsh_signature,
+    )
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    corpus = with_lsh_signature(emb, n_bits=16, dim=64).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ve"),
+        "sig",
+    )
+    q = corpus.filter(F.col("vec_id") % 97 == 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("ve").alias("qe"),
+        F.col("sig").alias("qsig"),
+    )
+    cos_ppm = F.round(
+        vec.cosine_similarity(F.col("ve"), F.col("qe")) * 1_000_000
+    ).cast("long")
+    scored = (
+        corpus.crossJoin(broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "qsig", "vec_id", "sig", cos_ppm.alias("cos_ppm"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_ppm"), F.asc("vec_id"))
+    truth = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("vec_id").alias("t_id"))
+    )
+    sys_ranked = (
+        scored.filter(F.expr("bit_count(sig ^ qsig) <= 2"))
+        .withColumn("rank", F.row_number().over(w))
+        .select("q_id", "vec_id", "rank")
+    )
+    hits = truth.join(
+        sys_ranked,
+        (truth["q_id"] == sys_ranked["q_id"])
+        & (sys_ranked["vec_id"] == truth["t_id"])
+        & (sys_ranked["rank"] <= 10),
+    ).select(sys_ranked["rank"])
+    nq = q.agg(F.count("*").alias("n_queries"))
+    return (
+        hits.agg(
+            F.count("*").alias("n_top10_hits"),
+            F.coalesce(
+                F.sum(F.expr("1000000L div rank")), F.lit(0)
+            ).alias("__mrr_sum"),
+        )
+        .crossJoin(broadcast(nq))
+        .select(
+            "n_queries",
+            "n_top10_hits",
+            F.expr("__mrr_sum div n_queries").alias("mrr_ppm"),
+        )
+    )
+
+
 # ROUND-3 NOTE: after the round-2 driver run verifies this window, rebuild
 # this list with the round-2 additions that registered past the cap
 # (gopher_quality_filter ... cheapest_supplier_per_part, llm_annotate, the
