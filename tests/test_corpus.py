@@ -645,3 +645,32 @@ def test_interleave_order_mixes_shards(spark):
     assert len(set(pos)) == len(pos)
     first = sorted(out, key=lambda r: r["global_pos"])[:8]
     assert len({r["shard"] for r in first}) == 8
+
+
+def test_token_budget_fill_ties_use_rows_frame(spark):
+    """Ordering-key ties must NOT pool their peers into cum_before (the
+    default RANGE frame would): two 60-token docs under a 50 budget keep
+    exactly the boundary doc, matching the SQL oracle's ROWS frame."""
+    df = spark.createDataFrame(
+        [(1, "a", 60), (2, "a", 60)], ["doc_id", "source", "n_chars"]
+    )
+    kept = cp.token_budget_fill(
+        df, budget=50, token_col="n_chars", group_col="source"
+    ).collect()
+    assert len(kept) == 1 and kept[0]["cum_before"] == 0
+
+
+def test_pack_sequences_ties_use_rows_frame(spark):
+    df = spark.createDataFrame(
+        [(1, "s", 60), (2, "s", 60)], ["chunk_id", "shard", "n_tokens"]
+    )
+    out = {
+        r["chunk_id"]: (r["seq_id"], r["seq_offset"])
+        for r in cp.pack_sequences(
+            df, budget=100, group_col="shard",
+            order_by=[F.col("n_tokens").desc()],  # deliberately tied order
+        ).collect()
+    }
+    # rows frame: one chunk starts at 0 (seq 0), the other at 60 (seq 0);
+    # a RANGE frame would give both start=60
+    assert sorted(v[1] for v in out.values()) == [0, 60]

@@ -533,6 +533,12 @@ def test_sizing_recommend_scales_with_volume():
     assert small.shuffle_partitions == 128
     # 100 TB * 0.5 shuffle ratio / 128 MiB = 409600 partitions
     assert big.shuffle_partitions == 409_600
+    # the task-wave ceiling binds when volume would demand absurd counts
+    tiny_target = recommend(100 * 1024 * gib, total_cores=64,
+                            executor_mem_bytes=16 * gib,
+                            target_partition_bytes=1 << 20)
+    assert tiny_target.shuffle_partitions == 2000 * 64
+    assert "CAPPED" in tiny_target.notes
     assert big.shuffle_partitions > big.est_shuffle_bytes // (256 << 20)
     # split never exceeds the target and respects the memory cap
     tight = recommend(10 * gib, total_cores=64,

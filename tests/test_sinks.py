@@ -136,3 +136,31 @@ def test_vector_store_datasource_writer_commit_protocol(spark, tmp_path):
         f.write("{}\n")
     w.abort([_SpoolCommit(filename="doomed.jsonl", n_rows=1), None])
     assert not os.path.exists(os.path.join(path, "_spool", "doomed.jsonl"))
+
+
+def test_vector_store_writer_overwrite_retires_spool_and_vacuum(spark, tmp_path):
+    import os
+
+    from vectordb_data_ingestion_spark.sinks.datasource_writer import (
+        VectorStoreDataSource,
+        read_committed,
+        vacuum,
+    )
+
+    spark.dataSource.register(VectorStoreDataSource)
+    path = str(tmp_path / "store2")
+    df = spark.createDataFrame([(f"c{i}",) for i in range(4)], ["chunk_id"])
+    df.write.format("vector_store").option("path", path).mode("append").save()
+    first_files = set(os.listdir(os.path.join(path, "_spool")))
+    # overwrite: manifest rewritten AND prior spool files retired
+    df.limit(2).write.format("vector_store").option("path", path).mode(
+        "overwrite"
+    ).save()
+    assert len(read_committed(path)) == 2
+    remaining = set(os.listdir(os.path.join(path, "_spool")))
+    assert not (first_files & remaining)
+    # vacuum removes orphans (dead-task leftovers) but not committed files
+    with open(os.path.join(path, "_spool", "orphan.jsonl"), "w") as f:
+        f.write("{}\n")
+    assert vacuum(path) == 1
+    assert len(read_committed(path)) == 2

@@ -260,11 +260,16 @@ def test_document_catalog_stream_reader(spark, tmp_path):
         DocumentCatalogDataSource,
     )
 
+    import time
+
     root = tmp_path / "stream_ds"
     root.mkdir()
+    now = time.time_ns()
     f1 = root / "a.txt"
     f1.write_text("alpha")
-    os.utime(f1, ns=(1_000_000_000, 1_000_000_000))
+    # mtimes sit older than the grace window so each batch picks them up
+    # immediately (the offset ends at scan-time minus grace)
+    os.utime(f1, ns=(now - 10_000_000_000, now - 10_000_000_000))
     spark.dataSource.register(DocumentCatalogDataSource)
     chk = str(tmp_path / "chk")
     out = str(tmp_path / "out")
@@ -273,6 +278,7 @@ def test_document_catalog_stream_reader(spark, tmp_path):
         q = (
             spark.readStream.format("document_catalog")
             .option("path", str(root))
+            .option("grace_seconds", "0.5")
             .load()
             .writeStream.format("parquet")
             .option("path", out)
@@ -289,7 +295,8 @@ def test_document_catalog_stream_reader(spark, tmp_path):
 
     f2 = root / "b.txt"
     f2.write_text("beta")
-    os.utime(f2, ns=(2_000_000_000, 2_000_000_000))
+    now2 = time.time_ns()
+    os.utime(f2, ns=(now2 - 2_000_000_000, now2 - 2_000_000_000))
     run_batch()
     rows = spark.read.parquet(out).collect()
     names = sorted(r["name"] for r in rows)

@@ -446,10 +446,18 @@ def pack_sequences(
     ``offset_col``: the chunk's token start offset within its sequence."""
     if order_by is None:
         order_by = [F.col(c) for c in df.columns if c != token_col][:1]
+    # explicit ROWS frame: Spark's default frame with an ORDER BY is RANGE,
+    # which sums all peer rows tied on the ordering key into the cumsum —
+    # rows-frame semantics (and the SQL oracle's explicit ROWS BETWEEN)
+    # count each row once regardless of ties
     w = (
-        Window.partitionBy(group_col) if group_col is not None
-        else Window.partitionBy()
-    ).orderBy(*order_by)
+        (
+            Window.partitionBy(group_col) if group_col is not None
+            else Window.partitionBy()
+        )
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     start = F.coalesce(
         F.sum(F.col(token_col)).over(w) - F.col(token_col), F.lit(0)
     )
@@ -818,7 +826,8 @@ def temperature_mixture_sql(
       FROM counts
     ), s AS (
       SELECT grp, n_docs, weight_micro,
-             (weight_micro * 1000000) // SUM(weight_micro) OVER () AS share_ppm
+             (weight_micro * 1000000)
+               // CAST(SUM(weight_micro) OVER () AS BIGINT) AS share_ppm
       FROM w
     )
     SELECT grp AS {group_expr}, n_docs, weight_micro, share_ppm,
@@ -965,7 +974,14 @@ def token_budget_fill(
     this document within its group."""
     if order_by is None:
         order_by = [F.col(token_col).desc()]
-    w = Window.partitionBy(group_col).orderBy(*order_by)
+    # explicit ROWS frame (see pack_sequences): the default RANGE frame
+    # sums ordering-key peers together, so ties would each see their whole
+    # peer group in cum_before and be wrongly dropped
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     before = F.coalesce(
         F.sum(F.col(token_col)).over(w) - F.col(token_col), F.lit(0)
     ).cast("long")

@@ -70,12 +70,19 @@ def recommend(
     shuffle_ratio: float = 0.5,
     decompress_factor: float = 3.0,
     mem_safety: float = 4.0,
+    max_task_waves: int = 2000,
 ) -> SizingPlan:
     """Derive shuffle/scan sizing from data volume and cluster shape.
 
     ``shuffle_ratio`` estimates shuffled bytes as a fraction of input after
     column pruning / pushdown / map-side partial aggregation; use 1.0 for a
     raw repartition of everything, ~0.1 for a heavily pre-aggregated rollup.
+
+    The partition count is clamped to ``max_task_waves × total_cores``
+    (scheduler/launch overhead of ~10 ms/task dominates past a few thousand
+    waves); when the ceiling binds, each partition simply carries more than
+    ``target_partition_bytes`` and the note says so — the honest alternative
+    is a bigger cluster, not a million micro-tasks.
     """
     if input_bytes < 0 or total_cores <= 0 or executor_mem_bytes <= 0:
         raise ValueError("sizes and cores must be positive")
@@ -83,15 +90,17 @@ def recommend(
 
     by_volume = max(1, -(-est_shuffle // target_partition_bytes))
     floor_parts = 2 * total_cores
-    shuffle_parts = max(by_volume, floor_parts)
+    ceiling = max_task_waves * total_cores
+    shuffle_parts = max(min(by_volume, ceiling), floor_parts)
 
     # scan split: one task's decompressed split must fit its memory share
     per_core_mem = executor_mem_bytes / max(1, cores_per_executor)
     mem_cap = int(per_core_mem / (decompress_factor * mem_safety))
     max_split = max(8 * _MIB, min(target_partition_bytes, mem_cap))
 
+    capped = " (CAPPED at max_task_waves x cores — partitions oversize)" if by_volume > ceiling else ""
     notes = (
-        f"volume wants {by_volume} post-shuffle partitions, "
+        f"volume wants {by_volume} post-shuffle partitions{capped}, "
         f"core floor is {floor_parts}; split capped at "
         f"{max_split // _MIB} MiB so a ~{decompress_factor:.0f}x decompressed "
         f"split stays under 1/{mem_safety:.0f} of the per-core share"

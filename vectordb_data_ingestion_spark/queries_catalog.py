@@ -6893,13 +6893,16 @@ def q_important_part_share(spark, sf_dir):
     return (
         pv.crossJoin(broadcast(total))
         .filter(F.col("value_centi") * 1000 > F.col("__t"))
+        # order by the exact integer BEFORE projecting to double: two
+        # distinct value_centi could collapse to one double, and the
+        # LIMIT boundary must match the oracle's integer sort exactly
+        .orderBy(F.desc("value_centi"), "l_partkey")
+        .limit(25)
         .select(
             "l_partkey",
             (F.col("value_centi") / 100.0).alias("part_value"),
             F.expr("value_centi * 1000000L div __t").alias("share_ppm"),
         )
-        .orderBy(F.desc("part_value"), "l_partkey")
-        .limit(25)
     )
 
 
@@ -6922,9 +6925,7 @@ def q_missing_event_hours(spark, sf_dir):
     "token_budget_fill",
     cp.token_budget_fill_sql(
         "documents", 50_000, "n_chars", "source", "n_chars DESC, doc_id"
-    )
-    .replace("SELECT *,", "SELECT doc_id, source, n_chars,")
-    .replace("SELECT * FROM (", "SELECT * FROM (", 1),
+    ).replace("SELECT *,", "SELECT doc_id, source, n_chars,"),
 )
 def q_token_budget_fill(spark, sf_dir):
     """Quality-quota corpus fill: per source, take documents best-first

@@ -74,8 +74,19 @@ class VectorStoreWriter(DataSourceWriter):
     # -- driver side -----------------------------------------------------
     def commit(self, messages):
         manifest = os.path.join(self.path, MANIFEST)
-        mode = "w" if self.overwrite else "a"
-        with open(manifest, mode) as f:
+        committed = {m.filename for m in messages if m is not None}
+        if self.overwrite:
+            # truncating only the manifest would leak every prior load's
+            # spool files forever; an overwrite retires them
+            spool = os.path.join(self.path, "_spool")
+            if os.path.isdir(spool):
+                for fn in os.listdir(spool):
+                    if fn not in committed:
+                        try:
+                            os.remove(os.path.join(spool, fn))
+                        except FileNotFoundError:
+                            pass
+        with open(manifest, "w" if self.overwrite else "a") as f:
             for m in messages:
                 if m is not None:
                     f.write(
@@ -101,6 +112,31 @@ class VectorStoreDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> VectorStoreWriter:
         return VectorStoreWriter(self.options, overwrite)
+
+
+def vacuum(path: str) -> int:
+    """Remove spool files not listed in the manifest — the leftovers of
+    tasks that died before returning a commit message (abort can only
+    clean files it was TOLD about). Run only while no load is in flight
+    (an in-flight task's spool file is not yet in any manifest, exactly
+    like an orphan). Returns the number of files removed."""
+    manifest = os.path.join(path, MANIFEST)
+    spool = os.path.join(path, "_spool")
+    if not os.path.isdir(spool):
+        return 0
+    committed: set[str] = set()
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            committed = {json.loads(line)["file"] for line in f if line.strip()}
+    removed = 0
+    for fn in os.listdir(spool):
+        if fn not in committed:
+            try:
+                os.remove(os.path.join(spool, fn))
+                removed += 1
+            except FileNotFoundError:
+                pass
+    return removed
 
 
 def read_committed(path: str) -> list[dict]:

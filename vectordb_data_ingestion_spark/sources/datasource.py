@@ -107,12 +107,19 @@ class DocumentCatalogStreamReader(SimpleDataSourceStreamReader):
     hand-rolled state table).
 
     Offset = ``{"mtime_ns": n}``: files with ``st_mtime_ns > n`` belong to
-    the next batch, and the batch's end offset is the max mtime it saw.
-    ``readBetweenOffsets`` replays a committed window ``(start, end]`` after
-    a restart; a file *re*-modified after ``end`` is deliberately excluded
-    from the replay (it belongs to a later batch) and a file modified again
-    *within* the window replays with its current content — the standard
-    best-effort contract for a filesystem source without version history.
+    the next batch. The batch's end offset is ``scan start - grace`` (wall
+    clock, default 2 s), NOT the max mtime seen: ending at the max would
+    permanently lose any file whose mtime lands at-or-before it after the
+    walk already passed its directory (coarse filesystem timestamp
+    granularity makes that race common). Files younger than the grace
+    window simply wait one batch. ``readBetweenOffsets`` replays a
+    committed window ``(start, end]`` after a restart; a file
+    *re*-modified after ``end`` is deliberately excluded from the replay
+    (it belongs to a later batch), a file modified again *within* the
+    window replays with its current content, and a file deleted since the
+    batch committed is skipped rather than wedging the restart — the
+    standard best-effort contract for a filesystem source without version
+    history.
 
     The simple (driver-side) reader variant fits here because the listing
     is metadata-sized; content bytes still flow through the stream as rows,
@@ -124,44 +131,54 @@ class DocumentCatalogStreamReader(SimpleDataSourceStreamReader):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("document_catalog requires option 'path'")
+        self.grace_ns = int(
+            float(options.get("grace_seconds", "2.0")) * 1_000_000_000
+        )
 
     def initialOffset(self) -> dict:
         return {"mtime_ns": -1}
 
-    def _scan(self, after_ns: int, up_to_ns: int | None = None):
+    def _scan(self, after_ns: int, up_to_ns: int):
         for dirpath, _dirs, names in os.walk(self.root):
             for fn in sorted(names):
                 p = os.path.join(dirpath, fn)
-                st = os.stat(p)
-                if st.st_mtime_ns <= after_ns:
-                    continue
-                if up_to_ns is not None and st.st_mtime_ns > up_to_ns:
+                try:
+                    st = os.stat(p)
+                except FileNotFoundError:
+                    continue  # vanished mid-walk (rotation/compaction)
+                if st.st_mtime_ns <= after_ns or st.st_mtime_ns > up_to_ns:
                     continue
                 yield fn, p, st
 
-    def _row(self, fn: str, p: str, st: os.stat_result):
-        with open(p, "rb") as f:
-            content = f.read()
-        mod = datetime.fromtimestamp(st.st_mtime, tz=timezone.utc).replace(
-            tzinfo=None
-        )
-        return (fn, p, mod, _file_type(fn), st.st_size, content)
+    def _rows(self, entries):
+        for fn, p, st in entries:
+            try:
+                with open(p, "rb") as f:
+                    content = f.read()
+            except FileNotFoundError:
+                continue  # deleted between stat and read / before replay
+            mod = datetime.fromtimestamp(
+                st.st_mtime, tz=timezone.utc
+            ).replace(tzinfo=None)
+            yield (fn, p, mod, _file_type(fn), st.st_size, content)
 
     def read(self, start: dict):
+        import time
+
         after = int(start.get("mtime_ns", -1))
-        entries = list(self._scan(after))
-        if not entries:
+        # end the batch at (now - grace), not at the max mtime seen: a file
+        # whose mtime lands <= max-seen after the walk passed its directory
+        # would otherwise be skipped forever
+        end_ns = time.time_ns() - self.grace_ns
+        if end_ns <= after:
             return iter([]), start
-        end_ns = max(st.st_mtime_ns for _fn, _p, st in entries)
-        rows = [self._row(fn, p, st) for fn, p, st in entries]
+        rows = list(self._rows(self._scan(after, end_ns)))
         return iter(rows), {"mtime_ns": end_ns}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         after = int(start.get("mtime_ns", -1))
         upto = int(end.get("mtime_ns", -1))
-        return iter(
-            self._row(fn, p, st) for fn, p, st in self._scan(after, upto)
-        )
+        return self._rows(self._scan(after, upto))
 
 
 class DocumentCatalogDataSource(DataSource):
