@@ -260,16 +260,10 @@ def test_document_catalog_stream_reader(spark, tmp_path):
         DocumentCatalogDataSource,
     )
 
-    import time
-
     root = tmp_path / "stream_ds"
     root.mkdir()
-    now = time.time_ns()
     f1 = root / "a.txt"
     f1.write_text("alpha")
-    # mtimes sit older than the grace window so each batch picks them up
-    # immediately (the offset ends at scan-time minus grace)
-    os.utime(f1, ns=(now - 10_000_000_000, now - 10_000_000_000))
     spark.dataSource.register(DocumentCatalogDataSource)
     chk = str(tmp_path / "chk")
     out = str(tmp_path / "out")
@@ -278,7 +272,7 @@ def test_document_catalog_stream_reader(spark, tmp_path):
         q = (
             spark.readStream.format("document_catalog")
             .option("path", str(root))
-            .option("grace_seconds", "0.5")
+            .option("grace_seconds", "0")
             .load()
             .writeStream.format("parquet")
             .option("path", out)
@@ -293,10 +287,10 @@ def test_document_catalog_stream_reader(spark, tmp_path):
     first = {r["name"] for r in spark.read.parquet(out).collect()}
     assert first == {"a.txt"}
 
+    # created AFTER batch 1's scan, so its natural mtime sits inside
+    # batch 2's window (grace 0 keeps the test free of wall-clock races)
     f2 = root / "b.txt"
     f2.write_text("beta")
-    now2 = time.time_ns()
-    os.utime(f2, ns=(now2 - 2_000_000_000, now2 - 2_000_000_000))
     run_batch()
     rows = spark.read.parquet(out).collect()
     names = sorted(r["name"] for r in rows)
