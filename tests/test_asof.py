@@ -130,3 +130,37 @@ def test_nearest_tolerance_each_direction(spark):
     )
     assert got[1] == (_ts("2024-01-01 09:30:00"), 1.0)  # within 1h backward
     assert got[2] == (None, None)  # both candidates out of tolerance
+
+
+def test_asof_null_right_values_are_matched_not_skipped(spark):
+    """A matched right row whose value is legitimately NULL must yield
+    NULL (pandas merge_asof parity), not resurrect a stale value from an
+    older right row (the per-column last(ignorenulls) bug)."""
+    from datetime import datetime
+
+    from vectordb_data_ingestion_spark.operators.asof import asof_join
+
+    t0, t1 = datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 11, 0)
+    l_mid, l_late = datetime(2024, 1, 1, 10, 30), datetime(2024, 1, 1, 11, 30)
+    right = spark.createDataFrame([(1, t0, 5.0), (1, t1, None)], ["k", "ts", "v"])
+    left = spark.createDataFrame([(1, l_mid), (1, l_late)], ["k", "ts"])
+
+    out_b = {
+        r["ts"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join(left, right, ["k"]).collect()
+    }
+    assert out_b[l_mid] == (t0, 5.0)
+    assert out_b[l_late] == (t1, None)  # NOT (t1, 5.0)
+
+    out_f = {
+        r["ts"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join(left, right, ["k"], direction="forward").collect()
+    }
+    assert out_f[l_mid] == (t1, None)
+
+    out_n = {
+        r["ts"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join(left, right, ["k"], direction="nearest").collect()
+    }
+    assert out_n[l_late] == (t1, None)
+    assert out_n[l_mid] == (t0, 5.0)  # tie -> backward

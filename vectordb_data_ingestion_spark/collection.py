@@ -120,10 +120,15 @@ class VectorCollection:
         certainty: float | None = None,
         where: Column | None = None,
     ) -> DataFrame:
-        """Weaviate nearObject: retrieve by similarity to an EXISTING
-        object — look up its stored vector by id (one indexed/pruned point
-        read), then run the nearVector plan. The anchor object itself is
-        excluded from the result, per Weaviate semantics."""
+        """Weaviate-style nearObject: retrieve by similarity to an
+        EXISTING object — look up its stored vector by id (one
+        indexed/pruned point read), then run the nearVector plan.
+
+        Deliberate deviation from Weaviate: the anchor object itself is
+        EXCLUDED here (Weaviate returns it as the distance-0 top hit).
+        Callers of this facade almost always want neighbors, not the
+        anchor echoed back; drop the exclusion by calling
+        ``near_vector(stored_vector, ...)`` directly if parity matters."""
         row = (
             self.corpus.filter(F.col(self.id_col) == F.lit(object_id))
             .select(self.vec_col)

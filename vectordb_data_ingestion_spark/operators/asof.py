@@ -16,8 +16,10 @@ This implementation never builds those pairs. Both sides are tagged and
 unioned, then a single window per key - ordered by (ts, side) with right
 rows sorting first at equal timestamps, so the match is inclusive like
 DuckDB/pandas ``merge_asof(direction='backward')`` - carries the last
-non-null right payload forward (``last(..., ignorenulls=True)`` over
-``rowsBetween(unboundedPreceding, currentRow)``). Cost: ONE shuffle of
+right payload forward as ONE struct (``last(struct, ignorenulls=True)``
+over ``rowsBetween(unboundedPreceding, currentRow)`` - null only for left
+rows, so a matched row's own NULL fields ride inside the struct instead of
+being skipped for a stale older value). Cost: ONE shuffle of
 left+right on the key, O(n log n) per partition sort, no pair blowup -
 the same plan shape whether the right history has 10 or 10M rows per key.
 Skewed keys split via AQE like any other single-key shuffle.
@@ -77,15 +79,21 @@ def asof_join(
 
     merged = _tag_union(left, right, key_cols, left_ts, right_ts, right_value_cols)
     w = _directional_window(key_cols, direction)
-    matched_ts = F.last(
-        F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+    # the matched row travels as ONE struct: per-column
+    # last(value, ignorenulls) would skip a matched right row whose value
+    # is legitimately NULL and resurrect a STALE value from an older row,
+    # decoupling it from the matched ts (pandas merge_asof returns NaN).
+    # The struct is non-null exactly for right rows, so ignorenulls skips
+    # left rows only and NULL fields ride inside the match atomically.
+    matched = F.last(
+        F.when(F.col("__side") == 0, _payload(right_value_cols)),
+        ignorenulls=True,
     ).over(w)
-    out = merged.withColumn(f"{prefix}ts", matched_ts)
+    out = merged.withColumn("__m", matched)
+    out = out.withColumn(f"{prefix}ts", F.col("__m.ts"))
     for c in right_value_cols:
-        out = out.withColumn(
-            f"{prefix}{c}",
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w),
-        )
+        out = out.withColumn(f"{prefix}{c}", F.col(f"__m.{c}"))
+    out = out.drop("__m")
 
     if tolerance_seconds is not None:
         # materialize the flag BEFORE nulling: the first null-out rewrites
@@ -105,6 +113,13 @@ def asof_join(
 
     return out.filter(F.col("__side") == 1).drop(
         "__ts", "__side", *[f"__r_{c}" for c in right_value_cols]
+    )
+
+
+def _payload(right_value_cols):
+    return F.struct(
+        F.col("__ts").alias("ts"),
+        *[F.col(f"__r_{c}").alias(c) for c in right_value_cols],
     )
 
 
@@ -153,17 +168,19 @@ def _asof_nearest(
 
     out = merged
     for tag, w in (("b", wb), ("f", wf)):
+        # struct payload (see asof_join): the match is atomic, so a NULL
+        # value field never decouples from its matched ts
         out = out.withColumn(
-            f"__{tag}_ts",
+            f"__{tag}",
             F.last(
-                F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+                F.when(F.col("__side") == 0, _payload(right_value_cols)),
+                ignorenulls=True,
             ).over(w),
         )
+        out = out.withColumn(f"__{tag}_ts", F.col(f"__{tag}.ts"))
         for c in right_value_cols:
-            out = out.withColumn(
-                f"__{tag}_{c}",
-                F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w),
-            )
+            out = out.withColumn(f"__{tag}_{c}", F.col(f"__{tag}.{c}"))
+        out = out.drop(f"__{tag}")
 
     if tolerance_seconds is not None:
         interval = F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS")

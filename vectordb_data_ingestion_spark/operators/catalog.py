@@ -131,7 +131,10 @@ def ntile_distributed(
     ranked = with_seqno_distributed(
         df, order_cols, seqno_col="__rank0", num_partitions=num_partitions
     )
-    total = df.count()
+    # count the CHECKPOINTED ranked output, not df: df.count() would
+    # re-execute the whole upstream lineage (e.g. a regex-heavy scoring
+    # projection) a second time; ranked reads the materialized rows
+    total = ranked.count()
     base, rem = total // n, total % n
     r = F.col("__rank0") + 1  # 1-based rank
     big = rem * (base + 1)  # rows covered by the (base+1)-sized tiles

@@ -210,11 +210,8 @@ def minhash_lsh_pairs(
         sh_tbl.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")),
         "id_b",
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
     return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", jaccard_of("sh_a", "sh_b"))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -58,14 +58,18 @@ def build_ivfpq_index(
     )
 
     assigned = assign_ivf_cells_vectorized(
-        emb, centroids, centroid_id=centroid_id, centroid_vec=centroid_vec
+        emb, centroids, vec_col=vec_col, centroid_id=centroid_id,
+        centroid_vec=centroid_vec, id_col=id_col,
     )
     encoded = pq_encode_vectorized(
         emb, codebooks, m, dim, vec_col=vec_col, id_col=id_col
     )
     codes = encoded.join(assigned.select(id_col, "cell"), id_col)
+    # the base build lands under batch=base so streaming appends
+    # (batch=<id> subdirs, see foreach_batch_index_append) share one
+    # consistent two-level (batch, cell) partition layout
     codes.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(out_dir, "codes")
+        os.path.join(out_dir, "codes", "batch=base")
     )
     centroids.write.mode("overwrite").parquet(
         os.path.join(out_dir, "centroids")
@@ -165,15 +169,18 @@ def foreach_batch_index_append(
         centroids = spark.read.parquet(_os.path.join(out_dir, "centroids"))
         codebooks = spark.read.parquet(_os.path.join(out_dir, "codebooks"))
         assigned = assign_ivf_cells_vectorized(
-            batch_df, centroids, centroid_id=centroid_id,
-            centroid_vec=centroid_vec,
+            batch_df, centroids, vec_col=vec_col, centroid_id=centroid_id,
+            centroid_vec=centroid_vec, id_col=id_col,
         )
         encoded = pq_encode_vectorized(
             batch_df, codebooks, m, dim, vec_col=vec_col, id_col=id_col
         )
         codes = encoded.join(assigned.select(id_col, "cell"), id_col)
-        codes.write.mode("append").partitionBy("cell").parquet(
-            _os.path.join(out_dir, "codes")
+        # batch-keyed subdir + overwrite: a RETRIED micro-batch rewrites
+        # its own partition instead of double-appending (foreachBatch is
+        # at-least-once; the append form broke the determinism claim)
+        codes.write.mode("overwrite").partitionBy("cell").parquet(
+            _os.path.join(out_dir, "codes", f"batch={int(batch_id)}")
         )
 
     return (

@@ -1860,6 +1860,24 @@ def q_word_split(spark, sf_dir):
     )
 
 
+_CORPUS_KEYS: dict[str, int] = {}
+
+
+def _corpus_fingerprint(con, docs_path: str) -> int:
+    """(count, total text bytes) fingerprint of one sf dir — memoized at
+    module level so the three golden-oracle builders scan each corpus's
+    text column once per import, not three times."""
+    if docs_path not in _CORPUS_KEYS:
+        (key,) = con.execute(
+            "SELECT COUNT(*) * 1000000000000 + "
+            "COALESCE(SUM(octet_length(encode(text))), 0) "
+            "FROM read_parquet(?)",
+            [docs_path],
+        ).fetchone()
+        _CORPUS_KEYS[docs_path] = int(key)
+    return _CORPUS_KEYS[docs_path]
+
+
 def _chunk_recursive_oracle_sql() -> str | None:
     """Golden-parquet oracle for the recursive splitter. The algorithm is
     procedural (not SQL-expressible), but its output is deterministic: an
@@ -1892,18 +1910,25 @@ def _chunk_recursive_oracle_sql() -> str | None:
         import pyarrow.parquet as papq
 
         con = duckdb.connect()
+        # corpus fingerprints first (one cheap aggregate per sf dir): when
+        # the existing golden already covers every fingerprint, skip the
+        # expensive pure-Python chunking of every document on every import
+        # corpus fingerprint: doc count alone can collide across sf
+        # dirs (sf0.001 and sf0.01 both carry 500 docs), so key on
+        # (count, total text bytes) — computed in DuckDB exactly as the
+        # oracle's scalar subquery recomputes it; memoized across builders
+        path_keys = {p: _corpus_fingerprint(con, p) for p in doc_paths}
+        if os.path.exists(golden):
+            have = set(
+                papq.read_table(golden, columns=["corpus_key"])
+                .column("corpus_key")
+                .to_pylist()
+            )
+            if set(path_keys.values()) <= have:
+                return _CHUNK_RECURSIVE_GOLDEN_SQL.format(golden=golden)
         keys, ids, idxs, lens, heads = [], [], [], [], []
         for docs_path in doc_paths:
-            # corpus fingerprint: doc count alone can collide across sf
-            # dirs (sf0.001 and sf0.01 both carry 500 docs), so key on
-            # (count, total text bytes) — computed in DuckDB exactly as
-            # the oracle's scalar subquery recomputes it.
-            (key,) = con.execute(
-                "SELECT COUNT(*) * 1000000000000 + "
-                "COALESCE(SUM(octet_length(encode(text))), 0) "
-                "FROM read_parquet(?)",
-                [docs_path],
-            ).fetchone()
+            key = path_keys[docs_path]
             rows = con.execute(
                 "SELECT doc_id, text FROM read_parquet(?) ORDER BY doc_id",
                 [docs_path],
@@ -1933,7 +1958,10 @@ def _chunk_recursive_oracle_sql() -> str | None:
         os.replace(tmp, golden)
     except Exception:  # pragma: no cover - testdata/write hiccups -> rows-only
         return None
-    return f"""
+    return _CHUNK_RECURSIVE_GOLDEN_SQL.format(golden=golden)
+
+
+_CHUNK_RECURSIVE_GOLDEN_SQL = """
     SELECT doc_id, chunk_index, chunk_len, chunk_head
     FROM read_parquet('{golden}')
     WHERE corpus_key = (
@@ -3092,14 +3120,20 @@ def _bpe_train_merges_oracle_sql() -> str | None:
         import pyarrow.parquet as papq
 
         con = duckdb.connect()
+        path_keys = {p: _corpus_fingerprint(con, p) for p in doc_paths}
+        # skip the per-import retraining when the golden already covers
+        # every corpus fingerprint (testdata unchanged)
+        if os.path.exists(golden):
+            have = set(
+                papq.read_table(golden, columns=["corpus_key"])
+                .column("corpus_key")
+                .to_pylist()
+            )
+            if set(path_keys.values()) <= have:
+                return _BPE_MERGES_GOLDEN_SQL.format(golden=golden)
         keys, idxs, lefts, rights, totals = [], [], [], [], []
         for docs_path in doc_paths:
-            (key,) = con.execute(
-                "SELECT COUNT(*) * 1000000000000 + "
-                "COALESCE(SUM(octet_length(encode(text))), 0) "
-                "FROM read_parquet(?)",
-                [docs_path],
-            ).fetchone()
+            key = path_keys[docs_path]
             freqs: dict = {}
             for (text,) in con.execute(
                 "SELECT text FROM read_parquet(?)", [docs_path]
@@ -3127,7 +3161,10 @@ def _bpe_train_merges_oracle_sql() -> str | None:
         os.replace(tmp, golden)
     except Exception:  # pragma: no cover - testdata/write hiccups -> rows-only
         return None
-    return f"""
+    return _BPE_MERGES_GOLDEN_SQL.format(golden=golden)
+
+
+_BPE_MERGES_GOLDEN_SQL = """
     SELECT CAST(merge_index AS INTEGER) AS merge_index, "left", "right", total
     FROM read_parquet('{golden}')
     WHERE corpus_key = (
@@ -4355,14 +4392,19 @@ def _bpe_segment_oracle_sql() -> str | None:
         import pyarrow.parquet as papq
 
         con = duckdb.connect()
+        path_keys = {p: _corpus_fingerprint(con, p) for p in doc_paths}
+        # skip retrain+retokenize when the golden covers every fingerprint
+        if os.path.exists(golden):
+            have = set(
+                papq.read_table(golden, columns=["corpus_key"])
+                .column("corpus_key")
+                .to_pylist()
+            )
+            if set(path_keys.values()) <= have:
+                return _BPE_SEGMENT_GOLDEN_SQL.format(golden=golden)
         keys, ids, poss, toks = [], [], [], []
         for docs_path in doc_paths:
-            (key,) = con.execute(
-                "SELECT COUNT(*) * 1000000000000 + "
-                "COALESCE(SUM(octet_length(encode(text))), 0) "
-                "FROM read_parquet(?)",
-                [docs_path],
-            ).fetchone()
+            key = path_keys[docs_path]
             rows = con.execute(
                 "SELECT doc_id, text FROM read_parquet(?) ORDER BY doc_id",
                 [docs_path],
@@ -4397,7 +4439,10 @@ def _bpe_segment_oracle_sql() -> str | None:
         os.replace(tmp, golden)
     except Exception:  # pragma: no cover - testdata/write hiccups -> rows-only
         return None
-    return f"""
+    return _BPE_SEGMENT_GOLDEN_SQL.format(golden=golden)
+
+
+_BPE_SEGMENT_GOLDEN_SQL = """
     SELECT doc_id, CAST(pos AS INTEGER) AS pos, token
     FROM read_parquet('{golden}')
     WHERE corpus_key = (

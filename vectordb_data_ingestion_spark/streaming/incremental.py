@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -174,7 +175,12 @@ def foreach_batch_near_dup_filter(
         try:
             idx_bands = spark.read.parquet(bands_path)
             idx_sh = spark.read.parquet(shingle_path)
-        except Exception:
+        except AnalysisException as e:
+            # ONLY the first-batch missing-path case may mean "no index
+            # yet" — a corrupt/unreadable index must fail the batch, not
+            # silently admit everything unchecked
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             idx_bands = None
             idx_sh = None
 
@@ -227,10 +233,18 @@ def foreach_batch_near_dup_filter(
         )
         survivors = survivors.join(intra, id_col, "left_anti").localCheckpoint()
 
+        # batch-keyed subdirs + overwrite, not root-level append: a
+        # RETRIED micro-batch (foreachBatch is at-least-once) rewrites its
+        # own partition instead of double-appending survivors/index rows
         kept = survivors.select(id_col)
-        survivors.write.mode("append").parquet(out_dir)
-        sh_tbl.join(kept, id_col).write.mode("append").parquet(shingle_path)
-        banded.join(kept, id_col).write.mode("append").parquet(bands_path)
+        sub = f"batch={int(batch_id)}"
+        survivors.write.mode("overwrite").parquet(f"{out_dir}/{sub}")
+        sh_tbl.join(kept, id_col).write.mode("overwrite").parquet(
+            f"{shingle_path}/{sub}"
+        )
+        banded.join(kept, id_col).write.mode("overwrite").parquet(
+            f"{bands_path}/{sub}"
+        )
 
     return (
         stream_df.writeStream.foreachBatch(run_batch)
