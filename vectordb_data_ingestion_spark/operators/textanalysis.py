@@ -288,6 +288,52 @@ def repetition_signals(
 # literature) - the hard keep/drop rules applied before training-data use
 # ---------------------------------------------------------------------------
 
+def gopher_keep_column(
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    max_symbol_word_ratio: float = 0.1,
+    min_stop_hits: int = 2,
+) -> Column:
+    """The composite Gopher keep/drop verdict as a bare Column expression —
+    for gating a corpus IN PLACE (``df.filter(gopher_keep_column())``)
+    with zero exchanges. :func:`gopher_document_filter` joins per-doc
+    signal columns back instead; at 100 TB that signals table has corpus
+    cardinality (not broadcastable), so pipelines that only need the
+    verdict should filter with this expression and keep the gate at scan
+    speed."""
+    c = F.col(text_col)
+    words = F.filter(word_split(c), lambda w: w != "")
+    n_words = F.size(words)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        n_words > 0,
+        F.regexp_count(c, F.lit(r"#|\.\.\.")).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.greatest(*[lang_score(c, lang) for lang in LANGS])
+    return (
+        n_words.between(min_words, max_words)
+        & mean_wl.between(min_mean_word_len, max_mean_word_len)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (symbol_ratio <= max_symbol_word_ratio)
+        & (stop_hits >= min_stop_hits)
+    )
+
+
 def gopher_document_filter(
     df: DataFrame,
     text_col: str = "text",
@@ -335,12 +381,10 @@ def gopher_document_filter(
         F.regexp_count(c, F.lit(r"#|\.\.\.")).cast("double") / n_words,
     ).otherwise(F.lit(0.0))
     stop_hits = F.greatest(*[lang_score(c, lang) for lang in LANGS])
-    keep = (
-        n_words.between(min_words, max_words)
-        & mean_wl.between(min_mean_word_len, max_mean_word_len)
-        & (alpha_frac >= min_alpha_word_frac)
-        & (symbol_ratio <= max_symbol_word_ratio)
-        & (stop_hits >= min_stop_hits)
+    keep = gopher_keep_column(
+        text_col, min_words, max_words, min_mean_word_len,
+        max_mean_word_len, min_alpha_word_frac, max_symbol_word_ratio,
+        min_stop_hits,
     )
     return df.select(
         F.col(id_col),

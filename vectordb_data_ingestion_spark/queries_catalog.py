@@ -7090,18 +7090,19 @@ def q_full_curation_pipeline(spark, sf_dir):
     broadcast back in-plan) → training shards → per-shard manifest. Every
     stage is the same operator the standalone queries verify; this query
     pins that they COMPOSE — one job, no driver round-trips between
-    stages, Catalyst free to pipeline the narrow stages between the three
-    genuine exchanges (dedup hash, gram explode agg, shard count)."""
+    stages. The gate is the in-place ``gopher_keep_column`` filter (a
+    per-doc signals table would have corpus cardinality — NOT
+    broadcastable at 100 TB — so the join-back form would add two
+    corpus-scale exchanges); the corpus-scale exchanges that remain are
+    the dedup text-hash window, the decontamination gram aggregates, and
+    the shard rollup."""
     from vectordb_data_ingestion_spark.operators.textanalysis import (
-        gopher_document_filter,
+        gopher_keep_column,
     )
 
     (docs,) = _t(spark, sf_dir, "documents")
     docs = spread(docs)
-    gates = gopher_document_filter(docs).select("doc_id", "keep")
-    kept = (
-        docs.join(gates, "doc_id").filter(F.col("keep") == 1).drop("keep")
-    )
+    kept = docs.filter(gopher_keep_column("text"))
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = (
         kept.withColumn("__rn", F.row_number().over(w))
