@@ -126,6 +126,8 @@ HEADLINE = [
     "weighted_reservoir_sample",
     "bitext_margin_pairs",
     "retrieval_mrr_eval",
+    "nation_yearly_profit",
+    "forecast_revenue_change",
 ]
 
 

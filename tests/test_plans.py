@@ -443,6 +443,7 @@ def test_no_plan_antipatterns_across_all_queries(spark):
         "important_part_share",       # 1-row grand-total agg over the rollup
         "missing_event_hours",        # 1-row min/max bounds agg
         "retrieval_mrr_eval",         # 1-row eval-result agg
+        "forecast_revenue_change",    # 1-row pushdown aggregate (Q6)
         "full_curation_pipeline",     # temperature rates window over |sources| rows
     }
     offenders = {}

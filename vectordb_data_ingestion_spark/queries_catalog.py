@@ -7348,6 +7348,98 @@ def q_retrieval_mrr_eval(spark, sf_dir):
     )
 
 
+@register(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000)
+                         AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6 shape — the pure pushdown aggregate: every predicate
+    (date range, discount band, quantity cap) reaches the parquet scan as
+    a pushed filter, the scan reads 4 columns, and the whole query is one
+    partial-summed 1-row aggregate with zero joins — the baseline any
+    scan-speed claim is measured against."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    micro = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000
+    ).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(micro) / 10000.0).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "nation_yearly_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)
+                    - CAST(ROUND(p.p_retailprice * l.l_quantity * 100)
+                           AS BIGINT) * 100) AS BIGINT) / 10000.0 AS profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+)
+def q_nation_yearly_profit(spark, sf_dir):
+    """TPC-H Q9 shape — profit (revenue minus supply cost, retail price
+    standing in for the missing ps_supplycost) per supplier nation per
+    order year, for a part-name pattern. The selective part filter and
+    the supplier→nation dims broadcast into the fact scan; the year comes
+    from the joined order row, so lineitem shuffles only for the final
+    (nation, year) aggregate. Profit in exact integer micros on both
+    engines (cost centi-units scaled ×100 into micros before the sum)."""
+    li, orders, part, supp, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation"
+    )
+    bolts = part.filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    sn = supp.select("s_suppkey", "s_nationkey").join(
+        broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    cost = F.round(
+        F.col("p_retailprice") * F.col("l_quantity") * 100
+    ).cast("long") * 100
+    return (
+        li.join(broadcast(bolts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(((F.sum(rev - cost)) / 10000.0).alias("profit"))
+    )
+
+
 # ROUND-3 NOTE: after the round-2 driver run verifies this window, rebuild
 # this list with the round-2 additions that registered past the cap
 # (gopher_quality_filter ... cheapest_supplier_per_part, llm_annotate, the
