@@ -128,6 +128,7 @@ HEADLINE = [
     "retrieval_mrr_eval",
     "nation_yearly_profit",
     "forecast_revenue_change",
+    "dataset_card",
 ]
 
 

@@ -444,6 +444,7 @@ def test_no_plan_antipatterns_across_all_queries(spark):
         "missing_event_hours",        # 1-row min/max bounds agg
         "retrieval_mrr_eval",         # 1-row eval-result agg
         "forecast_revenue_change",    # 1-row pushdown aggregate (Q6)
+        "dataset_card",               # 1-row datasheet aggregate
         "full_curation_pipeline",     # temperature rates window over |sources| rows
     }
     offenders = {}

@@ -7440,6 +7440,83 @@ def q_nation_yearly_profit(spark, sf_dir):
     )
 
 
+def _dataset_card_oracle_sql() -> str:
+    from vectordb_data_ingestion_spark.operators.textanalysis import (
+        gopher_document_filter_sql,
+    )
+
+    gopher = gopher_document_filter_sql("text")["keep"] + " = 1"
+    return f"""
+    WITH base AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_uniq_texts,
+             CAST(COUNT(*) FILTER (WHERE {gopher}) AS BIGINT)
+               AS n_quality_pass
+      FROM documents
+    ), top_lang AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM documents
+      GROUP BY 1 ORDER BY c DESC, lang ASC LIMIT 1
+    )
+    SELECT CAST(b.n_docs AS BIGINT) AS n_docs, b.total_chars, b.n_sources,
+           b.n_langs,
+           ((b.n_docs - b.n_uniq_texts) * 1000000) // b.n_docs
+             AS exact_dup_ppm,
+           (b.n_quality_pass * 1000000) // b.n_docs AS quality_pass_ppm,
+           t.lang AS top_lang,
+           (t.c * 1000000) // b.n_docs AS top_lang_ppm
+    FROM base b CROSS JOIN top_lang t
+    """
+
+
+@register("dataset_card", _dataset_card_oracle_sql())
+def q_dataset_card(spark, sf_dir):
+    """The one-row datasheet a corpus release ships with: size, source
+    and language breadth, exact-duplicate rate, quality-gate pass rate,
+    and dominant language share — every number in exact integer ppm so
+    the card is reproducible cross-engine and release-over-release. One
+    corpus pass (multi-distinct aggregate) plus a tiny per-lang count;
+    the gopher verdict rides the same scan as a column expression."""
+    from vectordb_data_ingestion_spark.operators.textanalysis import (
+        gopher_keep_column,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.md5("text")).alias("n_uniq_texts"),
+        F.sum(gopher_keep_column("text").cast("long")).alias(
+            "n_quality_pass"
+        ),
+    )
+    top = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), "c")
+    )
+    return base.crossJoin(broadcast(top)).select(
+        "n_docs",
+        "total_chars",
+        "n_sources",
+        "n_langs",
+        F.expr("(n_docs - n_uniq_texts) * 1000000L div n_docs").alias(
+            "exact_dup_ppm"
+        ),
+        F.expr("n_quality_pass * 1000000L div n_docs").alias(
+            "quality_pass_ppm"
+        ),
+        "top_lang",
+        F.expr("c * 1000000L div n_docs").alias("top_lang_ppm"),
+    )
+
+
 # ROUND-3 NOTE: after the round-2 driver run verifies this window, rebuild
 # this list with the round-2 additions that registered past the cap
 # (gopher_quality_filter ... cheapest_supplier_per_part, llm_annotate, the
