@@ -7248,6 +7248,7 @@ def q_bitext_margin_pairs(spark, sf_dir):
     q AS (
       SELECT c.vec_id AS q_id, ve AS qe, s.sig AS qsig
       FROM c JOIN sig s USING (vec_id) WHERE c.vec_id % 97 = 3
+      ORDER BY c.vec_id LIMIT 64
     ),
     scored AS (
       SELECT q.q_id, q.qsig, c.vec_id, s.sig,
@@ -7301,10 +7302,18 @@ def q_retrieval_mrr_eval(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double")).alias("ve"),
         "sig",
     )
-    q = corpus.filter(F.col("vec_id") % 97 == 3).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("ve").alias("qe"),
-        F.col("sig").alias("qsig"),
+    # FIXED-SIZE eval set (64 queries by id order): a %-of-corpus query
+    # set would make the exact-truth scan grow as |Q|x|corpus| ~ N² —
+    # evals sample a constant probe set regardless of corpus growth
+    q = (
+        corpus.filter(F.col("vec_id") % 97 == 3)
+        .orderBy("vec_id")
+        .limit(64)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("ve").alias("qe"),
+            F.col("sig").alias("qsig"),
+        )
     )
     cos_ppm = F.round(
         vec.cosine_similarity(F.col("ve"), F.col("qe")) * 1_000_000
