@@ -57,6 +57,10 @@ PROBE = [
     "sole_late_supplier",
     "small_quantity_revenue",
     "nation_pair_volume",
+    # late-round-2: the six-stage curation flagship and the fixed-eval-set
+    # MRR scan (linear in the corpus once the query set is capped)
+    "full_curation_pipeline",
+    "retrieval_mrr_eval",
 ]
 
 ALL_TABLES = (
