@@ -674,3 +674,23 @@ def test_pack_sequences_ties_use_rows_frame(spark):
     # rows frame: one chunk starts at 0 (seq 0), the other at 60 (seq 0);
     # a RANGE frame would give both start=60
     assert sorted(v[1] for v in out.values()) == [0, 60]
+
+
+def test_weighted_reservoir_nonpositive_weights_excluded(spark):
+    """w<=0 rows have zero selection mass and must never be sampled: w=0
+    produced ±Inf/NaN keys ordered differently by Spark and DuckDB, and
+    negative weights inverted the ranking. Both engine forms filter them."""
+    import duckdb
+
+    rows = [(i, "g", float(i % 7) - 2.0) for i in range(60)]  # w in [-2, 4]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+    got = cp.weighted_reservoir_sample(df, k=15, weight_col="w").collect()
+    assert all(r["w"] > 0 for r in got)
+    assert len(got) == 15
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, source VARCHAR, w DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    sql = cp.weighted_reservoir_sample_sql("t", 15, "w")
+    oracle = {r[0] for r in con.execute(sql).fetchall()}
+    assert {r["doc_id"] for r in got} == oracle

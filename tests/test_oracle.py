@@ -49,9 +49,10 @@ def test_driver_priority_window_integrity():
     )
 
     assert [n for n in _DRIVER_PRIORITY if n not in SPARK_QUERIES] == []
-    assert len(_DRIVER_PRIORITY) <= 50
-    first50 = set(list(SPARK_QUERIES)[:50])
-    assert set(_DRIVER_PRIORITY) <= first50
+    # The priority list may carry a deferred tail past the cap (documented
+    # next-round rotation), but its first 50 entries ARE the driver window.
+    first50 = list(SPARK_QUERIES)[:50]
+    assert _DRIVER_PRIORITY[:50] == first50
     # bpe_train_merges gained a golden-parquet oracle in round 2; it only
     # degrades to rows-only if testdata is absent at import time.
     assert set(SPARK_QUERIES) - set(ORACLE_SQL) <= {"bpe_train_merges"}

@@ -584,3 +584,152 @@ def test_streaming_vector_index_append(spark, tmp_path):
         load_ivfpq_index(spark, rebuilt_dir, m=8, dim=64), qv, k=10, n_probe=3
     ).collect()
     assert [tuple(r) for r in grown] == [tuple(r) for r in full]
+
+
+def test_near_dup_replay_same_batch_id_no_data_loss(spark, tmp_path):
+    """At-least-once replay drill: a micro-batch whose index/output writes
+    completed but whose offset commit did not is re-run with the SAME
+    batch_id. Before the fix, the re-run read its own batch=N index rows,
+    self-matched every kept doc at jaccard 1.0, and the overwrite wiped the
+    batch from both output and index. After: replay is a no-op rewrite."""
+    from vectordb_data_ingestion_spark.streaming.incremental import (
+        near_dup_batch_fn,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long tune about distributed systems and shuffle free joins"
+    )
+    other = (
+        "completely different content about product quantization codebooks "
+        "inverted files and approximate nearest neighbor retrieval at scale"
+    )
+    out_dir = str(tmp_path / "out")
+    run_batch = near_dup_batch_fn(
+        index_dir=str(tmp_path / "index"),
+        out_dir=out_dir,
+        jaccard_threshold=0.5,
+    )
+
+    wave1 = spark.createDataFrame(
+        [(0, base), (1, other)], "doc_id long, text string"
+    )
+    run_batch(wave1, 0)
+    first = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert first == [0, 1]
+
+    # crash-after-write, before offset commit -> engine replays batch 0
+    run_batch(wave1, 0)
+    replayed = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert replayed == [0, 1]  # no loss, no dupes
+
+    # a later batch still dedups against the (replayed) index: near-copy of
+    # doc 0 rejected, fresh doc admitted — and ITS replay also holds
+    wave2 = spark.createDataFrame(
+        [
+            (2, base.replace("lazy", "sleepy")),
+            (3, "unique payload alpha beta gamma delta epsilon zeta eta"),
+        ],
+        "doc_id long, text string",
+    )
+    run_batch(wave2, 1)
+    run_batch(wave2, 1)
+    admitted = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert admitted == [0, 1, 3]
+    idx_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "index/shingles"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert idx_ids == admitted
+
+
+def test_refresh_replay_same_batch_id_no_dupes(spark, tmp_path):
+    """Replay drill for the delete-then-insert refresh: re-running a batch
+    with the same batch_id after its sink writes completed must leave the
+    sink identical (delete clears the crashed attempt's rows first)."""
+    from vectordb_data_ingestion_spark.streaming.incremental import (
+        refresh_batch_fn,
+    )
+
+    sink = ParquetVectorSink(spark, str(tmp_path / "vectors"), partition_col=None)
+
+    def transform(batch_df):
+        return batch_df.select(
+            "url",
+            F.sha2(F.concat_ws("#", "url", "text"), 256).alias("chunk_id"),
+            "text",
+            "version",
+        )
+
+    run_batch = refresh_batch_fn(
+        transform, sink.upsert, sink.delete_where, key_col="url"
+    )
+    b1 = _catalog_df(spark, 1, ["u1", "u2"])
+    run_batch(b1, 0)
+    run_batch(b1, 0)  # replay
+    got = [(r["url"], r["version"]) for r in sink.read().collect()]
+    assert sorted(got) == [("u1", 1), ("u2", 1)]  # exactly once, no dupes
+
+    b2 = _catalog_df(spark, 2, ["u1", "u3"])
+    run_batch(b2, 1)
+    run_batch(b2, 1)  # replay of the update batch
+    got = [(r["url"], r["version"]) for r in sink.read().collect()]
+    assert sorted(got) == [("u1", 2), ("u2", 1), ("u3", 2)]
+
+
+def test_index_append_migrates_legacy_flat_layout(spark, tmp_path):
+    """An index built before the two-level (batch, cell) codes layout has
+    cell= dirs at the codes/ root; a streaming append must lift them under
+    batch=base first, or mixed partition depths break discovery."""
+    import shutil
+
+    from vectordb_data_ingestion_spark.operators.pq import pq_train
+    from vectordb_data_ingestion_spark.operators.vector_index import (
+        build_ivfpq_index,
+        foreach_batch_index_append,
+        load_ivfpq_index,
+    )
+
+    emb = (
+        spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+    )
+    initial = emb.filter(F.col("vec_id") < 300)
+    late = emb.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 360)
+    )
+    cb = pq_train(initial, m=8, dim=64, k=4, iterations=1)
+    centroids = initial.filter(F.col("vec_id") % 25 == 2).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    idx_dir = str(tmp_path / "idx")
+    build_ivfpq_index(initial, centroids, cb, idx_dir, m=8, dim=64)
+
+    # devolve to the legacy flat layout: codes/cell=N at the root
+    codes_dir = os.path.join(idx_dir, "codes")
+    base = os.path.join(codes_dir, "batch=base")
+    for e in os.listdir(base):
+        shutil.move(os.path.join(base, e), os.path.join(codes_dir, e))
+    os.rmdir(base)
+    assert any(e.startswith("cell=") for e in os.listdir(codes_dir))
+
+    stream_src = tmp_path / "legacy_stream_in"
+    late.coalesce(1).write.parquet(str(stream_src))
+    stream = spark.readStream.schema(late.schema).parquet(str(stream_src))
+    q = foreach_batch_index_append(
+        stream, idx_dir, checkpoint=str(tmp_path / "ckpt_legacy"), m=8, dim=64
+    ).start()
+    q.awaitTermination(120)
+
+    index = load_ivfpq_index(spark, idx_dir, m=8, dim=64)
+    assert index.codes.count() == initial.count() + late.count()

@@ -1069,7 +1069,13 @@ def weighted_reservoir_sample(
     Cross-engine note: the key involves ``ln`` (≤1 ulp libm error, not
     IEEE-mandated exact), so the oracle can disagree only if two keys sit
     within ~1e-15 of each other AND straddle rank k — negligible, and the
-    id tiebreak fixes exact ties."""
+    id tiebreak fixes exact ties.
+
+    Rows with ``weight_col <= 0`` are excluded up front (P∝w means they
+    have zero selection mass; without the filter w=0 yields ±Inf/NaN keys
+    that Spark and DuckDB order differently, and negative weights would
+    silently invert the ranking)."""
+    df = df.filter(F.col(weight_col) > 0)
     u = (
         md5_hash32_seeded(F.col(id_col).cast("string"), seed) + 1
     ) / F.lit(_HASH_SPACE)
@@ -1095,9 +1101,10 @@ def weighted_reservoir_sample_sql(
     """DuckDB FROM-clause subquery matching :func:`weighted_reservoir_sample`."""
     h = md5_hash32_seeded_sql(f"CAST({id_expr} AS VARCHAR)", seed)
     key = f"(ln(({h} + 1) / {_HASH_SPACE}) / {weight_expr})"
+    guarded = f"(SELECT * FROM {table} WHERE {weight_expr} > 0)"
     if group_expr is None:
         return (
-            f"SELECT * FROM {table} "
+            f"SELECT * FROM {guarded} "
             f"ORDER BY {key} DESC, {id_expr} ASC LIMIT {k}"
         )
     return f"""
@@ -1105,6 +1112,6 @@ def weighted_reservoir_sample_sql(
       SELECT *, row_number() OVER (
         PARTITION BY {group_expr} ORDER BY {key} DESC, {id_expr} ASC
       ) AS __rn
-      FROM {table}
+      FROM {guarded}
     ) WHERE __rn <= {k}
     """

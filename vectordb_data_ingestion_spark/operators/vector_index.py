@@ -79,9 +79,32 @@ def build_ivfpq_index(
     )
 
 
+def _migrate_legacy_flat_codes(codes_dir: str) -> bool:
+    """Indexes built before the two-level ``(batch, cell)`` layout wrote
+    ``codes/cell=N/`` directly; a streaming append adding ``batch=<id>``
+    subdirs next to them would leave mixed partition depths that Spark's
+    partition discovery rejects. Detect the flat layout and move the
+    ``cell=`` dirs under ``batch=base/`` (pure renames on the directory
+    substrate; an object-store deployment would do the same with a
+    listing+copy). Returns True if a migration happened."""
+    if not os.path.isdir(codes_dir):
+        return False
+    entries = os.listdir(codes_dir)
+    cells = [e for e in entries if e.startswith("cell=")]
+    if not cells or any(e.startswith("batch=") for e in entries):
+        return False
+    base = os.path.join(codes_dir, "batch=base")
+    os.makedirs(base)
+    for e in entries:
+        if e.startswith("cell=") or e == "_SUCCESS":
+            os.rename(os.path.join(codes_dir, e), os.path.join(base, e))
+    return True
+
+
 def load_ivfpq_index(
     spark: SparkSession, out_dir: str, m: int = 8, dim: int = 64
 ) -> IvfPqIndex:
+    _migrate_legacy_flat_codes(os.path.join(out_dir, "codes"))
     return IvfPqIndex(
         centroids=spark.read.parquet(os.path.join(out_dir, "centroids")),
         codebooks=spark.read.parquet(os.path.join(out_dir, "codebooks")),
@@ -165,6 +188,9 @@ def foreach_batch_index_append(
     def run_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # upgraded deployments: lift a pre-two-level flat cell= layout
+        # under batch=base before adding batch-keyed subdirs next to it
+        _migrate_legacy_flat_codes(_os.path.join(out_dir, "codes"))
         spark = batch_df.sparkSession
         centroids = spark.read.parquet(_os.path.join(out_dir, "centroids"))
         codebooks = spark.read.parquet(_os.path.join(out_dir, "codebooks"))

@@ -75,9 +75,25 @@ class VectorStoreWriter(DataSourceWriter):
     def commit(self, messages):
         manifest = os.path.join(self.path, MANIFEST)
         committed = {m.filename for m in messages if m is not None}
+        lines = [
+            json.dumps({"file": m.filename, "n_rows": m.n_rows}) + "\n"
+            for m in messages
+            if m is not None
+        ]
         if self.overwrite:
-            # truncating only the manifest would leak every prior load's
-            # spool files forever; an overwrite retires them
+            # Publish the new manifest ATOMICALLY before retiring any prior
+            # load's spool files: a crash mid-commit must leave either the
+            # old manifest (all its files still present) or the new one —
+            # never a manifest referencing deleted files.
+            tmp = manifest + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.writelines(lines)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, manifest)
+            # now retire spool files the new manifest no longer references
+            # (truncating only the manifest would leak every prior load's
+            # spool files forever)
             spool = os.path.join(self.path, "_spool")
             if os.path.isdir(spool):
                 for fn in os.listdir(spool):
@@ -86,13 +102,9 @@ class VectorStoreWriter(DataSourceWriter):
                             os.remove(os.path.join(spool, fn))
                         except FileNotFoundError:
                             pass
-        with open(manifest, "w" if self.overwrite else "a") as f:
-            for m in messages:
-                if m is not None:
-                    f.write(
-                        json.dumps({"file": m.filename, "n_rows": m.n_rows})
-                        + "\n"
-                    )
+        else:
+            with open(manifest, "a") as f:
+                f.writelines(lines)
 
     def abort(self, messages):
         spool = os.path.join(self.path, "_spool")

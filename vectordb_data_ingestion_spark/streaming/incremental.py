@@ -40,15 +40,15 @@ def read_file_stream(
     return reader.load(path)
 
 
-def foreach_batch_refresh(
-    stream_df: DataFrame,
+def refresh_batch_fn(
     transform: Callable[[DataFrame], DataFrame],
     sink_upsert: Callable[[DataFrame], None],
     sink_delete_where: Callable[[str, list], None],
     key_col: str,
-    checkpoint: str,
-):
-    """Delete-then-insert refresh per micro-batch:
+) -> Callable[[DataFrame, int], None]:
+    """Per-micro-batch delete-then-insert (the body of
+    ``foreach_batch_refresh``, exposed so replay tests can re-run a batch
+    with the same batch_id):
 
     1. collect the batch's distinct ``key_col`` values (catalog-sized),
     2. ``sink_delete_where(key_col, keys)`` clears stale rows
@@ -56,7 +56,8 @@ def foreach_batch_refresh(
     3. ``transform`` re-derives the chunk/vector rows,
     4. ``sink_upsert`` appends them.
 
-    Deterministic chunk ids make step 4 idempotent under batch retry.
+    Replay-idempotent: a retried batch first deletes its keys — including
+    any rows its crashed first attempt already appended — then re-inserts.
     """
 
     def run_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -66,6 +67,22 @@ def foreach_batch_refresh(
         sink_delete_where(key_col, keys)
         sink_upsert(transform(batch_df))
 
+    return run_batch
+
+
+def foreach_batch_refresh(
+    stream_df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    sink_upsert: Callable[[DataFrame], None],
+    sink_delete_where: Callable[[str, list], None],
+    key_col: str,
+    checkpoint: str,
+):
+    """Checkpointed streaming writer around ``refresh_batch_fn`` — the
+    incremental form of the reference's diff→delete→insert refresh."""
+    run_batch = refresh_batch_fn(
+        transform, sink_upsert, sink_delete_where, key_col
+    )
     return (
         stream_df.writeStream.foreachBatch(run_batch)
         .option("checkpointLocation", checkpoint)
@@ -120,21 +137,20 @@ def streaming_exact_dedup(
     )
 
 
-def foreach_batch_near_dup_filter(
-    stream_df: DataFrame,
+def near_dup_batch_fn(
     index_dir: str,
     out_dir: str,
-    checkpoint: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
-):
-    """Streaming arm of the MinHash/LSH near-dup family: maintain the
-    banded-signature index incrementally and admit only documents with no
-    near-duplicate among everything already admitted.
+) -> Callable[[DataFrame, int], None]:
+    """Build the per-micro-batch admission function used by
+    ``foreach_batch_near_dup_filter``. Exposed separately so replay/chaos
+    tests can invoke a batch directly (same ``batch_id`` twice) without a
+    streaming query wrapping it.
 
     Per micro-batch (the batch form of the batch-side
     ``dedup.minhash_lsh_pairs``, sharing its build products):
@@ -173,8 +189,18 @@ def foreach_batch_near_dup_filter(
             batch_df, text_col, id_col, num_hashes, bands, shingle_n
         )
         try:
-            idx_bands = spark.read.parquet(bands_path)
-            idx_sh = spark.read.parquet(shingle_path)
+            # foreachBatch is at-least-once: on replay the index root
+            # already holds THIS batch's own batch=N rows (written before
+            # the offset commit crashed), and reading them back would make
+            # every previously-kept doc self-match at jaccard 1.0 and be
+            # wiped by the overwrite below. Exclude the current batch
+            # partition from both index reads.
+            idx_bands = spark.read.parquet(bands_path).filter(
+                F.col("batch") != F.lit(int(batch_id))
+            )
+            idx_sh = spark.read.parquet(shingle_path).filter(
+                F.col("batch") != F.lit(int(batch_id))
+            )
         except AnalysisException as e:
             # ONLY the first-batch missing-path case may mean "no index
             # yet" — a corrupt/unreadable index must fail the batch, not
@@ -246,6 +272,33 @@ def foreach_batch_near_dup_filter(
             f"{bands_path}/{sub}"
         )
 
+    return run_batch
+
+
+def foreach_batch_near_dup_filter(
+    stream_df: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+):
+    """Wire ``near_dup_batch_fn`` (see its docstring for the admission
+    contract) into a checkpointed ``foreachBatch`` streaming writer."""
+    run_batch = near_dup_batch_fn(
+        index_dir,
+        out_dir,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+    )
     return (
         stream_df.writeStream.foreachBatch(run_batch)
         .option("checkpointLocation", checkpoint)
