@@ -125,6 +125,9 @@ HEADLINE = [
     "token_budget_fill",
     "weighted_reservoir_sample",
     "bitext_margin_pairs",
+    # round-3: the cell-blocked scale form (whole en x de corpora, shared
+    # coarse quantizer, sum-of-cell-squared pair generation)
+    "bitext_margin_pairs_blocked",
     "retrieval_mrr_eval",
     "nation_yearly_profit",
     "forecast_revenue_change",

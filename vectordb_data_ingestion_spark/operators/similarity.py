@@ -816,3 +816,83 @@ def assign_ivf_cells_vectorized(
             yield pdf
 
     return corpus.mapInPandas(assign, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Bitext mining (margin criterion, IVF-cell blocked)
+# ---------------------------------------------------------------------------
+
+def bitext_mine(
+    a: DataFrame,
+    b: DataFrame,
+    centroids: DataFrame,
+    knn: int = 4,
+    a_id: str = "a_id",
+    a_vec: str = "ae",
+    b_id: str = "b_id",
+    b_vec: str = "be",
+    centroid_vec: str = "c_embedding",
+    centroid_id: str = "c_id",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk ratio margin, the
+    CCMatrix recipe) at corpus scale: both language sides are assigned to
+    a SHARED coarse quantizer (broadcast centroids, one narrow pass per
+    side), candidate pairs are generated only within a cell via an
+    equi-join on ``cell``, and each source doc keeps its best
+    within-cell target scored by
+    ``margin = cos(x,y) / mean(top-knn cos of x and of y)``.
+
+    Work is sum over cells of |A_cell| x |B_cell| - never |A| x |B|; the
+    two shuffles are the cell equi-join and the per-id top-knn windows
+    (each id lives in exactly one cell, so the windows are within-cell by
+    construction). The k-NN denominators are within-cell approximations
+    of the global k-NN - the standard trade when mining at scale; the
+    exhaustive form on a bounded block is ``bitext_margin_pairs``
+    (queries_catalog.py), which shares this scoring exactly.
+
+    All scoring is integer ppm after one rounded cosine, so the ranking
+    is engine-exact (same contract as the kernel's oracle). Returns one
+    row per source doc: (a_id, b_id, cell, cos_ppm, margin_ppm).
+
+    Cell assignment uses the Arrow/argmax path (one numpy matmul per
+    batch, no per-id window shuffle — same rounded-6/lowest-id contract
+    as the JVM form, parity-tested via semantic_dedup's oracle).
+    """
+    a_cells = assign_ivf_cells_vectorized(
+        a, centroids, vec_col=a_vec, id_col=a_id,
+        centroid_vec=centroid_vec, centroid_id=centroid_id,
+    ).select(a_id, a_vec, "cell")
+    b_cells = assign_ivf_cells_vectorized(
+        b, centroids, vec_col=b_vec, id_col=b_id,
+        centroid_vec=centroid_vec, centroid_id=centroid_id,
+    ).select(b_id, b_vec, "cell")
+    cos_ppm = F.round(
+        cosine_similarity(F.col(a_vec), F.col(b_vec)) * 1_000_000
+    ).cast("long")
+    pairs = a_cells.join(b_cells, "cell").select(
+        "cell", a_id, b_id, cos_ppm.alias("cos_ppm")
+    )
+    wa = Window.partitionBy(a_id).orderBy(F.desc("cos_ppm"), F.asc(b_id))
+    wb = Window.partitionBy(b_id).orderBy(F.desc("cos_ppm"), F.asc(a_id))
+    ranked = pairs.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rb", F.row_number().over(wb)
+    )
+    denom_a = (
+        ranked.filter(F.col("ra") <= knn)
+        .groupBy(a_id)
+        .agg(F.expr(f"CAST(SUM(cos_ppm) AS BIGINT) div {knn}").alias("avg_a"))
+    )
+    denom_b = (
+        ranked.filter(F.col("rb") <= knn)
+        .groupBy(b_id)
+        .agg(F.expr(f"CAST(SUM(cos_ppm) AS BIGINT) div {knn}").alias("avg_b"))
+    )
+    return (
+        ranked.filter(F.col("ra") == 1)
+        .join(denom_a, a_id)
+        .join(denom_b, b_id)
+        .withColumn(
+            "margin_ppm", F.expr("cos_ppm * 2000000L div (avg_a + avg_b)")
+        )
+        .select(a_id, b_id, "cell", "cos_ppm", "margin_ppm")
+    )

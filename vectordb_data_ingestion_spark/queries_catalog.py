@@ -7249,6 +7249,90 @@ def q_bitext_margin_pairs(spark, sf_dir):
 
 
 @register(
+    "bitext_margin_pairs_blocked",
+    f"""
+    WITH cen AS (SELECT vec_id AS c_id, {_DBL} AS ce FROM embeddings
+                 WHERE {_CENTROID_PRED}),
+    a0 AS (SELECT d.doc_id AS id, {_DBL} AS v
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+           WHERE d.lang = 'en'),
+    b0 AS (SELECT d.doc_id AS id, {_DBL} AS v
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+           WHERE d.lang = 'de'),
+    aa AS (SELECT id AS a_id, v AS ae, c_id AS cell FROM (
+             SELECT a0.id, a0.v, cen.c_id,
+                    row_number() OVER (PARTITION BY a0.id
+                      ORDER BY {_SEMDEDUP_COS.format(a="a0.v", b="cen.ce")}
+                               DESC, cen.c_id ASC) AS rn
+             FROM a0 CROSS JOIN cen) WHERE rn = 1),
+    bb AS (SELECT id AS b_id, v AS be, c_id AS cell FROM (
+             SELECT b0.id, b0.v, cen.c_id,
+                    row_number() OVER (PARTITION BY b0.id
+                      ORDER BY {_SEMDEDUP_COS.format(a="b0.v", b="cen.ce")}
+                               DESC, cen.c_id ASC) AS rn
+             FROM b0 CROSS JOIN cen) WHERE rn = 1),
+    pairs AS (
+      SELECT aa.cell, a_id, b_id,
+             CAST(ROUND((list_dot_product(ae, be) /
+                   (sqrt(list_dot_product(ae, ae)) *
+                    sqrt(list_dot_product(be, be)))) * 1000000) AS BIGINT)
+               AS cos_ppm
+      FROM aa JOIN bb USING (cell)
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY a_id
+                                ORDER BY cos_ppm DESC, b_id ASC) AS ra,
+             row_number() OVER (PARTITION BY b_id
+                                ORDER BY cos_ppm DESC, a_id ASC) AS rb
+      FROM pairs
+    ),
+    denom_a AS (SELECT a_id, CAST(SUM(cos_ppm) AS BIGINT) // 4 AS avg_a
+                FROM ranked WHERE ra <= 4 GROUP BY 1),
+    denom_b AS (SELECT b_id, CAST(SUM(cos_ppm) AS BIGINT) // 4 AS avg_b
+                FROM ranked WHERE rb <= 4 GROUP BY 1)
+    SELECT r.a_id, r.b_id, r.cell, r.cos_ppm,
+           (r.cos_ppm * 2000000) // (da.avg_a + db.avg_b) AS margin_ppm
+    FROM ranked r
+    JOIN denom_a da USING (a_id)
+    JOIN denom_b db USING (b_id)
+    WHERE r.ra = 1
+    ORDER BY margin_ppm DESC, r.a_id ASC LIMIT 20
+    """,
+)
+def q_bitext_margin_pairs_blocked(spark, sf_dir):
+    """The 100 TB form of bitext mining: the WHOLE en and de corpora (no
+    id-ordered caps) are assigned to a shared coarse quantizer and the
+    margin criterion is scored only within each cell —
+    ``operators/similarity.py::bitext_mine``, Σcell² pairs, never
+    |A|×|B|. The top-20 by margin ship as the stable scalar result; the
+    exhaustive bounded kernel (``bitext_margin_pairs``) remains the
+    oracle-exact reference for the scoring itself."""
+    from vectordb_data_ingestion_spark.operators.similarity import bitext_mine
+
+    docs, emb = _t(spark, sf_dir, "documents", "embeddings")
+    j = docs.join(emb, docs["doc_id"] == emb["vec_id"])
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    a = j.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("a_id"), dbl.alias("ae")
+    )
+    b = j.filter(F.col("lang") == "de").select(
+        F.col("doc_id").alias("b_id"), dbl.alias("be")
+    )
+    centroids = emb.filter(F.expr(_CENTROID_PRED)).select(
+        F.col("vec_id").alias("c_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "c_embedding"
+        ),
+    )
+    return (
+        bitext_mine(a, b, centroids, knn=4)
+        .orderBy(F.desc("margin_ppm"), F.asc("a_id"))
+        .limit(20)
+    )
+
+
+@register(
     "retrieval_mrr_eval",
     f"""
     WITH {_LSH_SIG_SQL},
@@ -7548,6 +7632,7 @@ _DRIVER_PRIORITY = [
     "temperature_mixture",
     "temperature_sample",
     "bitext_margin_pairs",
+    "bitext_margin_pairs_blocked",
     "retrieval_mrr_eval",
     "dataset_card",
     "bpe_segment_tokens",
@@ -7591,8 +7676,8 @@ _DRIVER_PRIORITY = [
     "dominant_part_suppliers",
     "important_part_share",
     "top_supplier_revenue",
-    "parts_supplier_stats",
     # --- past the 50-query cap: deferred to round 4 ---
+    "parts_supplier_stats",
     "customer_order_distribution",
     "large_orders",
     "returned_item_losses",
