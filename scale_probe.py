@@ -57,6 +57,7 @@ PROBE = [
     "sole_late_supplier",
     "small_quantity_revenue",
     "nation_pair_volume",
+    "cheapest_supplier_per_part",
     # late-round-2: the six-stage curation flagship and the fixed-eval-set
     # MRR scan (linear in the corpus once the query set is capped)
     "full_curation_pipeline",
@@ -133,15 +134,25 @@ def force(df) -> None:
 
 
 def main() -> None:
+    # SCALE_PROBE_QUERIES=a,b,c restricts the probe (e.g. the ~sf1
+    # fact-growth run targets only the TPC-H heavies — deriving a 10x
+    # corpus for all 16 probes would mostly re-measure x4-confirmed ops)
+    probe = PROBE
+    subset = os.environ.get("SCALE_PROBE_QUERIES")
+    if subset:
+        probe = [q.strip() for q in subset.split(",") if q.strip()]
+        unknown = [q for q in probe if q not in queries_catalog.SPARK_QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown probe queries: {unknown}")
     mults = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="scale_probe_")
-    results: dict[str, dict[int, float]] = {q: {} for q in PROBE}
+    results: dict[str, dict[int, float]] = {q: {} for q in probe}
     try:
         for mult in mults:
             sf_dir = build_scaled_dir(spark, mult, root)
-            for name in PROBE:
+            for name in probe:
                 fn = queries_catalog.SPARK_QUERIES[name]
                 runs = []
                 for _ in range(2):
@@ -157,7 +168,7 @@ def main() -> None:
 
     ratios = {
         q: round(results[q][mults[-1]] / results[q][mults[0]], 2)
-        for q in PROBE
+        for q in probe
         if results[q].get(mults[0])
     }
     print(
@@ -166,7 +177,7 @@ def main() -> None:
                 "metric": "scale_probe_seconds",
                 "multipliers": mults,
                 "base_sf": 0.1,
-                "queries": {q: results[q] for q in PROBE},
+                "queries": {q: results[q] for q in probe},
                 "growth_ratio_last_over_first": ratios,
             }
         )
