@@ -129,6 +129,11 @@ HEADLINE = [
     # coarse quantizer, sum-of-cell-squared pair generation)
     "bitext_margin_pairs_blocked",
     "retrieval_mrr_eval",
+    # round-3 scale-path additions: sign-bit binary retrieval, salted
+    # skew join, and the Z-order layout planner
+    "binary_hamming_topk",
+    "skew_salted_join",
+    "zorder_layout_plan",
     "nation_yearly_profit",
     "forecast_revenue_change",
     "dataset_card",

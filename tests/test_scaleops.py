@@ -1,0 +1,143 @@
+"""Unit tests for the scale-path operators: salted skew join, Z-order
+(Morton) layout keys, and binary (sign-bit) quantization."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from vectordb_data_ingestion_spark.functions.vectors import (
+    binary_quantize,
+    hamming_distance,
+)
+from vectordb_data_ingestion_spark.operators.layout import (
+    morton_key,
+    morton_key_sql,
+    zorder_cluster,
+)
+from vectordb_data_ingestion_spark.operators.skew import salted_join
+
+
+@pytest.fixture
+def skewed(spark):
+    # 90% of facts share one hot key — the shape salting exists for
+    facts = spark.createDataFrame(
+        [Row(fid=i, k="hot" if i % 10 else f"cold{i}", v=i * 2)
+         for i in range(100)]
+    )
+    dim = spark.createDataFrame(
+        [Row(k="hot", w=7)]
+        + [Row(k=f"cold{i}", w=i) for i in range(0, 100, 10)]
+        + [Row(k="unmatched", w=-1)]
+    )
+    return facts, dim
+
+
+def test_salted_join_equals_plain_inner(spark, skewed):
+    facts, dim = skewed
+    got = salted_join(facts, dim, key="k", fact_id="fid", n_salt=8)
+    want = facts.join(dim, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_salted_join_equals_plain_left(spark, skewed):
+    facts, dim = skewed
+    # drop a key from dim so left-join null rows exist
+    dim2 = dim.filter(F.col("k") != "cold10")
+    got = salted_join(facts, dim2, key="k", fact_id="fid", n_salt=4, how="left")
+    want = facts.join(dim2, "k", "left")
+    assert sorted(map(tuple, got.collect()), key=repr) == sorted(
+        map(tuple, want.collect()), key=repr
+    )
+
+
+def test_salted_join_spreads_hot_key(spark, skewed):
+    facts, dim = skewed
+    salted = facts.withColumn(
+        "__salt", F.pmod(F.hash(F.col("fid")), F.lit(8))
+    )
+    n_salts = (
+        salted.filter(F.col("k") == "hot")
+        .select("__salt").distinct().count()
+    )
+    assert n_salts > 4  # the hot key really fans out over sub-keys
+
+
+def test_salted_join_rejects_other_how(spark, skewed):
+    facts, dim = skewed
+    with pytest.raises(ValueError):
+        salted_join(facts, dim, key="k", fact_id="fid", how="full")
+
+
+def test_morton_known_values(spark):
+    df = spark.createDataFrame([Row(x=3, y=5), Row(x=0, y=0), Row(x=7, y=7)])
+    got = [
+        r[0]
+        for r in df.select(
+            morton_key(F.col("x"), F.col("y"), 3)
+        ).collect()
+    ]
+    # x=3(011),y=5(101): bits -> 1 + 2 + 4 + 32 = 39; x=y=7 -> 63
+    assert got == [39, 0, 63]
+
+
+def test_morton_sql_matches_spark(spark):
+    import duckdb
+
+    rows = [(x, y) for x in range(9) for y in range(9)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", morton_key(F.col("x"), F.col("y"), 4).alias("z")
+        ).collect()
+    }
+    sql = morton_key_sql("x", "y", 4)
+    want = {
+        (x, y): z
+        for x, y, z in duckdb.connect()
+        .execute(
+            "SELECT x, y, " + sql + " FROM (SELECT unnest(range(9)) x) "
+            "CROSS JOIN (SELECT unnest(range(9)) y)"
+        )
+        .fetchall()
+    }
+    assert got == want
+
+
+def test_zorder_cluster_buckets_are_contiguous(spark):
+    rows = [(u, d) for u in range(16) for d in range(16)]
+    df = spark.createDataFrame(rows, ["u", "d"])
+    clustered = zorder_cluster(
+        df, F.col("u"), F.col("d"), bits=4, n_files=4
+    )
+    per_part = clustered.select(
+        F.spark_partition_id().alias("p"), "zkey"
+    ).groupBy("p").agg(
+        F.min("zkey").alias("lo"), F.max("zkey").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()
+    # range partitions: z-intervals must not overlap across files
+    spans = sorted((r["lo"], r["hi"]) for r in per_part)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    assert sum(r["n"] for r in per_part) == 256
+
+
+def test_binary_quantize_known_word(spark):
+    df = spark.createDataFrame(
+        [Row(v=[1.0, -1.0, 0.0, 2.0])]
+    )
+    got = df.select(
+        binary_quantize(F.col("v"), dim=4, word_bits=4).alias("w")
+    ).first()["w"]
+    assert got == [9]  # bits 0 and 3 set
+
+
+def test_hamming_distance_basic(spark):
+    df = spark.createDataFrame([Row(a=[9, 0], b=[8, 3])])
+    got = df.select(
+        hamming_distance(F.col("a"), F.col("b")).alias("h")
+    ).first()["h"]
+    assert got == 3  # 9^8=1 (1 bit), 0^3=3 (2 bits)

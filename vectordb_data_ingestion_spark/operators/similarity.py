@@ -896,3 +896,63 @@ def bitext_mine(
         )
         .select(a_id, b_id, "cell", "cos_ppm", "margin_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantized retrieval
+# ---------------------------------------------------------------------------
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id: str = "q_id",
+    q_vec: str = "q_embedding",
+) -> DataFrame:
+    """Two-stage retrieval over 32x-compressed sign-bit codes: pack both
+    sides with :func:`~..functions.vectors.binary_quantize` (1 bit/dim),
+    shortlist the top-``k`` per query by Hamming distance (popcount of
+    XORed words — one codegen expression per pair), then rescore the
+    survivors with exact cosine in integer ppm.
+
+    The corpus scan reads floats once, packs in the same projection, and
+    scores against the broadcast (tiny) query set — no shuffle touches
+    the float vectors; only k rows per query reach the rerank. At 100 TB
+    the packed codes are the only thing resident per comparison (a 1536-d
+    float row is 6 KB; its code is 192 bytes), which is the point of the
+    binary mode. Ties break on ``(hamming, id)`` so the result is exact
+    across engines and partitionings.
+    """
+    from vectordb_data_ingestion_spark.functions.vectors import (
+        binary_quantize,
+        hamming_distance,
+    )
+
+    c = corpus.select(
+        F.col(id_col),
+        to_double_array(vec_col).alias("ce"),
+    ).withColumn("cw", binary_quantize(F.col("ce"), dim))
+    q = queries.select(
+        F.col(q_id),
+        to_double_array(q_vec).alias("qe"),
+    ).withColumn("qw", binary_quantize(F.col("qe"), dim))
+    scored = c.join(broadcast(q)).withColumn(
+        "hamming", hamming_distance(F.col("qw"), F.col("cw"))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.asc("hamming"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            q_id,
+            id_col,
+            "hamming",
+            F.round(cosine_similarity(F.col("qe"), F.col("ce")) * 1_000_000)
+            .cast("long")
+            .alias("cos_ppm"),
+            F.col("rn").alias("rank"),
+        )
+    )

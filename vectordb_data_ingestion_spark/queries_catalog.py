@@ -7617,6 +7617,158 @@ def q_dataset_card(spark, sf_dir):
     )
 
 
+@register(
+    "binary_hamming_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, {_DBL} AS qe,
+             {vec.binary_quantize_sql(_DBL, 64)} AS qw
+      FROM embeddings WHERE vec_id % 97 = 3
+    ),
+    c AS (
+      SELECT vec_id, {_DBL} AS ce,
+             {vec.binary_quantize_sql(_DBL, 64)} AS cw
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             {vec.hamming_distance_sql('q.qw', 'c.cw', 2)} AS hamming,
+             c.ce, q.qe
+      FROM c CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, hamming, ce, qe,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY hamming ASC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
+           hamming,
+           CAST(ROUND({vec.cosine_sql('qe', 'ce')} * 1000000) AS BIGINT)
+             AS cos_ppm,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q_binary_hamming_topk(spark, sf_dir):
+    """Sign-bit binary quantization retrieval: 1 bit per dimension packed
+    into 32-bit words (32x memory compression), Hamming-distance
+    shortlist via XOR+popcount codegen, exact-cosine ppm rerank of the
+    k survivors — the binary-quantized search mode vector DBs ship for
+    memory-bound corpora. ``operators/similarity.py::binary_hamming_topk``."""
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        binary_hamming_topk,
+    )
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    return binary_hamming_topk(emb, queries, dim=64, k=10)
+
+
+from vectordb_data_ingestion_spark.operators import layout as layout_ops
+
+
+@register(
+    "skew_salted_join",
+    """
+    WITH f AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS value_micro
+      FROM events
+    ),
+    d AS (
+      SELECT event_type,
+             CAST(SUM(value_micro) AS BIGINT) // COUNT(*) AS type_avg_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_type
+      FROM f GROUP BY 1
+    )
+    SELECT f.event_id, f.event_type, f.value_micro,
+           d.type_avg_micro, d.n_type,
+           f.value_micro - d.type_avg_micro AS dev_micro
+    FROM f JOIN d USING (event_type)
+    """,
+)
+def q_skew_salted_join(spark, sf_dir):
+    """Fact-to-dimension enrichment through the salted skew join
+    (``operators/skew.py::salted_join``): events shuffle on
+    ``(event_type, pmod(hash(event_id), 8))`` so the handful of hot
+    event types spread across 8 reducers each instead of pinning one.
+    The oracle is the PLAIN join — salting must not change a single
+    row — and the per-type average rides integer micros so both engines
+    agree exactly."""
+    from vectordb_data_ingestion_spark.operators.skew import salted_join
+
+    (ev,) = _t(spark, sf_dir, "events")
+    facts = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("value_micro"),
+    )
+    dim = facts.groupBy("event_type").agg(
+        F.expr("CAST(SUM(value_micro) AS BIGINT) div COUNT(*)").alias(
+            "type_avg_micro"
+        ),
+        F.count("*").cast("long").alias("n_type"),
+    )
+    return salted_join(facts, dim, key="event_type", fact_id="event_id").select(
+        "event_id",
+        "event_type",
+        "value_micro",
+        "type_avg_micro",
+        "n_type",
+        (F.col("value_micro") - F.col("type_avg_micro")).alias("dev_micro"),
+    )
+
+
+_ZORDER_X = "(user_id & 255)"
+_ZORDER_Y = "((epoch_us(ts) // 86400000000) & 255)"
+
+
+@register(
+    "zorder_layout_plan",
+    f"""
+    WITH keyed AS (
+      SELECT {layout_ops.morton_key_sql(_ZORDER_X, _ZORDER_Y, 8)} AS zkey
+      FROM events
+    )
+    SELECT CAST(zkey >> 10 AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(zkey) AS BIGINT) AS z_min,
+           CAST(MAX(zkey) AS BIGINT) AS z_max
+    FROM keyed GROUP BY 1
+    """,
+)
+def q_zorder_layout_plan(spark, sf_dir):
+    """Z-order (Morton) clustering plan for the events fact table:
+    interleave (user bucket, day bucket) bits into one key
+    (``operators/layout.py::morton_key`` — generated shift/mask codegen
+    terms, no UDF) and report per 1024-cell z-range the row count and
+    key envelope. Each bucket is a 32x32 rectangle in (user, day) space,
+    which is the file-statistics pruning story for a table queried by
+    either dimension; the write-side form is
+    ``layout.zorder_cluster(df, ...)`` (repartitionByRange on the key)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    from vectordb_data_ingestion_spark.operators.layout import morton_key
+
+    keyed = ev.select(
+        morton_key(
+            F.col("user_id").bitwiseAND(F.lit(255)),
+            F.expr("unix_micros(ts) div 86400000000").bitwiseAND(F.lit(255)),
+            8,
+        ).alias("zkey")
+    )
+    return keyed.groupBy(
+        F.shiftright(F.col("zkey"), 10).cast("long").alias("z_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("zkey").cast("long").alias("z_min"),
+        F.max("zkey").cast("long").alias("z_max"),
+    )
+
+
 # ROUND-4 NOTE: the round-3 window below holds the 50 (of 61) queries that
 # had never received a driver correctness row after r1+r2 (97/158 verified).
 # The 11 deferred relational shapes listed after the window marker are the
