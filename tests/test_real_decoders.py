@@ -53,9 +53,12 @@ def test_pdf_real_decode_roundtrip():
     assert "pdf" not in fmod.STUBBED_KINDS
     text = fmod.parse_bytes(content, "pdf")
     # a blank page extracts empty text; the registry fn must return str
-    # without raising, and a PdfReader must agree page-for-page
+    # without raising, and each page's own extraction must appear in the
+    # registry result (no assumption about the page-join character — a
+    # page whose text contains a newline must not break the assert)
     assert isinstance(text, str)
-    assert len(PdfReader(io.BytesIO(content)).pages) == text.count("\n") + 1
+    for page in PdfReader(io.BytesIO(content)).pages:
+        assert page.extract_text() in text
 
 
 @needs

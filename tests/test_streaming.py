@@ -733,3 +733,34 @@ def test_index_append_migrates_legacy_flat_layout(spark, tmp_path):
 
     index = load_ivfpq_index(spark, idx_dir, m=8, dim=64)
     assert index.codes.count() == initial.count() + late.count()
+
+
+def test_legacy_migration_is_crash_resumable(tmp_path):
+    """A migration that died mid-way leaves batch=base alongside root-level
+    cell= dirs; the next invocation must finish the renames (advice r3) —
+    the old code saw a batch= entry and returned False, stranding a layout
+    Spark's partition discovery rejects."""
+    from vectordb_data_ingestion_spark.operators.vector_index import (
+        _migrate_legacy_flat_codes,
+    )
+
+    codes = tmp_path / "codes"
+    # simulate the crash: cell=2 already moved, cell=0/cell=1 still at root
+    (codes / "batch=base" / "cell=2").mkdir(parents=True)
+    (codes / "cell=0").mkdir()
+    (codes / "cell=1").mkdir()
+    (codes / "_SUCCESS").touch()
+
+    assert _migrate_legacy_flat_codes(str(codes)) is True
+    root = sorted(os.listdir(codes))
+    assert root == ["batch=base"]
+    moved = sorted(os.listdir(codes / "batch=base"))
+    assert moved == ["_SUCCESS", "cell=0", "cell=1", "cell=2"]
+    # idempotent: a second call finds nothing left to move
+    assert _migrate_legacy_flat_codes(str(codes)) is False
+    # genuine streaming batches next to flat cells are NOT this migration's
+    # target — leave them for the operator to handle explicitly
+    codes2 = tmp_path / "codes2"
+    (codes2 / "batch=7" / "cell=0").mkdir(parents=True)
+    (codes2 / "cell=1").mkdir()
+    assert _migrate_legacy_flat_codes(str(codes2)) is False

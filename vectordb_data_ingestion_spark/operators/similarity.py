@@ -877,15 +877,27 @@ def bitext_mine(
     ranked = pairs.withColumn("ra", F.row_number().over(wa)).withColumn(
         "rb", F.row_number().over(wb)
     )
+    # mean over the neighbours actually RETRIEVED (Artetxe & Schwenk):
+    # sparse cells can hold fewer than `knn` candidates, so the divisor is
+    # LEAST(knn, count) — a fixed-knn divisor would deflate the mean and
+    # let sparse-cell pairs crowd the top-k on inflated margins.
     denom_a = (
         ranked.filter(F.col("ra") <= knn)
         .groupBy(a_id)
-        .agg(F.expr(f"CAST(SUM(cos_ppm) AS BIGINT) div {knn}").alias("avg_a"))
+        .agg(
+            F.expr(
+                f"CAST(SUM(cos_ppm) AS BIGINT) div LEAST({knn}, COUNT(*))"
+            ).alias("avg_a")
+        )
     )
     denom_b = (
         ranked.filter(F.col("rb") <= knn)
         .groupBy(b_id)
-        .agg(F.expr(f"CAST(SUM(cos_ppm) AS BIGINT) div {knn}").alias("avg_b"))
+        .agg(
+            F.expr(
+                f"CAST(SUM(cos_ppm) AS BIGINT) div LEAST({knn}, COUNT(*))"
+            ).alias("avg_b")
+        )
     )
     return (
         ranked.filter(F.col("ra") == 1)

@@ -86,15 +86,27 @@ def _migrate_legacy_flat_codes(codes_dir: str) -> bool:
     partition discovery rejects. Detect the flat layout and move the
     ``cell=`` dirs under ``batch=base/`` (pure renames on the directory
     substrate; an object-store deployment would do the same with a
-    listing+copy). Returns True if a migration happened."""
+    listing+copy). Returns True if a migration happened.
+
+    Crash-resumable: a prior attempt that died between creating
+    ``batch=base`` and finishing the renames leaves root-level ``cell=``
+    dirs next to it — we keep moving those regardless of whether
+    ``batch=base`` already exists (each per-dir rename is idempotent:
+    once moved, the root entry is gone). ``exist_ok=True`` also lets two
+    concurrent loaders race benignly instead of one dying on
+    FileExistsError."""
     if not os.path.isdir(codes_dir):
         return False
     entries = os.listdir(codes_dir)
     cells = [e for e in entries if e.startswith("cell=")]
-    if not cells or any(e.startswith("batch=") for e in entries):
+    if not cells:
+        return False
+    if any(e.startswith("batch=") and e != "batch=base" for e in entries):
+        # genuine streaming batches already coexist with flat cell= dirs:
+        # not the legacy layout this migration targets — leave it alone.
         return False
     base = os.path.join(codes_dir, "batch=base")
-    os.makedirs(base)
+    os.makedirs(base, exist_ok=True)
     for e in entries:
         if e.startswith("cell=") or e == "_SUCCESS":
             os.rename(os.path.join(codes_dir, e), os.path.join(base, e))
@@ -104,7 +116,14 @@ def _migrate_legacy_flat_codes(codes_dir: str) -> bool:
 def load_ivfpq_index(
     spark: SparkSession, out_dir: str, m: int = 8, dim: int = 64
 ) -> IvfPqIndex:
-    _migrate_legacy_flat_codes(os.path.join(out_dir, "codes"))
+    # a read should not fail just because the store is read-only or a
+    # concurrent reader is mid-migration: attempt the layout fix, but fall
+    # back to reading whatever is there (a flat layout is still readable
+    # until the first streaming append adds a batch= dir next to it).
+    try:
+        _migrate_legacy_flat_codes(os.path.join(out_dir, "codes"))
+    except OSError:
+        pass
     return IvfPqIndex(
         centroids=spark.read.parquet(os.path.join(out_dir, "centroids")),
         codebooks=spark.read.parquet(os.path.join(out_dir, "codebooks")),
