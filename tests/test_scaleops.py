@@ -141,3 +141,46 @@ def test_hamming_distance_basic(spark):
         hamming_distance(F.col("a"), F.col("b")).alias("h")
     ).first()["h"]
     assert got == 3  # 9^8=1 (1 bit), 0^3=3 (2 bits)
+
+
+def test_zone_map_prunes_files_under_zorder(spark, tmp_path):
+    """The measured file-skip claim behind the z-order layout (verdict r3
+    item 7): for the SAME data written as 16 files hash-scattered vs 16
+    files z-clustered, a lakehouse zone map (per-file min/max) must admit
+    strictly fewer candidate files under z-order for a point predicate on
+    EITHER dimension — the bounding rectangles are tight in both."""
+    from vectordb_data_ingestion_spark.operators.layout import zone_map
+
+    rows = [(u, d) for u in range(64) for d in range(64)]
+    df = spark.createDataFrame(rows, ["u", "d"])
+
+    scattered_dir = str(tmp_path / "scattered")
+    clustered_dir = str(tmp_path / "clustered")
+    df.repartition(16, F.col("u") + F.col("d") * 64).write.parquet(
+        scattered_dir
+    )
+    zorder_cluster(
+        df, F.col("u"), F.col("d"), bits=6, n_files=16
+    ).write.parquet(clustered_dir)
+
+    def candidates(path, col, val):
+        back = spark.read.parquet(path).select(
+            F.col("_metadata.file_path").alias("f"), "u", "d"
+        )
+        zm = zone_map(back, "f", ["u", "d"]).collect()
+        total = len(zm)
+        hits = [
+            r for r in zm if r[f"{col}_min"] <= val <= r[f"{col}_max"]
+        ]
+        return len(hits), total
+
+    for col, val in (("u", 17), ("d", 42)):
+        hit_s, tot_s = candidates(scattered_dir, col, val)
+        hit_c, tot_c = candidates(clustered_dir, col, val)
+        assert tot_s >= 8 and tot_c >= 8  # both layouts really multi-file
+        # hash-scattered files each span ~the full domain: no pruning
+        assert hit_s == tot_s
+        # z-clustered files have tight rectangles: strict pruning on BOTH
+        # dimensions (not just the range-partitioned major one)
+        assert hit_c < tot_c, (col, hit_c, tot_c)
+        assert hit_c <= tot_c // 2, (col, hit_c, tot_c)
