@@ -122,6 +122,22 @@ def build_scaled_dir(spark, mult: int, root: str) -> str:
         scaled_l = scaled_l.unionByName(l)
     scaled_o.write.mode("overwrite").parquet(f"{out}/orders.parquet")
     scaled_l.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    # Event-fact growth (round-4: skew_salted_join / zorder_layout_plan
+    # probes): event_id offset per copy; user_id and event_type stay fixed,
+    # so per-type/per-user rollups grow linearly — and the type-key skew
+    # profile is PRESERVED under growth, which is what the salted join's
+    # cost curve must survive.
+    ev = load_tables(spark, SF_DIR, ("events",))["events"]
+    max_ev = ev.agg(F.max("event_id")).first()[0] + 1
+    e_parts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * max_ev))
+        for i in range(mult)
+    ]
+    scaled_e = e_parts[0]
+    for e in e_parts[1:]:
+        scaled_e = scaled_e.unionByName(e)
+    scaled_e.write.mode("overwrite").parquet(f"{out}/events.parquet")
     for t in ALL_TABLES:
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
