@@ -584,3 +584,44 @@ def test_disjunctive_predicate_pushes_to_both_scans(spark):
         and len(c) > 0
         for c in scan_columns(df)
     )
+
+
+def test_flagship_scan_schemas_pinned_exact(spark):
+    """Pin EXACT per-scan column sets for representative flagships via the
+    scan node's schema object (plans/inspect.py::scan_schemas — immune to
+    the printed-plan truncation that broke text-parsed widths in r3).
+    A pruning regression (a scan silently widening) fails here, not just
+    in the regenerated PLANS.md."""
+    from vectordb_data_ingestion_spark.plans.inspect import scan_schemas
+
+    def schemas(name):
+        return [
+            sorted(c)
+            for c in scan_schemas(qc.SPARK_QUERIES[name](spark, SF_SMALL))
+        ]
+
+    # TPC-H Q9 shape: 5 scans, lineitem 6 of 11 cols (the r3 verdict
+    # hand-verified exactly these against the false 27-wide report)
+    assert schemas("nation_yearly_profit") == [
+        sorted(["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"]),
+        sorted(["p_partkey", "p_name", "p_retailprice"]),
+        sorted(["s_suppkey", "s_nationkey"]),
+        sorted(["n_nationkey", "n_name"]),
+        sorted(["o_orderkey", "o_orderdate"]),
+    ]
+    # Q1 shape: single lineitem scan, 6 needed cols only (shipdate is the
+    # pushed filter column)
+    assert schemas("pricing_summary") == [
+        sorted(["l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+                "l_returnflag", "l_linestatus"]),
+    ]
+    # doc-table ops: 2 of 5 documents columns
+    assert schemas("gopher_quality_filter") == [sorted(["doc_id", "text"])]
+    assert schemas("exact_dedup") == [
+        sorted(["doc_id", "text"]), sorted(["doc_id", "text"]),
+    ]
+    # vector ops: 2 of 3 embeddings columns (meta column pruned)
+    assert schemas("brute_force_topk") == [
+        sorted(["vec_id", "embedding"]), sorted(["vec_id", "embedding"]),
+    ]

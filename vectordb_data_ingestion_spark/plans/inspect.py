@@ -44,3 +44,26 @@ def pushed_filters(df: DataFrame) -> list[str]:
     truth)."""
     plan = physical_plan(df)
     return re.findall(r"(?:Pushed|Data)Filters: \[([^\]]*)\]", plan)
+
+
+def scan_schemas(df: DataFrame) -> list[list[str]]:
+    """Exact column lists of every parquet scan, read from the scan NODE's
+    schema object (``collectLeaves()[i].schema()``), not the printed plan —
+    the plan printer truncates long ReadSchema lines mid-struct and any
+    text parser then miscounts (the round-3 PLANS.md width artifact).
+    Order matches plan traversal; use for pinning pruning in tests."""
+    leaves = df._jdf.queryExecution().sparkPlan().collectLeaves()
+    out = []
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if "Scan parquet" in leaf.nodeName():
+            schema = leaf.schema()
+            out.append(
+                [schema.apply(j).name() for j in range(schema.size())]
+            )
+    return out
+
+
+def scan_widths(df: DataFrame) -> list[int]:
+    """Column count per parquet scan — see :func:`scan_schemas`."""
+    return [len(c) for c in scan_schemas(df)]
