@@ -625,3 +625,48 @@ def test_flagship_scan_schemas_pinned_exact(spark):
     assert schemas("brute_force_topk") == [
         sorted(["vec_id", "embedding"]), sorted(["vec_id", "embedding"]),
     ]
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The co-located join story: two tables bucketed (and sorted) on the
+    same key with the same bucket count must sort-merge join with ZERO
+    exchanges — at 100 TB this is the difference between re-shuffling
+    both fact tables on every join and reading pre-partitioned buckets."""
+    from vectordb_data_ingestion_spark.plans import (
+        physical_plan,
+        write_bucketed,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", F.length("text").alias("v")
+    )
+    embs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), F.size("embedding").alias("dim")
+    )
+    write_bucketed(
+        docs, "bkt_docs_join_test", key="doc_id", num_buckets=4,
+        path=str(tmp_path / "bkt_docs"),
+    )
+    write_bucketed(
+        embs, "bkt_embs_join_test", key="doc_id", num_buckets=4,
+        path=str(tmp_path / "bkt_embs"),
+    )
+    try:
+        # bucketed joins need the one-to-one bucket read (no broadcast)
+        before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bkt_docs_join_test").join(
+                spark.table("bkt_embs_join_test"), "doc_id"
+            )
+            assert count_exchanges(j) == 0
+            plan = physical_plan(j)
+            assert "SortMergeJoin" in plan
+            # sortBy(key) at write time: no re-sort before the merge either
+            assert "Sort " not in plan or "SelectedBucketsCount" in plan
+            assert j.count() == docs.join(embs, "doc_id").count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_docs_join_test")
+        spark.sql("DROP TABLE IF EXISTS bkt_embs_join_test")
