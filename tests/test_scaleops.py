@@ -184,3 +184,40 @@ def test_zone_map_prunes_files_under_zorder(spark, tmp_path):
         # dimensions (not just the range-partitioned major one)
         assert hit_c < tot_c, (col, hit_c, tot_c)
         assert hit_c <= tot_c // 2, (col, hit_c, tot_c)
+
+
+def test_recommend_n_salt_wires_report_to_remedy(spark, skewed):
+    """recommend_n_salt turns key_skew_report numbers into the n_salt the
+    join needs; the recommended join still equals the plain join."""
+    from vectordb_data_ingestion_spark.operators.skew import recommend_n_salt
+
+    # the round-4 drill's shape: 900k-row hot key, 20k median
+    assert recommend_n_salt(900_000, 20_000) == 12
+    # uniform keys: no salt (and n_salt=1 degrades to the plain join)
+    assert recommend_n_salt(1_000, 1_000) == 1
+    # clamp: a pathological hot key never explodes the dim replication
+    assert recommend_n_salt(10**9, 10) == 64
+    # explicit cluster-derived target wins over the median heuristic
+    assert recommend_n_salt(900_000, 20_000, target_rows_per_reducer=100_000) == 9
+
+    facts, dim = skewed
+    counts = (
+        facts.groupBy("k").count().agg(
+            F.max("count").alias("mx"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY count)")
+            .alias("md"),
+        ).collect()[0]
+    )
+    n = recommend_n_salt(counts["mx"], counts["md"])
+    assert n >= 2  # the 90%-hot fixture really triggers salting
+    plain = sorted(
+        tuple(r)
+        for r in facts.join(dim, "k").select("fid", "k", "v", "w").collect()
+    )
+    rec = sorted(
+        tuple(r)
+        for r in salted_join(facts, dim, key="k", fact_id="fid", n_salt=n)
+        .select("fid", "k", "v", "w")
+        .collect()
+    )
+    assert rec == plain

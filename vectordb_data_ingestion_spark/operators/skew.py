@@ -55,3 +55,35 @@ def salted_join(
     )
     out = salted_facts.join(salted_dim, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def recommend_n_salt(
+    max_rows: int,
+    median_rows: int,
+    target_rows_per_reducer: int | None = None,
+    max_salt: int = 64,
+) -> int:
+    """Turn the ``key_skew_report`` diagnostic into the salt count the
+    remedy needs: enough sub-keys that the hottest key's rows spread to
+    roughly ``target_rows_per_reducer`` per reducer.
+
+    Default target is ``4 x median_rows`` — a reducer holding one hot-key
+    shard then does at most ~4x a typical key's work, which keeps the
+    stage's critical path near the median task instead of the straggler.
+    On a cluster, pass an explicit target derived from executor sizing
+    (``plans/sizing.py``: rows that fit a shuffle partition's memory
+    budget). Clamped to ``[1, max_salt]`` because every salt replicates
+    the dimension side once (``salted_join``'s n_salt x dim blow-up).
+
+    Keys at or below the target need no salt (returns 1 — a salted join
+    with n_salt=1 IS the plain join, so callers can wire this through
+    unconditionally).
+    """
+    if max_rows <= 0:
+        raise ValueError("max_rows must be positive")
+    if target_rows_per_reducer is None:
+        target_rows_per_reducer = max(median_rows, 1) * 4
+    if target_rows_per_reducer <= 0:
+        raise ValueError("target_rows_per_reducer must be positive")
+    n = -(-max_rows // target_rows_per_reducer)  # ceil div
+    return max(1, min(int(n), max_salt))
