@@ -399,3 +399,79 @@ def test_gopher_and_entropy_cross_engine_on_adversarial_text(spark, tmp_path):
     for i in want:
         assert have[i][0] == want[i][0], i
         assert abs(have[i][1] - want[i][1]) < 1e-6, i
+
+
+def test_morton_and_binary_hamming_randomized_parity(spark):
+    """Randomized parity for the round-3 scale primitives against
+    independent pure-Python references: morton_key vs a bit-interleave
+    (plus exact round-trip de-interleave — the key loses no information),
+    and binary_quantize/hamming_distance vs a numpy sign-pack/popcount."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from vectordb_data_ingestion_spark.functions.vectors import (
+        binary_quantize,
+        hamming_distance,
+    )
+    from vectordb_data_ingestion_spark.operators.layout import morton_key
+
+    rng = random.Random(42)
+    bits = 8
+    pts = [
+        (rng.randrange(256), rng.randrange(256)) for _ in range(200)
+    ] + [(0, 0), (255, 255), (255, 0), (0, 255)]
+
+    def interleave(x, y):
+        z = 0
+        for j in range(bits):
+            z |= ((x >> j) & 1) << (2 * j)
+            z |= ((y >> j) & 1) << (2 * j + 1)
+        return z
+
+    df = spark.createDataFrame(pts, ["x", "y"]).withColumn(
+        "z", morton_key(F.col("x"), F.col("y"), bits)
+    )
+    for r in df.collect():
+        assert r["z"] == interleave(r["x"], r["y"])
+        # round-trip: de-interleave recovers both coordinates exactly
+        x = sum(((r["z"] >> (2 * j)) & 1) << j for j in range(bits))
+        y = sum(((r["z"] >> (2 * j + 1)) & 1) << j for j in range(bits))
+        assert (x, y) == (r["x"], r["y"])
+
+    dim, word_bits = 64, 32
+    nprng = np.random.default_rng(7)
+    vecs = nprng.standard_normal((40, dim))
+    vecs[5] = 0.0  # all-zero: sign bit must be 0 (strict > 0)
+    vecs[6] = np.abs(vecs[6])  # all-positive word = all ones
+    rows = [Row(i=i, v=[float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    vdf = spark.createDataFrame(rows).withColumn(
+        "code", binary_quantize(F.col("v"), dim, word_bits)
+    )
+    codes = {r["i"]: list(r["code"]) for r in vdf.collect()}
+
+    def ref_pack(v):
+        out = []
+        for w in range(dim // word_bits):
+            word = 0
+            for j in range(word_bits):
+                if v[w * word_bits + j] > 0:
+                    word |= 1 << j
+            out.append(word)
+        return out
+
+    for i in range(len(vecs)):
+        assert codes[i] == ref_pack(vecs[i]), i
+
+    pairs = vdf.alias("a").crossJoin(vdf.alias("b")).select(
+        F.col("a.i").alias("ia"),
+        F.col("b.i").alias("ib"),
+        hamming_distance(F.col("a.code"), F.col("b.code")).alias("h"),
+    )
+    got = {(r["ia"], r["ib"]): r["h"] for r in pairs.collect()}
+    for ia, ca in codes.items():
+        for ib, cb in codes.items():
+            expect = sum(bin(wa ^ wb).count("1") for wa, wb in zip(ca, cb))
+            assert got[(ia, ib)] == expect
+    assert all(got[(i, i)] == 0 for i in codes)
