@@ -221,3 +221,53 @@ def test_recommend_n_salt_wires_report_to_remedy(spark, skewed):
         .collect()
     )
     assert rec == plain
+
+
+def test_aqe_skew_split_vs_explicit_salting_boundary(spark):
+    """Pin the division of labor that operators/skew.py documents: AQE's
+    skew-join split rescues a TERMINAL skewed sort-merge join (the final
+    plan shows ``SortMergeJoin(skew=true)``), but when the same join feeds
+    a downstream operator keyed on the join key, AQE declines to split
+    (splitting would break the reusable hash partitioning and force an
+    extra exchange) — and THAT is the deployment where the explicit
+    deterministic salt is the only fix."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1048576",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        facts = spark.range(0, 300_000).select(
+            F.col("id").alias("fid"),
+            F.when(F.col("id") % 10 != 0, F.lit("hot"))
+            .otherwise((F.col("id") % 97).cast("string"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        ).localCheckpoint()
+        dim = facts.groupBy("k").count().localCheckpoint()
+
+        # terminal skewed join: AQE splits the hot partition
+        terminal = facts.join(dim, "k")
+        terminal.foreach(lambda r: None)
+        plan = terminal._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+
+        # the same join feeding a same-key aggregate: no split — the
+        # documented case for operators/skew.py::salted_join
+        downstream = (
+            facts.join(dim, "k").groupBy("k")
+            .agg(F.sum("count").alias("s"))
+        )
+        downstream.foreach(lambda r: None)
+        plan2 = downstream._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan2
+        assert "skew=true" not in plan2
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
