@@ -70,6 +70,22 @@ ALL_TABLES = (
 ).split()
 
 
+def grow_by_id_offset(df, id_col: str, mult: int, max_id: int):
+    """Self-union ``mult`` copies of ``df`` with ``id_col`` offset by
+    ``i * max_id`` per copy — ids stay globally unique, per-key rollups
+    scale linearly by construction. ``max_id`` is passed in (one
+    ``F.max`` aggregate at the caller) so multiple tables can share one
+    Spark action where their ids are co-keyed."""
+    parts = [
+        df.withColumn(id_col, F.col(id_col) + F.lit(i * max_id))
+        for i in range(mult)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def build_scaled_dir(spark, mult: int, root: str) -> str:
     out = os.path.join(root, f"x{mult}")
     os.makedirs(out, exist_ok=True)
@@ -77,7 +93,6 @@ def build_scaled_dir(spark, mult: int, root: str) -> str:
     docs, embs = tables["documents"], tables["embeddings"]
     max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
     doc_parts = []
-    emb_parts = []
     for i in range(mult):
         suffixed = F.array_join(
             F.transform(
@@ -89,17 +104,13 @@ def build_scaled_dir(spark, mult: int, root: str) -> str:
         if i > 0:  # copy 0 keeps the original text (x1 == sf0.1 exactly)
             d = d.withColumn("text", suffixed)
         doc_parts.append(d)
-        emb_parts.append(
-            embs.withColumn("vec_id", F.col("vec_id") + F.lit(i * max_doc))
-        )
     scaled_docs = doc_parts[0]
-    scaled_embs = emb_parts[0]
     for d in doc_parts[1:]:
         scaled_docs = scaled_docs.unionByName(d)
-    for e in emb_parts[1:]:
-        scaled_embs = scaled_embs.unionByName(e)
     scaled_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
-    scaled_embs.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    grow_by_id_offset(embs, "vec_id", mult, max_doc).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/embeddings.parquet")
 
     # Fact-side growth for the relational probes: orderkeys offset per copy
     # (facts grow linearly, dimension tables stay fixed — per-order rollups
@@ -107,21 +118,12 @@ def build_scaled_dir(spark, mult: int, root: str) -> str:
     rel = load_tables(spark, SF_DIR, ("orders", "lineitem"))
     orders, li = rel["orders"], rel["lineitem"]
     max_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
-    o_parts = [
-        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * max_ord))
-        for i in range(mult)
-    ]
-    l_parts = [
-        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_ord))
-        for i in range(mult)
-    ]
-    scaled_o, scaled_l = o_parts[0], l_parts[0]
-    for o in o_parts[1:]:
-        scaled_o = scaled_o.unionByName(o)
-    for l in l_parts[1:]:
-        scaled_l = scaled_l.unionByName(l)
-    scaled_o.write.mode("overwrite").parquet(f"{out}/orders.parquet")
-    scaled_l.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    grow_by_id_offset(orders, "o_orderkey", mult, max_ord).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/orders.parquet")
+    grow_by_id_offset(li, "l_orderkey", mult, max_ord).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/lineitem.parquet")
 
     # Event-fact growth (round-4: skew_salted_join / zorder_layout_plan
     # probes): event_id offset per copy; user_id and event_type stay fixed,
@@ -130,14 +132,9 @@ def build_scaled_dir(spark, mult: int, root: str) -> str:
     # cost curve must survive.
     ev = load_tables(spark, SF_DIR, ("events",))["events"]
     max_ev = ev.agg(F.max("event_id")).first()[0] + 1
-    e_parts = [
-        ev.withColumn("event_id", F.col("event_id") + F.lit(i * max_ev))
-        for i in range(mult)
-    ]
-    scaled_e = e_parts[0]
-    for e in e_parts[1:]:
-        scaled_e = scaled_e.unionByName(e)
-    scaled_e.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    grow_by_id_offset(ev, "event_id", mult, max_ev).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/events.parquet")
     for t in ALL_TABLES:
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):

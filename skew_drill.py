@@ -38,15 +38,11 @@ N_SALT = 8
 
 
 def build_hot_facts(spark):
+    from scale_probe import grow_by_id_offset
+
     ev = load_tables(spark, SF_DIR, ("events",))["events"]
     max_ev = ev.agg(F.max("event_id")).first()[0] + 1
-    parts = [
-        ev.withColumn("event_id", F.col("event_id") + F.lit(i * max_ev))
-        for i in range(GROW)
-    ]
-    grown = parts[0]
-    for p in parts[1:]:
-        grown = grown.unionByName(p)
+    grown = grow_by_id_offset(ev, "event_id", GROW, max_ev)
     # 90% of facts collapse onto one hot type; the rest keep their own
     hot = grown.withColumn(
         "event_type",
@@ -103,7 +99,9 @@ def main() -> None:
     plain = facts.join(dim, "event_type").select(
         "event_id", "event_type", "value", "n_type"
     )
-    salted = salted_join(facts, dim, key="event_type", fact_id="event_id")
+    salted = salted_join(
+        facts, dim, key="event_type", fact_id="event_id", n_salt=N_SALT
+    )
 
     result = {
         "metric": "skew_drill",

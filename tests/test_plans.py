@@ -670,3 +670,21 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_docs_join_test")
         spark.sql("DROP TABLE IF EXISTS bkt_embs_join_test")
+
+
+def test_scan_schemas_excludes_partition_columns(spark, tmp_path):
+    """scan_schemas must report file-read columns (requiredSchema), not
+    the scan's output schema — partition-directory columns cost no file
+    I/O and would inflate the pruning evidence (review r4)."""
+    from vectordb_data_ingestion_spark.plans.inspect import (
+        scan_schemas,
+        scan_widths,
+    )
+
+    path = str(tmp_path / "parts")
+    spark.range(100).select(
+        "id", (F.col("id") % 3).alias("p")
+    ).write.partitionBy("p").parquet(path)
+    df = spark.read.parquet(path).select("id", "p")
+    assert scan_schemas(df) == [["id"]]
+    assert scan_widths(df) == [1]

@@ -894,3 +894,24 @@ def test_bm25_refresh_replay_same_batch_id(spark, tmp_path):
     assert n_doc2_terms == sink.read().filter(
         F.col("doc_id") == 2
     ).dropDuplicates(["term"]).count()  # no duplicated postings rows
+
+
+def test_legacy_migration_refuses_stale_rebuild_conflict(tmp_path):
+    """A rebuilt index (fresh batch=base) with stale root-level legacy
+    cell= dirs whose names collide is NOT an interrupted migration:
+    merging the stale vectors would corrupt queries, so the migration
+    must refuse loudly BEFORE moving anything (review r4)."""
+    import pytest
+
+    from vectordb_data_ingestion_spark.operators.vector_index import (
+        _migrate_legacy_flat_codes,
+    )
+
+    codes = tmp_path / "codes"
+    (codes / "batch=base" / "cell=0").mkdir(parents=True)
+    (codes / "cell=0").mkdir()  # stale leftover colliding with fresh cell
+    (codes / "cell=1").mkdir()
+    with pytest.raises(RuntimeError, match="stale"):
+        _migrate_legacy_flat_codes(str(codes))
+    # nothing was moved: the refusal happened before any rename
+    assert sorted(os.listdir(codes)) == ["batch=base", "cell=0", "cell=1"]

@@ -90,11 +90,17 @@ def _migrate_legacy_flat_codes(codes_dir: str) -> bool:
 
     Crash-resumable: a prior attempt that died between creating
     ``batch=base`` and finishing the renames leaves root-level ``cell=``
-    dirs next to it — we keep moving those regardless of whether
-    ``batch=base`` already exists (each per-dir rename is idempotent:
-    once moved, the root entry is gone). ``exist_ok=True`` also lets two
-    concurrent loaders race benignly instead of one dying on
-    FileExistsError."""
+    dirs next to it — we keep moving those (each per-dir rename is
+    idempotent: once moved, the root entry is gone). A resume never finds
+    a root cell whose target already exists in ``batch=base``, so a
+    NAME COLLISION means this is NOT a resume but a rebuilt-over-legacy
+    conflict (``build_ivfpq_index`` wrote a fresh ``batch=base`` while
+    stale flat ``cell=`` dirs linger): silently merging stale vectors
+    into the fresh index would corrupt queries, so we refuse loudly —
+    BEFORE moving anything — and tell the operator to delete the stale
+    dirs. Two concurrent migrators race benignly: ``exist_ok=True`` on
+    the mkdir, and a rename losing the race (the other mover already
+    took the dir) is skipped."""
     if not os.path.isdir(codes_dir):
         return False
     entries = os.listdir(codes_dir)
@@ -106,10 +112,25 @@ def _migrate_legacy_flat_codes(codes_dir: str) -> bool:
         # not the legacy layout this migration targets — leave it alone.
         return False
     base = os.path.join(codes_dir, "batch=base")
+    if os.path.isdir(base):
+        collisions = [e for e in cells if os.path.exists(os.path.join(base, e))]
+        if collisions:
+            raise RuntimeError(
+                "codes dir holds BOTH a populated batch=base and root-level "
+                f"legacy cell= dirs with colliding names ({collisions[:3]}"
+                f"{'...' if len(collisions) > 3 else ''}): this is a rebuilt "
+                "index with stale flat-layout leftovers, not an interrupted "
+                "migration. Refusing to merge stale vectors into the fresh "
+                f"index — delete the stale root-level cell= dirs under "
+                f"{codes_dir} (or the whole dir and rebuild)."
+            )
     os.makedirs(base, exist_ok=True)
     for e in entries:
         if e.startswith("cell=") or e == "_SUCCESS":
-            os.rename(os.path.join(codes_dir, e), os.path.join(base, e))
+            try:
+                os.rename(os.path.join(codes_dir, e), os.path.join(base, e))
+            except FileNotFoundError:
+                pass  # a concurrent migrator already moved this entry
     return True
 
 

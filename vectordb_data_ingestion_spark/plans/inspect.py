@@ -47,17 +47,23 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 
 def scan_schemas(df: DataFrame) -> list[list[str]]:
-    """Exact column lists of every parquet scan, read from the scan NODE's
-    schema object (``collectLeaves()[i].schema()``), not the printed plan —
-    the plan printer truncates long ReadSchema lines mid-struct and any
-    text parser then miscounts (the round-3 PLANS.md width artifact).
+    """Exact column lists every parquet scan reads FROM DATA FILES, taken
+    from the scan NODE's ``requiredSchema`` object — not the printed plan
+    (the printer truncates long ReadSchema lines mid-struct and any text
+    parser then miscounts: the round-3 PLANS.md width artifact), and not
+    the node's output schema (which appends partition-directory and
+    ``_metadata`` columns that cost no file I/O). Falls back to the output
+    schema for scan nodes without ``requiredSchema`` (DSv2 BatchScan).
     Order matches plan traversal; use for pinning pruning in tests."""
     leaves = df._jdf.queryExecution().sparkPlan().collectLeaves()
     out = []
     for i in range(leaves.size()):
         leaf = leaves.apply(i)
         if "Scan parquet" in leaf.nodeName():
-            schema = leaf.schema()
+            try:
+                schema = leaf.requiredSchema()
+            except Exception:
+                schema = leaf.schema()
             out.append(
                 [schema.apply(j).name() for j in range(schema.size())]
             )
