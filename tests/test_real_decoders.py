@@ -138,14 +138,24 @@ def test_xlsx_real_decode_roundtrip(spark, tmp_path):
 
 
 def test_stub_report_matches_missing_libs():
-    """In any env: STUBBED_KINDS must be exactly the kinds whose lib is
-    absent — the auto-upgrade must never leave an installed decoder on
-    the stub path, and never claim a real decoder it can't import."""
+    """In any env: pdf/docx/pptx are NEVER stubbed (the stdlib ooxml/pdf
+    decoders serve them when the full-fidelity lib is absent — r4); only
+    msg (OLE2, no stdlib reader) stubs without its lib. DECODER_TIER must
+    agree with what is actually importable."""
     lib_for = {
         "pdf": "pypdf",
         "docx": "docx",
         "pptx": "pptx",
         "msg": "extract_msg",
     }
-    expected = {k for k, mod in lib_for.items() if not _has(mod)}
-    assert fmod.STUBBED_KINDS == expected
+    expected_stubbed = {"msg"} - {
+        k for k, mod in lib_for.items() if _has(mod)
+    }
+    assert fmod.STUBBED_KINDS == expected_stubbed
+    for kind, mod in lib_for.items():
+        if _has(mod):
+            assert fmod.DECODER_TIER[kind] == "lib"
+        elif kind == "msg":
+            assert fmod.DECODER_TIER[kind] == "stub"
+        else:
+            assert fmod.DECODER_TIER[kind] == "stdlib"

@@ -9,17 +9,20 @@ transformations on top. At 100 TB the scan parallelizes by file and
 source (the reference's delta predicate, done by the connector).
 
 Parser tiers (`make_parser_udf` snapshots the injectable ``PARSERS``
-registry — see :func:`register_parser`):
+registry — see :func:`register_parser`; ``DECODER_TIER`` reports which
+tier serves each kind in this interpreter):
 - ``txt``            : real - utf-8 decode (lossy-safe).
 - ``html``           : real - the stdlib extractor (functions.html).
 - ``eml``            : real - stdlib ``email`` package (headers + text parts).
-- pdf/docx/pptx/msg  : real decoders auto-registered when pypdf /
-  python-docx / python-pptx / extract_msg are importable; otherwise
-  :func:`_stub_parse` - a clearly-marked deterministic stub that derives
-  reproducible pseudo-text from the payload hash, so the Spark-side
-  plumbing (binary column, dispatch, Arrow batching, schema) stays
-  exercised end-to-end. ``STUBBED_KINDS`` reports which kinds are
-  currently stubbed in this interpreter.
+- pdf/docx/pptx      : full-fidelity decoders auto-registered when pypdf /
+  python-docx / python-pptx are importable; otherwise the PURE-STDLIB
+  decoders in ``sources/ooxml.py`` (OOXML is zip+XML, simple PDF text is
+  zlib content streams) — real text, documented fidelity limits.
+- ``msg``            : extract_msg when importable; otherwise
+  :func:`_stub_parse` - a clearly-marked deterministic stub (OLE2 compound
+  files have no stdlib reader), so the Spark-side plumbing (binary column,
+  dispatch, Arrow batching, schema) stays exercised end-to-end.
+  ``STUBBED_KINDS`` reports which kinds are currently stubbed.
 """
 
 from __future__ import annotations
@@ -197,17 +200,44 @@ def _try_real_parsers() -> dict[str, ParserFn]:
     return real
 
 
+def _stdlib_parsers() -> dict[str, ParserFn]:
+    """Middle tier (round 4): OOXML containers are zip+XML and simple PDF
+    text is zlib content streams — decodable with the stdlib alone
+    (``sources/ooxml.py``). Full-fidelity libraries still win the tier
+    when importable (tables, CID fonts, encodings); only ``msg`` (OLE2)
+    has no stdlib decoder and falls through to the stub."""
+    from vectordb_data_ingestion_spark.sources.ooxml import (
+        docx_to_text,
+        pdf_to_text,
+        pptx_to_text,
+    )
+
+    return {"pdf": pdf_to_text, "docx": docx_to_text, "pptx": pptx_to_text}
+
+
+#: kind -> which tier serves it: "lib" (third-party), "stdlib", or "stub"
+DECODER_TIER: dict[str, str] = {}
+
+
 def _build_default_registry() -> None:
     register_parser("txt", _parse_txt)
     register_parser("html", _parse_html)
     register_parser("eml", _parse_eml)
+    for k in ("txt", "html", "eml"):
+        DECODER_TIER[k] = "stdlib"
     real = _try_real_parsers()
+    stdlib = _stdlib_parsers()
     for kind in ("pdf", "docx", "pptx", "msg"):
         if kind in real:
             register_parser(kind, real[kind])
+            DECODER_TIER[kind] = "lib"
+        elif kind in stdlib:
+            register_parser(kind, stdlib[kind])
+            DECODER_TIER[kind] = "stdlib"
         else:
             PARSERS[kind] = lambda c, k=kind: _stub_parse(c, k)
             STUBBED_KINDS.add(kind)
+            DECODER_TIER[kind] = "stub"
 
 
 _build_default_registry()

@@ -1,0 +1,308 @@
+"""Pure-stdlib decoders for OOXML containers (docx/pptx/xlsx) and simple
+PDFs — no third-party libraries.
+
+The reference parses these with langchain loaders / openpyxl
+(parsers.py:75-154, cmfunctions.py:448-454); those libs are not installed
+in every deployment, and this engine previously fell back to a clearly
+marked deterministic stub. But the OOXML formats are just zip archives of
+XML (ECMA-376) and PDF text streams are zlib-deflated content streams —
+all decodable with ``zipfile``/``xml.etree``/``zlib`` alone. These
+decoders are the middle tier of the parser registry
+(``sources/files.py``): a real importable library still wins (full
+fidelity: tables, encodings, CID fonts), the stdlib decoder replaces the
+stub everywhere else, and only ``msg`` (OLE2 compound files) remains
+stubbed without its lib.
+
+Fidelity limits (documented, not silent):
+- docx: body paragraphs (``w:p`` -> concatenated ``w:t`` runs, tabs and
+  breaks normalized); table cell paragraphs are included in document
+  order (python-docx's ``.paragraphs`` skips tables).
+- pptx: per-slide ``a:p`` paragraphs in slide-number order.
+- xlsx: shared/inline strings, numbers (int when integral), booleans;
+  formulas yield their cached value; no date coercion (raw serial).
+- pdf: FlateDecode/raw content streams only, simple-font ``Tj``/``TJ``/
+  ``'``/``\"`` text operators, PDFDocEncoding-approximate (latin-1)
+  string decode. CID/Type0-encoded text comes out garbled and
+  encrypted PDFs yield '' — use pypdf (auto-upgraded when importable)
+  for those.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+import zlib
+from xml.etree import ElementTree as ET
+
+
+def _local(tag: str) -> str:
+    """Strip the XML namespace: '{ns}p' -> 'p'."""
+    return tag.rsplit("}", 1)[-1]
+
+
+# ---------------------------------------------------------------------------
+# DOCX
+# ---------------------------------------------------------------------------
+
+def docx_to_text(content: bytes) -> str:
+    """word/document.xml -> one line per paragraph (``w:p``), runs
+    (``w:t``) concatenated, ``w:tab``/``w:br`` normalized to tab/newline —
+    the same text python-docx's ``'\\n'.join(p.text)`` yields for body
+    paragraphs (reference parsers.py:75-80 semantics)."""
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        root = ET.fromstring(z.read("word/document.xml"))
+    paras = []
+    for p in root.iter():
+        if _local(p.tag) != "p":
+            continue
+        runs = []
+        for node in p.iter():
+            ln = _local(node.tag)
+            if ln == "t":
+                runs.append(node.text or "")
+            elif ln == "tab":
+                runs.append("\t")
+            elif ln == "br":
+                runs.append("\n")
+        paras.append("".join(runs))
+    return "\n".join(paras)
+
+
+# ---------------------------------------------------------------------------
+# PPTX
+# ---------------------------------------------------------------------------
+
+def pptx_to_text(content: bytes) -> str:
+    """ppt/slides/slideN.xml in slide order -> one line per text
+    paragraph (``a:p``, runs ``a:t`` concatenated) — the text
+    python-pptx surfaces via shape text_frames (parsers.py:89-93)."""
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        slides = sorted(
+            (n for n in z.namelist()
+             if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=lambda n: int(re.search(r"slide(\d+)\.xml", n).group(1)),
+        )
+        lines = []
+        for name in slides:
+            root = ET.fromstring(z.read(name))
+            for p in root.iter():
+                if _local(p.tag) != "p":
+                    continue
+                text = "".join(
+                    node.text or ""
+                    for node in p.iter()
+                    if _local(node.tag) == "t"
+                )
+                lines.append(text)
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# XLSX
+# ---------------------------------------------------------------------------
+
+def _col_index(cell_ref: str) -> int:
+    """'A1' -> 0, 'AB7' -> 27 (0-based column index)."""
+    idx = 0
+    for ch in cell_ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def _cell_value(cell, shared: list[str]):
+    t = cell.get("t", "n")
+    v_node = None
+    is_node = None
+    for node in cell:
+        ln = _local(node.tag)
+        if ln == "v":
+            v_node = node
+        elif ln == "is":
+            is_node = node
+    if t == "inlineStr":
+        if is_node is None:
+            return None
+        return "".join(
+            n.text or "" for n in is_node.iter() if _local(n.tag) == "t"
+        )
+    if v_node is None or v_node.text is None:
+        return None
+    raw = v_node.text
+    if t == "s":
+        return shared[int(raw)]
+    if t == "str":
+        return raw
+    if t == "b":
+        return raw.strip() == "1"
+    # numeric: int when integral (openpyxl parity for the common case)
+    try:
+        f = float(raw)
+    except ValueError:
+        return raw
+    return int(f) if f.is_integer() and "e" not in raw.lower() else f
+
+
+def xlsx_rows(content: bytes, sheet: int = 0) -> list[tuple]:
+    """Worksheet rows as tuples of typed values, column gaps preserved as
+    None and short rows right-padded to the sheet's max width — the shape
+    ``openpyxl.iter_rows`` yields, feeding ``excel_rows_to_df``
+    (reference cmfunctions.py:448-454)."""
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root:
+                if _local(si.tag) != "si":
+                    continue
+                shared.append(
+                    "".join(
+                        n.text or ""
+                        for n in si.iter()
+                        if _local(n.tag) == "t"
+                    )
+                )
+        sheets = sorted(
+            (n for n in z.namelist()
+             if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"sheet(\d+)\.xml", n).group(1)),
+        )
+        if sheet >= len(sheets):
+            raise IndexError(f"sheet {sheet} of {len(sheets)}")
+        root = ET.fromstring(z.read(sheets[sheet]))
+    rows: list[list] = []
+    for row in root.iter():
+        if _local(row.tag) != "row":
+            continue
+        vals: list = []
+        for cell in row:
+            if _local(cell.tag) != "c":
+                continue
+            ref = cell.get("r", "")
+            col = _col_index(ref) if ref else len(vals)
+            while len(vals) < col:
+                vals.append(None)
+            vals.append(_cell_value(cell, shared))
+        rows.append(vals)
+    width = max((len(r) for r in rows), default=0)
+    return [tuple(r + [None] * (width - len(r))) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# PDF (simple text extraction)
+# ---------------------------------------------------------------------------
+
+_PDF_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_literal(data: bytes, start: int) -> tuple[bytes, int]:
+    """Decode a PDF literal string starting at the '(' in ``data[start]``;
+    returns (decoded bytes, index after the closing ')')."""
+    out = bytearray()
+    depth = 1
+    i = start + 1
+    while i < len(data) and depth:
+        ch = data[i:i + 1]
+        if ch == b"\\":
+            nxt = data[i + 1:i + 2]
+            if nxt in _PDF_ESCAPES:
+                out += _PDF_ESCAPES[nxt]
+                i += 2
+            elif nxt.isdigit():  # \ooo octal (1-3 digits)
+                j = i + 1
+                while j < min(i + 4, len(data)) and data[j:j + 1].isdigit():
+                    j += 1
+                out.append(int(data[i + 1:j], 8) & 0xFF)
+                i = j
+            else:
+                i += 2  # line continuation / unknown escape: drop
+        elif ch == b"(":
+            depth += 1
+            out += ch
+            i += 1
+        elif ch == b")":
+            depth -= 1
+            if depth:
+                out += ch
+            i += 1
+        else:
+            out += ch
+            i += 1
+    return bytes(out), i
+
+
+def _pdf_stream_text(stream: bytes) -> list[str]:
+    """Text shown by a decoded content stream: every string operand of a
+    ``Tj``/``'``/``\"`` and every string element of a ``TJ`` array, in
+    order. Strings are decoded latin-1 (PDFDocEncoding-approximate)."""
+    texts: list[str] = []
+    array: list[str] | None = None  # inside a TJ [ ... ] operand
+    i = 0
+    n = len(stream)
+    while i < n:
+        ch = stream[i:i + 1]
+        if ch == b"(":
+            # every string literal in a BT-bearing content stream is (or
+            # belongs to) a show-text operand: Tj/'/" take one string, TJ
+            # arrays interleave strings with kern numbers — collect all
+            raw, i = _pdf_literal(stream, i)
+            s = raw.decode("latin-1", "replace")
+            (texts if array is None else array).append(s)
+        elif ch == b"<" and stream[i + 1:i + 2] != b"<":
+            m = re.match(rb"<([0-9A-Fa-f\s]*)>", stream[i:])
+            if m:
+                hexstr = re.sub(rb"\s", b"", m.group(1))
+                if len(hexstr) % 2:
+                    hexstr += b"0"
+                s = bytes.fromhex(hexstr.decode("ascii")).decode(
+                    "latin-1", "replace"
+                )
+                (texts if array is None else array).append(s)
+                i += m.end()
+            else:
+                i += 1
+        elif ch == b"[":
+            array = []
+            i += 1
+        elif ch == b"]":
+            # TJ fragments are one shown run — kern numbers between them
+            # adjust spacing, not word boundaries: concatenate
+            if array:
+                texts.append("".join(array))
+            array = None
+            i += 1
+        else:
+            i += 1
+    return [t for t in texts if t]
+
+
+def pdf_to_text(content: bytes) -> str:
+    """Text of a simple PDF: every ``stream``/``endstream`` block is
+    inflated (FlateDecode via ``zlib``, or taken raw), blocks containing
+    text-begin markers (``BT``) contribute their ``Tj``/``TJ`` strings.
+    Lenient by design: junk or streamless bytes yield '' rather than
+    raising (the dispatch contract for unparseable payloads)."""
+    if not content:
+        return ""
+    chunks: list[str] = []
+    for m in re.finditer(rb"stream\r?\n(.*?)endstream", content, re.DOTALL):
+        data = m.group(1)
+        decoded = None
+        try:
+            decoded = zlib.decompress(data)
+        except zlib.error:
+            # raw (uncompressed) stream, or trailing EOL junk
+            try:
+                decoded = zlib.decompress(data.rstrip(b"\r\n"))
+            except zlib.error:
+                decoded = data
+        if b"BT" in decoded:
+            parts = _pdf_stream_text(decoded)
+            if parts:
+                chunks.append(" ".join(parts))
+    return "\n".join(chunks)

@@ -8,10 +8,12 @@ openpyxl worksheet with ``min_row=2`` to skip the header row
 - CSV goes straight through the distributed ``spark.read.csv`` scan with a
   ``charset`` option — header inference, pushdown-capable, splittable.
 - XLSX is NOT a splittable format; the file is decoded driver-side into
-  rows and parallelized (matching the reference's single-file scale). The
-  openpyxl decode is gated behind an import-try: unavailable here, so
-  :func:`excel_rows_to_df` takes pre-extracted rows and keeps the Spark
-  plumbing (schema, parallelize, header skip) real and tested.
+  rows and parallelized (matching the reference's single-file scale).
+  openpyxl is used when importable; otherwise the pure-stdlib zip+XML
+  reader (``sources/ooxml.py::xlsx_rows`` — r4) decodes the workbook, so
+  the scan is REAL in every environment. :func:`excel_rows_to_df` keeps
+  the Spark plumbing (schema, parallelize, header skip) shared between
+  tiers and callers with externally-decoded rows.
 """
 
 from __future__ import annotations
@@ -59,16 +61,25 @@ def read_excel_catalog(
     columns: list[str],
     sheet: int | str = 0,
     skip_header_rows: int = 1,
-) -> DataFrame:  # pragma: no cover - needs openpyxl
-    """XLSX scan. Requires openpyxl (not in this environment — the decode
-    step is the only stubbed part; row plumbing is :func:`excel_rows_to_df`)."""
+) -> DataFrame:
+    """XLSX scan. openpyxl when importable (full fidelity: dates, named
+    sheets, formats); otherwise the pure-stdlib zip+XML reader
+    (``sources/ooxml.py::xlsx_rows`` — r4, strings/numbers/booleans,
+    integer sheet index). Row plumbing is :func:`excel_rows_to_df` in
+    both tiers."""
     try:
         import openpyxl
-    except ImportError as e:
-        raise NotImplementedError(
-            "openpyxl is not installed; decode the workbook externally and "
-            "use excel_rows_to_df(spark, rows, columns)"
-        ) from e
+    except ImportError:
+        from vectordb_data_ingestion_spark.sources.ooxml import xlsx_rows
+
+        if isinstance(sheet, str):
+            raise NotImplementedError(
+                "named-sheet lookup needs openpyxl; pass the sheet index "
+                "(the stdlib reader addresses worksheets by number)"
+            )
+        with open(path, "rb") as f:
+            rows = xlsx_rows(f.read(), sheet=sheet)
+        return excel_rows_to_df(spark, rows, columns, skip_header_rows)
     wb = openpyxl.load_workbook(path, read_only=True, data_only=True)
     ws = wb[sheet] if isinstance(sheet, str) else wb.worksheets[sheet]
     rows = [tuple(c.value for c in row) for row in ws.iter_rows()]
