@@ -138,24 +138,16 @@ def test_xlsx_real_decode_roundtrip(spark, tmp_path):
 
 
 def test_stub_report_matches_missing_libs():
-    """In any env: pdf/docx/pptx are NEVER stubbed (the stdlib ooxml/pdf
-    decoders serve them when the full-fidelity lib is absent — r4); only
-    msg (OLE2, no stdlib reader) stubs without its lib. DECODER_TIER must
-    agree with what is actually importable."""
+    """In any env: NO kind is stubbed anymore (r4 — the stdlib
+    ooxml/pdf/cfb decoders serve pdf/docx/pptx/msg when the full-fidelity
+    lib is absent). DECODER_TIER must agree with what is actually
+    importable."""
     lib_for = {
         "pdf": "pypdf",
         "docx": "docx",
         "pptx": "pptx",
         "msg": "extract_msg",
     }
-    expected_stubbed = {"msg"} - {
-        k for k, mod in lib_for.items() if _has(mod)
-    }
-    assert fmod.STUBBED_KINDS == expected_stubbed
+    assert fmod.STUBBED_KINDS == set()
     for kind, mod in lib_for.items():
-        if _has(mod):
-            assert fmod.DECODER_TIER[kind] == "lib"
-        elif kind == "msg":
-            assert fmod.DECODER_TIER[kind] == "stub"
-        else:
-            assert fmod.DECODER_TIER[kind] == "stdlib"
+        assert fmod.DECODER_TIER[kind] == ("lib" if _has(mod) else "stdlib")

@@ -14,20 +14,20 @@ tier serves each kind in this interpreter):
 - ``txt``            : real - utf-8 decode (lossy-safe).
 - ``html``           : real - the stdlib extractor (functions.html).
 - ``eml``            : real - stdlib ``email`` package (headers + text parts).
-- pdf/docx/pptx      : full-fidelity decoders auto-registered when pypdf /
-  python-docx / python-pptx are importable; otherwise the PURE-STDLIB
-  decoders in ``sources/ooxml.py`` (OOXML is zip+XML, simple PDF text is
-  zlib content streams) — real text, documented fidelity limits.
-- ``msg``            : extract_msg when importable; otherwise
-  :func:`_stub_parse` - a clearly-marked deterministic stub (OLE2 compound
-  files have no stdlib reader), so the Spark-side plumbing (binary column,
-  dispatch, Arrow batching, schema) stays exercised end-to-end.
-  ``STUBBED_KINDS`` reports which kinds are currently stubbed.
+- pdf/docx/pptx/msg  : full-fidelity decoders auto-registered when pypdf /
+  python-docx / python-pptx / extract_msg are importable; otherwise the
+  PURE-STDLIB decoders in ``sources/ooxml.py`` / ``sources/cfb.py``
+  (OOXML is zip+XML, simple PDF text is zlib content streams, ``.msg``
+  is an [MS-CFB] compound file) — real text, documented fidelity limits.
+  ``STUBBED_KINDS`` reports kinds currently stubbed (none, unless a
+  deployment unregisters a decoder); :func:`_stub_parse` remains for the
+  attachment fallback on non-OLE2 payloads and for injection tests.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable
 
 import pandas as pd
@@ -201,18 +201,24 @@ def _try_real_parsers() -> dict[str, ParserFn]:
 
 
 def _stdlib_parsers() -> dict[str, ParserFn]:
-    """Middle tier (round 4): OOXML containers are zip+XML and simple PDF
-    text is zlib content streams — decodable with the stdlib alone
-    (``sources/ooxml.py``). Full-fidelity libraries still win the tier
-    when importable (tables, CID fonts, encodings); only ``msg`` (OLE2)
-    has no stdlib decoder and falls through to the stub."""
+    """Middle tier (round 4): OOXML containers are zip+XML, simple PDF
+    text is zlib content streams, and ``.msg`` is an [MS-CFB] compound
+    file — all decodable with the stdlib alone (``sources/ooxml.py``,
+    ``sources/cfb.py``). Full-fidelity libraries still win the tier when
+    importable (tables, CID fonts, encodings, RTF bodies)."""
+    from vectordb_data_ingestion_spark.sources.cfb import msg_to_text
     from vectordb_data_ingestion_spark.sources.ooxml import (
         docx_to_text,
         pdf_to_text,
         pptx_to_text,
     )
 
-    return {"pdf": pdf_to_text, "docx": docx_to_text, "pptx": pptx_to_text}
+    return {
+        "pdf": pdf_to_text,
+        "docx": docx_to_text,
+        "pptx": pptx_to_text,
+        "msg": msg_to_text,
+    }
 
 
 #: kind -> which tier serves it: "lib" (third-party), "stdlib", or "stub"
@@ -338,8 +344,8 @@ _ATTACHMENT_SCHEMA = ArrayType(
 
 
 def _stub_attachments(content: bytes) -> list[tuple[str, bytes]]:
-    """DETERMINISTIC STUB for extract_msg attachment decode (the library is
-    unavailable here). Derives 0-3 pseudo-attachments from the payload hash
+    """DETERMINISTIC STUB for attachment decode of payloads that are not
+    OLE2 containers. Derives 0-3 pseudo-attachments from the payload hash
     so the explode/fan-out plumbing is exercised with realistic shapes."""
     digest = hashlib.sha256(content or b"").digest()
     n = digest[0] % 4
@@ -348,9 +354,23 @@ def _stub_attachments(content: bytes) -> list[tuple[str, bytes]]:
     ]
 
 
+def _attachments(content: bytes) -> list[tuple[str, bytes]]:
+    """REAL attachment rows via the stdlib CFB reader (r4) — filename +
+    payload per ``__attach_version1.0_#N`` storage, matching what
+    extract_msg surfaces (reference parsers.py:103-109 writes these to
+    disk). Payloads that are not OLE2 containers fall back to the
+    deterministic stub so synthetic pipelines keep their shapes."""
+    from vectordb_data_ingestion_spark.sources.cfb import msg_attachments
+
+    try:
+        return msg_attachments(content or b"")
+    except (ValueError, struct.error, IndexError, KeyError):
+        return _stub_attachments(content)
+
+
 @F.pandas_udf(_ATTACHMENT_SCHEMA)
 def extract_attachments_udf(content: pd.Series) -> pd.Series:
-    return pd.Series([_stub_attachments(c) for c in content], dtype="object")
+    return pd.Series([_attachments(c) for c in content], dtype="object")
 
 
 def extract_attachments(catalog: DataFrame) -> DataFrame:
