@@ -156,3 +156,32 @@ def test_registry_serves_stdlib_tier_when_libs_absent():
             assert text == expect
         else:
             assert "Hello" in text
+
+
+def test_pdf_tables_positioned_heuristic():
+    """Positioned-text table heuristic: rows cluster by y, cells order by
+    x, single-cell lines (titles, footers) never join a table, and two
+    separate >=2x2 regions yield two tables."""
+    from vectordb_data_ingestion_spark.sources.ooxml import pdf_tables
+
+    pdf = (
+        b"stream\nBT "
+        b"1 0 0 1 72 720 Tm (Report Title) Tj "
+        b"1 0 0 1 72 700 Tm (h1) Tj 1 0 0 1 200 700 Tm (h2) Tj "
+        b"1 0 0 1 72 680 Tm (a1) Tj 1 0 0 1 200 680 Tm (b1) Tj "
+        b"1 0 0 1 72 600 Tm (lone footer) Tj "
+        b"1 0 0 1 72 500 Tm (x1) Tj 1 0 0 1 150 500 Tm (y1) Tj "
+        b"1 0 0 1 300 500 Tm (z1) Tj "
+        b"1 0 0 1 72 480 Tm (x2) Tj 1 0 0 1 150 480 Tm (y2) Tj "
+        b"1 0 0 1 300 480 Tm (z2) Tj "
+        b"ET\nendstream"
+    )
+    assert pdf_tables(pdf) == ["h1|h2|a1|b1", "x1|y1|z1|x2|y2|z2"]
+    # Td-relative positioning clusters the same way
+    td = (
+        b"stream\nBT 72 700 Td (c1) Tj 128 0 Td (c2) Tj "
+        b"-128 -20 Td (d1) Tj 128 0 Td (d2) Tj ET\nendstream"
+    )
+    assert pdf_tables(td) == ["c1|c2|d1|d2"]
+    assert pdf_tables(b"stream\nBT (just a line) Tj ET\nendstream") == []
+    assert pdf_tables(b"no streams at all") == []

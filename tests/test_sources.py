@@ -249,15 +249,29 @@ def test_extract_pdf_tables(spark, tmp_path):
 
     d = tmp_path / "pdfs"
     d.mkdir()
-    # find a payload whose stub yields >0 tables
+    # REAL path (r4): a %PDF payload with 2x2 positioned cells extracts
+    # the actual table via the positioned-text heuristic
+    real_pdf = (
+        b"%PDF-1.4\nstream\nBT "
+        b"1 0 0 1 72 700 Tm (h1) Tj 1 0 0 1 200 700 Tm (h2) Tj "
+        b"1 0 0 1 72 680 Tm (a1) Tj 1 0 0 1 200 680 Tm (b1) Tj "
+        b"ET\nendstream\n%%EOF"
+    )
+    (d / "real.pdf").write_bytes(real_pdf)
+    # stub fallback: a non-PDF payload whose stub yields >0 tables
     payload = next(
         bytes([i]) * 4 for i in range(64) if _stub_pdf_tables(bytes([i]) * 4)
     )
     (d / "t.pdf").write_bytes(payload)
     cat = read_binary_catalog(spark, str(d) + "/**")
     rows = extract_pdf_tables(cat).collect()
-    expected = _stub_pdf_tables(payload)
-    assert [r["table_text"] for r in sorted(rows, key=lambda r: r["table_index"])] == expected
+    by_file = {}
+    for r in sorted(rows, key=lambda r: r["table_index"]):
+        by_file.setdefault(r["url"].rsplit("/", 1)[-1], []).append(
+            r["table_text"]
+        )
+    assert by_file["real.pdf"] == ["h1|h2|a1|b1"]
+    assert by_file["t.pdf"] == _stub_pdf_tables(payload)
     assert all("|" in r["table_text"] for r in rows)
 
 

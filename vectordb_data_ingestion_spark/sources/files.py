@@ -303,9 +303,10 @@ def parse_documents(
 
 
 def _stub_pdf_tables(content: bytes) -> list[str]:
-    """DETERMINISTIC STUB for tabula table extraction (needs a JVM-side
-    tabula install). Emits 0-2 pipe-joined pseudo-tables in the reference's
-    flattened shape (process_pdf_table joins each table's CSV with '|')."""
+    """DETERMINISTIC STUB for table extraction of NON-PDF payloads (keeps
+    synthetic pipelines' explode shapes). Emits 0-2 pipe-joined
+    pseudo-tables in the reference's flattened shape (process_pdf_table
+    joins each table's CSV with '|')."""
     digest = hashlib.sha256(content or b"").hexdigest()
     n = int(digest[2], 16) % 3
     return [
@@ -313,9 +314,22 @@ def _stub_pdf_tables(content: bytes) -> list[str]:
     ]
 
 
+def _pdf_tables(content: bytes) -> list[str]:
+    """REAL heuristic table extraction for PDF payloads (r4):
+    ``sources/ooxml.py::pdf_tables`` interprets the positioned text
+    operators and clusters rows/cells — the reference's tabula
+    pipe-joined shape (parsers.py:127-137). Non-PDF payloads keep the
+    deterministic stub."""
+    from vectordb_data_ingestion_spark.sources.ooxml import pdf_tables
+
+    if content and content.lstrip()[:5].startswith(b"%PDF"):
+        return pdf_tables(content)
+    return _stub_pdf_tables(content)
+
+
 @F.pandas_udf(ArrayType(StringType()))
 def extract_pdf_tables_udf(content: pd.Series) -> pd.Series:
-    return pd.Series([_stub_pdf_tables(c) for c in content], dtype="object")
+    return pd.Series([_pdf_tables(c) for c in content], dtype="object")
 
 
 def extract_pdf_tables(catalog: DataFrame) -> DataFrame:

@@ -9,9 +9,10 @@ XML (ECMA-376) and PDF text streams are zlib-deflated content streams —
 all decodable with ``zipfile``/``xml.etree``/``zlib`` alone. These
 decoders are the middle tier of the parser registry
 (``sources/files.py``): a real importable library still wins (full
-fidelity: tables, encodings, CID fonts), the stdlib decoder replaces the
-stub everywhere else, and only ``msg`` (OLE2 compound files) remains
-stubbed without its lib.
+fidelity: ruled tables, encodings, CID fonts), the stdlib decoder
+replaces the stub everywhere else (``sources/cfb.py`` covers ``msg``).
+``pdf_tables`` adds heuristic table extraction from positioned text
+(``Tm``/``Td`` interpretation) in the reference's pipe-joined shape.
 
 Fidelity limits (documented, not silent):
 - docx: body paragraphs (``w:p`` -> concatenated ``w:t`` runs, tabs and
@@ -306,3 +307,147 @@ def pdf_to_text(content: bytes) -> str:
             if parts:
                 chunks.append(" ".join(parts))
     return "\n".join(chunks)
+
+
+# ---------------------------------------------------------------------------
+# PDF positioned text + table heuristic
+# ---------------------------------------------------------------------------
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+
+def _pdf_positioned(stream: bytes) -> list[tuple[float, float, str]]:
+    """(x, y, text) per shown string, by interpreting the text-positioning
+    operators (``Tm``/``Td``/``TD``/``TL``/``T*``) of a decoded content
+    stream. Glyph-width advancement is approximated (6pt/char) — good
+    enough to cluster rows and order cells, not for exact kerning."""
+    out: list[tuple[float, float, str]] = []
+    operands: list = []
+    x = y = line_x = line_y = 0.0
+    leading = 0.0
+    i, n = 0, len(stream)
+
+    def nums(k):
+        vals = [v for v in operands if isinstance(v, float)]
+        return vals[-k:] if len(vals) >= k else [0.0] * k
+
+    def emit(s: str):
+        nonlocal x
+        out.append((x, y, s))
+        x += 6.0 * len(s)
+
+    while i < n:
+        ch = stream[i:i + 1]
+        if ch in b" \t\r\n\x00[]":
+            i += 1
+        elif ch == b"%":
+            j = stream.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif ch == b"(":
+            raw, i = _pdf_literal(stream, i)
+            operands.append(raw.decode("latin-1", "replace"))
+        elif ch == b"<" and stream[i + 1:i + 2] != b"<":
+            m = re.match(rb"<([0-9A-Fa-f\s]*)>", stream[i:])
+            if m:
+                h = re.sub(rb"\s", b"", m.group(1))
+                if len(h) % 2:
+                    h += b"0"
+                operands.append(
+                    bytes.fromhex(h.decode("ascii")).decode(
+                        "latin-1", "replace"
+                    )
+                )
+                i += m.end()
+            else:
+                i += 1
+        elif ch == b"/":
+            m = re.match(rb"/[^\s\[\]()<>/]*", stream[i:])
+            i += m.end() if m else 1
+        elif _NUM_RE.match(stream[i:i + 24]) and not stream[
+            i:i + 1
+        ].isalpha():
+            m = _NUM_RE.match(stream, i)
+            operands.append(float(m.group()))
+            i = m.end()
+        else:
+            m = re.match(rb"[A-Za-z'\"*]+", stream[i:])
+            if not m:
+                i += 1
+                continue
+            op = m.group()
+            i += m.end()
+            if op == b"BT":
+                x = y = line_x = line_y = 0.0
+            elif op == b"Tm":
+                e, f = nums(6)[-2:]
+                x = line_x = e
+                y = line_y = f
+            elif op in (b"Td", b"TD"):
+                tx, ty = nums(2)
+                line_x += tx
+                line_y += ty
+                x, y = line_x, line_y
+                if op == b"TD":
+                    leading = -ty
+            elif op == b"TL":
+                leading = nums(1)[0]
+            elif op == b"T*":
+                line_y -= leading
+                x, y = line_x, line_y
+            elif op in (b"Tj", b"'", b'"'):
+                strs = [v for v in operands if isinstance(v, str)]
+                if op != b"Tj":
+                    line_y -= leading
+                    x, y = line_x, line_y
+                if strs:
+                    emit(strs[-1])
+            elif op == b"TJ":
+                for v in operands:
+                    if isinstance(v, str):
+                        emit(v)
+            operands = []
+    return out
+
+
+def pdf_tables(content: bytes, y_tol: float = 2.0) -> list[str]:
+    """Heuristic table extraction from a simple PDF: positioned strings
+    cluster into rows by y (tolerance ``y_tol``); a TABLE is a maximal
+    run of >=2 consecutive rows that each hold >=2 cells; every table
+    flattens to one pipe-joined string row-major — the reference's
+    ``process_pdf_table`` CSV-joined-by-'|' shape (parsers.py:127-137,
+    via tabula). Lattice lines/spanning cells are not modeled — use a
+    full table engine for scanned or ruled documents."""
+    chunks: list[tuple[float, float, str]] = []
+    for m in re.finditer(rb"stream\r?\n(.*?)endstream", content, re.DOTALL):
+        data = m.group(1)
+        try:
+            decoded = zlib.decompress(data)
+        except zlib.error:
+            try:
+                decoded = zlib.decompress(data.rstrip(b"\r\n"))
+            except zlib.error:
+                decoded = data
+        if b"BT" in decoded:
+            chunks.extend(_pdf_positioned(decoded))
+    if not chunks:
+        return []
+    rows: list[list[tuple[float, str]]] = []
+    for cx, cy, text in sorted(chunks, key=lambda c: (-c[1], c[0])):
+        if rows and abs(rows[-1][0][0] - cy) <= y_tol:
+            rows[-1].append((cy, (cx, text)))  # type: ignore[arg-type]
+        else:
+            rows.append([(cy, (cx, text))])  # type: ignore[list-item]
+    # normalize: row -> cells sorted by x
+    norm = [
+        [t for _y, (_x, t) in sorted(r, key=lambda e: e[1][0])]
+        for r in rows
+    ]
+    tables, run = [], []
+    for cells in norm + [[]]:
+        if len(cells) >= 2:
+            run.append(cells)
+        else:
+            if len(run) >= 2:
+                tables.append("|".join(c for row in run for c in row))
+            run = []
+    return tables
