@@ -1,0 +1,188 @@
+"""Golden tests for the pure-stdlib media decoders
+(operators/media_decode.py): PNG/BMP/WAV fixtures are synthesized
+in-test with the stdlib (a tiny PNG encoder with per-row filters, a
+24bpp BMP writer, the wave module), so real decode runs in every
+environment — no PIL/ffmpeg."""
+
+import io
+import struct
+import wave
+import zlib
+
+import pytest
+
+from vectordb_data_ingestion_spark.operators.media_decode import (
+    decode_bmp,
+    decode_media,
+    decode_png,
+    decode_wav,
+    sniff_media,
+)
+
+
+def make_png(pixels, color_type=2, filters=None):
+    """pixels: rows of (r,g,b[,a]) tuples or ints (gray)."""
+    height = len(pixels)
+    width = len(pixels[0])
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = bytearray()
+    for r, row in enumerate(pixels):
+        ftype = (filters or [0] * height)[r]
+        flat = bytearray()
+        for px in row:
+            flat.extend(px if isinstance(px, (tuple, list)) else (px,))
+        if ftype == 0:
+            filtered = flat
+        elif ftype == 1:  # Sub
+            filtered = bytearray(
+                (flat[i] - (flat[i - nch] if i >= nch else 0)) & 0xFF
+                for i in range(len(flat))
+            )
+        elif ftype == 2:  # Up
+            prev = raw_rows[r - 1] if r else bytearray(len(flat))
+            filtered = bytearray(
+                (flat[i] - prev[i]) & 0xFF for i in range(len(flat))
+            )
+        else:
+            raise NotImplementedError
+        raw.append(ftype)
+        raw.extend(filtered)
+        if r == 0:
+            raw_rows = {0: flat}
+        else:
+            raw_rows[r] = flat
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_bmp(pixels):
+    """24bpp bottom-up BMP from rows of (r,g,b)."""
+    height, width = len(pixels), len(pixels[0])
+    stride = (width * 3 + 3) & ~3
+    body = bytearray()
+    for row in pixels:  # stored bottom-up; luma is order-invariant here
+        line = bytearray()
+        for r, g, b in row:
+            line.extend((b, g, r))
+        line.extend(b"\x00" * (stride - len(line)))
+        body.extend(line)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835,
+        0, 0,
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40
+    )
+    return header + info + bytes(body)
+
+
+def make_wav(samples, rate=8000, channels=1):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(struct.pack("<h", s) for s in samples)
+        )
+    return buf.getvalue()
+
+
+def test_sniff_magic():
+    assert sniff_media(make_wav([0] * 10)) == "wav"
+    assert sniff_media(make_bmp([[(0, 0, 0)]])) == "bmp"
+    assert sniff_media(make_png([[(0, 0, 0)]])) == "png"
+    assert sniff_media(b"plain text payload") is None
+    assert sniff_media(b"") is None
+
+
+def test_png_decode_dims_filters_and_histogram():
+    # 4x2 RGB: one black row (filter Sub), one white row (filter Up)
+    png = make_png(
+        [[(0, 0, 0)] * 4, [(255, 255, 255)] * 4], filters=[1, 2]
+    )
+    meta = decode_png(png)
+    assert (meta["width"], meta["height"]) == (4, 2)
+    assert meta["duration_ms"] is None
+    # half the pixels in the darkest bin, half in the brightest
+    assert meta["feature"][0] == pytest.approx(0.5)
+    assert meta["feature"][-1] == pytest.approx(0.5)
+    # grayscale color type decodes too
+    gray = make_png([[0, 128], [128, 255]], color_type=0)
+    g = decode_png(gray)
+    assert (g["width"], g["height"]) == (2, 2)
+    assert sum(g["feature"]) == pytest.approx(1.0)
+
+
+def test_bmp_decode():
+    bmp = make_bmp([[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]])
+    meta = decode_bmp(bmp)
+    assert (meta["width"], meta["height"]) == (2, 2)
+    # three mid-luma pixels (85) and one white
+    assert meta["feature"][2] == pytest.approx(0.75)
+    assert meta["feature"][-1] == pytest.approx(0.25)
+
+
+def test_wav_decode_duration_and_rms_envelope():
+    # 0.5 s at 8 kHz: silence then a loud square wave
+    samples = [0] * 2000 + [16384, -16384] * 1000
+    meta = decode_wav(make_wav(samples, rate=8000))
+    assert meta["duration_ms"] == 500
+    assert meta["width"] is None
+    assert meta["feature"][0] == pytest.approx(0.0)    # silent start
+    assert meta["feature"][-1] == pytest.approx(0.5, abs=1e-6)  # square RMS
+    # stereo averages to mono
+    stereo = make_wav([1000, 1000] * 100, rate=8000, channels=2)
+    assert decode_wav(stereo)["duration_ms"] == 12
+
+
+def test_decode_media_dispatch_and_errors():
+    assert decode_media(b"not media") is None
+    with pytest.raises(ValueError):
+        decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40)
+    with pytest.raises(ValueError):
+        # 16-bit depth unsupported -> ValueError from the decoder itself
+        bad_ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+        chunk = (
+            struct.pack(">I", len(bad_ihdr)) + b"IHDR" + bad_ihdr
+            + struct.pack(
+                ">I", zlib.crc32(b"IHDR" + bad_ihdr) & 0xFFFFFFFF
+            )
+        )
+        decode_media(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+def test_extract_features_real_and_stub_paths(spark):
+    """The mapInPandas featurizer serves REAL dims/features for media
+    payloads and the deterministic stub for everything else, in one
+    batch."""
+    from vectordb_data_ingestion_spark.operators.multimodal import (
+        _stub_decode,
+        extract_features,
+    )
+
+    png = make_png([[(0, 0, 0)] * 3, [(255, 255, 255)] * 3])
+    wav = make_wav([0] * 800, rate=8000)
+    blob = b"synthetic payload, not a media container"
+    assets = spark.createDataFrame(
+        [(1, "image", png), (2, "audio", wav), (3, "image", blob)],
+        "asset_id long, modality string, content binary",
+    )
+    rows = {r["asset_id"]: r for r in extract_features(assets).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (3, 2)
+    assert rows[2]["duration_ms"] == 100
+    stub = _stub_decode(blob, "image")
+    assert rows[3]["width"] == stub["width"]
+    assert list(rows[3]["feature"]) == pytest.approx(stub["feature"])

@@ -7,12 +7,15 @@ image/audio/video/text, and a string metadata map. Queries that never touch
 Arrow-batched ``mapInPandas`` so payload bytes cross into Python once per
 batch, not per row.
 
-The actual decoders (PIL/ffmpeg/torchaudio) are NOT available in this
-environment, so :func:`extract_features` dispatches to clearly-marked
-deterministic stubs (pseudo-features derived from the payload digest). The
-Spark plumbing - schema, batch iteration, fan-out of feature rows, partition
-behavior - is real and tested; swap ``_stub_decode`` for a real decoder
-in an environment that has the libraries.
+PNG/BMP/WAV payloads decode FOR REAL via the pure-stdlib decoders in
+``operators/media_decode.py`` (r4: zlib inflate + scanline unfilter /
+header+pixels / the stdlib wave module), yielding honest dims, duration,
+and luminance-histogram / RMS-envelope features. Payloads of other
+formats (jpeg, mp4, ...) fall back to the clearly-marked deterministic
+stub (pseudo-features from the payload digest) until PIL/ffmpeg-class
+decoders are importable; the Spark plumbing - schema, batch iteration,
+fan-out of feature rows, partition behavior - is identical on every
+path.
 """
 
 from __future__ import annotations
@@ -23,6 +26,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from vectordb_data_ingestion_spark.operators.media_decode import decode_media
 
 FEATURE_DIM = 8
 
@@ -69,7 +74,15 @@ def extract_features(assets: DataFrame) -> DataFrame:
                 pdf["asset_id"], pdf["modality"], pdf["content"]
             ):
                 payload = bytes(content) if content is not None else b""
-                meta = _stub_decode(payload, modality)
+                # r4: REAL stdlib decode for PNG/BMP/WAV payloads (magic
+                # sniffed) — honest dims/duration + luminance-histogram /
+                # RMS-envelope features; everything else keeps the stub
+                try:
+                    meta = decode_media(payload)
+                except ValueError:
+                    meta = None  # recognized magic, unsupported variant
+                if meta is None:
+                    meta = _stub_decode(payload, modality)
                 out.append(
                     {
                         "asset_id": asset_id,
