@@ -206,3 +206,39 @@ def test_registry_msg_tier_and_stub_fallback():
     assert fmod._attachments(golden_msg()) == [
         ("notes.txt", b"attached payload bytes")
     ]
+
+
+def test_parse_attachments_through_registry(spark, tmp_path):
+    """End-to-end: a .msg with a txt and a docx attachment lands in a
+    binary catalog; parse_attachments extracts the attachments via the
+    CFB reader and pushes each back through the parser registry by its
+    extension — real text for both, no disk round-trip."""
+    from tests.test_ooxml import golden_docx
+    from vectordb_data_ingestion_spark.sources.files import (
+        parse_attachments,
+        read_binary_catalog,
+    )
+
+    u16 = lambda s: s.encode("utf-16-le")  # noqa: E731
+    msg = write_cfb([
+        (("__substg1.0_0037001F",), u16("With attachments")),
+        (("__substg1.0_1000001F",), u16("see attached")),
+        (("__attach_version1.0_#00000000", "__substg1.0_3707001F"),
+         u16("readme.txt")),
+        (("__attach_version1.0_#00000000", "__substg1.0_37010102"),
+         b"plain attachment text body"),
+        (("__attach_version1.0_#00000001", "__substg1.0_3707001F"),
+         u16("doc.docx")),
+        (("__attach_version1.0_#00000001", "__substg1.0_37010102"),
+         golden_docx()),
+    ])
+    d = tmp_path / "mail"
+    d.mkdir()
+    (d / "m.msg").write_bytes(msg)
+    cat = read_binary_catalog(spark, str(d) + "/**")
+    rows = {
+        r["attachment_name"]: r for r in parse_attachments(cat).collect()
+    }
+    assert set(rows) == {"readme.txt", "doc.docx"}
+    assert rows["readme.txt"]["text"] == "plain attachment text body"
+    assert rows["doc.docx"]["text"].startswith("hello world")

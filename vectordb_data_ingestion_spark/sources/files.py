@@ -402,3 +402,24 @@ def extract_attachments(catalog: DataFrame) -> DataFrame:
         F.col("att.attachment_name").alias("attachment_name"),
         F.col("att.attachment_content").alias("attachment_content"),
     )
+
+
+def parse_attachments(catalog: DataFrame) -> DataFrame:
+    """Attachments THROUGH the parser registry (r4): the reference saves
+    each .msg attachment to disk and re-scans it through the same
+    per-filetype parsers (parsers.py:103-109 + :197-263); here the
+    attachment rows from :func:`extract_attachments` flow straight back
+    into the registry dispatch — the attachment's extension picks its
+    decoder, unknown kinds yield null text. One distributed plan end to
+    end: no disk round-trip, no re-listing."""
+    atts = extract_attachments(catalog)
+    return parse_documents(
+        atts.select(
+            "url",
+            "attachment_name",
+            file_type(F.col("attachment_name")).alias("file_type"),
+            F.col("attachment_content").alias("content"),
+        )
+    ).select(
+        "url", "attachment_name", "file_type", "text"
+    )
