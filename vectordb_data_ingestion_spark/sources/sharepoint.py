@@ -13,12 +13,14 @@ same derived columns as ``create_file_df`` (sharepointutils.py:119-145).
 replacement for ``download_files`` - with per-row error capture instead of
 the reference's print-and-continue.
 
-The real SharePoint listers (cloud ClientContext / on-prem NTLM session,
-sharepointutils.py:18-24, 202-214) require the office365/requests-ntlm
-packages, which are not installed here; ``sharepoint_lister`` raises
-ImportError with guidance. ``local_dir_lister`` provides the same contract
-over a local directory tree (recursive walk = get_urls_for_all_subfolders,
-sharepointutils.py:42-62) and backs the tests.
+The cloud lister (ClientContext, sharepointutils.py:18-24) requires the
+office365 package and raises ImportError with guidance when absent. The
+on-prem NTLM session (sharepointutils.py:202-214) is REAL without extra
+packages (r4): ``requests_ntlm`` when importable, else the pure-stdlib
+NTLMv2 in ``sources/ntlm.py`` (official [MS-NLMP] test vectors + a live
+handshake test). ``local_dir_lister`` provides the same contract over a
+local directory tree (recursive walk = get_urls_for_all_subfolders,
+sharepointutils.py:42-62) and backs the hermetic tests.
 """
 
 from __future__ import annotations
@@ -111,18 +113,31 @@ def onprem_sharepoint_lister(
     (create_onpremsharepoint_client_context, sharepointutils.py:202-214).
 
     ``fetch_json`` is injectable for hermetic tests; the default builds an
-    NTLM-authenticated session (needs requests + requests-ntlm)."""
-    if fetch_json is None:  # pragma: no cover - env-dependent
+    NTLM-authenticated session — ``requests_ntlm`` when importable, else
+    the pure-stdlib NTLMv2 implementation in ``sources/ntlm.py`` (r4;
+    pinned to the official [MS-NLMP] 4.2 test vectors), so the on-prem
+    path is real wherever ``requests`` exists."""
+    if fetch_json is None:  # pragma: no cover - needs a live site
         try:
             import requests
-            from requests_ntlm import HttpNtlmAuth
         except ImportError as e:
             raise ImportError(
-                "on-prem listing needs 'requests' + 'requests_ntlm'; pass "
-                "fetch_json= explicitly in this environment"
+                "on-prem listing needs 'requests'; pass fetch_json= "
+                "explicitly in this environment"
             ) from e
+        qualified = f"{domain}\\{username}" if domain else username
+        try:
+            from requests_ntlm import HttpNtlmAuth
+
+            auth = HttpNtlmAuth(qualified, password)
+        except ImportError:
+            from vectordb_data_ingestion_spark.sources.ntlm import (
+                http_ntlm_auth,
+            )
+
+            auth = http_ntlm_auth(qualified, password)
         session = requests.Session()
-        session.auth = HttpNtlmAuth(f"{domain}\\{username}" if domain else username, password)
+        session.auth = auth
         session.headers.update({"Accept": "application/json;odata=verbose"})
 
         def fetch_json(url: str) -> dict:
