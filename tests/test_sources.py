@@ -351,3 +351,46 @@ def test_parse_json_quarantine_routes_bad_rows(spark):
     # NULL input is neither parsed nor quarantined (no payload to recover)
     null_row = out.filter(F.col("id") == 3).collect()[0]
     assert null_row["props_parsed"] is None and null_row["_corrupt"] is None
+
+
+def test_rest_sharepoint_lister_recursive_walk(spark):
+    """The no-office365 cloud tier (r4): recursive REST folder walk via
+    injected fetch_json; files from nested folders surface, hidden
+    folders are skipped, and the catalog derives the usual columns."""
+    from vectordb_data_ingestion_spark.sources.sharepoint import (
+        catalog_from_lister,
+        rest_sharepoint_lister,
+    )
+
+    site = "https://example.sharepoint.com/sites/kb"
+
+    def fake_fetch(url):
+        if "'/kb'" in url:
+            return {"d": {
+                "Files": {"results": [{
+                    "Name": "root.txt",
+                    "ServerRelativeUrl": "/kb/root.txt",
+                    "TimeLastModified": "2026-02-01T00:00:00Z",
+                }]},
+                "Folders": {"results": [
+                    {"Name": "sub", "ServerRelativeUrl": "/kb/sub"},
+                    {"Name": "_hidden", "ServerRelativeUrl": "/kb/_hidden"},
+                ]},
+            }}
+        if "'/kb/sub'" in url:
+            return {"d": {
+                "Files": {"results": [{
+                    "Name": "nested.pdf",
+                    "ServerRelativeUrl": "/kb/sub/nested.pdf",
+                    "TimeLastModified": "2026-02-02T00:00:00Z",
+                }]},
+                "Folders": {"results": []},
+            }}
+        raise AssertionError(f"unexpected fetch {url}")
+
+    lister = rest_sharepoint_lister(site, "/kb", fetch_json=fake_fetch)
+    cat = catalog_from_lister(spark, lister)
+    rows = {r["name"]: r for r in cat.collect()}
+    assert set(rows) == {"root.txt", "nested.pdf"}
+    assert rows["nested.pdf"]["file_type"] == "pdf"
+    assert rows["nested.pdf"]["url"] == "/kb/sub/nested.pdf"

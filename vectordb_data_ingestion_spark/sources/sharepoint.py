@@ -100,6 +100,65 @@ def sharepoint_lister(site_url: str, folder: str, username: str, password: str) 
     return _list
 
 
+def rest_sharepoint_lister(
+    site_url: str,
+    folder: str,
+    bearer_token: str | None = None,
+    fetch_json: Callable[[str], dict] | None = None,
+) -> Lister:
+    """Cloud SharePoint lister over the plain REST API (r4) — no
+    office365 package: recursive ``GetFolderByServerRelativeUrl(...)?
+    $expand=Folders,Files`` walk (the same folder recursion as
+    ``sharepoint_lister``, sharepointutils.py:42-71) with a caller-
+    supplied OAuth bearer token. The office365 ClientContext is only
+    needed for CREDENTIAL flows (username/password -> STS token); any
+    deployment that can mint a token (app registration, managed
+    identity) lists with this and ``requests`` alone.
+
+    ``fetch_json`` is injectable for hermetic tests."""
+    if fetch_json is None:  # pragma: no cover - needs a live site
+        try:
+            import requests
+        except ImportError as e:
+            raise ImportError(
+                "REST listing needs 'requests'; pass fetch_json= "
+                "explicitly in this environment"
+            ) from e
+        session = requests.Session()
+        if bearer_token:
+            session.headers["Authorization"] = f"Bearer {bearer_token}"
+        session.headers["Accept"] = "application/json;odata=verbose"
+
+        def fetch_json(url: str) -> dict:
+            resp = session.get(url, timeout=60)
+            resp.raise_for_status()
+            return resp.json()
+
+    def _list():
+        from urllib.parse import quote
+
+        stack = [folder]
+        while stack:
+            rel = stack.pop()
+            url = (
+                f"{site_url}/_api/web/GetFolderByServerRelativeUrl("
+                f"'{quote(rel)}')?$expand=Folders,Files"
+            )
+            payload = fetch_json(url).get("d", {})
+            for f in payload.get("Files", {}).get("results", []):
+                yield (
+                    f["Name"],
+                    f.get("ServerRelativeUrl", f["Name"]),
+                    f.get("TimeLastModified", ""),
+                )
+            for sub in payload.get("Folders", {}).get("results", []):
+                name = sub.get("Name", "")
+                if not name.startswith("_"):  # skip hidden/system
+                    stack.append(sub["ServerRelativeUrl"])
+
+    return _list
+
+
 def onprem_sharepoint_lister(
     folder_urls: Iterable[str],
     username: str,
