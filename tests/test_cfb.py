@@ -202,7 +202,13 @@ def test_registry_msg_tier_and_stub_fallback():
         assert text.startswith("Quarterly sync")
         assert not text.startswith("[stub:")
     junk = b"msg payload one"
-    assert fmod._attachments(junk) == fmod._stub_attachments(junk)
+    # real-only default: no fabricated rows for junk OR corrupt OLE2
+    assert fmod._attachments(junk) == []
+    assert fmod._attachments(golden_msg()[:700]) == []  # truncated .msg
+    # synthetic pipelines opt in explicitly
+    assert fmod._attachments(junk, allow_stub=True) == (
+        fmod._stub_attachments(junk)
+    )
     assert fmod._attachments(golden_msg()) == [
         ("notes.txt", b"attached payload bytes")
     ]

@@ -257,3 +257,22 @@ def test_onprem_lister_end_to_end_with_stdlib_ntlm(spark):
     finally:
         server.shutdown()
         thread.join(timeout=5)
+
+
+def test_multi_scheme_header_parsing():
+    """Stock IIS advertises 'Negotiate, NTLM' (requests joins multiple
+    WWW-Authenticate headers with ', '); the auth hook must still pick
+    NTLM out, and must decode only the NTLM token's blob when other
+    schemes trail the challenge (review r4)."""
+    pytest.importorskip("requests")
+    from vectordb_data_ingestion_spark.sources.ntlm import http_ntlm_auth
+
+    auth = http_ntlm_auth("Domain\\User", "Password")
+    tok = auth._ntlm_token
+    assert tok("Negotiate, NTLM") == ""
+    assert tok("NTLM") == ""
+    assert tok("Negotiate") is None
+    assert tok("Basic realm=x") is None
+    blob = base64.b64encode(b"NTLMSSP\x00\x02").decode()
+    assert tok(f"NTLM {blob}, Negotiate") == blob
+    assert tok(f"Negotiate, NTLM {blob}") == blob

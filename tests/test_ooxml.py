@@ -185,3 +185,45 @@ def test_pdf_tables_positioned_heuristic():
     assert pdf_tables(td) == ["c1|c2|d1|d2"]
     assert pdf_tables(b"stream\nBT (just a line) Tj ET\nendstream") == []
     assert pdf_tables(b"no streams at all") == []
+
+
+def test_review_r4_regressions():
+    """Pin the review fixes: \\8 and \\9 are NOT octal escapes (backslash
+    dropped, char kept — never a raise); corrupt payloads through the
+    registry yield null text instead of aborting the job; xlsx sheet
+    index follows WORKBOOK order, not part-filename order."""
+    from vectordb_data_ingestion_spark.sources.ooxml import pdf_to_text
+
+    assert pdf_to_text(b"stream\nBT (a\\89b\\101) Tj ET\nendstream") == (
+        "a89bA"
+    )
+    # corrupt docx (truncated zip) -> null text, not BadZipFile
+    assert fmod.parse_bytes(b"PK\x03\x04 truncated junk", "docx") is None
+    # xlsx: workbook.xml order wins over filename order
+    reordered = make_zip({
+        "xl/workbook.xml": (
+            '<workbook xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main" xmlns:r="http://schemas.'
+            'openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets>'
+            '<sheet name="Second" sheetId="2" r:id="rId2"/>'
+            '<sheet name="First" sheetId="1" r:id="rId1"/>'
+            "</sheets></workbook>"
+        ),
+        "xl/_rels/workbook.xml.rels": (
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>'
+            '<Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/>'
+            "</Relationships>"
+        ),
+        "xl/worksheets/sheet1.xml": f'<worksheet xmlns="{S}"><sheetData>'
+            '<row r="1"><c r="A1" t="str"><v>part-one</v></c></row>'
+            "</sheetData></worksheet>",
+        "xl/worksheets/sheet2.xml": f'<worksheet xmlns="{S}"><sheetData>'
+            '<row r="1"><c r="A1" t="str"><v>part-two</v></c></row>'
+            "</sheetData></worksheet>",
+    })
+    # display order: Second (sheet2.xml) first, First (sheet1.xml) second
+    assert xlsx_rows(reordered, sheet=0) == [("part-two",)]
+    assert xlsx_rows(reordered, sheet=1) == [("part-one",)]

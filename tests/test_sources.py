@@ -123,7 +123,9 @@ def test_extract_attachments(spark, tmp_path):
     (msg_dir / "m.msg").write_bytes(b"msg payload one")
     (txt_dir / "a.txt").write_text("no attachments here")
     cat = read_binary_catalog(spark, str(msg_dir) + "/**")
-    rows = extract_attachments(cat).collect()
+    # DEFAULT: real-only — a non-OLE2 payload yields no fabricated rows
+    assert extract_attachments(cat).count() == 0
+    rows = extract_attachments(cat, allow_stub=True).collect()
     expected = _stub_attachments(b"msg payload one")
     assert len(rows) == len(expected)
     for r, (name, content) in zip(sorted(rows, key=lambda r: r["attachment_name"]), expected):
@@ -264,7 +266,14 @@ def test_extract_pdf_tables(spark, tmp_path):
     )
     (d / "t.pdf").write_bytes(payload)
     cat = read_binary_catalog(spark, str(d) + "/**")
-    rows = extract_pdf_tables(cat).collect()
+    # DEFAULT: real-only — an undecodable payload claimed as pdf yields
+    # NO rows (fabricated tables must never enter real data, review r4)
+    default_rows = extract_pdf_tables(cat).collect()
+    assert {r["url"].rsplit("/", 1)[-1] for r in default_rows} == {
+        "real.pdf"
+    }
+    # synthetic pipelines opt into the deterministic stub explicitly
+    rows = extract_pdf_tables(cat, allow_stub=True).collect()
     by_file = {}
     for r in sorted(rows, key=lambda r: r["table_index"]):
         by_file.setdefault(r["url"].rsplit("/", 1)[-1], []).append(

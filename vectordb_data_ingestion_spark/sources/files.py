@@ -51,6 +51,9 @@ from vectordb_data_ingestion_spark.operators.catalog import file_type
 ParserFn = Callable[[bytes], str]
 PARSERS: dict[str, ParserFn] = {}
 STUBBED_KINDS: set[str] = set()  # kinds currently served by the stub
+#: kind -> which tier serves it: "lib" (third-party), "stdlib", "stub",
+#: or "custom" (deployment-injected via register_parser)
+DECODER_TIER: dict[str, str] = {}
 
 
 def register_parser(kind: str, fn: ParserFn) -> None:
@@ -62,6 +65,9 @@ def register_parser(kind: str, fn: ParserFn) -> None:
     kind = kind.lower()
     PARSERS[kind] = fn
     STUBBED_KINDS.discard(kind)
+    # deployment-injected decoders are their own tier; the default
+    # registry builder overwrites this with lib/stdlib/stub as it runs
+    DECODER_TIER[kind] = "custom"
 
 
 def registered_kinds() -> set[str]:
@@ -221,10 +227,6 @@ def _stdlib_parsers() -> dict[str, ParserFn]:
     }
 
 
-#: kind -> which tier serves it: "lib" (third-party), "stdlib", or "stub"
-DECODER_TIER: dict[str, str] = {}
-
-
 def _build_default_registry() -> None:
     register_parser("txt", _parse_txt)
     register_parser("html", _parse_html)
@@ -249,14 +251,21 @@ def _build_default_registry() -> None:
 _build_default_registry()
 
 
-def _dispatch(parsers: dict[str, ParserFn], content, kind) -> str:
+def _dispatch(parsers: dict[str, ParserFn], content, kind) -> str | None:
     kind = (kind or "").lower()
     if content is None:
         return ""
     fn = parsers.get(kind)
     if fn is None:
         raise NotImplementedError(f"no parser for file_type={kind!r}")
-    return fn(content)
+    try:
+        return fn(content)
+    except Exception:  # noqa: BLE001 - decoder boundary
+        # a corrupt / truncated / mislabeled payload must not abort a
+        # 100 TB ingestion job (the reference prints-and-continues);
+        # null text marks the row undecodable, distinguishable from ""
+        # (decoded-but-empty). Unregistered kinds still raise above.
+        return None
 
 
 def parse_bytes(content: bytes | None, kind: str | None) -> str:
@@ -314,32 +323,46 @@ def _stub_pdf_tables(content: bytes) -> list[str]:
     ]
 
 
-def _pdf_tables(content: bytes) -> list[str]:
-    """REAL heuristic table extraction for PDF payloads (r4):
-    ``sources/ooxml.py::pdf_tables`` interprets the positioned text
-    operators and clusters rows/cells — the reference's tabula
-    pipe-joined shape (parsers.py:127-137). Non-PDF payloads keep the
-    deterministic stub."""
+def _pdf_tables(content: bytes, allow_stub: bool = False) -> list[str]:
+    """REAL heuristic table extraction (r4): ``sources/ooxml.py::
+    pdf_tables`` interprets the positioned text operators and clusters
+    rows/cells — the reference's tabula pipe-joined shape
+    (parsers.py:127-137). The PDF header may legally sit up to 1024
+    bytes into the file, so the sniff searches, not prefixes. An
+    undecodable payload yields [] — NEVER fabricated rows — unless the
+    caller explicitly opts into the deterministic stub (synthetic
+    pipelines that need non-empty explode shapes)."""
     from vectordb_data_ingestion_spark.sources.ooxml import pdf_tables
 
-    if content and content.lstrip()[:5].startswith(b"%PDF"):
-        return pdf_tables(content)
-    return _stub_pdf_tables(content)
+    if content and b"%PDF" in content[:1024]:
+        try:
+            return pdf_tables(content)
+        except Exception:  # noqa: BLE001 - decoder boundary
+            return []
+    return _stub_pdf_tables(content) if allow_stub else []
 
 
-@F.pandas_udf(ArrayType(StringType()))
-def extract_pdf_tables_udf(content: pd.Series) -> pd.Series:
-    return pd.Series([_pdf_tables(c) for c in content], dtype="object")
+def _pdf_tables_udf(allow_stub: bool):
+    @F.pandas_udf(ArrayType(StringType()))
+    def _udf(content: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_pdf_tables(c, allow_stub) for c in content], dtype="object"
+        )
+
+    return _udf
 
 
-def extract_pdf_tables(catalog: DataFrame) -> DataFrame:
+def extract_pdf_tables(
+    catalog: DataFrame, allow_stub: bool = False
+) -> DataFrame:
     """One row per (pdf, table) with the table flattened to pipe-joined
     text — the reference builds one langchain Document per table
-    (process_pdf_table, parsers.py:127-137)."""
+    (process_pdf_table, parsers.py:127-137). Undecodable payloads yield
+    no rows unless ``allow_stub`` (synthetic-pipeline shapes)."""
     pdfs = catalog.filter(F.col("file_type") == "pdf")
     return pdfs.select(
         "url",
-        F.posexplode(extract_pdf_tables_udf(F.col("content"))).alias(
+        F.posexplode(_pdf_tables_udf(allow_stub)(F.col("content"))).alias(
             "table_index", "table_text"
         ),
     )
@@ -368,34 +391,47 @@ def _stub_attachments(content: bytes) -> list[tuple[str, bytes]]:
     ]
 
 
-def _attachments(content: bytes) -> list[tuple[str, bytes]]:
+def _attachments(
+    content: bytes, allow_stub: bool = False
+) -> list[tuple[str, bytes]]:
     """REAL attachment rows via the stdlib CFB reader (r4) — filename +
     payload per ``__attach_version1.0_#N`` storage, matching what
     extract_msg surfaces (reference parsers.py:103-109 writes these to
-    disk). Payloads that are not OLE2 containers fall back to the
-    deterministic stub so synthetic pipelines keep their shapes."""
+    disk). An undecodable payload (non-OLE2 OR a corrupt/truncated real
+    .msg) yields [] — fabricated attachments must never enter real
+    data — unless the caller explicitly opts into the deterministic
+    stub (synthetic pipelines that need non-empty explode shapes)."""
     from vectordb_data_ingestion_spark.sources.cfb import msg_attachments
 
     try:
         return msg_attachments(content or b"")
-    except (ValueError, struct.error, IndexError, KeyError):
-        return _stub_attachments(content)
+    except (ValueError, struct.error, IndexError, KeyError, EOFError):
+        return _stub_attachments(content) if allow_stub else []
 
 
-@F.pandas_udf(_ATTACHMENT_SCHEMA)
-def extract_attachments_udf(content: pd.Series) -> pd.Series:
-    return pd.Series([_attachments(c) for c in content], dtype="object")
+def _attachments_udf(allow_stub: bool):
+    @F.pandas_udf(_ATTACHMENT_SCHEMA)
+    def _udf(content: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_attachments(c, allow_stub) for c in content], dtype="object"
+        )
+
+    return _udf
 
 
-def extract_attachments(catalog: DataFrame) -> DataFrame:
+def extract_attachments(
+    catalog: DataFrame, allow_stub: bool = False
+) -> DataFrame:
     """One row per (msg file, attachment) — the reference writes attachments
     to local disk (``save_email_attachments`` parsers.py:103-109); here they
     become rows of ``(path, attachment_name, attachment_content)`` so
     downstream parsing/chunking stays distributed instead of re-scanning a
-    shared filesystem."""
+    shared filesystem. Undecodable payloads yield no rows unless
+    ``allow_stub``."""
     msgs = catalog.filter(F.col("file_type") == "msg")
     exploded = msgs.select(
-        "url", F.explode(extract_attachments_udf(F.col("content"))).alias("att")
+        "url",
+        F.explode(_attachments_udf(allow_stub)(F.col("content"))).alias("att"),
     )
     return exploded.select(
         "url",
@@ -417,7 +453,9 @@ def parse_attachments(catalog: DataFrame) -> DataFrame:
         atts.select(
             "url",
             "attachment_name",
-            file_type(F.col("attachment_name")).alias("file_type"),
+            # lowercase: 'Report.PDF' must hit the registry's lowercase
+            # keys in parse_documents' isin gate (review r4)
+            F.lower(file_type(F.col("attachment_name"))).alias("file_type"),
             F.col("attachment_content").alias("content"),
         )
     ).select(

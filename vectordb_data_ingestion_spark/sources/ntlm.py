@@ -217,13 +217,29 @@ def http_ntlm_auth(username: str, password: str):
             request.register_hook("response", self._respond)
             return request
 
+        @staticmethod
+        def _ntlm_token(header: str) -> str | None:
+            """The NTLM scheme's blob from a WWW-Authenticate header that
+            may advertise several schemes ('Negotiate, NTLM' — requests
+            joins multiple headers with ', '). Returns '' for a bare
+            scheme offer, the base64 blob when present, None when NTLM
+            is not offered."""
+            for part in header.split(","):
+                part = part.strip()
+                if part == "NTLM":
+                    return ""
+                if part.startswith("NTLM "):
+                    return part[5:].strip()
+            return None
+
         def _respond(self, response, **kwargs):
             if response.status_code != 401:
                 return response
-            challenge_hdr = response.headers.get("WWW-Authenticate", "")
-            if "NTLM" not in challenge_hdr.split(","):
-                if not challenge_hdr.strip().startswith("NTLM"):
-                    return response
+            offer = self._ntlm_token(
+                response.headers.get("WWW-Authenticate", "")
+            )
+            if offer is None:
+                return response
             response.content  # drain so the connection can be reused
             response.raw.release_conn()
             # step 1: NEGOTIATE
@@ -233,10 +249,12 @@ def http_ntlm_auth(username: str, password: str):
             ).decode("ascii")
             resp1 = response.connection.send(req1, **kwargs)
             resp1.history.append(response)
-            hdr = resp1.headers.get("WWW-Authenticate", "")
-            if not hdr.strip().startswith("NTLM "):
+            blob = self._ntlm_token(
+                resp1.headers.get("WWW-Authenticate", "")
+            )
+            if not blob:
                 return resp1
-            challenge = base64.b64decode(hdr.strip()[5:])
+            challenge = base64.b64decode(blob)
             server_challenge, target_info = parse_challenge(challenge)
             # step 2: AUTHENTICATE
             resp1.content

@@ -146,6 +146,46 @@ def _cell_value(cell, shared: list[str]):
     return int(f) if f.is_integer() and "e" not in raw.lower() else f
 
 
+def _sheet_parts(z: zipfile.ZipFile) -> list[str]:
+    """Worksheet part names in WORKBOOK order (xl/workbook.xml sheet
+    sequence resolved through the rels map) — part FILENAMES do not
+    follow display order once sheets are reordered in Excel, so a
+    filename sort can silently return the wrong worksheet for an index
+    (openpyxl follows workbook order; so must we). Falls back to the
+    numeric filename sort only when the workbook/rels parts are absent."""
+    try:
+        rels_root = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rel_target = {}
+        for rel in rels_root:
+            rid = rel.get("Id")
+            target = rel.get("Target", "")
+            if target and rid:
+                rel_target[rid] = (
+                    target if target.startswith("xl/")
+                    else "xl/" + target.lstrip("/")
+                )
+        wb_root = ET.fromstring(z.read("xl/workbook.xml"))
+        ordered = []
+        for node in wb_root.iter():
+            if _local(node.tag) != "sheet":
+                continue
+            rid = next(
+                (v for k, v in node.attrib.items() if k.endswith("}id")),
+                None,
+            )
+            if rid and rid in rel_target:
+                ordered.append(rel_target[rid])
+        if ordered:
+            return ordered
+    except KeyError:
+        pass
+    return sorted(
+        (n for n in z.namelist()
+         if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"sheet(\d+)\.xml", n).group(1)),
+    )
+
+
 def xlsx_rows(content: bytes, sheet: int = 0) -> list[tuple]:
     """Worksheet rows as tuples of typed values, column gaps preserved as
     None and short rows right-padded to the sheet's max width — the shape
@@ -165,11 +205,7 @@ def xlsx_rows(content: bytes, sheet: int = 0) -> list[tuple]:
                         if _local(n.tag) == "t"
                     )
                 )
-        sheets = sorted(
-            (n for n in z.namelist()
-             if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
-            key=lambda n: int(re.search(r"sheet(\d+)\.xml", n).group(1)),
-        )
+        sheets = _sheet_parts(z)
         if sheet >= len(sheets):
             raise IndexError(f"sheet {sheet} of {len(sheets)}")
         root = ET.fromstring(z.read(sheets[sheet]))
@@ -214,14 +250,24 @@ def _pdf_literal(data: bytes, start: int) -> tuple[bytes, int]:
             if nxt in _PDF_ESCAPES:
                 out += _PDF_ESCAPES[nxt]
                 i += 2
-            elif nxt.isdigit():  # \ooo octal (1-3 digits)
+            elif nxt and nxt in b"01234567":  # \ooo octal (1-3 digits;
+                # 8/9 are NOT octal — int(..., 8) on them would raise and
+                # break the never-raise contract)
                 j = i + 1
-                while j < min(i + 4, len(data)) and data[j:j + 1].isdigit():
+                while (
+                    j < min(i + 4, len(data))
+                    and data[j:j + 1] in b"01234567"
+                ):
                     j += 1
                 out.append(int(data[i + 1:j], 8) & 0xFF)
                 i = j
+            elif nxt in (b"\r", b"\n", b""):
+                i += 2  # line continuation: both chars dropped
             else:
-                i += 2  # line continuation / unknown escape: drop
+                # unknown escape: per spec the backslash is ignored and
+                # the character kept
+                out += nxt
+                i += 2
         elif ch == b"(":
             depth += 1
             out += ch

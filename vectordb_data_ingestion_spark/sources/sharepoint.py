@@ -140,9 +140,13 @@ def rest_sharepoint_lister(
         stack = [folder]
         while stack:
             rel = stack.pop()
+            # OData string literals escape embedded quotes by DOUBLING
+            # them ('' inside '...'); URL-encoding alone would let an
+            # apostrophe in a folder name terminate the literal
+            escaped = rel.replace("'", "''")
             url = (
                 f"{site_url}/_api/web/GetFolderByServerRelativeUrl("
-                f"'{quote(rel)}')?$expand=Folders,Files"
+                f"'{quote(escaped)}')?$expand=Folders,Files"
             )
             payload = fetch_json(url).get("d", {})
             for f in payload.get("Files", {}).get("results", []):
