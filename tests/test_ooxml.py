@@ -85,6 +85,26 @@ def test_xlsx_stdlib_rows_typed_and_gap_padded():
         xlsx_rows(golden_xlsx(), sheet=1)
 
 
+def test_xlsx_to_text_chunkable_render():
+    """The document-pipeline rendering: tab-joined cells, newline-joined
+    rows, integral floats rendered as ints, gaps as empty cells — and the
+    kind is REGISTERED, so a mixed catalog holding .xlsx parses instead
+    of aborting on an unregistered kind."""
+    from vectordb_data_ingestion_spark.sources import files as fmod
+    from vectordb_data_ingestion_spark.sources.ooxml import xlsx_to_text
+
+    text = xlsx_to_text(golden_xlsx())
+    assert text == (
+        "name\tqty\t\n"
+        "widget\t3\t\n"
+        "gadget\t\t5.5\n"
+        "inline\tTrue\t"
+    )
+    assert fmod.parse_bytes(golden_xlsx(), "xlsx") == text
+    assert fmod.DECODER_TIER["xlsx"] == "stdlib"
+    assert "xlsx" not in fmod.STUBBED_KINDS
+
+
 def test_read_excel_catalog_stdlib_tier(spark, tmp_path):
     """The XLSX scan is real without openpyxl: stdlib decode -> header
     skip -> DataFrame (the reference's min_row=2 iteration)."""

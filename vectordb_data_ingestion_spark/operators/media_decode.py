@@ -218,5 +218,11 @@ def decode_media(content: bytes) -> dict | None:
         return None
     try:
         return _DECODERS[kind](content)
-    except (struct.error, zlib.error, wave.Error, IndexError, EOFError) as e:
+    except ValueError:
+        raise
+    except Exception as e:  # noqa: BLE001 - decoder boundary: the stdlib
+        # modules raise a zoo of types on truncated payloads (wave.Error,
+        # EOFError, and RuntimeError from chunk alignment; zlib.error;
+        # struct.error; IndexError past a short scanline) — normalize ALL
+        # of them so callers keep the documented one-except contract
         raise ValueError(f"malformed {kind} payload: {e}") from e

@@ -217,6 +217,7 @@ def _stdlib_parsers() -> dict[str, ParserFn]:
         docx_to_text,
         pdf_to_text,
         pptx_to_text,
+        xlsx_to_text,
     )
 
     return {
@@ -224,6 +225,7 @@ def _stdlib_parsers() -> dict[str, ParserFn]:
         "docx": docx_to_text,
         "pptx": pptx_to_text,
         "msg": msg_to_text,
+        "xlsx": xlsx_to_text,
     }
 
 
@@ -235,7 +237,7 @@ def _build_default_registry() -> None:
         DECODER_TIER[k] = "stdlib"
     real = _try_real_parsers()
     stdlib = _stdlib_parsers()
-    for kind in ("pdf", "docx", "pptx", "msg"):
+    for kind in ("pdf", "docx", "pptx", "msg", "xlsx"):
         if kind in real:
             register_parser(kind, real[kind])
             DECODER_TIER[kind] = "lib"

@@ -227,6 +227,33 @@ def xlsx_rows(content: bytes, sheet: int = 0) -> list[tuple]:
     return [tuple(r + [None] * (width - len(r))) for r in rows]
 
 
+def _fmt_cell(v) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+def xlsx_to_text(content: bytes) -> str:
+    """Workbook rendered as chunkable text: tab-joined cells,
+    newline-joined rows, blank line between sheets. This is the
+    document-pipeline rendering of the reference's Excel ingestion
+    (cmfunctions.py:448-454 reads sheets into rows); the typed tabular
+    shape lives in ``sources/tabular.py`` — this render exists so a
+    mixed SharePoint catalog containing ``.xlsx`` entries flows through
+    ``parse_documents`` instead of aborting on an unregistered kind."""
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        n_sheets = len(_sheet_parts(z))
+    sheets = []
+    for s in range(n_sheets):
+        rows = xlsx_rows(content, sheet=s)
+        sheets.append(
+            "\n".join("\t".join(_fmt_cell(v) for v in r) for r in rows)
+        )
+    return "\n\n".join(sheets)
+
+
 # ---------------------------------------------------------------------------
 # PDF (simple text extraction)
 # ---------------------------------------------------------------------------
