@@ -186,29 +186,24 @@ def _sheet_parts(z: zipfile.ZipFile) -> list[str]:
     )
 
 
-def xlsx_rows(content: bytes, sheet: int = 0) -> list[tuple]:
-    """Worksheet rows as tuples of typed values, column gaps preserved as
-    None and short rows right-padded to the sheet's max width — the shape
-    ``openpyxl.iter_rows`` yields, feeding ``excel_rows_to_df``
-    (reference cmfunctions.py:448-454)."""
-    with zipfile.ZipFile(io.BytesIO(content)) as z:
-        shared: list[str] = []
-        if "xl/sharedStrings.xml" in z.namelist():
-            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
-            for si in root:
-                if _local(si.tag) != "si":
-                    continue
-                shared.append(
-                    "".join(
-                        n.text or ""
-                        for n in si.iter()
-                        if _local(n.tag) == "t"
-                    )
+def _shared_strings(z: zipfile.ZipFile) -> list[str]:
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in z.namelist():
+        root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+        for si in root:
+            if _local(si.tag) != "si":
+                continue
+            shared.append(
+                "".join(
+                    n.text or ""
+                    for n in si.iter()
+                    if _local(n.tag) == "t"
                 )
-        sheets = _sheet_parts(z)
-        if sheet >= len(sheets):
-            raise IndexError(f"sheet {sheet} of {len(sheets)}")
-        root = ET.fromstring(z.read(sheets[sheet]))
+            )
+    return shared
+
+
+def _sheet_rows(root, shared: list[str]) -> list[tuple]:
     rows: list[list] = []
     for row in root.iter():
         if _local(row.tag) != "row":
@@ -225,6 +220,20 @@ def xlsx_rows(content: bytes, sheet: int = 0) -> list[tuple]:
         rows.append(vals)
     width = max((len(r) for r in rows), default=0)
     return [tuple(r + [None] * (width - len(r))) for r in rows]
+
+
+def xlsx_rows(content: bytes, sheet: int = 0) -> list[tuple]:
+    """Worksheet rows as tuples of typed values, column gaps preserved as
+    None and short rows right-padded to the sheet's max width — the shape
+    ``openpyxl.iter_rows`` yields, feeding ``excel_rows_to_df``
+    (reference cmfunctions.py:448-454)."""
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        shared = _shared_strings(z)
+        sheets = _sheet_parts(z)
+        if sheet >= len(sheets):
+            raise IndexError(f"sheet {sheet} of {len(sheets)}")
+        root = ET.fromstring(z.read(sheets[sheet]))
+    return _sheet_rows(root, shared)
 
 
 def _fmt_cell(v) -> str:
@@ -244,14 +253,15 @@ def xlsx_to_text(content: bytes) -> str:
     mixed SharePoint catalog containing ``.xlsx`` entries flows through
     ``parse_documents`` instead of aborting on an unregistered kind."""
     with zipfile.ZipFile(io.BytesIO(content)) as z:
-        n_sheets = len(_sheet_parts(z))
-    sheets = []
-    for s in range(n_sheets):
-        rows = xlsx_rows(content, sheet=s)
-        sheets.append(
-            "\n".join("\t".join(_fmt_cell(v) for v in r) for r in rows)
+        shared = _shared_strings(z)
+        roots = [ET.fromstring(z.read(p)) for p in _sheet_parts(z)]
+    return "\n\n".join(
+        "\n".join(
+            "\t".join(_fmt_cell(v) for v in r)
+            for r in _sheet_rows(root, shared)
         )
-    return "\n\n".join(sheets)
+        for root in roots
+    )
 
 
 # ---------------------------------------------------------------------------
