@@ -65,3 +65,44 @@ def test_dedup_by_components_keeps_one_per_cluster(spark):
 def test_empty_pairs(spark):
     df = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(df).count() == 0
+
+
+@pytest.mark.parametrize(
+    "seed,n_nodes,n_edges",
+    [(7, 60, 40), (11, 120, 150), (13, 200, 80)],
+)
+def test_randomized_parity_with_union_find(spark, seed, n_nodes, n_edges):
+    """The distributed min-label/pointer-jumping algorithm must agree with
+    a pure-Python union-find on random graphs across regimes: sparse
+    (mostly small components), dense (one giant component emerges), and
+    very sparse over many nodes (lots of isolated pairs). Component label
+    = min node id of the component, matching the operator's contract."""
+    import random
+
+    rng = random.Random(seed)
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(range(n_nodes), 2)))
+            for _ in range(n_edges)
+        }
+    )
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label per component, only for nodes that appear in an edge
+    touched = {v for e in edges for v in e}
+    expected = {v: find(v) for v in touched}
+    # find() roots are already the min id: union always hangs the larger
+    # root under the smaller, so the root never increases
+    got = _components(spark, [(a, b) for a, b in edges])
+    assert got == expected
