@@ -915,3 +915,66 @@ def test_legacy_migration_refuses_stale_rebuild_conflict(tmp_path):
         _migrate_legacy_flat_codes(str(codes))
     # nothing was moved: the refusal happened before any rename
     assert sorted(os.listdir(codes)) == ["batch=base", "cell=0", "cell=1"]
+
+
+def test_watermark_drops_beyond_horizon_event(spark, tmp_path):
+    """The drop side of the watermark contract: an event older than the
+    watermark arriving in a LATER micro-batch must be discarded — the
+    already-finalized window keeps its count and is never re-emitted
+    (a second append-mode row for the same window would double-count
+    downstream consumers). The fresh-window path keeps working after.
+    One always-on query, two file drops (memory sinks cannot recover
+    from a checkpoint, so no stop/restart here)."""
+    from datetime import datetime
+
+    stream_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt_wm")
+    os.makedirs(stream_dir)
+    schema = "ts timestamp, event_type string, value double"
+
+    def drop(rows):
+        spark.createDataFrame(
+            [(datetime(2026, 1, 1, *hm), et, v) for hm, et, v in rows],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    # batch 1: three events in the 10:00 window; a 14:00 event drags the
+    # max event time forward so the watermark (2h delay) passes 11:00 and
+    # finalizes the 10:00 window
+    drop([((10, 5), "click", 1.0), ((10, 20), "click", 2.0),
+          ((10, 40), "click", 3.0), ((14, 0), "view", 1.0)])
+
+    stream = read_file_stream(
+        spark, stream_dir, spark.createDataFrame([], schema).schema
+    )
+    q = (
+        windowed_event_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("wm_drill")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("maxFilesPerTrigger", "1")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+
+        def emitted():
+            return {
+                (r["window_start"].hour, r["event_type"]): r["n_events"]
+                for r in spark.sql("select * from wm_drill").collect()
+            }
+
+        assert emitted()[(10, "click")] == 3
+
+        # batch 2: a 10:30 straggler is beyond the 12:00 watermark ->
+        # dropped; a 17:00 event closes the 14:00 window
+        drop([((10, 30), "click", 99.0), ((17, 0), "view", 1.0)])
+        q.processAllAvailable()
+        out = spark.sql("select * from wm_drill").collect()
+        ten = [r for r in out if r["window_start"].hour == 10]
+        assert len(ten) == 1, "finalized window re-emitted"
+        assert ten[0]["n_events"] == 3 and ten[0]["total_value"] == 6.0
+        assert emitted()[(14, "view")] == 1
+    finally:
+        q.stop()
