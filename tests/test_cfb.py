@@ -248,3 +248,30 @@ def test_parse_attachments_through_registry(spark, tmp_path):
     assert set(rows) == {"readme.txt", "doc.docx"}
     assert rows["readme.txt"]["text"] == "plain attachment text body"
     assert rows["doc.docx"]["text"].startswith("hello world")
+
+
+def test_directory_child_cycle_terminates():
+    """A corrupt container whose child pointers form a cycle (storage's
+    grandchild points back at the storage) must parse-or-degrade, never
+    exhaust the stack: the tree walk keeps ONE seen set across the whole
+    directory, and the _attachments boundary returns a list regardless."""
+    import struct as _struct
+
+    from vectordb_data_ingestion_spark.sources import files as fmod
+
+    data = bytearray(golden_msg())
+    cf = CfbFile(bytes(data))
+    names = [e.name for e in cf.entries]
+    attach_idx = names.index("__attach_version1.0_#00000000")
+    child_idx = cf.entries[attach_idx].child
+    child_name = cf.entries[child_idx].name
+
+    # locate the child's 128-byte directory record by its UTF-16LE name
+    # (unique in this golden) and point its own child back at the storage
+    rec = data.find(child_name.encode("utf-16-le"))
+    assert rec != -1 and rec % 128 == 0, "directory record not found"
+    _struct.pack_into("<I", data, rec + 76, attach_idx)
+
+    CfbFile(bytes(data))  # must terminate (was: unbounded recursion)
+    out = fmod._attachments(bytes(data))
+    assert isinstance(out, list)

@@ -147,6 +147,7 @@ def test_stub_report_matches_missing_libs():
         "docx": "docx",
         "pptx": "pptx",
         "msg": "extract_msg",
+        "xlsx": "openpyxl",
     }
     assert fmod.STUBBED_KINDS == set()
     for kind, mod in lib_for.items():

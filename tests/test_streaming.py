@@ -953,7 +953,6 @@ def test_watermark_drops_beyond_horizon_event(spark, tmp_path):
         .queryName("wm_drill")
         .outputMode("append")
         .option("checkpointLocation", ckpt)
-        .option("maxFilesPerTrigger", "1")
         .start()
     )
     try:

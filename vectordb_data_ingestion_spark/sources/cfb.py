@@ -144,27 +144,30 @@ class CfbFile:
 
     # -- directory tree ----------------------------------------------------
     def _walk(self, entry: DirEntry, path: tuple) -> None:
+        """Assign each directory entry its storage path. Fully iterative
+        with ONE seen set across the whole tree: a corrupt container whose
+        child pointers form a cycle (A.child -> B, B.child -> A) must
+        terminate, not exhaust the stack — a recursive walk with per-level
+        cycle detection still recurses unboundedly through children."""
         entry.path = path
+        seen = {entry.index}
+        stack = []
         if entry.child != NOSTREAM:
-            self._walk_siblings(
+            stack.append((
                 self.entries[entry.child],
                 path if entry.obj_type == 5 else path + (entry.name,),
-            )
-
-    def _walk_siblings(self, entry: DirEntry, parent: tuple) -> None:
-        stack = [entry]
-        seen = set()
+            ))
         while stack:
-            e = stack.pop()
+            e, parent = stack.pop()
             if e.index in seen:
                 continue
             seen.add(e.index)
             e.path = parent + (e.name,)
             for nxt in (e.left, e.right):
                 if nxt != NOSTREAM:
-                    stack.append(self.entries[nxt])
+                    stack.append((self.entries[nxt], parent))
             if e.child != NOSTREAM:
-                self._walk_siblings(self.entries[e.child], e.path)
+                stack.append((self.entries[e.child], e.path))
 
     # -- public API --------------------------------------------------------
     def stream_names(self) -> list[tuple]:

@@ -203,6 +203,33 @@ def _try_real_parsers() -> dict[str, ParserFn]:
         real["msg"] = _parse_msg
     except ImportError:
         pass
+    try:
+        import io
+
+        from openpyxl import load_workbook  # noqa: F401
+
+        def _parse_xlsx(content: bytes) -> str:
+            # same rendering contract as ooxml.xlsx_to_text (tab-joined
+            # cells, blank line between sheets) with openpyxl's richer
+            # value coercion (dates, cached formula results)
+            wb = load_workbook(
+                io.BytesIO(content), read_only=True, data_only=True
+            )
+            sheets = []
+            for ws in wb.worksheets:
+                sheets.append(
+                    "\n".join(
+                        "\t".join(
+                            "" if v is None else str(v) for v in row
+                        )
+                        for row in ws.iter_rows(values_only=True)
+                    )
+                )
+            return "\n\n".join(sheets)
+
+        real["xlsx"] = _parse_xlsx
+    except ImportError:
+        pass
     return real
 
 
@@ -407,7 +434,9 @@ def _attachments(
 
     try:
         return msg_attachments(content or b"")
-    except (ValueError, struct.error, IndexError, KeyError, EOFError):
+    except Exception:  # noqa: BLE001 - decoder boundary, same contract as
+        # _dispatch: a corrupt container must degrade to no rows, whatever
+        # exception type the reader surfaces
         return _stub_attachments(content) if allow_stub else []
 
 
