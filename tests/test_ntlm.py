@@ -276,3 +276,67 @@ def test_multi_scheme_header_parsing():
     blob = base64.b64encode(b"NTLMSSP\x00\x02").decode()
     assert tok(f"NTLM {blob}, Negotiate") == blob
     assert tok(f"Negotiate, NTLM {blob}") == blob
+
+
+def test_parse_challenge_truncation_never_struct_error():
+    """The CHALLENGE is untrusted network bytes: every truncation of a
+    valid message (and plain garbage) must raise ValueError — one clean
+    exception type — never struct.error from a short unpack slice."""
+    ti = TARGET_INFO
+    valid = (
+        b"NTLMSSP\x00" + struct.pack("<I", 2)
+        + struct.pack("<HHI", 0, 0, 48)
+        + struct.pack("<I", 0x00000001)
+        + SERVER_CHALLENGE + b"\x00" * 8
+        + struct.pack("<HHI", len(ti), len(ti), 48)
+        + ti
+    )
+    for i in range(48):
+        with pytest.raises(ValueError):
+            parse_challenge(valid[:i])
+    for junk in (b"", b"\x00" * 47, b"NTLMSSP\x00" + b"\xff" * 64):
+        with pytest.raises(ValueError):
+            parse_challenge(junk)
+
+
+def test_garbled_server_challenge_is_auth_failure_not_crash():
+    """A server answering the NEGOTIATE with a garbled challenge token
+    (bad base64, or valid base64 of a non-CHALLENGE) must surface as a
+    401 to the caller — an auth failure — not an exception mid-request."""
+    requests = pytest.importorskip("requests")
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from vectordb_data_ingestion_spark.sources.ntlm import http_ntlm_auth
+
+    for bad_token in ("!!!not-base64!!!", base64.b64encode(
+            b"NTLMSSP\x00\x02\x00\x00\x00short").decode()):
+        class Handler(BaseHTTPRequestHandler):
+            token = bad_token
+
+            def do_GET(self):
+                auth = self.headers.get("Authorization", "")
+                self.send_response(401)
+                if auth.startswith("NTLM "):
+                    self.send_header("WWW-Authenticate",
+                                     "NTLM " + self.token)
+                else:
+                    self.send_header("WWW-Authenticate", "NTLM")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        srv = HTTPServer(("127.0.0.1", 0), Handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            r = requests.get(
+                f"http://127.0.0.1:{srv.server_port}/",
+                auth=http_ntlm_auth("Domain\\User", "Password"),
+                timeout=10,
+            )
+            assert r.status_code == 401
+        finally:
+            srv.shutdown()

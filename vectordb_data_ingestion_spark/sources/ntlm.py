@@ -20,6 +20,7 @@ runs over TLS like the reference. Correctness is pinned to the official
 from __future__ import annotations
 
 import base64
+import binascii
 import hmac
 import os
 import struct
@@ -151,7 +152,12 @@ def negotiate_message() -> bytes:
 
 
 def parse_challenge(message: bytes) -> tuple[bytes, bytes]:
-    """Type 2 -> (server_challenge, target_info)."""
+    """Type 2 -> (server_challenge, target_info). The message is untrusted
+    network input: anything shorter than the 48-byte fixed part ([MS-NLMP]
+    2.2.1.2) or mis-typed raises ValueError — never struct.error — so the
+    auth hook has one exception type to turn into a clean auth failure."""
+    if len(message) < 48:
+        raise ValueError("truncated NTLM CHALLENGE message")
     if message[:8] != _SIGNATURE or struct.unpack("<I", message[8:12])[0] != 2:
         raise ValueError("not an NTLM CHALLENGE message")
     server_challenge = message[24:32]
@@ -254,8 +260,13 @@ def http_ntlm_auth(username: str, password: str):
             )
             if not blob:
                 return resp1
-            challenge = base64.b64decode(blob)
-            server_challenge, target_info = parse_challenge(challenge)
+            try:
+                challenge = base64.b64decode(blob)
+                server_challenge, target_info = parse_challenge(challenge)
+            except (ValueError, binascii.Error):
+                # a server sending a garbled challenge is an auth failure,
+                # not a client crash: surface the 401 to the caller
+                return resp1
             # step 2: AUTHENTICATE
             resp1.content
             resp1.raw.release_conn()
