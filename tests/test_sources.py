@@ -403,3 +403,62 @@ def test_rest_sharepoint_lister_recursive_walk(spark):
     assert set(rows) == {"root.txt", "nested.pdf"}
     assert rows["nested.pdf"]["file_type"] == "pdf"
     assert rows["nested.pdf"]["url"] == "/kb/sub/nested.pdf"
+
+
+def test_rest_sharepoint_lister_follows_next_pages(spark):
+    """Server-paged collections (SharePoint caps every response at the
+    list-view threshold) must be exhausted via __next links — a walk that
+    reads only the first page silently truncates the catalog exactly when
+    the corpus gets big. Covers both continuation shapes: a bare
+    collection under d, and one re-wrapped under the expanded property."""
+    from vectordb_data_ingestion_spark.sources.sharepoint import (
+        catalog_from_lister,
+        rest_sharepoint_lister,
+    )
+
+    site = "https://example.sharepoint.com/sites/kb"
+
+    def file_row(i):
+        return {
+            "Name": f"f{i}.txt",
+            "ServerRelativeUrl": f"/kb/f{i}.txt",
+            "TimeLastModified": "2026-02-01T00:00:00Z",
+        }
+
+    def fake_fetch(url):
+        if "'/kb'" in url:
+            return {"d": {
+                "Files": {
+                    "results": [file_row(0), file_row(1)],
+                    "__next": f"{site}/_api/files?page=2",
+                },
+                "Folders": {
+                    "results": [],
+                    "__next": f"{site}/_api/folders?page=2",
+                },
+            }}
+        if url.endswith("files?page=2"):
+            # continuation as a bare collection under d
+            return {"d": {"results": [file_row(2)],
+                          "__next": f"{site}/_api/files?page=3"}}
+        if url.endswith("files?page=3"):
+            return {"d": {"results": [file_row(3)]}}
+        if url.endswith("folders?page=2"):
+            # continuation re-wrapped under the expanded property
+            return {"d": {"Folders": {"results": [
+                {"Name": "late", "ServerRelativeUrl": "/kb/late"},
+            ]}}}
+        if "'/kb/late'" in url:
+            return {"d": {
+                "Files": {"results": [{
+                    "Name": "deep.pdf",
+                    "ServerRelativeUrl": "/kb/late/deep.pdf",
+                    "TimeLastModified": "2026-02-02T00:00:00Z",
+                }]},
+                "Folders": {"results": []},
+            }}
+        raise AssertionError(f"unexpected fetch {url}")
+
+    lister = rest_sharepoint_lister(site, "/kb", fetch_json=fake_fetch)
+    names = {r["name"] for r in catalog_from_lister(spark, lister).collect()}
+    assert names == {"f0.txt", "f1.txt", "f2.txt", "f3.txt", "deep.pdf"}

@@ -100,6 +100,28 @@ def sharepoint_lister(site_url: str, folder: str, username: str, password: str) 
     return _list
 
 
+def _paged(collection: dict, fetch_json) -> Iterable[dict]:
+    """Exhaust an OData collection across server pages. SharePoint caps
+    every collection response (default list-view threshold 5000); a folder
+    with more files than the cap returns the first page plus a ``__next``
+    link — a walk that reads ``results`` once SILENTLY TRUNCATES the
+    catalog at scale. Follows ``__next`` until absent. Paged continuations
+    come back either as a bare collection (``d`` holding ``results``
+    directly) or re-wrapped under the expanded property — handle both."""
+    while True:
+        for item in collection.get("results", []):
+            yield item
+        nxt = collection.get("__next")
+        if not nxt:
+            return
+        d = fetch_json(nxt).get("d", {})
+        collection = d if "results" in d or "__next" in d else next(
+            (v for v in d.values()
+             if isinstance(v, dict) and ("results" in v or "__next" in v)),
+            {},
+        )
+
+
 def rest_sharepoint_lister(
     site_url: str,
     folder: str,
@@ -149,13 +171,13 @@ def rest_sharepoint_lister(
                 f"'{quote(escaped)}')?$expand=Folders,Files"
             )
             payload = fetch_json(url).get("d", {})
-            for f in payload.get("Files", {}).get("results", []):
+            for f in _paged(payload.get("Files", {}), fetch_json):
                 yield (
                     f["Name"],
                     f.get("ServerRelativeUrl", f["Name"]),
                     f.get("TimeLastModified", ""),
                 )
-            for sub in payload.get("Folders", {}).get("results", []):
+            for sub in _paged(payload.get("Folders", {}), fetch_json):
                 name = sub.get("Name", "")
                 if not name.startswith("_"):  # skip hidden/system
                     stack.append(sub["ServerRelativeUrl"])
