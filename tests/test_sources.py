@@ -462,3 +462,32 @@ def test_rest_sharepoint_lister_follows_next_pages(spark):
     lister = rest_sharepoint_lister(site, "/kb", fetch_json=fake_fetch)
     names = {r["name"] for r in catalog_from_lister(spark, lister).collect()}
     assert names == {"f0.txt", "f1.txt", "f2.txt", "f3.txt", "deep.pdf"}
+
+
+def test_onprem_lister_follows_next_pages(spark):
+    """The on-prem OData walk pages identically: a folder over the
+    list-view threshold must be exhausted via __next, not truncated."""
+    from vectordb_data_ingestion_spark.sources.sharepoint import (
+        onprem_sharepoint_lister,
+    )
+
+    def fake_fetch(url):
+        if url == "http://sp.local/_api/folder/files":
+            return {"d": {
+                "results": [{"Name": "a.txt",
+                             "ServerRelativeUrl": "/f/a.txt",
+                             "TimeLastModified": "2026-01-01T00:00:00Z"}],
+                "__next": "http://sp.local/_api/folder/files?page=2",
+            }}
+        if url.endswith("page=2"):
+            return {"d": {"results": [
+                {"Name": "b.txt", "ServerRelativeUrl": "/f/b.txt",
+                 "TimeLastModified": "2026-01-01T00:00:00Z"},
+            ]}}
+        raise AssertionError(f"unexpected fetch {url}")
+
+    lister = onprem_sharepoint_lister(
+        ["http://sp.local/_api/folder/files"], "u", "p",
+        fetch_json=fake_fetch,
+    )
+    assert [n for n, _u, _m in lister()] == ["a.txt", "b.txt"]

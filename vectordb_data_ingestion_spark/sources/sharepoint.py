@@ -233,8 +233,11 @@ def onprem_sharepoint_lister(
     def _list():
         for folder_url in folder_urls:
             payload = fetch_json(folder_url)
-            results = payload.get("d", {}).get("results", payload.get("results", []))
-            for f in results:
+            d = payload.get("d", payload)
+            # same list-view-threshold paging as the cloud walk: exhaust
+            # __next continuations instead of truncating at one page
+            for f in _paged(d if "results" in d or "__next" in d else {},
+                            fetch_json):
                 # OData rows carry Name / ServerRelativeUrl / TimeLastModified
                 # (sharepointutils.py:268-281)
                 yield (
