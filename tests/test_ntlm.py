@@ -340,3 +340,27 @@ def test_garbled_server_challenge_is_auth_failure_not_crash():
             assert r.status_code == 401
         finally:
             srv.shutdown()
+
+
+def test_parse_challenge_target_info_bounds():
+    """A 48-byte-valid CHALLENGE whose TargetInfo pointer lands in the
+    header or past the end must raise, not yield a truncated blob."""
+    def challenge(ti_len, ti_off, tail=b""):
+        return (
+            b"NTLMSSP\x00" + struct.pack("<I", 2)
+            + struct.pack("<HHI", 0, 0, 48)
+            + struct.pack("<I", 1)
+            + SERVER_CHALLENGE + b"\x00" * 8
+            + struct.pack("<HHI", ti_len, ti_len, ti_off)
+            + tail
+        )
+
+    with pytest.raises(ValueError, match="TargetInfo"):
+        parse_challenge(challenge(4, 0xFFFFFFF0))
+    with pytest.raises(ValueError, match="TargetInfo"):
+        parse_challenge(challenge(4, 12))  # points into the header
+    with pytest.raises(ValueError, match="TargetInfo"):
+        parse_challenge(challenge(64, 48, tail=b"\x00" * 8))  # past end
+    # zero-length TargetInfo stays legal
+    sc, ti = parse_challenge(challenge(0, 0))
+    assert sc == SERVER_CHALLENGE and ti == b""

@@ -491,3 +491,33 @@ def test_onprem_lister_follows_next_pages(spark):
         fetch_json=fake_fetch,
     )
     assert [n for n, _u, _m in lister()] == ["a.txt", "b.txt"]
+
+
+def test_paged_guards_loops_and_unknown_shapes():
+    """_paged must fail LOUD, not wrong: a repeated __next raises instead
+    of spinning the driver; an unrecognizable continuation raises instead
+    of silently truncating; a multi-collection continuation feeds only the
+    property being paged; a bare-list d is accepted."""
+    import pytest as _pytest
+
+    from vectordb_data_ingestion_spark.sources.sharepoint import _paged
+
+    loop = {"results": [{"n": 1}], "__next": "u1"}
+    with _pytest.raises(ValueError, match="paging loop"):
+        list(_paged(loop, lambda u: {"d": loop}))
+
+    start = {"results": [], "__next": "u1"}
+    with _pytest.raises(ValueError, match="continuation shape"):
+        list(_paged(start, lambda u: {"d": {"value": []}}, "Files"))
+
+    # multi-collection continuation: only the paged property is consumed
+    multi = {"d": {
+        "Folders": {"results": [{"Name": "WRONG"}]},
+        "Files": {"results": [{"Name": "right"}]},
+    }}
+    out = list(_paged(start, lambda u: multi, "Files"))
+    assert out == [{"Name": "right"}]
+
+    # bare-list continuation (older / non-verbose shape)
+    out = list(_paged(start, lambda u: {"d": [{"Name": "x"}]}))
+    assert out == [{"Name": "x"}]

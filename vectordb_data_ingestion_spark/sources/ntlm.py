@@ -20,7 +20,6 @@ runs over TLS like the reference. Correctness is pinned to the official
 from __future__ import annotations
 
 import base64
-import binascii
 import hmac
 import os
 import struct
@@ -162,6 +161,10 @@ def parse_challenge(message: bytes) -> tuple[bytes, bytes]:
         raise ValueError("not an NTLM CHALLENGE message")
     server_challenge = message[24:32]
     ti_len, _ti_max, ti_off = struct.unpack("<HHI", message[40:48])
+    if ti_len and (ti_off < 48 or ti_off + ti_len > len(message)):
+        # a TargetInfo pointer into the header or past the end would
+        # silently yield a truncated blob and a doomed AUTHENTICATE
+        raise ValueError("NTLM CHALLENGE TargetInfo out of bounds")
     return server_challenge, message[ti_off: ti_off + ti_len]
 
 
@@ -263,9 +266,10 @@ def http_ntlm_auth(username: str, password: str):
             try:
                 challenge = base64.b64decode(blob)
                 server_challenge, target_info = parse_challenge(challenge)
-            except (ValueError, binascii.Error):
+            except ValueError:
                 # a server sending a garbled challenge is an auth failure,
                 # not a client crash: surface the 401 to the caller
+                # (binascii.Error from b64decode IS a ValueError subclass)
                 return resp1
             # step 2: AUTHENTICATE
             resp1.content

@@ -100,26 +100,50 @@ def sharepoint_lister(site_url: str, folder: str, username: str, password: str) 
     return _list
 
 
-def _paged(collection: dict, fetch_json) -> Iterable[dict]:
+def _paged(
+    collection: dict, fetch_json, prop: str | None = None
+) -> Iterable[dict]:
     """Exhaust an OData collection across server pages. SharePoint caps
     every collection response (default list-view threshold 5000); a folder
     with more files than the cap returns the first page plus a ``__next``
     link — a walk that reads ``results`` once SILENTLY TRUNCATES the
-    catalog at scale. Follows ``__next`` until absent. Paged continuations
-    come back either as a bare collection (``d`` holding ``results``
-    directly) or re-wrapped under the expanded property — handle both."""
+    catalog at scale. Follows ``__next`` until absent.
+
+    Continuations come back as a bare collection (``d`` holding
+    ``results`` directly), a bare list under ``d``, or re-wrapped under
+    the expanded property — ``prop`` names which property THIS iteration
+    is paging, so a payload carrying several collections can never feed
+    rows from the wrong one. Anything else raises: a loud failure beats
+    re-introducing the silent truncation this helper exists to prevent.
+    A repeated ``__next`` URL (misbehaving server/proxy) raises instead
+    of spinning the driver forever."""
+    seen_urls: set[str] = set()
     while True:
         for item in collection.get("results", []):
             yield item
         nxt = collection.get("__next")
         if not nxt:
             return
-        d = fetch_json(nxt).get("d", {})
-        collection = d if "results" in d or "__next" in d else next(
-            (v for v in d.values()
-             if isinstance(v, dict) and ("results" in v or "__next" in v)),
-            {},
-        )
+        if nxt in seen_urls:
+            raise ValueError(f"OData paging loop: {nxt!r} repeats")
+        seen_urls.add(nxt)
+        payload = fetch_json(nxt)
+        d = payload.get("d", {}) if isinstance(payload, dict) else {}
+        if isinstance(d, list):
+            collection = {"results": d}
+        elif isinstance(d, dict) and ("results" in d or "__next" in d):
+            collection = d
+        elif (
+            isinstance(d, dict)
+            and prop is not None
+            and isinstance(d.get(prop), dict)
+        ):
+            collection = d[prop]
+        else:
+            raise ValueError(
+                f"unrecognized OData continuation shape from {nxt!r}; "
+                "refusing to truncate the listing silently"
+            )
 
 
 def rest_sharepoint_lister(
@@ -171,13 +195,15 @@ def rest_sharepoint_lister(
                 f"'{quote(escaped)}')?$expand=Folders,Files"
             )
             payload = fetch_json(url).get("d", {})
-            for f in _paged(payload.get("Files", {}), fetch_json):
+            for f in _paged(payload.get("Files", {}), fetch_json, "Files"):
                 yield (
                     f["Name"],
                     f.get("ServerRelativeUrl", f["Name"]),
                     f.get("TimeLastModified", ""),
                 )
-            for sub in _paged(payload.get("Folders", {}), fetch_json):
+            for sub in _paged(
+                payload.get("Folders", {}), fetch_json, "Folders"
+            ):
                 name = sub.get("Name", "")
                 if not name.startswith("_"):  # skip hidden/system
                     stack.append(sub["ServerRelativeUrl"])
