@@ -62,6 +62,10 @@ PROBE = [
     # MRR scan (linear in the corpus once the query set is capped)
     "full_curation_pipeline",
     "retrieval_mrr_eval",
+    # round-4: the remaining search-family paths — full-vocab TF-IDF
+    # ranking and the materialized-postings BM25 (index build + probe)
+    "tfidf_topk",
+    "bm25_topk_indexed",
 ]
 
 ALL_TABLES = (

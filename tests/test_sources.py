@@ -521,3 +521,44 @@ def test_paged_guards_loops_and_unknown_shapes():
     # bare-list continuation (older / non-verbose shape)
     out = list(_paged(start, lambda u: {"d": [{"Name": "x"}]}))
     assert out == [{"Name": "x"}]
+
+
+def test_distributed_catalog_from_folders(spark):
+    """Executor-side listing: the folder list is distributed, each
+    partition lists its own folders (factory built per partition, like
+    fetch_content's fetcher_factory), and the derived catalog matches the
+    driver-side path row for row."""
+    from vectordb_data_ingestion_spark.sources.sharepoint import (
+        catalog_from_lister,
+        distributed_catalog_from_folders,
+    )
+
+    folders = [f"/site/f{i}" for i in range(7)]
+
+    def rows_for(folder):
+        i = folder.rsplit("f", 1)[1]
+        return [
+            (f"doc{i}_{j}.pdf", f"{folder}/doc{i}_{j}.pdf",
+             "2026-03-01T00:00:00Z")
+            for j in range(3)
+        ]
+
+    def factory():
+        return rows_for
+
+    dist = distributed_catalog_from_folders(
+        spark, folders, factory, num_partitions=4
+    )
+
+    def driver_lister():
+        for f in folders:
+            yield from rows_for(f)
+
+    drv = catalog_from_lister(spark, driver_lister)
+    key = lambda r: r["url"]  # noqa: E731
+    got = sorted(dist.collect(), key=key)
+    want = sorted(drv.collect(), key=key)
+    assert len(got) == 21
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    assert got[0]["file_type"] == "pdf"
+    assert got[0]["file_id"] == want[0]["file_id"]

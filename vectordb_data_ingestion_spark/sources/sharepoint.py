@@ -275,11 +275,9 @@ def onprem_sharepoint_lister(
     return _list
 
 
-def catalog_from_lister(spark: SparkSession, lister: Lister) -> DataFrame:
-    """Listing rows -> T1 catalog DataFrame with the reference's derived
-    columns (file_id, file_type, modified_dt - sharepointutils.py:136-142)."""
-    rows = list(lister())
-    df = spark.createDataFrame(rows, _LISTING_SCHEMA)
+def _derive_catalog_columns(df: DataFrame) -> DataFrame:
+    """Listing rows -> the reference's derived catalog columns
+    (file_id, file_type, modified_dt - sharepointutils.py:136-142)."""
     return df.select(
         F.sha2(F.col("url"), 256).alias("file_id"),
         "name",
@@ -288,6 +286,61 @@ def catalog_from_lister(spark: SparkSession, lister: Lister) -> DataFrame:
         file_type("name").alias("file_type"),
         F.to_timestamp("last_modified").alias("modified_dt"),
     )
+
+
+def catalog_from_lister(spark: SparkSession, lister: Lister) -> DataFrame:
+    """Listing rows -> T1 catalog DataFrame. Driver-side: right whenever
+    the catalog is metadata-sized (the common case). When the FILE count
+    itself is the scale problem, use
+    :func:`distributed_catalog_from_folders` instead."""
+    rows = list(lister())
+    return _derive_catalog_columns(
+        spark.createDataFrame(rows, _LISTING_SCHEMA)
+    )
+
+
+def distributed_catalog_from_folders(
+    spark: SparkSession,
+    folder_urls: Iterable[str],
+    folder_lister_factory: Callable[
+        [], Callable[[str], Iterable[tuple[str, str, str]]]
+    ],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Executor-side listing for catalogs too big to enumerate on the
+    driver: the FOLDER list (small) is distributed; each partition builds
+    its own per-folder lister (credentials/session executor-side, like
+    ``fetch_content``'s fetcher_factory) and emits that partition's file
+    rows — no 100M-row ``list()`` on the driver. This is the connector
+    analogue of Spark's own distributed file-index listing
+    (``spark.sql.sources.parallelPartitionDiscovery.threshold`` flips
+    InMemoryFileIndex to a Spark job for exactly the same reason).
+
+    ``folder_lister_factory() -> (folder_url -> iterable of (name, url,
+    last_modified_iso))`` — one factory call per partition."""
+    urls = [(u,) for u in folder_urls]
+    n = num_partitions or max(
+        1, min(len(urls), spark.sparkContext.defaultParallelism)
+    )
+    folders_df = spark.createDataFrame(urls, "folder string").repartition(n)
+
+    def _list_partition(batches):
+        import pandas as pd
+
+        list_folder = folder_lister_factory()
+        for pdf in batches:
+            names, furls, mods = [], [], []
+            for folder in pdf["folder"]:
+                for name, url, lm in list_folder(folder):
+                    names.append(name)
+                    furls.append(url)
+                    mods.append(lm)
+            yield pd.DataFrame(
+                {"name": names, "url": furls, "last_modified": mods}
+            )
+
+    listed = folders_df.mapInPandas(_list_partition, schema=_LISTING_SCHEMA)
+    return _derive_catalog_columns(listed)
 
 
 _FETCH_SCHEMA = "url string, content binary, error string"
