@@ -562,3 +562,43 @@ def test_distributed_catalog_from_folders(spark):
     assert [r.asDict() for r in got] == [r.asDict() for r in want]
     assert got[0]["file_type"] == "pdf"
     assert got[0]["file_id"] == want[0]["file_id"]
+
+
+def test_fetch_content_retries_transient_failures(spark, tmp_path):
+    """A fetch that fails transiently must succeed on retry (with the
+    attempt count visible via a side file, since the fetcher runs in an
+    executor process); a fetch that always fails records its FINAL error
+    after exhausting retries."""
+    from vectordb_data_ingestion_spark.sources.sharepoint import (
+        fetch_content,
+    )
+
+    marker = str(tmp_path / "attempts")
+    os.makedirs(marker)
+    cat = spark.createDataFrame(
+        [("flaky.txt", "flaky", "2026-01-01", "txt"),
+         ("dead.txt", "dead", "2026-01-01", "txt")],
+        "name string, url string, last_modified string, file_type string",
+    )
+
+    def factory():
+        def fetch(url):
+            # per-url attempt counter on the shared tmp filesystem
+            n = len(os.listdir(marker)) if url == "flaky" else 0
+            if url == "flaky":
+                open(os.path.join(marker, f"a{n}"), "w").close()
+                if n == 0:
+                    raise OSError("transient 503")
+                return b"recovered"
+            raise OSError("permanently gone")
+
+        return fetch
+
+    out = {r["url"]: r for r in fetch_content(
+        cat, factory, num_partitions=1, retries=2, backoff_s=0.01
+    ).collect()}
+    assert out["flaky"]["content"] == b"recovered"
+    assert out["flaky"]["error"] is None
+    assert out["dead"]["content"] is None
+    assert "permanently gone" in out["dead"]["error"]
+    assert len(os.listdir(marker)) == 2  # first attempt + one retry

@@ -350,23 +350,39 @@ def fetch_content(
     catalog: DataFrame,
     fetcher_factory: Callable[[], Callable[[str], bytes]],
     num_partitions: int | None = None,
+    retries: int = 2,
+    backoff_s: float = 0.5,
 ) -> DataFrame:
     """Partition-parallel content fetch - the distributed replacement for
     the serial ``download_files`` loops (sharepointutils.py:73-101,
     216-240). ``fetcher_factory`` builds one fetcher per partition (per-
     executor session/auth); errors are captured per row, not printed and
-    swallowed. ``num_partitions`` throttles total connector concurrency."""
+    swallowed. ``num_partitions`` throttles total connector concurrency.
+
+    Transient failures retry with exponential backoff (``retries`` extra
+    attempts, ``backoff_s * 2^attempt`` sleeps — the embedding stage and
+    the sink already back off; at millions of fetches per run, treating
+    every transient 503 as a permanent row failure would shed real data).
+    Only the final error is recorded."""
     urls = catalog.select("url")
     if num_partitions:
         urls = urls.repartition(num_partitions)
 
     def run(partition):
+        import time as _time
+
         fetch = fetcher_factory()
         for row in partition:
-            try:
-                yield row.url, fetch(row.url), None
-            except Exception as e:  # noqa: BLE001 - connector boundary
-                yield row.url, None, f"{type(e).__name__}: {e}"
+            content, err = None, None
+            for attempt in range(retries + 1):
+                try:
+                    content, err = fetch(row.url), None
+                    break
+                except Exception as e:  # noqa: BLE001 - connector boundary
+                    err = f"{type(e).__name__}: {e}"
+                    if attempt < retries:
+                        _time.sleep(backoff_s * (2**attempt))
+            yield row.url, content, err
 
     fetched = urls.rdd.mapPartitions(run).toDF(_FETCH_SCHEMA)
     return catalog.join(fetched, "url", "left")
