@@ -1,0 +1,52 @@
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.ui.enabled","false")
+         .config("spark.driver.memory","48g")
+         .getOrCreate())
+import __spark_entry__ as E
+
+# entry smoke
+rows = E.entry(spark).collect()
+print(f"entry smoke: {len(rows)} rows", flush=True)
+
+import duckdb, pandas as pd
+con = duckdb.connect()
+SF = "/root/testdata/sf0.01"
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+qs = E.queries(); osql = E.oracle_sql()
+names = list(qs)[:50]
+fails = []
+def norm(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+        elif "datetime" in str(df[c].dtype):
+            df[c] = df[c].map(lambda x: x.isoformat() if x is not None else None)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+for i, name in enumerate(names):
+    t0 = time.time()
+    try:
+        sdf = qs[name](spark, SF).toPandas()
+        if name not in osql:
+            print(f"{i:2d} {name}: rows-only {len(sdf)} ({time.time()-t0:.1f}s)", flush=True)
+            continue
+        odf = con.execute(osql[name]).df()
+        a, b = norm(sdf), norm(odf)
+        ok_cols = list(a.columns) == list(b.columns)
+        ok_rows = len(a) == len(b)
+        ok_vals = ok_cols and ok_rows and a.equals(b)
+        status = "OK" if ok_vals else f"FAIL cols={ok_cols} rows={len(a)}vs{len(b)} vals={ok_vals}"
+        if not ok_vals: fails.append(name)
+        print(f"{i:2d} {name}: {status} rows={len(a)} ({time.time()-t0:.1f}s)", flush=True)
+    except Exception as ex:
+        fails.append(name)
+        print(f"{i:2d} {name}: EXC {type(ex).__name__}: {str(ex)[:150]}", flush=True)
+print("FAILS:", fails)

@@ -1,0 +1,66 @@
+"""Propose the next round's _DRIVER_PRIORITY window.
+
+The driver verifies only the FIRST 50 entries of __spark_entry__.queries()
+per round (CORRECTNESS_r{N}.json). With the registry frozen at 162, rounds
+5+ rotate RE-verification: least-recently-verified first, so staleness is
+bounded at ~3 rounds for every query.
+
+Reads every CORRECTNESS_r*.json in the repo root, computes each query's
+last-verified round, and prints the 50 least-recently-verified query names
+(never-verified first, then oldest round, ties in registry order) as a
+ready-to-paste Python list. Queries whose semantics changed since their
+last green row should be promoted to the head manually — the git log, not
+this script, knows that.
+
+Usage: python tools/rotate_window.py [window_size]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vectordb_data_ingestion_spark import queries_catalog  # noqa: E402
+
+
+def last_verified() -> dict[str, int]:
+    seen: dict[str, int] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
+        with open(path) as fh:
+            data = json.load(fh)
+        rows = data if isinstance(data, dict) else {}
+        for name, row in rows.items():
+            # driver row shape: {rows_match, schema_match, hash_match,
+            # spark_rows, oracle_rows, err} — count a query as verified
+            # only when its row is GREEN; a red row should stay at the
+            # head of the next window, not rotate to the back
+            if isinstance(row, dict) and row.get("hash_match"):
+                seen[name] = max(seen.get(name, 0), rnd)
+    return seen
+
+
+def main() -> None:
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    seen = last_verified()
+    registry = list(queries_catalog.SPARK_QUERIES)
+    ranked = sorted(
+        registry, key=lambda n: (seen.get(n, -1), registry.index(n))
+    )
+    window = ranked[:size]
+    print(f"# next window ({size} of {len(registry)}; last-verified round "
+          "in comments)")
+    print("_DRIVER_PRIORITY = [")
+    for n in window:
+        print(f'    "{n}",  # r{seen.get(n, "-never-")}')
+    print("]")
+
+
+if __name__ == "__main__":
+    main()
