@@ -133,3 +133,27 @@ def test_annotate_via_api_batching_and_backoff(spark):
     for i in range(10):
         assert got[i][0] == direct[i][0]
         assert abs(got[i][1] - direct[i][1]) < 1e-6
+
+
+def test_transport_ragged_dimension_raises(spark):
+    """A transport that returns a short vector mid-stream must fail loud:
+    zip_with truncates to the shorter side downstream, so a silently
+    stored 3-dim vector in a 4-dim corpus poisons every cosine score."""
+    df = _docs(spark, n=6).coalesce(1)
+
+    def ragged_factory():
+        def embed(texts):
+            # first batch vector establishes the stream dim; the last
+            # one comes back short (real texts, so key off position)
+            return [
+                [0.1, 0.2, 0.3] if i == len(texts) - 1
+                else [0.1, 0.2, 0.3, 0.4]
+                for i, _t in enumerate(texts)
+            ]
+
+        return embed
+
+    with pytest.raises(Exception, match="dim"):
+        embed_via_api(
+            df, ragged_factory, text_col="text", max_retries=1
+        ).collect()

@@ -145,6 +145,7 @@ def embed_via_api(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         transport = transport_factory()
+        dim_seen: list[int | None] = [None]  # uniform across the stream
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -163,6 +164,17 @@ def embed_via_api(
                         f"transport returned {len(vecs)} vectors "
                         f"for {len(group)} inputs"
                     )
+                for v in vecs:
+                    # a flaky service returning a short vector would
+                    # silently poison every downstream cosine (zip_with
+                    # truncates to the shorter side) — fail loud instead
+                    if dim_seen[0] is None:
+                        dim_seen[0] = len(v)
+                    elif len(v) != dim_seen[0]:
+                        raise ValueError(
+                            f"transport returned a {len(v)}-dim vector in "
+                            f"a {dim_seen[0]}-dim stream"
+                        )
                 vectors.extend(vecs)
             out = pdf.copy()
             out[vec_col] = vectors
