@@ -157,3 +157,16 @@ def test_transport_ragged_dimension_raises(spark):
         embed_via_api(
             df, ragged_factory, text_col="text", max_retries=1
         ).collect()
+
+
+def test_annotator_malformed_row_raises_cleanly(spark):
+    df = _docs(spark, n=3).coalesce(1)
+    from vectordb_data_ingestion_spark.operators.enrichment import (
+        annotate_via_api,
+    )
+
+    def bad_factory():
+        return lambda texts: [["ok", 0.5]] * (len(texts) - 1) + [["no-score"]]
+
+    with pytest.raises(Exception, match="malformed row"):
+        annotate_via_api(df, bad_factory, max_retries=1).collect()

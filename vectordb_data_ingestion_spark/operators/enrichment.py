@@ -276,6 +276,15 @@ def annotate_via_api(
                         f"annotator returned {len(got)} labels "
                         f"for {len(group)} inputs"
                     )
+                for r in got:
+                    if len(r) < 2:
+                        # same loud-boundary contract as the ragged-dim
+                        # embed check: name the malformed row instead of
+                        # an IndexError deep in the column assembly
+                        raise ValueError(
+                            f"annotator returned a malformed row {r!r}; "
+                            "expected (label, score)"
+                        )
                 results.extend(got)
             out = pdf.copy()
             out[label_col] = [r[0] for r in results]
