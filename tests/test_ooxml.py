@@ -247,3 +247,43 @@ def test_review_r4_regressions():
     # display order: Second (sheet2.xml) first, First (sheet1.xml) second
     assert xlsx_rows(reordered, sheet=0) == [("part-two",)]
     assert xlsx_rows(reordered, sheet=1) == [("part-one",)]
+
+
+def test_decompression_bombs_refused():
+    """A kilobyte of crafted DEFLATE inflating to gigabytes must be
+    refused with ValueError at every inflate site — one such file in a
+    100 TB corpus must not OOM its executor. parse_bytes degrades it to
+    null text like any other corrupt payload."""
+    import zlib as _zlib
+
+    from vectordb_data_ingestion_spark.sources import files as fmod
+    from vectordb_data_ingestion_spark.sources.ooxml import (
+        _MAX_INFLATE,
+        bounded_inflate,
+    )
+
+    bomb_payload = _zlib.compress(b"\x00" * (_MAX_INFLATE + 1024), 9)
+    assert len(bomb_payload) < 1 << 20  # the whole point: tiny on disk
+    with pytest.raises(ValueError, match="inflates past"):
+        bounded_inflate(bomb_payload)
+    # inside a PDF content stream -> decoder refuses, parse degrades
+    bomb_pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
+        + bomb_payload + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert fmod.parse_bytes(bomb_pdf, "pdf") is None
+    # a zip member declaring a bomb-sized payload -> refused pre-read
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("word/document.xml", b"\x00" * 2048)
+    data = bytearray(buf.getvalue())
+    # fake the declared sizes in both headers (local + central directory)
+    import struct as _struct
+
+    for off in range(len(data) - 4):
+        if data[off:off + 4] in (b"PK\x03\x04", b"PK\x01\x02"):
+            size_off = off + (22 if data[off + 3] == 4 else 24)
+            _struct.pack_into("<I", data, size_off, _MAX_INFLATE + 1)
+    with zipfile.ZipFile(io.BytesIO(bytes(data))) as z:
+        assert z.getinfo("word/document.xml").file_size > _MAX_INFLATE
+    assert fmod.parse_bytes(bytes(data), "docx") is None

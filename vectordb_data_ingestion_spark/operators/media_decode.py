@@ -93,7 +93,11 @@ def decode_png(content: bytes) -> dict:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    raw = zlib.decompress(b"".join(idat))
+    from vectordb_data_ingestion_spark.sources.ooxml import bounded_inflate
+
+    # decompression-bomb guard: one crafted ~1000:1 IDAT must not OOM the
+    # executor that draws it (same cap as the OOXML/PDF decode paths)
+    raw = bounded_inflate(b"".join(idat))
     stride = width * channels
     prev = bytearray(stride)
     lumas = []

@@ -42,6 +42,36 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
+# Decompression-bomb guard for executor-side decode: a kilobyte of
+# crafted DEFLATE can inflate to gigabytes (~1000:1), and one such file
+# in a 100 TB corpus would OOM the executor that drew it. 256 MB of
+# decoded XML/stream text per member is far beyond any legitimate
+# document part.
+_MAX_INFLATE = 1 << 28
+
+
+def _read_member(z: zipfile.ZipFile, name: str) -> bytes:
+    info = z.getinfo(name)
+    if info.file_size > _MAX_INFLATE:
+        raise ValueError(
+            f"zip member {name!r} declares {info.file_size} bytes "
+            f"(> {_MAX_INFLATE}); refusing to inflate"
+        )
+    return z.read(name)
+
+
+def bounded_inflate(data: bytes, limit: int = _MAX_INFLATE) -> bytes:
+    """zlib.decompress with an output cap — raises instead of ballooning."""
+    d = zlib.decompressobj()
+    out = d.decompress(data, limit)
+    if d.unconsumed_tail:
+        raise ValueError(
+            f"compressed stream inflates past {limit} bytes; "
+            "refusing to continue"
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # DOCX
 # ---------------------------------------------------------------------------
@@ -52,7 +82,7 @@ def docx_to_text(content: bytes) -> str:
     the same text python-docx's ``'\\n'.join(p.text)`` yields for body
     paragraphs (reference parsers.py:75-80 semantics)."""
     with zipfile.ZipFile(io.BytesIO(content)) as z:
-        root = ET.fromstring(z.read("word/document.xml"))
+        root = ET.fromstring(_read_member(z, "word/document.xml"))
     paras = []
     for p in root.iter():
         if _local(p.tag) != "p":
@@ -86,7 +116,7 @@ def pptx_to_text(content: bytes) -> str:
         )
         lines = []
         for name in slides:
-            root = ET.fromstring(z.read(name))
+            root = ET.fromstring(_read_member(z, name))
             for p in root.iter():
                 if _local(p.tag) != "p":
                     continue
@@ -154,7 +184,7 @@ def _sheet_parts(z: zipfile.ZipFile) -> list[str]:
     (openpyxl follows workbook order; so must we). Falls back to the
     numeric filename sort only when the workbook/rels parts are absent."""
     try:
-        rels_root = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rels_root = ET.fromstring(_read_member(z, "xl/_rels/workbook.xml.rels"))
         rel_target = {}
         for rel in rels_root:
             rid = rel.get("Id")
@@ -164,7 +194,7 @@ def _sheet_parts(z: zipfile.ZipFile) -> list[str]:
                     target if target.startswith("xl/")
                     else "xl/" + target.lstrip("/")
                 )
-        wb_root = ET.fromstring(z.read("xl/workbook.xml"))
+        wb_root = ET.fromstring(_read_member(z, "xl/workbook.xml"))
         ordered = []
         for node in wb_root.iter():
             if _local(node.tag) != "sheet":
@@ -189,7 +219,7 @@ def _sheet_parts(z: zipfile.ZipFile) -> list[str]:
 def _shared_strings(z: zipfile.ZipFile) -> list[str]:
     shared: list[str] = []
     if "xl/sharedStrings.xml" in z.namelist():
-        root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+        root = ET.fromstring(_read_member(z, "xl/sharedStrings.xml"))
         for si in root:
             if _local(si.tag) != "si":
                 continue
@@ -232,7 +262,7 @@ def xlsx_rows(content: bytes, sheet: int = 0) -> list[tuple]:
         sheets = _sheet_parts(z)
         if sheet >= len(sheets):
             raise IndexError(f"sheet {sheet} of {len(sheets)}")
-        root = ET.fromstring(z.read(sheets[sheet]))
+        root = ET.fromstring(_read_member(z, sheets[sheet]))
     return _sheet_rows(root, shared)
 
 
@@ -254,7 +284,7 @@ def xlsx_to_text(content: bytes) -> str:
     ``parse_documents`` instead of aborting on an unregistered kind."""
     with zipfile.ZipFile(io.BytesIO(content)) as z:
         shared = _shared_strings(z)
-        roots = [ET.fromstring(z.read(p)) for p in _sheet_parts(z)]
+        roots = [ET.fromstring(_read_member(z, p)) for p in _sheet_parts(z)]
     return "\n\n".join(
         "\n".join(
             "\t".join(_fmt_cell(v) for v in r)
@@ -378,11 +408,11 @@ def pdf_to_text(content: bytes) -> str:
         data = m.group(1)
         decoded = None
         try:
-            decoded = zlib.decompress(data)
+            decoded = bounded_inflate(data)
         except zlib.error:
             # raw (uncompressed) stream, or trailing EOL junk
             try:
-                decoded = zlib.decompress(data.rstrip(b"\r\n"))
+                decoded = bounded_inflate(data.rstrip(b"\r\n"))
             except zlib.error:
                 decoded = data
         if b"BT" in decoded:
@@ -504,10 +534,10 @@ def pdf_tables(content: bytes, y_tol: float = 2.0) -> list[str]:
     for m in re.finditer(rb"stream\r?\n(.*?)endstream", content, re.DOTALL):
         data = m.group(1)
         try:
-            decoded = zlib.decompress(data)
+            decoded = bounded_inflate(data)
         except zlib.error:
             try:
-                decoded = zlib.decompress(data.rstrip(b"\r\n"))
+                decoded = bounded_inflate(data.rstrip(b"\r\n"))
             except zlib.error:
                 decoded = data
         if b"BT" in decoded:
