@@ -287,3 +287,24 @@ def test_decompression_bombs_refused():
     with zipfile.ZipFile(io.BytesIO(bytes(data))) as z:
         assert z.getinfo("word/document.xml").file_size > _MAX_INFLATE
     assert fmod.parse_bytes(bytes(data), "docx") is None
+
+
+def test_xml_entity_bomb_refused():
+    """expat expands internal DTD entities, so a billion-laughs
+    word/document.xml must be REFUSED (legit OOXML never declares a DTD)
+    and degrade to null text through parse_bytes — never expand."""
+    ents = "".join(
+        f'<!ENTITY e{i} "&e{i-1};&e{i-1};&e{i-1};&e{i-1};&e{i-1};'
+        f'&e{i-1};&e{i-1};&e{i-1};&e{i-1};&e{i-1};">'
+        for i in range(1, 10)
+    )
+    bomb_xml = (
+        '<?xml version="1.0"?><!DOCTYPE w [<!ENTITY e0 "lol">'
+        + ents
+        + f']><w:document xmlns:w="{W}"><w:body>'
+        "<w:p><w:r><w:t>&e9;</w:t></w:r></w:p></w:body></w:document>"
+    )
+    bomb = make_zip({"word/document.xml": bomb_xml})
+    with pytest.raises(ValueError, match="DTD"):
+        docx_to_text(bomb)
+    assert fmod.parse_bytes(bomb, "docx") is None

@@ -60,6 +60,16 @@ def _read_member(z: zipfile.ZipFile, name: str) -> bytes:
     return z.read(name)
 
 
+def _parse_xml(data: bytes) -> ET.Element:
+    """ET.fromstring with a DTD rejection: expat expands internal
+    entities (verified on this build), so a billion-laughs docx part
+    would blow up executor memory. Legitimate OOXML parts never declare
+    a DTD — refuse rather than expand."""
+    if b"<!DOCTYPE" in data or b"<!ENTITY" in data:
+        raise ValueError("XML part declares a DTD/entities; refusing")
+    return ET.fromstring(data)
+
+
 def bounded_inflate(data: bytes, limit: int = _MAX_INFLATE) -> bytes:
     """zlib.decompress with an output cap — raises instead of ballooning."""
     d = zlib.decompressobj()
@@ -82,7 +92,7 @@ def docx_to_text(content: bytes) -> str:
     the same text python-docx's ``'\\n'.join(p.text)`` yields for body
     paragraphs (reference parsers.py:75-80 semantics)."""
     with zipfile.ZipFile(io.BytesIO(content)) as z:
-        root = ET.fromstring(_read_member(z, "word/document.xml"))
+        root = _parse_xml(_read_member(z, "word/document.xml"))
     paras = []
     for p in root.iter():
         if _local(p.tag) != "p":
@@ -116,7 +126,7 @@ def pptx_to_text(content: bytes) -> str:
         )
         lines = []
         for name in slides:
-            root = ET.fromstring(_read_member(z, name))
+            root = _parse_xml(_read_member(z, name))
             for p in root.iter():
                 if _local(p.tag) != "p":
                     continue
@@ -184,7 +194,7 @@ def _sheet_parts(z: zipfile.ZipFile) -> list[str]:
     (openpyxl follows workbook order; so must we). Falls back to the
     numeric filename sort only when the workbook/rels parts are absent."""
     try:
-        rels_root = ET.fromstring(_read_member(z, "xl/_rels/workbook.xml.rels"))
+        rels_root = _parse_xml(_read_member(z, "xl/_rels/workbook.xml.rels"))
         rel_target = {}
         for rel in rels_root:
             rid = rel.get("Id")
@@ -194,7 +204,7 @@ def _sheet_parts(z: zipfile.ZipFile) -> list[str]:
                     target if target.startswith("xl/")
                     else "xl/" + target.lstrip("/")
                 )
-        wb_root = ET.fromstring(_read_member(z, "xl/workbook.xml"))
+        wb_root = _parse_xml(_read_member(z, "xl/workbook.xml"))
         ordered = []
         for node in wb_root.iter():
             if _local(node.tag) != "sheet":
@@ -219,7 +229,7 @@ def _sheet_parts(z: zipfile.ZipFile) -> list[str]:
 def _shared_strings(z: zipfile.ZipFile) -> list[str]:
     shared: list[str] = []
     if "xl/sharedStrings.xml" in z.namelist():
-        root = ET.fromstring(_read_member(z, "xl/sharedStrings.xml"))
+        root = _parse_xml(_read_member(z, "xl/sharedStrings.xml"))
         for si in root:
             if _local(si.tag) != "si":
                 continue
@@ -262,7 +272,7 @@ def xlsx_rows(content: bytes, sheet: int = 0) -> list[tuple]:
         sheets = _sheet_parts(z)
         if sheet >= len(sheets):
             raise IndexError(f"sheet {sheet} of {len(sheets)}")
-        root = ET.fromstring(_read_member(z, sheets[sheet]))
+        root = _parse_xml(_read_member(z, sheets[sheet]))
     return _sheet_rows(root, shared)
 
 
@@ -284,7 +294,7 @@ def xlsx_to_text(content: bytes) -> str:
     ``parse_documents`` instead of aborting on an unregistered kind."""
     with zipfile.ZipFile(io.BytesIO(content)) as z:
         shared = _shared_strings(z)
-        roots = [ET.fromstring(_read_member(z, p)) for p in _sheet_parts(z)]
+        roots = [_parse_xml(_read_member(z, p)) for p in _sheet_parts(z)]
     return "\n\n".join(
         "\n".join(
             "\t".join(_fmt_cell(v) for v in r)
