@@ -308,3 +308,28 @@ def test_xml_entity_bomb_refused():
     with pytest.raises(ValueError, match="DTD"):
         docx_to_text(bomb)
     assert fmod.parse_bytes(bomb, "docx") is None
+
+
+def test_bounded_inflate_mirrors_zlib_semantics():
+    """Truncated and checksum-corrupt streams must still raise zlib.error
+    (silent partial text is the failure mode); trailing junk after a
+    complete stream stays tolerated; only the bomb raises ValueError."""
+    from vectordb_data_ingestion_spark.sources.ooxml import bounded_inflate
+
+    good = zlib.compress(b"hello world" * 100)
+    assert bounded_inflate(good) == b"hello world" * 100
+    assert bounded_inflate(good + b"\r\n") == b"hello world" * 100
+    with pytest.raises(zlib.error):
+        bounded_inflate(good[:-8])          # truncated
+    with pytest.raises(zlib.error):
+        bounded_inflate(good[:-2] + b"\x00\x00")  # corrupt adler32
+
+
+def test_dtd_string_inside_comment_not_refused():
+    """'<!DOCTYPE' inside a legal XML comment is NOT a DTD — the document
+    must parse (a real DTD cannot live inside a comment)."""
+    docx = make_zip({"word/document.xml": f"""<?xml version="1.0"?>
+<!-- converted; original had <!DOCTYPE html in it -->
+<w:document xmlns:w="{W}"><w:body>
+<w:p><w:r><w:t>ok</w:t></w:r></w:p></w:body></w:document>"""})
+    assert docx_to_text(docx) == "ok"

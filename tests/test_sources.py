@@ -602,3 +602,36 @@ def test_fetch_content_retries_transient_failures(spark, tmp_path):
     assert out["dead"]["content"] is None
     assert "permanently gone" in out["dead"]["error"]
     assert len(os.listdir(marker)) == 2  # first attempt + one retry
+
+
+def test_fetch_content_retryable_predicate_stops_permanent_errors(
+    spark, tmp_path
+):
+    """retries are opt-in and gated by the retryable predicate: a
+    permanent error (here FileNotFoundError) must be attempted exactly
+    once even with retries enabled."""
+    from vectordb_data_ingestion_spark.sources.sharepoint import (
+        fetch_content,
+    )
+
+    marker = str(tmp_path / "attempts")
+    os.makedirs(marker)
+    cat = spark.createDataFrame(
+        [("gone.txt", "gone", "2026-01-01", "txt")],
+        "name string, url string, last_modified string, file_type string",
+    )
+
+    def factory():
+        def fetch(url):
+            open(os.path.join(marker, f"a{len(os.listdir(marker))}"),
+                 "w").close()
+            raise FileNotFoundError(url)
+
+        return fetch
+
+    out = fetch_content(
+        cat, factory, retries=3, backoff_s=0.01,
+        retryable=lambda e: not isinstance(e, FileNotFoundError),
+    ).collect()
+    assert "FileNotFoundError" in out[0]["error"]
+    assert len(os.listdir(marker)) == 1  # no retry on a permanent error

@@ -23,10 +23,14 @@ fails = []
 def norm(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
+        # unify dtypes before compare: Spark float32/int32 vs DuckDB
+        # float64/int64 must not read as a value mismatch
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(6)
+            df[c] = df[c].astype("float64").round(6)
+        elif str(df[c].dtype).startswith(("int", "uint")):
+            df[c] = df[c].astype("int64")  # not float64: >2^53 ids survive
         elif "datetime" in str(df[c].dtype):
             df[c] = df[c].map(lambda x: x.isoformat() if x is not None else None)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)

@@ -28,9 +28,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from vectordb_data_ingestion_spark import queries_catalog  # noqa: E402
 
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def last_verified() -> dict[str, int]:
     seen: dict[str, int] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+    # repo-root-relative, NOT cwd-relative: run from anywhere, a missing
+    # history must not quietly look like "nothing ever verified"
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", os.path.basename(path))
         rnd = int(m.group(1)) if m else 0
         with open(path) as fh:

@@ -134,18 +134,26 @@ def embed_via_api(
     batch_size: int = 64,
     max_retries: int = 5,
     base_delay: float = 0.1,
+    expected_dim: int | None = None,
 ) -> DataFrame:
     """Append ``vec_col: array<float>`` by calling the embedding transport
     over Arrow batches. Control request concurrency with
     ``df.repartition(n)`` upstream — one partition == one independent
-    request stream (the reference is a single serial stream)."""
+    request stream (the reference is a single serial stream).
+
+    Pass ``expected_dim`` whenever the model's dimension is known: the
+    per-task check alone pins uniformity only WITHIN a partition's
+    stream, so a load-balanced endpoint serving two model versions could
+    still mix dimensions across partitions without it."""
     out_schema = StructType(
         df.schema.fields + [StructField(vec_col, ArrayType(FloatType()))]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         transport = transport_factory()
-        dim_seen: list[int | None] = [None]  # uniform across the stream
+        # uniform across this task's stream; cross-partition uniformity
+        # needs expected_dim (each task starts with its own None)
+        dim_seen: list[int | None] = [expected_dim]
         for pdf in batches:
             if pdf.empty:
                 continue

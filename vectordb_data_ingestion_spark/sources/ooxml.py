@@ -64,20 +64,33 @@ def _parse_xml(data: bytes) -> ET.Element:
     """ET.fromstring with a DTD rejection: expat expands internal
     entities (verified on this build), so a billion-laughs docx part
     would blow up executor memory. Legitimate OOXML parts never declare
-    a DTD — refuse rather than expand."""
-    if b"<!DOCTYPE" in data or b"<!ENTITY" in data:
+    a DTD — refuse rather than expand. Comments are stripped before the
+    scan (a provenance comment may legally CONTAIN the string
+    '<!DOCTYPE'; an actual DTD cannot live inside a comment)."""
+    scan = re.sub(rb"<!--.*?-->", b"", data, flags=re.S)
+    if b"<!DOCTYPE" in scan or b"<!ENTITY" in scan:
         raise ValueError("XML part declares a DTD/entities; refusing")
     return ET.fromstring(data)
 
 
 def bounded_inflate(data: bytes, limit: int = _MAX_INFLATE) -> bytes:
-    """zlib.decompress with an output cap — raises instead of ballooning."""
+    """``zlib.decompress`` with an output cap — raises ValueError instead
+    of ballooning on a crafted bomb. Otherwise mirrors zlib.decompress
+    semantics exactly (pinned by test): truncated or checksum-corrupt
+    streams raise ``zlib.error`` (so decoder fallbacks keep working and
+    partial data is never silently returned), trailing junk after a
+    complete stream is tolerated."""
     d = zlib.decompressobj()
     out = d.decompress(data, limit)
     if d.unconsumed_tail:
         raise ValueError(
             f"compressed stream inflates past {limit} bytes; "
             "refusing to continue"
+        )
+    if not d.eof:
+        raise zlib.error(
+            "Error -5 while decompressing data: incomplete or truncated "
+            "stream"
         )
     return out
 

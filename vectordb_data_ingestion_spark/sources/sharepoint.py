@@ -349,8 +349,9 @@ def fetch_content(
     catalog: DataFrame,
     fetcher_factory: Callable[[], Callable[[str], bytes]],
     num_partitions: int | None = None,
-    retries: int = 2,
+    retries: int = 0,
     backoff_s: float = 0.5,
+    retryable: Callable[[Exception], bool] | None = None,
 ) -> DataFrame:
     """Partition-parallel content fetch - the distributed replacement for
     the serial ``download_files`` loops (sharepointutils.py:73-101,
@@ -358,11 +359,13 @@ def fetch_content(
     executor session/auth); errors are captured per row, not printed and
     swallowed. ``num_partitions`` throttles total connector concurrency.
 
-    Transient failures retry with exponential backoff (``retries`` extra
-    attempts, ``backoff_s * 2^attempt`` sleeps — the embedding stage and
-    the sink already back off; at millions of fetches per run, treating
-    every transient 503 as a permanent row failure would shed real data).
-    Only the final error is recorded."""
+    Retries are OPT-IN (``retries`` extra attempts, ``backoff_s *
+    2^attempt`` sleeps): at millions of fetches a transient 503 shed
+    permanently loses data, but retrying indiscriminately turns a
+    permanent failure mode (expired token, deleted files) into serial
+    executor sleep — so pass ``retries`` together with a ``retryable``
+    predicate that recognizes YOUR fetcher's transient errors (default:
+    every exception retries). Only the final error is recorded."""
     urls = catalog.select("url")
     if num_partitions:
         urls = urls.repartition(num_partitions)
@@ -379,8 +382,12 @@ def fetch_content(
                     break
                 except Exception as e:  # noqa: BLE001 - connector boundary
                     err = f"{type(e).__name__}: {e}"
-                    if attempt < retries:
+                    if attempt < retries and (
+                        retryable is None or retryable(e)
+                    ):
                         _time.sleep(backoff_s * (2**attempt))
+                    else:
+                        break
             yield row.url, content, err
 
     fetched = urls.rdd.mapPartitions(run).toDF(_FETCH_SCHEMA)
