@@ -129,3 +129,16 @@ def test_decode_media_valueerror_only(kind, mut, data):
         except ValueError:
             continue
         assert out is None or isinstance(out, dict)
+
+
+@FUZZ
+@given(data=st.binary(max_size=2048), text=st.text(max_size=512))
+def test_html_to_text_never_raises(data, text):
+    """Malformed markup (unclosed tags, broken charrefs, CDATA, NULs)
+    must convert without raising — the HTML field compose runs over
+    whatever a portal export contains."""
+    from vectordb_data_ingestion_spark.functions.html import html_to_text
+
+    for payload in (data.decode("latin-1"), text, "<table>" + text):
+        out = html_to_text(payload)
+        assert isinstance(out, str)
