@@ -1,5 +1,5 @@
-import json, sys, time
-sys.path.insert(0, "/root/repo")
+import json, os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.ui.enabled","false")

@@ -153,7 +153,7 @@ def embed_via_api(
         transport = transport_factory()
         # uniform across this task's stream; cross-partition uniformity
         # needs expected_dim (each task starts with its own None)
-        dim_seen: list[int | None] = [expected_dim]
+        dim_seen = expected_dim
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -176,12 +176,12 @@ def embed_via_api(
                     # a flaky service returning a short vector would
                     # silently poison every downstream cosine (zip_with
                     # truncates to the shorter side) — fail loud instead
-                    if dim_seen[0] is None:
-                        dim_seen[0] = len(v)
-                    elif len(v) != dim_seen[0]:
+                    if dim_seen is None:
+                        dim_seen = len(v)
+                    elif len(v) != dim_seen:
                         raise ValueError(
                             f"transport returned a {len(v)}-dim vector in "
-                            f"a {dim_seen[0]}-dim stream"
+                            f"a {dim_seen}-dim stream"
                         )
                 vectors.extend(vecs)
             out = pdf.copy()

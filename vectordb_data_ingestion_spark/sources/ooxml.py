@@ -66,10 +66,13 @@ def _parse_xml(data: bytes) -> ET.Element:
     would blow up executor memory. Legitimate OOXML parts never declare
     a DTD — refuse rather than expand. Comments are stripped before the
     scan (a provenance comment may legally CONTAIN the string
-    '<!DOCTYPE'; an actual DTD cannot live inside a comment)."""
-    scan = re.sub(rb"<!--.*?-->", b"", data, flags=re.S)
-    if b"<!DOCTYPE" in scan or b"<!ENTITY" in scan:
-        raise ValueError("XML part declares a DTD/entities; refusing")
+    '<!DOCTYPE'; an actual DTD cannot live inside a comment) — but only
+    on the rare hit path, so the common case costs one substring scan
+    and zero copies."""
+    if b"<!DOCTYPE" in data or b"<!ENTITY" in data:
+        scan = re.sub(rb"<!--.*?-->", b"", data, flags=re.S)
+        if b"<!DOCTYPE" in scan or b"<!ENTITY" in scan:
+            raise ValueError("XML part declares a DTD/entities; refusing")
     return ET.fromstring(data)
 
 
