@@ -164,3 +164,37 @@ def test_vector_store_writer_overwrite_retires_spool_and_vacuum(spark, tmp_path)
         f.write("{}\n")
     assert vacuum(path) == 1
     assert len(read_committed(path)) == 2
+
+
+def test_delete_where_df_matches_list_form(spark, tmp_path):
+    """The anti-join delete (keys stay distributed) removes exactly the
+    same rows as the driver-list form — the streaming refresh can swap
+    one for the other when a micro-batch carries too many keys to
+    collect."""
+    from vectordb_data_ingestion_spark.sinks.vector_store import (
+        ParquetVectorSink,
+    )
+
+    rows = [(i, f"text {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    a = ParquetVectorSink(spark, str(tmp_path / "a"), partition_col=None)
+    b = ParquetVectorSink(spark, str(tmp_path / "b"), partition_col=None)
+    a.upsert(df)
+    b.upsert(df)
+
+    kill = [3, 7, 11, 39]
+    a.delete_where("doc_id", kill)
+    b.delete_where_df(
+        "doc_id", spark.createDataFrame([(k,) for k in kill], "k long")
+    )
+    got_a = sorted(r["doc_id"] for r in a.read().collect())
+    got_b = sorted(r["doc_id"] for r in b.read().collect())
+    assert got_a == got_b == [i for i in range(40) if i not in kill]
+
+    # before the sink exists: both forms are no-ops, not errors
+    fresh = ParquetVectorSink(spark, str(tmp_path / "c"), partition_col=None)
+    fresh.delete_where("doc_id", [1])
+    fresh.delete_where_df(
+        "doc_id", spark.createDataFrame([(1,)], "k long")
+    )

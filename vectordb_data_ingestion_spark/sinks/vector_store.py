@@ -67,13 +67,30 @@ class ParquetVectorSink:
         touches only affected partitions (dynamic partition overwrite);
         table formats with real deletes (Delta/Iceberg) would do this
         transactionally. No-op on a sink that doesn't exist yet (first
-        incremental batch)."""
+        incremental batch). ``values`` is a driver-side list (fine to
+        ~1M keys via InSet); when the keys already live in a DataFrame,
+        use :meth:`delete_where_df` and skip the driver round trip."""
         import os
 
         if not os.path.exists(self.base_path):
             return
         current = self.read()
-        remaining = current.filter(~F.col(col).isin(values))
+        self._rewrite(current.filter(~F.col(col).isin(values)))
+
+    def delete_where_df(self, col: str, keys: DataFrame) -> None:
+        """Anti-join form of :meth:`delete_where`: the key set stays
+        distributed (broadcast into the scan), so a micro-batch with
+        millions of changed documents never materializes its keys on the
+        driver."""
+        import os
+
+        if not os.path.exists(self.base_path):
+            return
+        key_df = keys.select(F.col(keys.columns[0]).alias(col)).distinct()
+        remaining = self.read().join(F.broadcast(key_df), col, "left_anti")
+        self._rewrite(remaining)
+
+    def _rewrite(self, remaining: DataFrame) -> None:
         tmp = self.base_path.rstrip("/") + "__rewrite"
         writer = remaining.write.mode("overwrite")
         if self.partition_col and self.partition_col in remaining.columns:

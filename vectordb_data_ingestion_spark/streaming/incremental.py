@@ -45,6 +45,7 @@ def refresh_batch_fn(
     sink_upsert: Callable[[DataFrame], None],
     sink_delete_where: Callable[[str, list], None],
     key_col: str,
+    sink_delete_where_df: Callable[[str, DataFrame], None] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Per-micro-batch delete-then-insert (the body of
     ``foreach_batch_refresh``, exposed so replay tests can re-run a batch
@@ -58,13 +59,24 @@ def refresh_batch_fn(
 
     Replay-idempotent: a retried batch first deletes its keys — including
     any rows its crashed first attempt already appended — then re-inserts.
+
+    Pass ``sink_delete_where_df`` (e.g. ``ParquetVectorSink.
+    delete_where_df``) to keep the key set distributed: the default path
+    collects the batch's distinct keys to the driver, which is fine for
+    catalog-sized batches but not for a backfill micro-batch carrying
+    millions of changed documents.
     """
 
     def run_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        keys = [r[0] for r in batch_df.select(key_col).distinct().collect()]
-        sink_delete_where(key_col, keys)
+        if sink_delete_where_df is not None:
+            sink_delete_where_df(key_col, batch_df.select(key_col))
+        else:
+            keys = [
+                r[0] for r in batch_df.select(key_col).distinct().collect()
+            ]
+            sink_delete_where(key_col, keys)
         sink_upsert(transform(batch_df))
 
     return run_batch
@@ -77,11 +89,16 @@ def foreach_batch_refresh(
     sink_delete_where: Callable[[str, list], None],
     key_col: str,
     checkpoint: str,
+    sink_delete_where_df: Callable[[str, DataFrame], None] | None = None,
 ):
     """Checkpointed streaming writer around ``refresh_batch_fn`` — the
     incremental form of the reference's diff→delete→insert refresh."""
     run_batch = refresh_batch_fn(
-        transform, sink_upsert, sink_delete_where, key_col
+        transform,
+        sink_upsert,
+        sink_delete_where,
+        key_col,
+        sink_delete_where_df=sink_delete_where_df,
     )
     return (
         stream_df.writeStream.foreachBatch(run_batch)
