@@ -977,3 +977,47 @@ def test_watermark_drops_beyond_horizon_event(spark, tmp_path):
         assert emitted()[(14, "view")] == 1
     finally:
         q.stop()
+
+
+def test_incremental_refresh_with_distributed_delete(spark, tmp_path):
+    """Same delete-then-insert contract as the default path, with the
+    key set staying distributed (sink_delete_where_df wiring)."""
+    stream_dir = str(tmp_path / "incoming")
+    sink_dir = str(tmp_path / "vectors")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stream_dir)
+    sink = ParquetVectorSink(spark, sink_dir, partition_col=None)
+
+    def transform(batch_df):
+        return batch_df.select(
+            "url",
+            F.sha2(F.concat_ws("#", "url", "text"), 256).alias("chunk_id"),
+            "text",
+            "version",
+        )
+
+    schema = _catalog_df(spark, 1, ["u1"]).schema
+
+    def run_once():
+        stream = read_file_stream(spark, stream_dir, schema)
+        q = foreach_batch_refresh(
+            stream,
+            transform,
+            sink_upsert=sink.upsert,
+            sink_delete_where=sink.delete_where,
+            key_col="url",
+            checkpoint=ckpt,
+            sink_delete_where_df=sink.delete_where_df,
+        ).start()
+        q.awaitTermination(120)
+
+    _catalog_df(spark, 1, ["u1", "u2"]).write.mode("append").parquet(
+        stream_dir
+    )
+    run_once()
+    _catalog_df(spark, 2, ["u1", "u3"]).write.mode("append").parquet(
+        stream_dir
+    )
+    run_once()
+    got = {(r["url"], r["version"]) for r in sink.read().collect()}
+    assert got == {("u1", 2), ("u2", 1), ("u3", 2)}
