@@ -184,3 +184,54 @@ def test_multiformat_ingestion_spine_real_decoders(spark, tmp_path):
     assert "hardware requests" in joined["notes.txt"]
     for text in joined.values():
         assert "[stub:" not in text
+
+
+def test_distributed_listing_fetch_parse_chain(spark, tmp_path):
+    """The 100M-file connector path end to end: the FOLDER list
+    distributes, each partition lists its own folders, content fetches
+    partition-parallel off the resulting catalog, and the parser
+    registry decodes the fetched bytes — no driver-side file list at any
+    step."""
+    from tests.test_ooxml import golden_docx
+    from vectordb_data_ingestion_spark.sources.files import make_parser_udf
+    from vectordb_data_ingestion_spark.sources.sharepoint import (
+        distributed_catalog_from_folders,
+        fetch_content,
+        local_file_fetcher,
+    )
+
+    folders = []
+    for i in range(4):
+        d = tmp_path / f"dept{i}"
+        d.mkdir()
+        (d / f"doc{i}.docx").write_bytes(golden_docx())
+        (d / f"note{i}.txt").write_text(f"note body {i}")
+        folders.append(str(d))
+
+    def factory():
+        import os as _os
+        from datetime import datetime, timezone
+
+        def list_folder(folder):
+            for fn in sorted(_os.listdir(folder)):
+                p = _os.path.join(folder, fn)
+                mtime = datetime.fromtimestamp(
+                    _os.path.getmtime(p), tz=timezone.utc
+                ).isoformat()
+                yield fn, p, mtime
+
+        return list_folder
+
+    cat = distributed_catalog_from_folders(
+        spark, folders, factory, num_partitions=2
+    )
+    fetched = fetch_content(cat, local_file_fetcher, num_partitions=2)
+    parse = make_parser_udf()
+    parsed = fetched.withColumn(
+        "text", parse(F.col("content"), F.col("file_type"))
+    )
+    rows = {r["name"]: r["text"] for r in parsed.collect()}
+    assert len(rows) == 8
+    for i in range(4):
+        assert rows[f"doc{i}.docx"].startswith("hello world")
+        assert rows[f"note{i}.txt"] == f"note body {i}"
