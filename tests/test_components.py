@@ -106,3 +106,23 @@ def test_randomized_parity_with_union_find(spark, seed, n_nodes, n_edges):
     # root under the smaller, so the root never increases
     got = _components(spark, [(a, b) for a, b in edges])
     assert got == expected
+
+
+def test_spread_starvation_guard(spark):
+    """A 1-partition frame (tiny compressed scan) fans out to the
+    executor core count so CPU-bound work downstream parallelizes; an
+    already-wide frame passes through untouched (no extra shuffle)."""
+    from vectordb_data_ingestion_spark.session import spread
+
+    narrow = spark.range(1000).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    out = spread(narrow)
+    assert (
+        out.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    assert sorted(r["id"] for r in out.collect()) == list(range(1000))
+
+    want = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(want + 4)
+    assert spread(wide) is wide  # no-op: never ADD a shuffle
