@@ -635,3 +635,39 @@ def test_fetch_content_retryable_predicate_stops_permanent_errors(
     ).collect()
     assert "FileNotFoundError" in out[0]["error"]
     assert len(os.listdir(marker)) == 1  # no retry on a permanent error
+
+
+def test_paged_exhausts_arbitrary_page_chains():
+    """Property: however the server splits N items across __next pages
+    (including empty middle pages), _paged yields exactly the N items in
+    order, fetching each continuation once."""
+    import random
+
+    from vectordb_data_ingestion_spark.sources.sharepoint import _paged
+
+    rng = random.Random(9)
+    for _trial in range(50):
+        n = rng.randrange(0, 30)
+        items = [{"i": k} for k in range(n)]
+        # random split points -> pages (some possibly empty)
+        cuts = sorted(rng.randrange(0, n + 1) for _ in range(rng.randrange(0, 5)))
+        pages, prev = [], 0
+        for c in cuts + [n]:
+            pages.append(items[prev:c])
+            prev = c
+        urls = [f"u{k}" for k in range(1, len(pages))]
+        book = {}
+        for k, page in enumerate(pages):
+            d = {"results": page}
+            if k < len(urls):
+                d["__next"] = urls[k]
+            book[urls[k - 1] if k > 0 else "__start__"] = d
+        fetched = []
+
+        def fetch(url, book=book, fetched=fetched):
+            fetched.append(url)
+            return {"d": book[url]}
+
+        got = list(_paged(book["__start__"], fetch))
+        assert got == items
+        assert fetched == urls  # each continuation fetched exactly once
