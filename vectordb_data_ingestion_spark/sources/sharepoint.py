@@ -316,7 +316,14 @@ def distributed_catalog_from_folders(
     InMemoryFileIndex to a Spark job for exactly the same reason).
 
     ``folder_lister_factory() -> (folder_url -> iterable of (name, url,
-    last_modified_iso))`` — one factory call per partition."""
+    last_modified_iso))`` — one factory call per partition.
+
+    A lister exception FAILS THE JOB deliberately: a catalog quietly
+    missing a folder's files is the silent-truncation failure mode
+    (compare ``_paged``), so transient-error handling (retry, backoff)
+    belongs INSIDE the caller's lister where the error types are known —
+    per-row error capture is for content fetch (``fetch_content``), not
+    for the listing that defines the corpus."""
     urls = [(u,) for u in folder_urls]
     n = num_partitions or max(
         1, min(len(urls), spark.sparkContext.defaultParallelism)
