@@ -671,3 +671,26 @@ def test_paged_exhausts_arbitrary_page_chains():
         got = list(_paged(book["__start__"], fetch))
         assert got == items
         assert fetched == urls  # each continuation fetched exactly once
+
+
+def test_distributed_listing_fails_loud_on_lister_error(spark):
+    """A lister exception must FAIL the catalog job (documented
+    contract): a catalog quietly missing a folder's files is the
+    silent-truncation failure mode."""
+    from vectordb_data_ingestion_spark.sources.sharepoint import (
+        distributed_catalog_from_folders,
+    )
+
+    def factory():
+        def list_folder(folder):
+            if folder.endswith("bad"):
+                raise PermissionError("403 on " + folder)
+            yield "a.txt", f"{folder}/a.txt", "2026-01-01T00:00:00Z"
+
+        return list_folder
+
+    cat = distributed_catalog_from_folders(
+        spark, ["/ok", "/bad"], factory, num_partitions=1
+    )
+    with pytest.raises(Exception, match="403 on /bad"):
+        cat.collect()
