@@ -7798,70 +7798,65 @@ def q_zorder_layout_plan(spark, sf_dir):
     )
 
 
-# ROUND-4 NOTE: with this window the cumulative driver-verified union
-# reaches 162/162 — slots 1-15 are the LAST never-verified queries (the 12
-# relational shapes deferred in r3 plus the three r3 additions), slots
-# 16-20 are queries whose semantics CHANGED this round (the three
-# de-vacuated 0-row gates and the bitext LEAST-divisor fix) and so need a
-# fresh row, and slots 21-50 re-verify the 30 highest-value flagships.
-# The registry is FROZEN at 162 (see COVERAGE.md): any future addition
-# must land in the same round's window, keeping growth <= verification
-# throughput. Every query passes the local oracle mirror
-# (tests/test_oracle.py) at sf0.001/0.01/0.1.
+# ROUND-5 NOTE: the registry stays FROZEN at 162 and the cumulative union
+# is 162/162, so from this round on the window is pure RE-verification
+# rotation (tools/rotate_window.py): the 50 least-recently-verified
+# queries — the full r1 cohort (35 queries last driver-checked in round 1,
+# before three rounds of refactors landed around them) followed by the 15
+# oldest r2 rows. Zero r4 repeats; staleness is now bounded at ~3 rounds
+# for every query. Every query also passes the local oracle mirror
+# (tests/test_oracle.py) at sf0.001/0.01/0.1 each round.
 _DRIVER_PRIORITY = [
-    # --- slots 1-15: final never-driver-verified queries ---
-    "parts_supplier_stats",
-    "customer_order_distribution",
-    "large_orders",
-    "returned_item_losses",
-    "length_cdf",
-    "lang_source_unpivot",
-    "local_supplier_volume",
-    "small_quantity_revenue",
-    "lapsed_customer_balance",
-    "shipping_delay_buckets",
-    "disjunctive_brand_revenue",
-    "forecast_revenue_change",
-    "binary_hamming_topk",
-    "skew_salted_join",
-    "zorder_layout_plan",
-    # --- slots 16-20: semantics changed in round 4, need fresh rows ---
-    "dominant_part_suppliers",
-    "important_part_share",
-    "missing_event_hours",
-    "bitext_margin_pairs",
-    "bitext_margin_pairs_blocked",
-    # --- slots 21-50: flagship re-verification ---
-    "full_curation_pipeline",
-    "minhash_lsh_near_dup",
-    "near_dup_dedup",
-    "exact_dedup",
-    "semantic_dedup",
-    "paragraph_dedup",
-    "simhash_near_dup",
-    "ngram_jaccard_near_dup",
-    "embedding_near_dup",
-    "bm25_topk",
-    "bm25_topk_indexed",
-    "hybrid_rrf_search",
-    "rerank_topk",
-    "tfidf_topk",
-    "brute_force_topk",
-    "ivf_topk",
-    "lsh_topk",
-    "ivfpq_topk",
-    "pq_adc_topk",
-    "bpe_train_merges",
-    "bpe_segment_tokens",
-    "gopher_quality_filter",
-    "retrieval_mrr_eval",
-    "dup_span_removal",
-    "temperature_mixture",
-    "training_corpus_prep",
-    "sequence_packing",
-    "pricing_summary",
-    "events_sessionize",
-    "rag_context",
+    "file_type_extract",  # r1
+    "distinct_file_types",  # r1
+    "delta_filter",  # r1
+    "incremental_diff",  # r1
+    "seqno",  # r1
+    "url_synthesis",  # r1
+    "clean_text",  # r1
+    "token_count",  # r1
+    "chunk_fixed_overlap",  # r1
+    "string_compose_kb",  # r1
+    "events_hourly_window",  # r1
+    "events_range_join",  # r1
+    "corpus_stats_rollup",  # r1
+    "events_asof_join",  # r1
+    "topk_certainty",  # r1
+    "topk_certainty_vectorized",  # r1
+    "ivf_assign",  # r1
+    "lsh_assign",  # r1
+    "lsh_topk_multitable",  # r1
+    "ann_topk_batch",  # r1
+    "minhash_signatures",  # r1
+    "near_dup_components",  # r1
+    "simhash",  # r1
+    "lang_id",  # r1
+    "quality_score",  # r1
+    "corpus_stats",  # r1
+    "doc_fingerprint",  # r1
+    "kb_article_compose",  # r1
+    "service_catalog_compose",  # r1
+    "split_long_rows",  # r1
+    "multimodal_metadata",  # r1
+    "embed_enrich",  # r1
+    "chunk_table_pipeline",  # r1
+    "corpus_split",  # r1
+    "vocabulary_top",  # r1
+    "events_asof_nearest",  # r2
+    "media_sampling_plan",  # r2
+    "multimodal_features",  # r2
+    "word_split",  # r2
+    "chunk_recursive",  # r2
+    "trigram_counts",  # r2
+    "pii_scrub",  # r2
+    "benchmark_decontaminate",  # r2
+    "kmv_distinct_words",  # r2
+    "per_source_cap",  # r2
+    "weighted_source_sample",  # r2
+    "shard_assign",  # r2
+    "embedding_quantize",  # r2
+    "filtered_topk_certainty",  # r2
+    "catalog_merge",  # r2
 ]
 
 
