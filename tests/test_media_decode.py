@@ -164,6 +164,23 @@ def test_decode_media_dispatch_and_errors():
         decode_media(b"\x89PNG\r\n\x1a\n" + chunk)
 
 
+def test_png_crafted_header_rejected_before_allocation():
+    """A tiny PNG declaring ~2^30 x 2^30 RGBA must raise on the
+    header/data consistency check instead of allocating multi-GB
+    dimension-sized buffers on the executor (advice r5 — the same OOM
+    class the decompression-bomb guard covers)."""
+    ihdr = struct.pack(">IIBBBBB", 1 << 30, 1 << 30, 8, 6, 0, 0, 0)
+    idat = zlib.compress(b"\x00\x00\x00\x00\x00")  # 1 filtered byte + px
+    png = b"\x89PNG\r\n\x1a\n"
+    for ctype, data in ((b"IHDR", ihdr), (b"IDAT", idat), (b"IEND", b"")):
+        png += (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+    with pytest.raises(ValueError, match="truncated or crafted"):
+        decode_png(png)
+
+
 def test_extract_features_real_and_stub_paths(spark):
     """The mapInPandas featurizer serves REAL dims/features for media
     payloads and the deterministic stub for everything else, in one

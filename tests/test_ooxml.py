@@ -249,6 +249,41 @@ def test_review_r4_regressions():
     assert xlsx_rows(reordered, sheet=1) == [("part-one",)]
 
 
+def test_xlsx_absolute_and_parent_rel_targets():
+    """Workbook rel Targets may be package-absolute ("/xl/worksheets/
+    sheet1.xml" — some producers emit these) — they must normalize to
+    the member path instead of doubling to "xl/xl/..." and KeyErroring
+    on a valid workbook (advice r5)."""
+    wb = (
+        '<workbook xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main" xmlns:r="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Only" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+    sheet = (
+        f'<worksheet xmlns="{S}"><sheetData>'
+        '<row r="1"><c r="A1" t="str"><v>abs-target</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+
+    def rels(target):
+        return (
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships">'
+            f'<Relationship Id="rId1" Type="t" Target="{target}"/>'
+            "</Relationships>"
+        )
+
+    for target in ("/xl/worksheets/sheet1.xml", "../xl/worksheets/sheet1.xml"):
+        z = make_zip({
+            "xl/workbook.xml": wb,
+            "xl/_rels/workbook.xml.rels": rels(target),
+            "xl/worksheets/sheet1.xml": sheet,
+        })
+        assert xlsx_rows(z, sheet=0) == [("abs-target",)], target
+
+
 def test_decompression_bombs_refused():
     """A kilobyte of crafted DEFLATE inflating to gigabytes must be
     refused with ValueError at every inflate site — one such file in a

@@ -243,6 +243,69 @@ def test_onprem_lister_odata_parsing(spark):
     assert rows["kb2.pdf"]["modified_dt"] is not None
 
 
+def test_onprem_lister_bare_list_and_unknown_shape(spark):
+    """A payload whose ``d`` is a bare list (a continuation shape _paged
+    itself accepts) must yield its rows, not silently zero files; an
+    unrecognized first-page shape must raise instead of truncating
+    (advice r5 — the loud-failure contract)."""
+    from vectordb_data_ingestion_spark.sources.sharepoint import (
+        onprem_sharepoint_lister,
+    )
+
+    row = {
+        "Name": "kb1.docx",
+        "ServerRelativeUrl": "/kb/kb1.docx",
+        "TimeLastModified": "2024-03-01T10:00:00Z",
+    }
+    lister = onprem_sharepoint_lister(
+        ["https://sp.local/_api/f"], "u", "p",
+        fetch_json=lambda url: {"d": [row]},
+    )
+    assert [n for n, _, _ in lister()] == ["kb1.docx"]
+
+    bad = onprem_sharepoint_lister(
+        ["https://sp.local/_api/f"], "u", "p",
+        fetch_json=lambda url: {"d": {"unexpected": 1}},
+    )
+    with pytest.raises(ValueError, match="refusing"):
+        list(bad())
+
+
+def test_parse_documents_error_column(spark, tmp_path):
+    """errors=True attaches per-row parse_error (exception type+message)
+    so a 100%-null decode run is diagnosable as a code bug vs corrupt
+    data (advice r5); default mode keeps the bare-string schema."""
+    from vectordb_data_ingestion_spark.sources import files as fmod
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "ok.txt").write_bytes(b"fine")
+    (d / "boom.qqq").write_bytes(b"payload")
+    prior = dict(fmod.PARSERS)
+    try:
+        def _broken(content):
+            raise NameError("decoder deployed broken")
+
+        fmod.register_parser("qqq", _broken)
+        cat = read_binary_catalog(spark, str(d) + "/**")
+        rows = {
+            r["name"]: r
+            for r in parse_documents(cat, errors=True).collect()
+        }
+        assert rows["ok.txt"]["text"] == "fine"
+        assert rows["ok.txt"]["parse_error"] is None
+        assert rows["boom.qqq"]["text"] is None
+        assert (
+            rows["boom.qqq"]["parse_error"]
+            == "NameError: decoder deployed broken"
+        )
+        # default mode: schema unchanged (no parse_error column)
+        assert "parse_error" not in parse_documents(cat).columns
+    finally:
+        fmod.PARSERS.clear()
+        fmod.PARSERS.update(prior)
+
+
 def test_extract_pdf_tables(spark, tmp_path):
     from vectordb_data_ingestion_spark.sources.files import (
         _stub_pdf_tables,

@@ -745,11 +745,15 @@ def test_legacy_migration_is_crash_resumable(tmp_path):
     )
 
     codes = tmp_path / "codes"
-    # simulate the crash: cell=2 already moved, cell=0/cell=1 still at root
+    # simulate the crash: cell=2 already moved, cell=0/cell=1 still at
+    # root — and the _MIGRATING marker (written before batch=base was
+    # created) still present, which is what distinguishes a resumable
+    # crash from a rebuilt-over-legacy conflict (advice r4)
     (codes / "batch=base" / "cell=2").mkdir(parents=True)
     (codes / "cell=0").mkdir()
     (codes / "cell=1").mkdir()
     (codes / "_SUCCESS").touch()
+    (codes / "_MIGRATING").touch()
 
     assert _migrate_legacy_flat_codes(str(codes)) is True
     root = sorted(os.listdir(codes))
@@ -915,6 +919,21 @@ def test_legacy_migration_refuses_stale_rebuild_conflict(tmp_path):
         _migrate_legacy_flat_codes(str(codes))
     # nothing was moved: the refusal happened before any rename
     assert sorted(os.listdir(codes)) == ["batch=base", "cell=0", "cell=1"]
+
+    # DISJOINT cell names are just as stale (a rebuild that repartitioned
+    # cells leaves no name collisions) — without the _MIGRATING marker the
+    # half-layout is not ours, so it must refuse too (advice r5)
+    codes2 = tmp_path / "codes2"
+    (codes2 / "batch=base" / "cell=9").mkdir(parents=True)
+    (codes2 / "cell=0").mkdir()
+    with pytest.raises(RuntimeError, match="stale"):
+        _migrate_legacy_flat_codes(str(codes2))
+    assert sorted(os.listdir(codes2)) == ["batch=base", "cell=0"]
+
+    # force=True is the deliberate-merge escape hatch
+    assert _migrate_legacy_flat_codes(str(codes2), force=True) is True
+    assert sorted(os.listdir(codes2)) == ["batch=base"]
+    assert sorted(os.listdir(codes2 / "batch=base")) == ["cell=0", "cell=9"]
 
 
 def test_watermark_drops_beyond_horizon_event(spark, tmp_path):

@@ -99,6 +99,16 @@ def decode_png(content: bytes) -> dict:
     # executor that draws it (same cap as the OOXML/PDF decode paths)
     raw = bounded_inflate(b"".join(idat))
     stride = width * channels
+    # header-vs-data consistency BEFORE any dimension-sized allocation: a
+    # crafted IHDR declaring width≈2^31 would otherwise force a multi-GB
+    # zero-filled bytearray here regardless of how small the IDAT is —
+    # the same executor-OOM class bounded_inflate exists to prevent.
+    if height * (stride + 1) > len(raw):
+        raise ValueError(
+            f"PNG declares {width}x{height}x{channels} "
+            f"({height * (stride + 1)} filtered bytes) but IDAT inflates "
+            f"to only {len(raw)} — truncated or crafted header"
+        )
     prev = bytearray(stride)
     lumas = []
     for row in range(height):

@@ -79,7 +79,7 @@ def build_ivfpq_index(
     )
 
 
-def _migrate_legacy_flat_codes(codes_dir: str) -> bool:
+def _migrate_legacy_flat_codes(codes_dir: str, force: bool = False) -> bool:
     """Indexes built before the two-level ``(batch, cell)`` layout wrote
     ``codes/cell=N/`` directly; a streaming append adding ``batch=<id>``
     subdirs next to them would leave mixed partition depths that Spark's
@@ -88,42 +88,54 @@ def _migrate_legacy_flat_codes(codes_dir: str) -> bool:
     substrate; an object-store deployment would do the same with a
     listing+copy). Returns True if a migration happened.
 
-    Crash-resumable: a prior attempt that died between creating
-    ``batch=base`` and finishing the renames leaves root-level ``cell=``
-    dirs next to it — we keep moving those (each per-dir rename is
-    idempotent: once moved, the root entry is gone). A resume never finds
-    a root cell whose target already exists in ``batch=base``, so a
-    NAME COLLISION means this is NOT a resume but a rebuilt-over-legacy
-    conflict (``build_ivfpq_index`` wrote a fresh ``batch=base`` while
-    stale flat ``cell=`` dirs linger): silently merging stale vectors
-    into the fresh index would corrupt queries, so we refuse loudly —
-    BEFORE moving anything — and tell the operator to delete the stale
-    dirs. Two concurrent migrators race benignly: ``exist_ok=True`` on
-    the mkdir, and a rename losing the race (the other mover already
+    Crash-resumable via an explicit ``_MIGRATING`` marker written BEFORE
+    ``batch=base`` is created and removed only after the last rename: a
+    prior attempt that died mid-way leaves the marker, so the next
+    invocation knows the half-moved state is OURS and finishes the
+    renames (each per-dir rename is idempotent: once moved, the root
+    entry is gone). Without the marker, a populated ``batch=base`` next
+    to root-level ``cell=`` dirs is a rebuilt-over-legacy conflict
+    (``build_ivfpq_index`` wrote a fresh ``batch=base`` while stale flat
+    ``cell=`` dirs linger) — name collisions OR disjoint cell
+    partitionings alike: silently merging stale vectors into the fresh
+    index would corrupt queries, so we refuse loudly BEFORE moving
+    anything and tell the operator to delete the stale dirs (or pass
+    ``force=True`` to merge deliberately). Two concurrent migrators race
+    benignly: the marker write and ``exist_ok=True`` mkdir are
+    idempotent, and a rename losing the race (the other mover already
     took the dir) is skipped."""
     if not os.path.isdir(codes_dir):
         return False
     entries = os.listdir(codes_dir)
     cells = [e for e in entries if e.startswith("cell=")]
     if not cells:
+        # nothing left to move; clear a marker a finished-but-interrupted
+        # run may have stranded after its last rename
+        marker = os.path.join(codes_dir, "_MIGRATING")
+        if os.path.exists(marker):
+            os.remove(marker)
         return False
     if any(e.startswith("batch=") and e != "batch=base" for e in entries):
         # genuine streaming batches already coexist with flat cell= dirs:
         # not the legacy layout this migration targets — leave it alone.
         return False
     base = os.path.join(codes_dir, "batch=base")
-    if os.path.isdir(base):
-        collisions = [e for e in cells if os.path.exists(os.path.join(base, e))]
-        if collisions:
-            raise RuntimeError(
-                "codes dir holds BOTH a populated batch=base and root-level "
-                f"legacy cell= dirs with colliding names ({collisions[:3]}"
-                f"{'...' if len(collisions) > 3 else ''}): this is a rebuilt "
-                "index with stale flat-layout leftovers, not an interrupted "
-                "migration. Refusing to merge stale vectors into the fresh "
-                f"index — delete the stale root-level cell= dirs under "
-                f"{codes_dir} (or the whole dir and rebuild)."
-            )
+    marker = os.path.join(codes_dir, "_MIGRATING")
+    if os.path.isdir(base) and not os.path.exists(marker) and not force:
+        raise RuntimeError(
+            "codes dir holds BOTH a populated batch=base and root-level "
+            f"legacy cell= dirs ({cells[:3]}"
+            f"{'...' if len(cells) > 3 else ''}) with no _MIGRATING "
+            "marker: this is a rebuilt index with stale flat-layout "
+            "leftovers, not an interrupted migration (which leaves the "
+            "marker). Refusing to merge stale vectors into the fresh "
+            f"index — delete the stale root-level cell= dirs under "
+            f"{codes_dir} (or the whole dir and rebuild), or call with "
+            "force=True to merge deliberately."
+        )
+    # marker BEFORE base: a crash between the two still resumes cleanly
+    with open(marker, "w") as fh:
+        fh.write("legacy flat-codes migration in progress\n")
     os.makedirs(base, exist_ok=True)
     for e in entries:
         if e.startswith("cell=") or e == "_SUCCESS":
@@ -131,6 +143,10 @@ def _migrate_legacy_flat_codes(codes_dir: str) -> bool:
                 os.rename(os.path.join(codes_dir, e), os.path.join(base, e))
             except FileNotFoundError:
                 pass  # a concurrent migrator already moved this entry
+    try:
+        os.remove(marker)
+    except FileNotFoundError:
+        pass  # a concurrent migrator already cleaned up
     return True
 
 

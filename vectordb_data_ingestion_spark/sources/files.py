@@ -280,33 +280,93 @@ def _build_default_registry() -> None:
 _build_default_registry()
 
 
-def _dispatch(parsers: dict[str, ParserFn], content, kind) -> str | None:
+# parse-failure dedup for the executor log channel: one WARNING per
+# (kind, exception type) per interpreter, so a systematically broken
+# decoder announces itself without a million-line log flood
+_LOGGED_PARSE_FAILURES: set[tuple[str, str]] = set()
+
+
+def _dispatch_full(
+    parsers: dict[str, ParserFn], content, kind
+) -> tuple[str | None, str | None]:
+    """Decode one payload -> (text, error). ``error`` carries the
+    exception type+message when the decoder raised (text is null then);
+    a 100%-null decode run must be diagnosable as a CODE bug (e.g. a
+    broken deployment-injected decoder raising NameError) rather than
+    silently indistinguishable from mass-corrupt payloads — fetch_content
+    already records a per-row error string; this is the same contract."""
     kind = (kind or "").lower()
     if content is None:
-        return ""
+        return "", None
     fn = parsers.get(kind)
     if fn is None:
         raise NotImplementedError(f"no parser for file_type={kind!r}")
     try:
-        return fn(content)
-    except Exception:  # noqa: BLE001 - decoder boundary
+        return fn(content), None
+    except Exception as exc:  # noqa: BLE001 - decoder boundary
         # a corrupt / truncated / mislabeled payload must not abort a
         # 100 TB ingestion job (the reference prints-and-continues);
         # null text marks the row undecodable, distinguishable from ""
         # (decoded-but-empty). Unregistered kinds still raise above.
-        return None
+        err = f"{type(exc).__name__}: {exc}"
+        key = (kind, type(exc).__name__)
+        if key not in _LOGGED_PARSE_FAILURES:
+            _LOGGED_PARSE_FAILURES.add(key)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "parser for file_type=%r failed with %s "
+                "(further failures of this shape suppressed)", kind, err
+            )
+        return None, err
+
+
+def _dispatch(parsers: dict[str, ParserFn], content, kind) -> str | None:
+    return _dispatch_full(parsers, content, kind)[0]
 
 
 def parse_bytes(content: bytes | None, kind: str | None) -> str:
     return _dispatch(PARSERS, content, kind)
 
 
-def make_parser_udf(parsers: dict[str, ParserFn] | None = None):
+_PARSE_RESULT = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("parse_error", StringType()),
+    ]
+)
+
+
+def make_parser_udf(
+    parsers: dict[str, ParserFn] | None = None, with_errors: bool = False
+):
     """Arrow-batched parser-dispatch UDF over a registry SNAPSHOT — the
     dict of decoder callables is captured by value in the closure, so
     driver-side :func:`register_parser` calls (and per-call overrides) are
-    visible on every executor without module re-import tricks."""
+    visible on every executor without module re-import tricks.
+
+    ``with_errors=True`` returns ``struct<text, parse_error>`` instead of
+    a bare string, exposing the per-row decoder exception."""
     snapshot = dict(PARSERS if parsers is None else parsers)
+
+    if with_errors:
+
+        @F.pandas_udf(_PARSE_RESULT)
+        def _udf_err(content: pd.Series, kind: pd.Series) -> pd.DataFrame:
+            pairs = [
+                _dispatch_full(snapshot, c, k)
+                for c, k in zip(content, kind)
+            ]
+            return pd.DataFrame(
+                {
+                    "text": pd.Series([p[0] for p in pairs], dtype="object"),
+                    "parse_error": pd.Series(
+                        [p[1] for p in pairs], dtype="object"
+                    ),
+                }
+            )
+
+        return _udf_err
 
     @F.pandas_udf(StringType())
     def _udf(content: pd.Series, kind: pd.Series) -> pd.Series:
@@ -319,21 +379,37 @@ def make_parser_udf(parsers: dict[str, ParserFn] | None = None):
 
 
 def parse_documents(
-    catalog: DataFrame, parsers: dict[str, ParserFn] | None = None
+    catalog: DataFrame,
+    parsers: dict[str, ParserFn] | None = None,
+    errors: bool = False,
 ) -> DataFrame:
     """Attach extracted ``text`` to a binary catalog via parser dispatch.
     Unknown types yield null text (filter upstream with
     ``file_type IN ...`` so the scan prunes them). ``parsers`` overrides
     the module registry for this call (injection point for deployments
-    with real pdf/docx/... decoders)."""
+    with real pdf/docx/... decoders). ``errors=True`` additionally
+    attaches a ``parse_error`` column (exception type+message for rows
+    whose decoder raised, null otherwise) — the audit channel for "is
+    this corpus corrupt or is my decoder broken". Decoder exceptions are
+    also WARNING-logged once per (kind, exception type) per executor in
+    both modes."""
     effective = dict(PARSERS if parsers is None else parsers)
-    udf = make_parser_udf(effective)
+    udf = make_parser_udf(effective, with_errors=errors)
+    in_registry = F.col("file_type").isin(list(effective))
+    if errors:
+        parsed = catalog.withColumn(
+            "_parsed",
+            F.when(in_registry, udf(F.col("content"), F.col("file_type"))),
+        )
+        return parsed.withColumns(
+            {
+                "text": F.col("_parsed.text"),
+                "parse_error": F.col("_parsed.parse_error"),
+            }
+        ).drop("_parsed")
     return catalog.withColumn(
         "text",
-        F.when(
-            F.col("file_type").isin(list(effective)),
-            udf(F.col("content"), F.col("file_type")),
-        ),
+        F.when(in_registry, udf(F.col("content"), F.col("file_type"))),
     )
 
 

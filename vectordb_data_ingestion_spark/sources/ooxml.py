@@ -216,10 +216,17 @@ def _sheet_parts(z: zipfile.ZipFile) -> list[str]:
             rid = rel.get("Id")
             target = rel.get("Target", "")
             if target and rid:
-                rel_target[rid] = (
-                    target if target.startswith("xl/")
-                    else "xl/" + target.lstrip("/")
-                )
+                # rel Targets are normally relative to xl/ ("worksheets/
+                # sheet1.xml") but may be package-absolute ("/xl/worksheets/
+                # sheet1.xml") or climb out ("../foo") — normalize BEFORE
+                # the xl/ check, else an absolute target doubles to
+                # "xl/xl/..." and a valid workbook KeyErrors.
+                norm = target.lstrip("/")
+                if norm.startswith("../"):
+                    norm = norm[3:]  # relative to xl/; ../ is package root
+                elif not norm.startswith("xl/"):
+                    norm = "xl/" + norm
+                rel_target[rid] = norm
         wb_root = _parse_xml(_read_member(z, "xl/workbook.xml"))
         ordered = []
         for node in wb_root.iter():

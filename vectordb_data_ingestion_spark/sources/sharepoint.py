@@ -258,11 +258,25 @@ def onprem_sharepoint_lister(
     def _list():
         for folder_url in folder_urls:
             payload = fetch_json(folder_url)
-            d = payload.get("d", payload)
+            d = payload.get("d", payload) if isinstance(payload, dict) \
+                else payload
+            # a bare list under d is a collection shape _paged itself
+            # accepts for continuations — wrap it the same way instead of
+            # silently yielding an empty folder
+            if isinstance(d, list):
+                d = {"results": d}
+            if not isinstance(d, dict) or not (
+                "results" in d or "__next" in d
+            ):
+                raise ValueError(
+                    f"unrecognized on-prem listing payload shape from "
+                    f"{folder_url!r} (keys: "
+                    f"{sorted(d) if isinstance(d, dict) else type(d).__name__}"
+                    "); refusing to return an empty folder silently"
+                )
             # same list-view-threshold paging as the cloud walk: exhaust
             # __next continuations instead of truncating at one page
-            for f in _paged(d if "results" in d or "__next" in d else {},
-                            fetch_json):
+            for f in _paged(d, fetch_json):
                 # OData rows carry Name / ServerRelativeUrl / TimeLastModified
                 # (sharepointutils.py:268-281)
                 yield (
