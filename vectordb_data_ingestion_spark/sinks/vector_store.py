@@ -87,7 +87,12 @@ class ParquetVectorSink:
         if not os.path.exists(self.base_path):
             return
         key_df = keys.select(F.col(keys.columns[0]).alias(col)).distinct()
-        remaining = self.read().join(F.broadcast(key_df), col, "left_anti")
+        current = self.read()
+        # USING-style join moves the key column to the front — restore the
+        # stored column order, or every rewrite permutes the sink schema
+        remaining = current.join(
+            F.broadcast(key_df), col, "left_anti"
+        ).select(*current.columns)
         self._rewrite(remaining)
 
     def _rewrite(self, remaining: DataFrame) -> None:

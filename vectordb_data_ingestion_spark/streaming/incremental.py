@@ -45,27 +45,36 @@ def refresh_batch_fn(
     sink_upsert: Callable[[DataFrame], None],
     sink_delete_where: Callable[[str, list], None],
     key_col: str,
-    sink_delete_where_df: Callable[[str, DataFrame], None] | None = None,
+    sink_delete_where_df: Callable[[str, DataFrame], None] | None | str = (
+        "auto"
+    ),
 ) -> Callable[[DataFrame, int], None]:
     """Per-micro-batch delete-then-insert (the body of
     ``foreach_batch_refresh``, exposed so replay tests can re-run a batch
     with the same batch_id):
 
-    1. collect the batch's distinct ``key_col`` values (catalog-sized),
-    2. ``sink_delete_where(key_col, keys)`` clears stale rows
-       (delete_filedata_from_vectordb semantics),
-    3. ``transform`` re-derives the chunk/vector rows,
-    4. ``sink_upsert`` appends them.
+    1. ``sink_delete_where_df(key_col, keys_df)`` clears stale rows with
+       the key set kept DISTRIBUTED (delete_filedata_from_vectordb
+       semantics, broadcast anti-join form),
+    2. ``transform`` re-derives the chunk/vector rows,
+    3. ``sink_upsert`` appends them.
 
     Replay-idempotent: a retried batch first deletes its keys — including
     any rows its crashed first attempt already appended — then re-inserts.
 
-    Pass ``sink_delete_where_df`` (e.g. ``ParquetVectorSink.
-    delete_where_df``) to keep the key set distributed: the default path
-    collects the batch's distinct keys to the driver, which is fine for
-    catalog-sized batches but not for a backfill micro-batch carrying
-    millions of changed documents.
+    ``sink_delete_where_df`` defaults to ``"auto"``: when
+    ``sink_delete_where`` is a bound method of a sink that also exposes
+    ``delete_where_df`` (``ParquetVectorSink`` does), the distributed
+    form is used — a backfill micro-batch carrying millions of changed
+    documents must never funnel its key set through the driver. The
+    key-LIST path (collect distinct keys, pass a Python list) runs only
+    for client sinks that cannot accept a DataFrame (e.g. a remote
+    vector-DB predicate-delete API, which is catalog-sized by contract);
+    pass ``sink_delete_where_df=None`` to force it explicitly.
     """
+    if sink_delete_where_df == "auto":
+        owner = getattr(sink_delete_where, "__self__", None)
+        sink_delete_where_df = getattr(owner, "delete_where_df", None)
 
     def run_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -89,7 +98,9 @@ def foreach_batch_refresh(
     sink_delete_where: Callable[[str, list], None],
     key_col: str,
     checkpoint: str,
-    sink_delete_where_df: Callable[[str, DataFrame], None] | None = None,
+    sink_delete_where_df: Callable[[str, DataFrame], None] | None | str = (
+        "auto"
+    ),
 ):
     """Checkpointed streaming writer around ``refresh_batch_fn`` — the
     incremental form of the reference's diff→delete→insert refresh."""
