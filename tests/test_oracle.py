@@ -58,6 +58,28 @@ def test_driver_priority_window_integrity():
     assert set(SPARK_QUERIES) - set(ORACLE_SQL) <= {"bpe_train_merges"}
 
 
+def test_no_oracle_is_vacuous():
+    """Structural vacuity guard (verdict r4): a hash-green 0-row query
+    proves nothing — three r3 gates passed vacuously until round 4
+    de-zeroed them. Every oracle must return >=1 row at the driver's
+    gate SF (sf0.01; the SF-sweep leg re-runs this at whatever
+    SPARK_GRAFT_TEST_SF_DIR points to). A future testdata regen that
+    re-zeroes a gate now fails CI instead of waiting for a judge."""
+    from tests.conftest import duck_con
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", SF_MED)
+    con = duck_con(sf_dir)
+    vacuous = []
+    for name in ORACLE_KEYS:
+        sql = queries_catalog.ORACLE_SQL[name]
+        n = con.execute(f"SELECT count(*) FROM ({sql}) __t").fetchone()[0]
+        if n == 0:
+            vacuous.append(name)
+    assert vacuous == [], (
+        f"0-row oracles at {sf_dir} (vacuously-green gates): {vacuous}"
+    )
+
+
 def test_all_query_outputs_are_scalar(spark):
     """The driver's canonicalizer pandas-sorts every output column; an
     ArrayType/MapType/StructType column crashes it (`unhashable type: 'list'`
