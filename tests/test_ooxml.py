@@ -129,6 +129,45 @@ def test_read_excel_catalog_stdlib_tier(spark, tmp_path):
     }
 
 
+def test_read_excel_catalog_named_sheet_stdlib(spark, tmp_path):
+    """read_excel_catalog(sheet="Catalog") works WITHOUT openpyxl (r5 —
+    the sheet-name→part map comes from xl/workbook.xml + rels)."""
+    from vectordb_data_ingestion_spark.sources.tabular import (
+        read_excel_catalog,
+    )
+
+    p = tmp_path / "named.xlsx"
+    p.write_bytes(make_zip({
+        "xl/workbook.xml": (
+            '<workbook xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main" xmlns:r="http://schemas.'
+            'openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets>'
+            '<sheet name="Notes" sheetId="1" r:id="rId1"/>'
+            '<sheet name="Catalog" sheetId="2" r:id="rId2"/>'
+            "</sheets></workbook>"
+        ),
+        "xl/_rels/workbook.xml.rels": (
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>'
+            '<Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/>'
+            "</Relationships>"
+        ),
+        "xl/worksheets/sheet1.xml": f'<worksheet xmlns="{S}"><sheetData>'
+            '<row r="1"><c r="A1" t="str"><v>scratch</v></c></row>'
+            "</sheetData></worksheet>",
+        "xl/worksheets/sheet2.xml": f"""<worksheet xmlns="{S}"><sheetData>
+<row r="1"><c r="A1" t="str"><v>name</v></c><c r="B1" t="str"><v>qty</v></c></row>
+<row r="2"><c r="A2" t="str"><v>widget</v></c><c r="B2"><v>3</v></c></row>
+</sheetData></worksheet>""",
+    }))
+    df = read_excel_catalog(
+        spark, str(p), columns=["name", "qty"], sheet="Catalog"
+    )
+    assert [(r["name"], r["qty"]) for r in df.collect()] == [("widget", 3)]
+
+
 def golden_pdf():
     raw = b"BT /F1 12 Tf 72 700 Td (Hello) Tj (, PDF!) Tj ET"
     flate = zlib.compress(
@@ -247,6 +286,11 @@ def test_review_r4_regressions():
     # display order: Second (sheet2.xml) first, First (sheet1.xml) second
     assert xlsx_rows(reordered, sheet=0) == [("part-two",)]
     assert xlsx_rows(reordered, sheet=1) == [("part-one",)]
+    # named-sheet lookup (r5: the last stdlib-tier NotImplementedError gone)
+    assert xlsx_rows(reordered, sheet="Second") == [("part-two",)]
+    assert xlsx_rows(reordered, sheet="First") == [("part-one",)]
+    with pytest.raises(KeyError, match="Budget"):
+        xlsx_rows(reordered, sheet="Budget")
 
 
 def test_xlsx_absolute_and_parent_rel_targets():

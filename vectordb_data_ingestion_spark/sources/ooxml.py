@@ -202,13 +202,15 @@ def _cell_value(cell, shared: list[str]):
     return int(f) if f.is_integer() and "e" not in raw.lower() else f
 
 
-def _sheet_parts(z: zipfile.ZipFile) -> list[str]:
-    """Worksheet part names in WORKBOOK order (xl/workbook.xml sheet
-    sequence resolved through the rels map) — part FILENAMES do not
-    follow display order once sheets are reordered in Excel, so a
-    filename sort can silently return the wrong worksheet for an index
-    (openpyxl follows workbook order; so must we). Falls back to the
-    numeric filename sort only when the workbook/rels parts are absent."""
+def _sheet_parts(z: zipfile.ZipFile) -> list[tuple[str | None, str]]:
+    """(display name, worksheet part) pairs in WORKBOOK order
+    (xl/workbook.xml sheet sequence resolved through the rels map) — part
+    FILENAMES do not follow display order once sheets are reordered in
+    Excel, so a filename sort can silently return the wrong worksheet for
+    an index (openpyxl follows workbook order; so must we). The display
+    name enables named-sheet lookup (``xlsx_rows(sheet="Budget")``).
+    Falls back to the numeric filename sort — names None — only when the
+    workbook/rels parts are absent."""
     try:
         rels_root = _parse_xml(_read_member(z, "xl/_rels/workbook.xml.rels"))
         rel_target = {}
@@ -237,16 +239,19 @@ def _sheet_parts(z: zipfile.ZipFile) -> list[str]:
                 None,
             )
             if rid and rid in rel_target:
-                ordered.append(rel_target[rid])
+                ordered.append((node.get("name"), rel_target[rid]))
         if ordered:
             return ordered
     except KeyError:
         pass
-    return sorted(
-        (n for n in z.namelist()
-         if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
-        key=lambda n: int(re.search(r"sheet(\d+)\.xml", n).group(1)),
-    )
+    return [
+        (None, n)
+        for n in sorted(
+            (n for n in z.namelist()
+             if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"sheet(\d+)\.xml", n).group(1)),
+        )
+    ]
 
 
 def _shared_strings(z: zipfile.ZipFile) -> list[str]:
@@ -285,17 +290,29 @@ def _sheet_rows(root, shared: list[str]) -> list[tuple]:
     return [tuple(r + [None] * (width - len(r))) for r in rows]
 
 
-def xlsx_rows(content: bytes, sheet: int = 0) -> list[tuple]:
+def xlsx_rows(content: bytes, sheet: int | str = 0) -> list[tuple]:
     """Worksheet rows as tuples of typed values, column gaps preserved as
     None and short rows right-padded to the sheet's max width — the shape
     ``openpyxl.iter_rows`` yields, feeding ``excel_rows_to_df``
-    (reference cmfunctions.py:448-454)."""
+    (reference cmfunctions.py:448-454). ``sheet`` addresses worksheets by
+    workbook-order index or by display NAME (openpyxl ``wb["Budget"]``
+    parity; names live in xl/workbook.xml, resolved by _sheet_parts)."""
     with zipfile.ZipFile(io.BytesIO(content)) as z:
         shared = _shared_strings(z)
         sheets = _sheet_parts(z)
-        if sheet >= len(sheets):
-            raise IndexError(f"sheet {sheet} of {len(sheets)}")
-        root = _parse_xml(_read_member(z, sheets[sheet]))
+        if isinstance(sheet, str):
+            names = [n for n, _p in sheets]
+            if sheet not in names:
+                raise KeyError(
+                    f"no worksheet named {sheet!r} (have: "
+                    f"{[n for n in names if n is not None]})"
+                )
+            part = sheets[names.index(sheet)][1]
+        else:
+            if sheet >= len(sheets):
+                raise IndexError(f"sheet {sheet} of {len(sheets)}")
+            part = sheets[sheet][1]
+        root = _parse_xml(_read_member(z, part))
     return _sheet_rows(root, shared)
 
 
@@ -317,7 +334,9 @@ def xlsx_to_text(content: bytes) -> str:
     ``parse_documents`` instead of aborting on an unregistered kind."""
     with zipfile.ZipFile(io.BytesIO(content)) as z:
         shared = _shared_strings(z)
-        roots = [_parse_xml(_read_member(z, p)) for p in _sheet_parts(z)]
+        roots = [
+            _parse_xml(_read_member(z, p)) for _n, p in _sheet_parts(z)
+        ]
     return "\n\n".join(
         "\n".join(
             "\t".join(_fmt_cell(v) for v in r)

@@ -62,21 +62,16 @@ def read_excel_catalog(
     sheet: int | str = 0,
     skip_header_rows: int = 1,
 ) -> DataFrame:
-    """XLSX scan. openpyxl when importable (full fidelity: dates, named
-    sheets, formats); otherwise the pure-stdlib zip+XML reader
-    (``sources/ooxml.py::xlsx_rows`` — r4, strings/numbers/booleans,
-    integer sheet index). Row plumbing is :func:`excel_rows_to_df` in
-    both tiers."""
+    """XLSX scan. openpyxl when importable (full fidelity: dates,
+    formats); otherwise the pure-stdlib zip+XML reader
+    (``sources/ooxml.py::xlsx_rows`` — r4, strings/numbers/booleans;
+    sheet addressable by workbook-order index or display name in both
+    tiers). Row plumbing is :func:`excel_rows_to_df` in both tiers."""
     try:
         import openpyxl
     except ImportError:
         from vectordb_data_ingestion_spark.sources.ooxml import xlsx_rows
 
-        if isinstance(sheet, str):
-            raise NotImplementedError(
-                "named-sheet lookup needs openpyxl; pass the sheet index "
-                "(the stdlib reader addresses worksheets by number)"
-            )
         with open(path, "rb") as f:
             rows = xlsx_rows(f.read(), sheet=sheet)
         return excel_rows_to_df(spark, rows, columns, skip_header_rows)
