@@ -18,6 +18,7 @@ oracle-checkable.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -68,21 +69,35 @@ def token_count(col: Column | str, kind: str = "regex") -> Column:
       installed — the cl100k merges table is proprietary-licensed data we
       cannot vendor, so parity is available exactly where the reference's
       own dependency is.
-    - ``"auto"``: tiktoken when importable, else regex.
+    - ``"bpe"``: real BPE counts from the VENDORED merge table
+      (``functions/bpe_merges_v1.json`` — trained by this engine's own
+      deterministic trainer, ``operators/bpe.py::bpe_train``, on the
+      synthetic corpus; no third-party license attaches). Arrow-batched
+      pandas UDF with a per-executor word cache
+      (:func:`token_count_bpe`). Present in EVERY environment.
+    - ``"auto"``: resolves to ``"bpe"`` unconditionally — the one
+      BPE-semantics backend that exists everywhere, so ``auto`` never
+      silently changes counting semantics between environments (it used
+      to flip tiktoken→regex on import availability, which made
+      ``n_tokens`` deployment-dependent). Ask for ``"tiktoken"``
+      explicitly when you want exact cl100k parity and accept the
+      dependency.
 
-    The two backends count different tokens (regex has no BPE merges), so
-    ``n_tokens`` and the 6000-token ``split_kbs`` boundary
-    (cmfunctions.py:329) differ between them on the same document. Pick one
-    per deployment and keep it fixed — mixed counts would make incremental
-    re-chunking non-idempotent.
+    The backends count different tokens (regex has no BPE merges; the
+    vendored table is not cl100k), so ``n_tokens`` and the 6000-token
+    ``split_kbs`` boundary (cmfunctions.py:329) differ between them on
+    the same document. Pick one per deployment and keep it fixed — mixed
+    counts would make incremental re-chunking non-idempotent.
     """
     c = F.col(col) if isinstance(col, str) else col
     if kind == "auto":
-        kind = "tiktoken" if tiktoken_available() else "regex"
+        kind = "bpe"
     if kind == "regex":
         return F.regexp_count(c, F.lit(TOKEN_PATTERN)).cast("int")
     if kind == "tiktoken":
         return token_count_tiktoken(c)
+    if kind == "bpe":
+        return token_count_bpe(c)
     raise ValueError(f"unknown tokenizer kind: {kind!r}")
 
 
@@ -104,8 +119,6 @@ def token_count_tiktoken(
     ``encode_ordinary_batch`` releases the GIL across the Rust core, so a
     whole Arrow batch tokenizes in parallel — this is NOT a row-at-a-time
     Python UDF. Raises ImportError where tiktoken is absent."""
-    import pandas as pd  # local: keep module import light
-
     if not tiktoken_available():
         raise ImportError(
             "tiktoken is not installed; use token_count(col, kind='regex') "
@@ -121,6 +134,86 @@ def token_count_tiktoken(
         filled = texts.fillna("").astype(str).tolist()
         return pd.Series(
             [len(t) for t in enc.encode_ordinary_batch(filled)], dtype="int32"
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _count(c)
+
+
+_VENDORED_MERGES: list[tuple[str, str]] | None = None
+
+
+def vendored_bpe_merges() -> list[tuple[str, str]]:
+    """The packaged merge table (``bpe_merges_v1.json``): trained once by
+    ``tools/train_vendored_bpe.py`` with this engine's own deterministic
+    trainer on the synthetic corpus — permissively shippable, unlike the
+    cl100k table. Versioned: regenerating with a different corpus/merge
+    count must bump the filename, so deployed counts never silently
+    shift."""
+    global _VENDORED_MERGES
+    if _VENDORED_MERGES is None:
+        import json
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bpe_merges_v1.json"
+        )
+        with open(path) as fh:
+            payload = json.load(fh)
+        _VENDORED_MERGES = [(l, r) for l, r in payload["merges"]]
+    return _VENDORED_MERGES
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE token count over the vendored merge table: whitespace-split
+    words -> chars+``</w>`` -> merges in training order, counted. Same
+    algorithm as ``operators/bpe.py::bpe_segment_vectorized`` (Arrow
+    batches, per-executor word->len cache riding Zipf: almost every
+    occurrence is a dict hit), counting instead of materializing the
+    token arrays. The merge list ships in the UDF closure — no join, no
+    shuffle, a pure narrow map."""
+    import re
+
+    merge_pairs = vendored_bpe_merges()
+    ws = re.compile("[ \x09-\x0d]+")
+
+    @F.pandas_udf("int")
+    def _count(texts: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def n_tokens(word: str) -> int:
+            got = cache.get(word)
+            if got is not None:
+                return got
+            syms = list(word) + ["</w>"]
+            for left, right in merge_pairs:
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[word] = len(syms)
+            return len(syms)
+
+        return pd.Series(
+            [
+                sum(
+                    n_tokens(w)
+                    for w in ws.sub(" ", t if isinstance(t, str) else "")
+                    .split(" ")
+                    if w
+                )
+                for t in texts
+            ],
+            dtype="int32",
         )
 
     c = F.col(col) if isinstance(col, str) else col
