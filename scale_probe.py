@@ -91,6 +91,10 @@ def grow_by_id_offset(df, id_col: str, mult: int, max_id: int):
 
 
 def build_scaled_dir(spark, mult: int, root: str) -> str:
+    # SCALE_PROBE_GROW=docs limits growth to documents+embeddings (the
+    # x100 dedup decade doesn't need 60M synthetic lineitem rows written
+    # just to symlink past them); default grows every fact table.
+    grow = os.environ.get("SCALE_PROBE_GROW", "all")
     out = os.path.join(root, f"x{mult}")
     os.makedirs(out, exist_ok=True)
     tables = load_tables(spark, SF_DIR, ("documents", "embeddings"))
@@ -115,6 +119,13 @@ def build_scaled_dir(spark, mult: int, root: str) -> str:
     grow_by_id_offset(embs, "vec_id", mult, max_doc).write.mode(
         "overwrite"
     ).parquet(f"{out}/embeddings.parquet")
+
+    if grow == "docs":
+        for t in ALL_TABLES:
+            dst = f"{out}/{t}.parquet"
+            if not os.path.exists(dst):
+                os.symlink(f"{SF_DIR}/{t}.parquet", dst)
+        return out
 
     # Fact-side growth for the relational probes: orderkeys offset per copy
     # (facts grow linearly, dimension tables stay fixed — per-order rollups

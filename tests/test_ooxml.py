@@ -246,6 +246,52 @@ def test_pdf_tables_positioned_heuristic():
     assert pdf_tables(b"no streams at all") == []
 
 
+def test_pdf_tables_ruled_lattice():
+    """Ruled-table reconstruction (r5 — the former 'partial' in the
+    reference's tabula coverage, parsers.py:127-137): rule lines drawn
+    with m/l (and thin-re) path operators define the grid; text buckets
+    into cells by coordinate. The decisive case over the stream
+    heuristic: an EMPTY cell is preserved as an empty field, and a
+    multi-chunk cell joins in x order."""
+    from vectordb_data_ingestion_spark.sources.ooxml import pdf_tables
+
+    # 3 columns x 2 rows: verticals at x=70,190,310; horizontals at
+    # y=710,690,670. Cell (0,1) holds two chunks; cell (1,1) is EMPTY.
+    pdf = (
+        b"stream\n"
+        b"70 710 m 310 710 l S 70 690 m 310 690 l S 70 670 m 310 670 l S "
+        b"70 670 m 70 710 l S 190 670 m 190 710 l S 310 670 m 310 710 l S "
+        b"BT "
+        b"1 0 0 1 80 700 Tm (name) Tj "
+        b"1 0 0 1 200 700 Tm (unit) Tj 1 0 0 1 240 700 Tm (price) Tj "
+        b"1 0 0 1 80 675 Tm (widget) Tj "
+        b"ET\nendstream"
+    )
+    assert pdf_tables(pdf) == ["name|unit price|widget|"]
+
+    # thin rectangles as rules (the other common drawing idiom)
+    thin = (
+        b"stream\n"
+        b"70 710 240 0.8 re f 70 690 240 0.8 re f 70 670 240 0.8 re f "
+        b"70 670 0.8 40 re f 190 670 0.8 40 re f 310 670 0.8 40 re f "
+        b"BT 1 0 0 1 80 700 Tm (a) Tj 1 0 0 1 200 700 Tm (b) Tj "
+        b"1 0 0 1 80 675 Tm (c) Tj 1 0 0 1 200 675 Tm (d) Tj "
+        b"ET\nendstream"
+    )
+    assert pdf_tables(thin) == ["a|b|c|d"]
+
+    # text outside the grid still goes through the stream heuristic,
+    # and a page with rules but no 2x2 grid falls back entirely
+    mixed = (
+        b"stream\n"
+        b"70 710 m 310 710 l S "  # a single rule: not a grid
+        b"BT 1 0 0 1 72 600 Tm (p1) Tj 1 0 0 1 200 600 Tm (q1) Tj "
+        b"1 0 0 1 72 580 Tm (p2) Tj 1 0 0 1 200 580 Tm (q2) Tj "
+        b"ET\nendstream"
+    )
+    assert pdf_tables(mixed) == ["p1|q1|p2|q2"]
+
+
 def test_review_r4_regressions():
     """Pin the review fixes: \\8 and \\9 are NOT octal escapes (backslash
     dropped, char kept — never a raise); corrupt payloads through the

@@ -312,7 +312,11 @@ def decontaminate(
         .distinct()
         .withColumn("__hit", F.lit(True))
     )
-    return corpus.join(F.broadcast(contaminated), id_col, "left").withColumn(
+    # NOT force-broadcast (r5): contaminated ids grow with hit mass — a
+    # benchmark that leaked wholesale into the corpus (the very case
+    # decontamination exists for) would make a forced broadcast OOM; AQE
+    # broadcasts while the set is small and shuffles when it is not.
+    return corpus.join(contaminated, id_col, "left").withColumn(
         "contaminated", F.coalesce(F.col("__hit"), F.lit(False))
     ).drop("__hit")
 

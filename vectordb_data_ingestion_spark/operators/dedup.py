@@ -190,7 +190,18 @@ def minhash_lsh_pairs(
     checkpoint and the bucket-join shuffle; instead the (far smaller)
     candidate-pair set joins the shingle table back by id for exact-Jaccard
     verification. At 100 TB that is the difference between shuffling the
-    corpus text ~8x and shuffling it twice."""
+    corpus text ~8x and shuffling it twice.
+
+    Join strategy (r5, learned live from the x100 scale probe): every
+    side here GROWS WITH THE CORPUS (banded rows, candidate pairs,
+    shingle sets), so no side is ever force-broadcast and no strategy is
+    pinned — AQE's runtime stats pick broadcast while a side is small
+    and sort-merge (which spills) once it is not. The protection against
+    the probe's failure mode ('Not enough memory to build and broadcast'
+    at 2M banded rows whose ~43 MB estimate passed a 64 MB gate while
+    the hash-relation build took several times that) is engine-level:
+    ``session.py`` sizes ``autoBroadcastJoinThreshold`` at 16m so that
+    anything passing the gate can always be BUILT, at any scale."""
     sh_tbl, banded = banded_signature_table(
         df, text_col, id_col, num_hashes, bands, shingle_n,
         materialize=materialize_signatures,
@@ -535,15 +546,18 @@ def dedup_by_components(
     their own component) and ``is_dup`` (true for every member except the
     representative). A training-data pipeline filters ``~is_dup``.
 
-    The components table is tiny relative to the corpus (only docs that hit a
-    candidate pair), so the join broadcasts; the corpus itself is never
-    shuffled.
+    The components table holds only docs that hit a candidate pair, so AQE
+    broadcasts it while duplicate mass is low — but the broadcast is NOT
+    forced (r5): at web-corpus duplicate fractions (30-60%) the table is
+    proportional to the corpus, and an explicit ``F.broadcast`` would
+    override the size check and OOM exactly when dedup matters most. AQE's
+    runtime stats pick broadcast vs shuffle per actual size.
     """
     comp = components.select(
         F.col("node"), F.col("component").alias("__component")
     )
     return (
-        df.join(F.broadcast(comp), df[id_col] == comp["node"], "left")
+        df.join(comp, df[id_col] == comp["node"], "left")
         .select(
             df["*"],
             F.coalesce(F.col("__component"), df[id_col]).alias("component"),

@@ -7160,7 +7160,7 @@ def q_full_curation_pipeline(spark, sf_dir):
         .filter(F.col("contaminated"))
         .select("doc_id")
     )
-    clean = corpus0.join(F.broadcast(contaminated_ids), "doc_id", "left_anti")
+    clean = corpus0.join(contaminated_ids, "doc_id", "left_anti")
     train = (
         cp.deterministic_split(clean)
         .filter(F.col("split") == "train")

@@ -45,7 +45,17 @@ def get_spark(
         # 100 TB scale: keep scan splits bounded so a single parquet row
         # group never blows an executor; AQE handles the reduce side.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # 16m, not 64m (r5): the threshold compares SIZE ESTIMATES, but a
+        # hash-relation build takes ~5-10x its input estimate in heap — a
+        # 40-60 MB table passes a 64m gate and then OOMs the build under
+        # full task concurrency (caught live by the x100 dedup scale
+        # probe: 2M banded rows / 43 MB estimate -> 'Not enough memory to
+        # build and broadcast'). 16m keeps every genuine dimension/stats
+        # broadcast (all well under 1 MB at any SF — dims don't grow) and
+        # pushes corpus-growing tables to sort-merge, which spills. The
+        # gate must be sized so that anything passing it can ALWAYS be
+        # built, at any data scale.
+        .config("spark.sql.autoBroadcastJoinThreshold", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -79,9 +79,11 @@ class ParquetVectorSink:
 
     def delete_where_df(self, col: str, keys: DataFrame) -> None:
         """Anti-join form of :meth:`delete_where`: the key set stays
-        distributed (broadcast into the scan), so a micro-batch with
-        millions of changed documents never materializes its keys on the
-        driver."""
+        distributed, so a micro-batch with millions of changed documents
+        never materializes its keys on the driver. The join strategy is
+        left to AQE (r5): catalog-sized key sets broadcast into the scan;
+        a backfill batch whose keys outgrow executor memory falls back to
+        a shuffled anti-join instead of OOMing on a forced broadcast."""
         import os
 
         if not os.path.exists(self.base_path):
@@ -91,7 +93,7 @@ class ParquetVectorSink:
         # USING-style join moves the key column to the front — restore the
         # stored column order, or every rewrite permutes the sink schema
         remaining = current.join(
-            F.broadcast(key_df), col, "left_anti"
+            key_df, col, "left_anti"
         ).select(*current.columns)
         self._rewrite(remaining)
 

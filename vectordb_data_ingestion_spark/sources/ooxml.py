@@ -574,15 +574,147 @@ def _pdf_positioned(stream: bytes) -> list[tuple[float, float, str]]:
     return out
 
 
+def _pdf_rules(
+    stream: bytes,
+) -> tuple[list[tuple[float, float, float]], list[tuple[float, float, float]]]:
+    """Axis-aligned rule lines from a decoded content stream's path
+    operators: horizontal segments as ``(y, x0, x1)`` and vertical as
+    ``(x, y0, y1)``. Sources: ``m``/``l`` stroked polylines and ``re``
+    rectangles — a THIN rect (common way to draw a 1pt rule) collapses
+    to its centerline; a box rect contributes its four edges. Curves
+    only advance the current point. Strings/hex/names are skipped with
+    the same lexers as the text interpreter, so digits inside shown text
+    never masquerade as coordinates."""
+    h: list[tuple[float, float, float]] = []
+    v: list[tuple[float, float, float]] = []
+    operands: list[float] = []
+    cur: tuple[float, float] | None = None
+
+    def seg(x0: float, y0: float, x1: float, y1: float) -> None:
+        if abs(y1 - y0) <= 0.5 and abs(x1 - x0) > 0.5:
+            h.append(((y0 + y1) / 2, min(x0, x1), max(x0, x1)))
+        elif abs(x1 - x0) <= 0.5 and abs(y1 - y0) > 0.5:
+            v.append(((x0 + x1) / 2, min(y0, y1), max(y0, y1)))
+
+    i, n = 0, len(stream)
+    while i < n:
+        ch = stream[i:i + 1]
+        if ch in b" \t\r\n\x00[]":
+            i += 1
+        elif ch == b"%":
+            j = stream.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif ch == b"(":
+            _raw, i = _pdf_literal(stream, i)
+        elif ch == b"<" and stream[i + 1:i + 2] != b"<":
+            m = re.match(rb"<[0-9A-Fa-f\s]*>", stream[i:])
+            i += m.end() if m else 1
+        elif ch == b"/":
+            m = re.match(rb"/[^\s\[\]()<>/]*", stream[i:])
+            i += m.end() if m else 1
+        elif _NUM_RE.match(stream[i:i + 24]) and not ch.isalpha():
+            m = _NUM_RE.match(stream, i)
+            operands.append(float(m.group()))
+            i = m.end()
+        else:
+            m = re.match(rb"[A-Za-z'\"*]+", stream[i:])
+            if not m:
+                i += 1
+                continue
+            op = m.group()
+            i += m.end()
+            if op == b"m" and len(operands) >= 2:
+                cur = (operands[-2], operands[-1])
+            elif op == b"l" and len(operands) >= 2 and cur is not None:
+                nxt = (operands[-2], operands[-1])
+                seg(cur[0], cur[1], nxt[0], nxt[1])
+                cur = nxt
+            elif op in (b"c", b"v", b"y") and len(operands) >= 2:
+                cur = (operands[-2], operands[-1])
+            elif op == b"re" and len(operands) >= 4:
+                rx, ry, rw, rh = operands[-4:]
+                if abs(rh) <= 2.0 and abs(rw) > 2.0:
+                    h.append((ry + rh / 2, min(rx, rx + rw), max(rx, rx + rw)))
+                elif abs(rw) <= 2.0 and abs(rh) > 2.0:
+                    v.append((rx + rw / 2, min(ry, ry + rh), max(ry, ry + rh)))
+                else:
+                    x0, x1 = min(rx, rx + rw), max(rx, rx + rw)
+                    y0, y1 = min(ry, ry + rh), max(ry, ry + rh)
+                    h.extend([(y0, x0, x1), (y1, x0, x1)])
+                    v.extend([(x0, y0, y1), (x1, y0, y1)])
+            operands = []
+    return h, v
+
+
+def _cluster(vals: list[float], tol: float = 1.5) -> list[float]:
+    """Sorted representative values with near-equal neighbors merged."""
+    out: list[float] = []
+    for val in sorted(vals):
+        if out and val - out[-1] <= tol:
+            continue
+        out.append(val)
+    return out
+
+
+def _lattice_table(
+    chunks: list[tuple[float, float, str]],
+    hlines: list[tuple[float, float, float]],
+    vlines: list[tuple[float, float, float]],
+) -> tuple[str | None, tuple[float, float, float, float] | None]:
+    """Reconstruct ONE ruled table from the grid the rule lines draw:
+    clustered horizontal-line ys are row boundaries, vertical-line xs
+    column boundaries; positioned text buckets into cells by coordinate.
+    Returns (pipe-joined row-major table, grid bbox) or (None, None)
+    when the lines don't form a >=2x2-cell grid. One grid per page —
+    side-by-side ruled tables merge (documented limit)."""
+    ys = _cluster([y for y, _x0, _x1 in hlines])
+    xs = _cluster([x for x, _y0, _y1 in vlines])
+    if len(ys) < 3 or len(xs) < 3:
+        return None, None
+    ys = ys[::-1]  # PDF y grows upward: top boundary first
+    n_rows, n_cols = len(ys) - 1, len(xs) - 1
+    cells: list[list[list[tuple[float, str]]]] = [
+        [[] for _ in range(n_cols)] for _ in range(n_rows)
+    ]
+    for cx, cy, text in chunks:
+        if not (xs[0] <= cx <= xs[-1] and ys[-1] <= cy <= ys[0]):
+            continue
+        col = next(
+            (j for j in range(n_cols) if cx < xs[j + 1]), n_cols - 1
+        )
+        row = next(
+            (k for k in range(n_rows) if cy > ys[k + 1]), n_rows - 1
+        )
+        cells[row][col].append((cx, text))
+    flat = [
+        " ".join(t for _x, t in sorted(cell)).strip()
+        for row in cells
+        for cell in row
+    ]
+    if not any(flat):
+        return None, None
+    bbox = (xs[0], ys[-1], xs[-1], ys[0])
+    return "|".join(flat), bbox
+
+
 def pdf_tables(content: bytes, y_tol: float = 2.0) -> list[str]:
-    """Heuristic table extraction from a simple PDF: positioned strings
-    cluster into rows by y (tolerance ``y_tol``); a TABLE is a maximal
-    run of >=2 consecutive rows that each hold >=2 cells; every table
-    flattens to one pipe-joined string row-major — the reference's
-    ``process_pdf_table`` CSV-joined-by-'|' shape (parsers.py:127-137,
-    via tabula). Lattice lines/spanning cells are not modeled — use a
-    full table engine for scanned or ruled documents."""
+    """Table extraction from a simple PDF, tabula's two modes re-expressed
+    (reference ``process_pdf_table``, parsers.py:127-137 — one
+    pipe-joined string per table):
+
+    - **lattice** (r5): rule lines drawn with ``m``/``l``/``re`` path
+      operators form a grid; clustered boundaries define cells and
+      positioned text buckets into them — empty cells are preserved as
+      empty fields, which the unruled heuristic cannot know about.
+    - **stream**: positioned strings cluster into rows by y (tolerance
+      ``y_tol``); a TABLE is a maximal run of >=2 consecutive rows that
+      each hold >=2 cells. Runs on the text OUTSIDE any detected grid.
+
+    Scanned (raster) documents stay out of scope — there is no text or
+    vector geometry to interpret; that needs OCR."""
     chunks: list[tuple[float, float, str]] = []
+    hlines: list[tuple[float, float, float]] = []
+    vlines: list[tuple[float, float, float]] = []
     for m in re.finditer(rb"stream\r?\n(.*?)endstream", content, re.DOTALL):
         data = m.group(1)
         try:
@@ -594,8 +726,23 @@ def pdf_tables(content: bytes, y_tol: float = 2.0) -> list[str]:
                 decoded = data
         if b"BT" in decoded:
             chunks.extend(_pdf_positioned(decoded))
+        if b" re" in decoded or b" l" in decoded or b" m" in decoded:
+            sh, sv = _pdf_rules(decoded)
+            hlines.extend(sh)
+            vlines.extend(sv)
     if not chunks:
         return []
+
+    tables: list[str] = []
+    lattice, bbox = _lattice_table(chunks, hlines, vlines)
+    if lattice is not None:
+        tables.append(lattice)
+        x0, y0, x1, y1 = bbox
+        chunks = [
+            c for c in chunks
+            if not (x0 <= c[0] <= x1 and y0 <= c[1] <= y1)
+        ]
+
     rows: list[list[tuple[float, str]]] = []
     for cx, cy, text in sorted(chunks, key=lambda c: (-c[1], c[0])):
         if rows and abs(rows[-1][0][0] - cy) <= y_tol:
@@ -607,7 +754,7 @@ def pdf_tables(content: bytes, y_tol: float = 2.0) -> list[str]:
         [t for _y, (_x, t) in sorted(r, key=lambda e: e[1][0])]
         for r in rows
     ]
-    tables, run = [], []
+    run: list[list[str]] = []
     for cells in norm + [[]]:
         if len(cells) >= 2:
             run.append(cells)
