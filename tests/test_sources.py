@@ -161,19 +161,13 @@ def test_excel_rows_header_skip(spark):
         ("svc two", "d2"),
     ]
     # r4: the stdlib zip+XML tier makes the XLSX scan real without
-    # openpyxl — a missing file is now a plain FileNotFoundError; only
-    # named-sheet lookup still needs the lib
-    try:
-        import openpyxl  # noqa: F401
-
-        has_openpyxl = True
-    except ImportError:
-        has_openpyxl = False
+    # openpyxl — a missing file is a plain FileNotFoundError; r5: named
+    # -sheet lookup works in BOTH tiers (no NotImplementedError left),
+    # so the missing file dominates regardless of the sheet argument
     with pytest.raises(FileNotFoundError):
         read_excel_catalog(spark, "/nope.xlsx", ["a"])
-    if not has_openpyxl:
-        with pytest.raises(NotImplementedError):
-            read_excel_catalog(spark, "/nope.xlsx", ["a"], sheet="Named")
+    with pytest.raises(FileNotFoundError):
+        read_excel_catalog(spark, "/nope.xlsx", ["a"], sheet="Named")
 
 
 def test_document_catalog_datasource(spark, tmp_path):
