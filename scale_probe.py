@@ -124,7 +124,10 @@ def build_scaled_dir(spark, mult: int, root: str) -> str:
         for t in ALL_TABLES:
             dst = f"{out}/{t}.parquet"
             if not os.path.exists(dst):
-                os.symlink(f"{SF_DIR}/{t}.parquet", dst)
+                # absolute target: a relative SPARK_GRAFT_SF_DIR would
+                # otherwise resolve relative to the link's directory and
+                # dangle
+                os.symlink(os.path.abspath(f"{SF_DIR}/{t}.parquet"), dst)
         return out
 
     # Fact-side growth for the relational probes: orderkeys offset per copy

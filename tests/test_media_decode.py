@@ -181,6 +181,23 @@ def test_png_crafted_header_rejected_before_allocation():
         decode_png(png)
 
 
+def test_png_zero_height_huge_width_rejected():
+    """height=0 makes the height-scaled consistency check vacuous while
+    the width-sized line buffers still allocate — a crafted
+    2^31-wide x 0-tall RGBA header must be rejected outright (zero dims
+    are invalid per the PNG spec)."""
+    ihdr = struct.pack(">IIBBBBB", (1 << 31) - 1, 0, 8, 6, 0, 0, 0)
+    idat = zlib.compress(b"")
+    png = b"\x89PNG\r\n\x1a\n"
+    for ctype, data in ((b"IHDR", ihdr), (b"IDAT", idat), (b"IEND", b"")):
+        png += (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+    with pytest.raises(ValueError, match="zero dimension"):
+        decode_png(png)
+
+
 def test_extract_features_real_and_stub_paths(spark):
     """The mapInPandas featurizer serves REAL dims/features for media
     payloads and the deterministic stub for everything else, in one

@@ -292,6 +292,65 @@ def test_pdf_tables_ruled_lattice():
     assert pdf_tables(mixed) == ["p1|q1|p2|q2"]
 
 
+def test_pdf_tables_per_page_and_newline_ops():
+    """Review r5 pins: (a) each content stream (≈ page) gets its OWN
+    grid — two pages with same-coordinate ruled tables must yield two
+    tables, not one garbled merge; stream-mode runs must not join
+    across page boundaries either. (b) Path operators separated by
+    newlines instead of spaces (TeX/Ghostscript emit one op per line)
+    must still trigger rule scanning."""
+    from vectordb_data_ingestion_spark.sources.ooxml import pdf_tables
+
+    def page(a: bytes, b: bytes, c: bytes, d: bytes) -> bytes:
+        return (
+            b"stream\n"
+            b"70 710 m 310 710 l S 70 690 m 310 690 l S "
+            b"70 670 m 310 670 l S "
+            b"70 670 m 70 710 l S 190 670 m 190 710 l S "
+            b"310 670 m 310 710 l S "
+            b"BT "
+            b"1 0 0 1 80 700 Tm (" + a + b") Tj "
+            b"1 0 0 1 200 700 Tm (" + b + b") Tj "
+            b"1 0 0 1 80 675 Tm (" + c + b") Tj "
+            b"1 0 0 1 200 675 Tm (" + d + b") Tj "
+            b"ET\nendstream"
+        )
+
+    two_pages = page(b"a", b"b", b"c", b"d") + b"\n" + page(
+        b"e", b"f", b"g", b"h"
+    )
+    assert pdf_tables(two_pages) == ["a|b|c|d", "e|f|g|h"]
+
+    # unruled rows on two pages: runs must not merge across the boundary
+    def textpage(r1: bytes, r2: bytes) -> bytes:
+        return (
+            b"stream\nBT "
+            b"1 0 0 1 72 700 Tm (" + r1 + b"1) Tj "
+            b"1 0 0 1 200 700 Tm (" + r1 + b"2) Tj "
+            b"1 0 0 1 72 680 Tm (" + r2 + b"1) Tj "
+            b"1 0 0 1 200 680 Tm (" + r2 + b"2) Tj "
+            b"ET\nendstream"
+        )
+
+    assert pdf_tables(textpage(b"a", b"b") + b"\n" + textpage(b"c", b"d")) \
+        == ["a1|a2|b1|b2", "c1|c2|d1|d2"]
+
+    # newline-separated path operators (no ' m'/' l' byte substrings:
+    # the separator BEFORE each operator is a newline, valid PDF syntax)
+    nl = (
+        b"stream\n"
+        b"70 710\nm\n310 710\nl\nS\n70 690\nm\n310 690\nl\nS\n"
+        b"70 670\nm\n310 670\nl\nS\n"
+        b"70 670\nm\n70 710\nl\nS\n190 670\nm\n190 710\nl\nS\n"
+        b"310 670\nm\n310 710\nl\nS\n"
+        b"BT "
+        b"1 0 0 1 80 700 Tm (a) Tj 1 0 0 1 200 700 Tm (b) Tj "
+        b"1 0 0 1 80 675 Tm (c) Tj 1 0 0 1 200 675 Tm (d) Tj "
+        b"ET\nendstream"
+    )
+    assert pdf_tables(nl) == ["a|b|c|d"]
+
+
 def test_review_r4_regressions():
     """Pin the review fixes: \\8 and \\9 are NOT octal escapes (backslash
     dropped, char kept — never a raise); corrupt payloads through the

@@ -995,6 +995,51 @@ def test_legacy_migration_refuses_stale_rebuild_conflict(tmp_path):
     assert sorted(os.listdir(codes2 / "batch=base")) == ["cell=0", "cell=9"]
 
 
+def test_legacy_migration_force_merges_colliding_cells(tmp_path):
+    """force=True with COLLIDING cell names: os.rename refuses a
+    non-empty dir target, so the merge must move the cell's part files
+    individually instead of crashing ENOTEMPTY mid-migration (which
+    would strand the _MIGRATING marker and let the NEXT plain call
+    bypass the rebuilt-over-legacy guard — review r5). An inner part-
+    file collision is unresolvable without overwriting data and must
+    refuse loudly."""
+    import pytest
+
+    from vectordb_data_ingestion_spark.operators.vector_index import (
+        _migrate_legacy_flat_codes,
+    )
+
+    codes = tmp_path / "codes"
+    fresh = codes / "batch=base" / "cell=0"
+    fresh.mkdir(parents=True)
+    (fresh / "part-fresh.parquet").write_bytes(b"fresh")
+    stale = codes / "cell=0"
+    stale.mkdir()
+    (stale / "part-stale.parquet").write_bytes(b"stale")
+    (codes / "cell=1").mkdir()
+
+    assert _migrate_legacy_flat_codes(str(codes), force=True) is True
+    assert sorted(os.listdir(codes)) == ["batch=base"]  # marker cleared
+    merged = codes / "batch=base" / "cell=0"
+    assert sorted(os.listdir(merged)) == [
+        "part-fresh.parquet", "part-stale.parquet",
+    ]
+    assert (merged / "part-fresh.parquet").read_bytes() == b"fresh"
+
+    # inner filename collision: refuses, never overwrites either copy
+    codes2 = tmp_path / "codes2"
+    fresh2 = codes2 / "batch=base" / "cell=0"
+    fresh2.mkdir(parents=True)
+    (fresh2 / "part-0.parquet").write_bytes(b"fresh")
+    stale2 = codes2 / "cell=0"
+    stale2.mkdir()
+    (stale2 / "part-0.parquet").write_bytes(b"stale")
+    with pytest.raises(RuntimeError, match="both"):
+        _migrate_legacy_flat_codes(str(codes2), force=True)
+    assert (fresh2 / "part-0.parquet").read_bytes() == b"fresh"
+    assert (stale2 / "part-0.parquet").read_bytes() == b"stale"
+
+
 def test_watermark_drops_beyond_horizon_event(spark, tmp_path):
     """The drop side of the watermark contract: an event older than the
     watermark arriving in a LATER micro-batch must be discarded — the

@@ -164,49 +164,70 @@ def vendored_bpe_merges() -> list[tuple[str, str]]:
     return _VENDORED_MERGES
 
 
+def make_word_tokenizer(
+    merge_pairs: list[tuple[str, str]],
+    end_token: str = "</w>",
+    max_cache: int = 1_000_000,
+):
+    """The ONE greedy merges-in-training-order word tokenizer, shared by
+    ``token_count_bpe`` and ``operators/bpe.py::bpe_segment_vectorized``
+    so the count backend can never drift from the segmenter it claims
+    parity with. Build it on the driver and capture the returned closure
+    in a UDF: cloudpickle ships nested closures by value, so each task
+    deserializes ONE ``cache`` that persists across every Arrow batch of
+    that task — word frequency is Zipf, so after the first few batches
+    almost every occurrence is a dict hit and only first-seen words pay
+    the O(merges·len) scan. ``max_cache`` bounds a pathological
+    vocabulary (e.g. unique random strings) on a huge partition: the
+    cache clears rather than growing without limit."""
+
+    cache: dict[str, list[str]] = {}
+
+    def tokenize(word: str) -> list[str]:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word) + [end_token]
+        for left, right in merge_pairs:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        if len(cache) >= max_cache:
+            cache.clear()
+        cache[word] = syms
+        return syms
+
+    return tokenize
+
+
 def token_count_bpe(col: Column | str) -> Column:
     """BPE token count over the vendored merge table: whitespace-split
-    words -> chars+``</w>`` -> merges in training order, counted. Same
-    algorithm as ``operators/bpe.py::bpe_segment_vectorized`` (Arrow
-    batches, per-executor word->len cache riding Zipf: almost every
-    occurrence is a dict hit), counting instead of materializing the
-    token arrays. The merge list ships in the UDF closure — no join, no
-    shuffle, a pure narrow map."""
+    words -> chars+``</w>`` -> merges in training order, counted —
+    ``len`` over the same :func:`make_word_tokenizer` closure the
+    segmenter uses, so count and segmentation cannot diverge. The merge
+    list ships in the UDF closure — no join, no shuffle, a pure narrow
+    map; the word cache persists across Arrow batches within a task."""
     import re
 
-    merge_pairs = vendored_bpe_merges()
-    ws = re.compile("[ \x09-\x0d]+")
+    ws = re.compile(_WS)
+    tokenize = make_word_tokenizer(vendored_bpe_merges())
 
     @F.pandas_udf("int")
     def _count(texts: pd.Series) -> pd.Series:
-        cache: dict[str, int] = {}
-
-        def n_tokens(word: str) -> int:
-            got = cache.get(word)
-            if got is not None:
-                return got
-            syms = list(word) + ["</w>"]
-            for left, right in merge_pairs:
-                out, i = [], 0
-                while i < len(syms):
-                    if (
-                        i + 1 < len(syms)
-                        and syms[i] == left
-                        and syms[i + 1] == right
-                    ):
-                        out.append(left + right)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-            cache[word] = len(syms)
-            return len(syms)
-
         return pd.Series(
             [
                 sum(
-                    n_tokens(w)
+                    len(tokenize(w))
                     for w in ws.sub(" ", t if isinstance(t, str) else "")
                     .split(" ")
                     if w

@@ -180,37 +180,21 @@ def bpe_segment_vectorized(
 
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
-    ws = re.compile("[ \x09-\x0d]+")
+    from vectordb_data_ingestion_spark.functions.text import (
+        _WS,
+        make_word_tokenizer,
+    )
+
+    ws = re.compile(_WS)
     merge_pairs = [(l, r) for l, r, _ in merges]
     out_schema = StructType(
         df.schema.fields + [StructField(out_col, ArrayType(StringType()))]
     )
+    # the shared merge-loop closure (functions/text.py) — one word cache
+    # per task, alive across every Arrow batch the generator sees
+    tokenize = make_word_tokenizer(merge_pairs, end_token)
 
     def segment(batches):
-        cache: dict[str, list[str]] = {}
-
-        def tokenize(word: str) -> list[str]:
-            got = cache.get(word)
-            if got is not None:
-                return got
-            syms = list(word) + [end_token]
-            for left, right in merge_pairs:
-                out, i = [], 0
-                while i < len(syms):
-                    if (
-                        i + 1 < len(syms)
-                        and syms[i] == left
-                        and syms[i + 1] == right
-                    ):
-                        out.append(left + right)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-            cache[word] = syms
-            return syms
-
         for pdf in batches:
             toks = [
                 [

@@ -103,6 +103,14 @@ def decode_png(content: bytes) -> dict:
     # crafted IHDR declaring width≈2^31 would otherwise force a multi-GB
     # zero-filled bytearray here regardless of how small the IDAT is —
     # the same executor-OOM class bounded_inflate exists to prevent.
+    # zero dims are invalid per the PNG spec AND would bypass the
+    # height-scaled check below (height=0 makes it vacuous while the
+    # width-sized line buffers still allocate)
+    if width < 1 or height < 1:
+        raise ValueError(
+            f"PNG declares zero dimension {width}x{height} — "
+            "truncated or crafted header"
+        )
     if height * (stride + 1) > len(raw):
         raise ValueError(
             f"PNG declares {width}x{height}x{channels} "

@@ -126,12 +126,15 @@ def _migrate_legacy_flat_codes(codes_dir: str, force: bool = False) -> bool:
             "codes dir holds BOTH a populated batch=base and root-level "
             f"legacy cell= dirs ({cells[:3]}"
             f"{'...' if len(cells) > 3 else ''}) with no _MIGRATING "
-            "marker: this is a rebuilt index with stale flat-layout "
-            "leftovers, not an interrupted migration (which leaves the "
-            "marker). Refusing to merge stale vectors into the fresh "
-            f"index — delete the stale root-level cell= dirs under "
-            f"{codes_dir} (or the whole dir and rebuild), or call with "
-            "force=True to merge deliberately."
+            "marker: either a rebuilt index with stale flat-layout "
+            "leftovers, or a migration interrupted by a pre-marker "
+            "version of this code. Refusing to guess — if the root "
+            "cell= dirs are stale leftovers from before a rebuild, "
+            f"delete them under {codes_dir} (or the whole dir and "
+            "rebuild); if they are unmoved cells of the SAME build "
+            "(interrupted migration), call with force=True to finish "
+            "the merge (it refuses to overwrite any colliding part "
+            "file, so same-build resumes are safe)."
         )
     # marker BEFORE base: a crash between the two still resumes cleanly
     with open(marker, "w") as fh:
@@ -139,10 +142,30 @@ def _migrate_legacy_flat_codes(codes_dir: str, force: bool = False) -> bool:
     os.makedirs(base, exist_ok=True)
     for e in entries:
         if e.startswith("cell=") or e == "_SUCCESS":
+            src, dst = os.path.join(codes_dir, e), os.path.join(base, e)
             try:
-                os.rename(os.path.join(codes_dir, e), os.path.join(base, e))
+                os.rename(src, dst)
             except FileNotFoundError:
                 pass  # a concurrent migrator already moved this entry
+            except OSError:
+                # dst already exists (deliberate force=True merge onto a
+                # rebuilt index with COLLIDING cell names, or a resumed
+                # interrupted merge): rename refuses non-empty dir
+                # targets, so merge the cell's part files individually.
+                # An inner filename collision is NOT resolvable without
+                # overwriting data — refuse loudly rather than pick one.
+                if not (os.path.isdir(src) and os.path.isdir(dst)):
+                    raise
+                for part in os.listdir(src):
+                    inner_dst = os.path.join(dst, part)
+                    if part != "_SUCCESS" and os.path.exists(inner_dst):
+                        raise RuntimeError(
+                            f"flat-codes merge: {e}/{part} exists in both "
+                            "the legacy layout and batch=base — refusing "
+                            "to overwrite either copy"
+                        )
+                    os.replace(os.path.join(src, part), inner_dst)
+                os.rmdir(src)
     try:
         os.remove(marker)
     except FileNotFoundError:

@@ -665,8 +665,9 @@ def _lattice_table(
     clustered horizontal-line ys are row boundaries, vertical-line xs
     column boundaries; positioned text buckets into cells by coordinate.
     Returns (pipe-joined row-major table, grid bbox) or (None, None)
-    when the lines don't form a >=2x2-cell grid. One grid per page —
-    side-by-side ruled tables merge (documented limit)."""
+    when the lines don't form a >=2x2-cell grid. One grid per content
+    stream — side-by-side ruled tables on the same page merge
+    (documented limit)."""
     ys = _cluster([y for y, _x0, _x1 in hlines])
     xs = _cluster([x for x, _y0, _y1 in vlines])
     if len(ys) < 3 or len(xs) < 3:
@@ -697,6 +698,15 @@ def _lattice_table(
     return "|".join(flat), bbox
 
 
+# a path operator token anywhere in the stream: delimited by anything
+# that cannot extend an operator name (operators may be preceded by
+# newlines, not just spaces — TeX/Ghostscript emit one op per line).
+# False positives (an 'm' inside shown text) just run the cheap lexer,
+# which skips string literals properly; false negatives would silently
+# drop ruled tables.
+_RULE_OP_RE = re.compile(rb"(?<![A-Za-z'\"*])(?:re|l|m)(?![A-Za-z'\"*])")
+
+
 def pdf_tables(content: bytes, y_tol: float = 2.0) -> list[str]:
     """Table extraction from a simple PDF, tabula's two modes re-expressed
     (reference ``process_pdf_table``, parsers.py:127-137 — one
@@ -710,11 +720,15 @@ def pdf_tables(content: bytes, y_tol: float = 2.0) -> list[str]:
       ``y_tol``); a TABLE is a maximal run of >=2 consecutive rows that
       each hold >=2 cells. Runs on the text OUTSIDE any detected grid.
 
+    Each content stream (≈ one page in the simple tier) is processed
+    INDEPENDENTLY: pooling pages would merge same-coordinate tables from
+    different pages into one garbled grid and join stream-mode runs
+    across page boundaries. A page whose content is split across several
+    streams is likewise handled per-stream (documented limit).
+
     Scanned (raster) documents stay out of scope — there is no text or
     vector geometry to interpret; that needs OCR."""
-    chunks: list[tuple[float, float, str]] = []
-    hlines: list[tuple[float, float, float]] = []
-    vlines: list[tuple[float, float, float]] = []
+    tables: list[str] = []
     for m in re.finditer(rb"stream\r?\n(.*?)endstream", content, re.DOTALL):
         data = m.group(1)
         try:
@@ -724,42 +738,42 @@ def pdf_tables(content: bytes, y_tol: float = 2.0) -> list[str]:
                 decoded = bounded_inflate(data.rstrip(b"\r\n"))
             except zlib.error:
                 decoded = data
-        if b"BT" in decoded:
-            chunks.extend(_pdf_positioned(decoded))
-        if b" re" in decoded or b" l" in decoded or b" m" in decoded:
-            sh, sv = _pdf_rules(decoded)
-            hlines.extend(sh)
-            vlines.extend(sv)
-    if not chunks:
-        return []
+        if b"BT" not in decoded:
+            continue
+        chunks = _pdf_positioned(decoded)
+        if not chunks:
+            continue
+        if _RULE_OP_RE.search(decoded):
+            hlines, vlines = _pdf_rules(decoded)
+        else:
+            hlines, vlines = [], []
 
-    tables: list[str] = []
-    lattice, bbox = _lattice_table(chunks, hlines, vlines)
-    if lattice is not None:
-        tables.append(lattice)
-        x0, y0, x1, y1 = bbox
-        chunks = [
-            c for c in chunks
-            if not (x0 <= c[0] <= x1 and y0 <= c[1] <= y1)
+        lattice, bbox = _lattice_table(chunks, hlines, vlines)
+        if lattice is not None:
+            tables.append(lattice)
+            x0, y0, x1, y1 = bbox
+            chunks = [
+                c for c in chunks
+                if not (x0 <= c[0] <= x1 and y0 <= c[1] <= y1)
+            ]
+
+        rows: list[list[tuple[float, str]]] = []
+        for cx, cy, text in sorted(chunks, key=lambda c: (-c[1], c[0])):
+            if rows and abs(rows[-1][0][0] - cy) <= y_tol:
+                rows[-1].append((cy, (cx, text)))  # type: ignore[arg-type]
+            else:
+                rows.append([(cy, (cx, text))])  # type: ignore[list-item]
+        # normalize: row -> cells sorted by x
+        norm = [
+            [t for _y, (_x, t) in sorted(r, key=lambda e: e[1][0])]
+            for r in rows
         ]
-
-    rows: list[list[tuple[float, str]]] = []
-    for cx, cy, text in sorted(chunks, key=lambda c: (-c[1], c[0])):
-        if rows and abs(rows[-1][0][0] - cy) <= y_tol:
-            rows[-1].append((cy, (cx, text)))  # type: ignore[arg-type]
-        else:
-            rows.append([(cy, (cx, text))])  # type: ignore[list-item]
-    # normalize: row -> cells sorted by x
-    norm = [
-        [t for _y, (_x, t) in sorted(r, key=lambda e: e[1][0])]
-        for r in rows
-    ]
-    run: list[list[str]] = []
-    for cells in norm + [[]]:
-        if len(cells) >= 2:
-            run.append(cells)
-        else:
-            if len(run) >= 2:
-                tables.append("|".join(c for row in run for c in row))
-            run = []
+        run: list[list[str]] = []
+        for cells in norm + [[]]:
+            if len(cells) >= 2:
+                run.append(cells)
+            else:
+                if len(run) >= 2:
+                    tables.append("|".join(c for row in run for c in row))
+                run = []
     return tables
