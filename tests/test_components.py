@@ -126,3 +126,16 @@ def test_spread_starvation_guard(spark):
     want = spark.sparkContext.defaultParallelism
     wide = spark.range(1000).repartition(want + 4)
     assert spread(wide) is wide  # no-op: never ADD a shuffle
+
+
+def test_string_ids_converge_and_collapse(spark):
+    """Review r5: the convergence checksum summed the raw label column,
+    which implicitly casts string ids to double -> NULL -> None == None
+    -> spurious convergence after ONE iteration. A 10-node string-id
+    chain needs ~3 pointer-jumping rounds; every node must still reach
+    the global min label."""
+    names = [f"doc-{c}" for c in "abcdefghij"]
+    edges = [(names[i], names[i + 1]) for i in range(len(names) - 1)]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {n: "doc-a" for n in names}

@@ -505,6 +505,66 @@ def test_remove_duplicate_spans_semantics(spark):
     assert out[3]["clean_text"] == "tiny doc" and out[3]["n_removed"] == 0
 
 
+def test_remove_duplicate_spans_string_and_huge_ids(spark):
+    """Review r5: the occurrence total-order used numeric packing
+    (id*1e9+pos), which silently no-ops for STRING doc ids (cast ->
+    NULL -> no window ever marked) and wraps negative for ids >= ~9.2e9.
+    Struct ordering must cut the later occurrence for both id types."""
+    from vectordb_data_ingestion_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    sdocs = spark.createDataFrame(
+        [("chunk-a", f"x {shared} y"), ("chunk-b", f"p {shared} q")],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_spans(sdocs, window_words=8).collect()
+    }
+    assert out["chunk-a"]["n_removed"] == 0
+    assert shared in out["chunk-a"]["clean_text"]
+    assert out["chunk-b"]["n_removed"] == 8
+    assert shared not in out["chunk-b"]["clean_text"]
+
+    big = 10_000_000_000  # id*1e9 would overflow a long
+    ndocs = spark.createDataFrame(
+        [(big, f"x {shared} y"), (big + 1, f"p {shared} q")],
+        "doc_id long, text string",
+    )
+    nout = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_spans(ndocs, window_words=8).collect()
+    }
+    assert nout[big]["n_removed"] == 0
+    assert nout[big + 1]["n_removed"] == 8
+
+
+def test_lsh_simhash_parameter_validation(spark):
+    """Review r5: degenerate banding parameters silently became a full
+    O(n^2) cross join (bands > num_hashes -> every band hash is md5('');
+    bits < max_hamming+1 -> every segment value is 0) or silently
+    weakened the LSH (num_hashes % bands != 0 drops trailing signature
+    elements). All three must refuse at plan-build time."""
+    import pytest
+
+    from vectordb_data_ingestion_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=20)
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, bits=4, max_hamming=4)
+
+
 def test_new_ops_null_and_empty_inputs(spark):
     """Null text, empty text, and empty corpora must not crash the round-2
     operators, and Spark/DuckDB null semantics stay aligned (pinned here

@@ -446,6 +446,9 @@ def test_no_plan_antipatterns_across_all_queries(spark):
         "forecast_revenue_change",    # 1-row pushdown aggregate (Q6)
         "dataset_card",               # 1-row datasheet aggregate
         "full_curation_pipeline",     # temperature rates window over |sources| rows
+        "lm_perplexity_score",        # 1-row vocab-size agg broadcast into
+                                      # the smoothing term (was an eager
+                                      # driver collect before r5)
     }
     offenders = {}
     for name, plan in _all_physical_plans(spark).items():

@@ -244,3 +244,39 @@ def test_tfidf_multi_query_one_plan(spark):
     got = {(r["q_id"], r["doc_id"]) for r in out.collect()}
     assert len({q for q, _ in got}) == 2
     assert all(d % 3 == q for q, d in got)
+
+
+def test_query_terms_case_normalized(spark):
+    """Review r5: the corpus index lowercases tokens, so an uppercase
+    query term silently returned zero matches. All three lexical scorers
+    (and their SQL oracles via the shared normalizer) must treat 'Spark'
+    and 'spark' identically."""
+    from vectordb_data_ingestion_spark.operators.search import (
+        bm25_sql,
+        bm25_topk,
+        bm25_topk_indexed,
+        build_bm25_index,
+        tfidf_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "spark shuffles data"), (2, "pandas stays local")],
+        "doc_id long, text string",
+    )
+    lower = {(r["q_id"], r["doc_id"]) for r in bm25_topk(corpus, [(0, ["spark"])]).collect()}
+    upper = {(r["q_id"], r["doc_id"]) for r in bm25_topk(corpus, [(0, ["Spark"])]).collect()}
+    assert lower == upper == {(0, 1)}
+
+    postings, terms, stats = build_bm25_index(corpus)
+    iu = {
+        (r["q_id"], r["doc_id"])
+        for r in bm25_topk_indexed(postings, terms, stats, [(0, ["SPARK"])]).collect()
+    }
+    assert iu == {(0, 1)}
+
+    tu = {(r["q_id"], r["doc_id"]) for r in tfidf_topk(corpus, [(0, ["Spark"])]).collect()}
+    assert tu == {(0, 1)}
+
+    # oracle side normalizes AND escapes quotes identically
+    sql = bm25_sql("docs", [(0, ["O'Brien"])])
+    assert "o''brien" in sql and "O'Brien" not in sql

@@ -185,3 +185,58 @@ def test_filtered_topk_scores_only_matching_labels(spark):
     labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
     for r in out.collect():
         assert labels[r["vec_id"]] == r["q_id"] % 10  # predicate held
+
+
+def test_zero_norm_parity_jvm_vs_vectorized(spark):
+    """Review r5: the vectorized paths replaced zero norms with 1.0,
+    scoring zero-norm vectors certainty 0.5 (top-k) or similarity 0
+    (IVF assign) while the JVM forms give cosine NULL — dropped by the
+    threshold filter / never winning under NULLS LAST. Both paths must
+    agree on degenerate data: zero-norm corpus rows never rank, and a
+    zero-norm centroid never captures a vector."""
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        assign_ivf_cells,
+        assign_ivf_cells_vectorized,
+        topk_by_certainty,
+        topk_by_certainty_vectorized,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),   # zero-norm: must never appear
+            (3, [-1.0, -0.1]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "q_id long, q_embedding array<double>"
+    )
+    jvm = topk_by_certainty(corpus, queries, k=3, threshold=0.0)
+    ids_jvm = sorted(r["vec_id"] for r in jvm.collect())
+    vec = topk_by_certainty_vectorized(
+        corpus, [(0, [1.0, 0.0])], k=3, threshold=0.0
+    )
+    ids_vec = sorted(r["vec_id"] for r in vec.collect())
+    assert ids_jvm == ids_vec == [1, 3]
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "c_id int, c_embedding array<double>",
+    )
+    probe = spark.createDataFrame(
+        # cosine to both REAL centroids is negative: the zero-norm
+        # centroid's sim-0 would win if scored instead of masked
+        [(10, [-1.0, -1.0]), (11, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    jvm_cells = {
+        r["vec_id"]: r["cell"]
+        for r in assign_ivf_cells(probe, cents).collect()
+    }
+    vec_cells = {
+        r["vec_id"]: r["cell"]
+        for r in assign_ivf_cells_vectorized(probe, cents).collect()
+    }
+    assert jvm_cells == vec_cells
+    assert jvm_cells[10] in (1, 2)  # never the zero-norm centroid

@@ -60,6 +60,8 @@ from vectordb_data_ingestion_spark.functions.hashing import (
     md5_hash32_seeded,
     md5_hash32_seeded_sql,
     md5_hash32_sql,
+    md5_hash60,
+    md5_hash60_sql,
 )
 from vectordb_data_ingestion_spark.functions.text import word_split
 
@@ -108,10 +110,13 @@ def deterministic_split_sql(
     bucket = f"({md5_hash32_seeded_sql(f'CAST({id_expr} AS VARCHAR)', seed)} % 10000)"
     parts, acc = [], 0.0
     items = list(weights.items())
+    esc = lambda n: n.replace("'", "''")  # noqa: E731 - SQL literal escape
     for name, w in items[:-1]:
         acc += w / total
-        parts.append(f"WHEN {bucket} < {int(round(acc * 10_000))} THEN '{name}'")
-    return "CASE " + " ".join(parts) + f" ELSE '{items[-1][0]}' END"
+        parts.append(
+            f"WHEN {bucket} < {int(round(acc * 10_000))} THEN '{esc(name)}'"
+        )
+    return "CASE " + " ".join(parts) + f" ELSE '{esc(items[-1][0])}' END"
 
 
 # --- vocabulary / n-gram statistics ---------------------------------------
@@ -291,8 +296,13 @@ def decontaminate(
     (benchmarks are MBs, corpora TBs); the corpus side explodes to
     (doc, gram-hash), left-semi-joins the broadcast set to get contaminated
     ids, then a broadcast left join marks the flags - the corpus is scanned
-    once and never shuffled."""
-    gram_hash = lambda c: md5_hash32(c)  # noqa: E731
+    once and never shuffled.
+
+    Gram hashes are 60-bit (r5): at 32 bits a clean 2000-gram document
+    checked against a 1M-gram benchmark set is FALSELY flagged with
+    probability ~2000*1e6/2^32 ≈ 37% — corpus-scale decontamination would
+    discard huge clean swaths. 60 bits cut the per-gram rate by 2^28."""
+    gram_hash = lambda c: md5_hash60(c)  # noqa: E731
     bench_grams = (
         benchmark.select(
             F.explode(F.array_distinct(word_ngrams(text_col, gram_n))).alias("__g")
@@ -330,7 +340,7 @@ def decontaminate_sql(
     select: str = "*",
 ) -> str:
     grams = word_ngrams_sql(text_col, gram_n)
-    gh = md5_hash32_sql("g")
+    gh = md5_hash60_sql("g")
     return f"""
     WITH corpus AS ({corpus_sql}),
     benchmark AS ({benchmark_sql}),
@@ -361,12 +371,35 @@ def kmv_distinct(
     (k_used - 1) * 2^32 / kth_min when the sketch is full; when fewer than
     ``k`` distinct hashes exist the count is exact (= k_used).
 
-    The k smallest hashes are collected via per-partition top-k
-    (TakeOrderedAndProject) - k rows cross the wire per partition, never the
-    distinct set itself."""
+    The k smallest DISTINCT hashes are found with a per-partition
+    k-smallest-distinct prefilter (one Arrow pass, numpy unique) so at
+    most k rows cross the wire per partition — the global distinct +
+    TakeOrdered then runs on <= k * n_partitions rows, never the distinct
+    set itself (a plain ``.distinct()`` first would shuffle every
+    distinct value, the exact COUNT(DISTINCT) exchange the sketch exists
+    to avoid; any global k-smallest-distinct hash is necessarily among
+    its own partition's k smallest distinct, so the prefilter is
+    lossless)."""
+    import pandas as pd
+
     c = F.col(col) if isinstance(col, str) else col
-    hashes = df.select(md5_hash32(c).alias("__h")).distinct()
-    smallest = hashes.orderBy(F.asc("__h")).limit(k)
+    hashed = df.select(md5_hash32(c).alias("__h"))
+
+    def part_k_smallest(batches):
+        import numpy as np
+
+        best = None
+        for pdf in batches:
+            vals = pdf["__h"].to_numpy()
+            merged = (
+                vals if best is None else np.concatenate([best, vals])
+            )
+            best = np.unique(merged)[:k]  # unique() sorts ascending
+        if best is not None and len(best):
+            yield pd.DataFrame({"__h": best})
+
+    local = hashed.mapInPandas(part_k_smallest, schema="__h long")
+    smallest = local.distinct().orderBy(F.asc("__h")).limit(k)
     return smallest.agg(
         F.count("*").cast("int").alias("k_used"),
         F.max("__h").alias("kth_min_hash"),
@@ -523,7 +556,9 @@ def weighted_sample_sql(
 ) -> str:
     """DuckDB WHERE predicate matching :func:`weighted_sample`."""
     whens = " ".join(
-        f"WHEN '{name}' THEN CAST({r} AS DOUBLE)" for name, r in rates.items()
+        f"WHEN '{name.replace(chr(39), chr(39) * 2)}' "
+        f"THEN CAST({r} AS DOUBLE)"
+        for name, r in rates.items()
     )
     rate = f"CASE {group_expr} {whens} ELSE CAST({default_rate} AS DOUBLE) END"
     h = md5_hash32_seeded_sql(f"CAST({id_expr} AS VARCHAR)", seed)
@@ -684,22 +719,31 @@ def lm_perplexity_score(
     grams = df.select(
         F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
     ).withColumn("ctx", F.regexp_replace("gram", r" [^ ]+$", ""))
+    # grams feeds BOTH the n-gram counts and the scoring join — checkpoint
+    # so the corpus-scale explode runs once (same multi-consumer shape
+    # tfidf_topk checkpoints against)
+    grams = grams.localCheckpoint()
     cn = grams.groupBy("gram").agg(F.count("*").alias("c_n"))
     ctxs = df.select(
         F.explode(word_ngrams(text_col, n - 1)).alias("ctx")
     ).groupBy("ctx").agg(F.count("*").alias("c_ctx"))
-    v = (
+    # vocabulary size rides the plan as a broadcast 1-row aggregate: an
+    # eager .collect() here would run a separate driver-blocking corpus
+    # scan before the real job even starts
+    v_agg = (
         df.select(F.explode(_tokens(text_col)).alias("w"))
-        .agg(F.countDistinct("w").alias("v"))
-        .collect()[0]["v"]
+        .agg(F.countDistinct("w").alias("__v"))
     )
     scored = (
         grams.join(cn, "gram")
         .join(ctxs, "ctx")
+        .crossJoin(F.broadcast(v_agg))
         .select(
             id_col,
             (
-                -F.log((F.col("c_n") + 1) / (F.col("c_ctx") + F.lit(v)))
+                -F.log(
+                    (F.col("c_n") + 1) / (F.col("c_ctx") + F.col("__v"))
+                )
             ).alias("nlp"),
         )
     )

@@ -241,6 +241,19 @@ def banded_signature_table(
     banded table ``(id, band, band_hash)``. The banded table deliberately
     excludes the shingle payload so the bucket-join shuffle carries three
     scalar columns per row; verification joins ``sh_tbl`` back by id."""
+    if bands < 1 or bands > num_hashes:
+        raise ValueError(
+            f"bands={bands} must be in [1, num_hashes={num_hashes}]: more "
+            "bands than hashes gives every document the same empty-band "
+            "hash, turning the bucket join into a full O(n^2) cross "
+            "product"
+        )
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by bands={bands}: "
+            f"the trailing {num_hashes % bands} signature elements would "
+            "be silently dropped (weaker LSH than requested)"
+        )
     rows_per_band = num_hashes // bands
     sh_tbl = df.select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
@@ -352,6 +365,13 @@ def simhash_pairs(
     join. Signatures are materialized once before the self-join (see
     ``minhash_lsh_pairs``)."""
     segs = max_hamming + 1
+    if bits < segs:
+        raise ValueError(
+            f"bits={bits} must be >= max_hamming+1={segs}: the pigeonhole "
+            "bucketing needs at least one bit per segment, otherwise every "
+            "row lands in one bucket and the candidate join is a full "
+            "O(n^2) cross product"
+        )
     seg_bits = bits // segs
     sh = simhash(df, text_col, id_col, bits)
     if materialize_signatures:
@@ -417,11 +437,8 @@ def ngram_jaccard_pairs(
     joined = (
         left.join(right, list(block_cols)) if block_cols else left.crossJoin(right)
     ).filter(F.col("id_a") < F.col("id_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
     return (
-        joined.withColumn("jaccard", F.round(jac, 6))
+        joined.withColumn("jaccard", jaccard_of("sh_a", "sh_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -455,7 +472,8 @@ def connected_components(
     convergence is O(log n) even on path graphs, and near-dup graphs
     (clusters are near-cliques) settle in 2-3 rounds. Per round the lineage
     is truncated with ``localCheckpoint`` so the plan does not grow, and
-    convergence is detected by the (strictly decreasing) sum of labels -
+    convergence is detected by a 64-bit hash checksum over the labels
+    (type-agnostic: string/UUID ids hash the same way numeric ids do) -
     one cheap aggregate, no row-level diff join.
 
     Output has one row per node that appears in ``pairs``; isolated rows of
@@ -479,7 +497,7 @@ def connected_components(
         )
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    prev_sum = labels.agg(F.sum(F.xxhash64("component").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iterations):
         # 1. hash-min: pull the smallest neighbor label over every edge
         neighbor_min = (
@@ -508,7 +526,15 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        # type-agnostic convergence checksum: summing the raw label
+        # column breaks for string/UUID ids (implicit cast -> NULL ->
+        # sum None every round -> spurious convergence after ONE
+        # iteration); a 64-bit hash sum is stable for any label type
+        # and changes whenever any label changes (collisions across
+        # iterations are ~2^-64).
+        cur_sum = labels.agg(
+            F.sum(F.xxhash64("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -895,8 +921,13 @@ def remove_duplicate_spans(
         (F.col("__p0") + 1).alias("__pos"),  # 1-based window start
         "__wh",
     )
-    # total order on occurrences: doc first, then position (pos < 1e9)
-    code = (F.col(id_col).cast("long") * F.lit(1_000_000_000)) + F.col("__pos")
+    # total order on occurrences: doc first, then position. A STRUCT
+    # comparison, not numeric packing (id*1e9+pos): packing silently
+    # no-ops for string ids (cast -> NULL) and wraps negative for ids
+    # >= ~9.2e9, both of which break the "globally FIRST occurrence is
+    # canonical" guarantee; struct ordering is the same (doc, pos)
+    # lexicographic order for any id type.
+    code = F.struct(F.col(id_col), F.col("__pos"))
     occ = wins.withColumn("__code", code)
     canon = occ.groupBy("__wh").agg(F.min("__code").alias("__c"))
     marks = (

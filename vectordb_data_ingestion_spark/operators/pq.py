@@ -476,24 +476,14 @@ def ivfpq_topk(
     codes. Input rows carry (id, cell, pq_codes) - the index layout a
     100 TB deployment stores: 1 byte/subspace + a cell key per vector.
     """
-    from vectordb_data_ingestion_spark.functions.vectors import (
-        cosine_similarity,
-        to_double_array,
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        nearest_cells,
     )
 
-    qv = F.array(*[F.lit(float(x)) for x in query_vector])
-    probe_cells = [
-        r[0]
-        for r in centroids.select(
-            F.col(centroid_id),
-            F.round(
-                cosine_similarity(to_double_array(F.col(centroid_vec)), qv), 6
-            ).alias("s"),
-        )
-        .orderBy(F.desc("s"), F.asc(centroid_id))
-        .limit(n_probe)
-        .collect()
-    ]
+    probe_cells = nearest_cells(
+        centroids, query_vector, n_probe,
+        centroid_vec=centroid_vec, centroid_id=centroid_id,
+    )
     pruned = encoded_with_cells.filter(F.col("cell").isin(probe_cells))
     return pq_adc_topk_codes(
         pruned, codebooks, query_vector, k, m=m, dim=dim, id_col=id_col

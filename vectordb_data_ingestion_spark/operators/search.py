@@ -43,6 +43,21 @@ _TOKENS_SQL = (
 )
 
 
+def _norm_queries(
+    queries: list[tuple[int, list[str]]],
+) -> list[tuple[int, list[str]]]:
+    """Lowercase query terms to match the lowercased token index — an
+    uppercase query term would otherwise silently match nothing (review
+    r5). Shared by every lexical scorer AND its SQL oracle so the two
+    sides normalize identically."""
+    return [(qid, [t.lower() for t in terms]) for qid, terms in queries]
+
+
+def _sql_str(t: str) -> str:
+    """Escape a term for embedding in a single-quoted SQL literal."""
+    return t.replace("'", "''")
+
+
 def bm25_topk(
     corpus: DataFrame,
     queries: list[tuple[int, list[str]]],
@@ -57,50 +72,20 @@ def bm25_topk(
     lowercased whitespace tokens. ``queries`` is ``[(q_id, [term, ...])]``
     - all queries are answered in one plan (one corpus scan). Returns
     ``(q_id, id_col, score_micro, rank)`` where ``score_micro`` is the BM25
-    score in integer millionths (see module docstring for why)."""
-    toks = F.filter(word_split(F.lower(F.col(text_col))), lambda w: w != "")
-    docs = corpus.select(
-        F.col(id_col), F.size(toks).alias("__dl"), toks.alias("__toks")
-    )
-    stats = docs.agg(
-        F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl")
-    )
+    score in integer millionths (see module docstring for why).
+
+    ONE implementation of the scoring exists: this is
+    :func:`build_bm25_index` restricted to the query terms (the df/idf of
+    a term is the same whether the full index or only the matching slice
+    was built) composed with :func:`bm25_topk_indexed` — a scoring fix in
+    either place is automatically the other's."""
+    queries = _norm_queries(queries)
     all_terms = sorted({t for _, terms in queries for t in terms})
-    qdf = corpus.sparkSession.createDataFrame(
-        [(qid, t) for qid, terms in queries for t in sorted(set(terms))],
-        "q_id long, term string",
+    postings, terms, stats = build_bm25_index(
+        corpus, text_col=text_col, id_col=id_col, term_filter=all_terms
     )
-    matches = (
-        docs.select(id_col, "__dl", F.explode("__toks").alias("term"))
-        .filter(F.col("term").isin(all_terms))
-        .groupBy(id_col, "term", "__dl")
-        .agg(F.count("*").alias("__tf"))
-    )
-    dfreq = matches.groupBy("term").agg(
-        F.count_distinct(F.col(id_col)).alias("__df")
-    )
-    idf = F.log(
-        1.0 + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
-    )
-    denom = F.col("__tf") + k1 * (
-        1.0 - b + b * F.col("__dl") / F.col("__avgdl")
-    )
-    term_micro = F.round(
-        idf * (F.col("__tf") * (k1 + 1.0)) / denom * 1e6
-    ).cast("long")
-    agg = (
-        matches.join(broadcast(qdf), "term")
-        .join(broadcast(dfreq), "term")
-        .crossJoin(broadcast(stats))
-        .groupBy("q_id", id_col)
-        .agg(F.sum(term_micro).alias("score_micro"))
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.desc("score_micro"), F.asc(id_col)
-    )
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
+    return bm25_topk_indexed(
+        postings, terms, stats, queries, k=k, k1=k1, b=b, id_col=id_col
     )
 
 
@@ -115,13 +100,15 @@ def bm25_sql(
 ) -> str:
     """DuckDB oracle mirroring :func:`bm25_topk` stage for stage."""
     toks = _TOKENS_SQL.format(e=text_col)
+    queries = _norm_queries(queries)
     qvals = ", ".join(
-        f"({qid}, '{t}')"
+        f"({qid}, '{_sql_str(t)}')"
         for qid, terms in queries
         for t in sorted(set(terms))
     )
     in_list = ", ".join(
-        f"'{t}'" for t in sorted({t for _, terms in queries for t in terms})
+        f"'{_sql_str(t)}'"
+        for t in sorted({t for _, terms in queries for t in terms})
     )
     return f"""
     WITH dl AS (
@@ -333,6 +320,7 @@ def build_bm25_index(
     corpus: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    term_filter: list[str] | None = None,
 ):
     """Materialize the BM25 index: ``postings (term, id, tf, dl)``,
     ``terms (term, df)``, ``stats (n, avgdl)`` - everything query-time
@@ -340,13 +328,20 @@ def build_bm25_index(
     postings partitioned/bucketed by ``term``: a query's semi-join on its
     handful of terms becomes file-level pruning, and the per-term posting
     lists are the only rows read. One tokenize pass + two partial-agg
-    shuffles to build."""
+    shuffles to build.
+
+    ``term_filter`` restricts postings/terms to the given term set while
+    keeping corpus-wide stats — the ad-hoc (:func:`bm25_topk`) shape,
+    where only query terms survive to the groupBy."""
     toks = F.filter(word_split(F.lower(F.col(text_col))), lambda w: w != "")
     docs = corpus.select(
         F.col(id_col), F.size(toks).alias("dl"), toks.alias("__toks")
     )
+    exploded = docs.select(id_col, "dl", F.explode("__toks").alias("term"))
+    if term_filter is not None:
+        exploded = exploded.filter(F.col("term").isin(term_filter))
     postings = (
-        docs.select(id_col, "dl", F.explode("__toks").alias("term"))
+        exploded
         .groupBy("term", id_col, "dl")
         .agg(F.count("*").alias("tf"))
     )
@@ -371,6 +366,7 @@ def bm25_topk_indexed(
     index: the query-term list broadcasts into the postings scan (pruned to
     matching terms), df/idf comes from the tiny terms table, and only
     matching postings flow into the per-query sum."""
+    queries = _norm_queries(queries)
     spark = postings.sparkSession
     qdf = spark.createDataFrame(
         [(qid, t) for qid, qterms in queries for t in sorted(set(qterms))],
@@ -459,6 +455,7 @@ def tfidf_topk(
     deterministic double), and per-term scores to integer micro-units
     before the final sum - no float-summation-order ties against the
     oracle (same convention as :func:`bm25_topk`)."""
+    queries = _norm_queries(queries)
     toks = F.filter(word_split(F.lower(F.col(text_col))), lambda w: w != "")
     docs = corpus.select(F.col(id_col), toks.alias("__toks"))
     n_docs = docs.agg(F.count("*").alias("__n"))
@@ -526,13 +523,15 @@ def tfidf_sql(
 ) -> str:
     """DuckDB oracle mirroring :func:`tfidf_topk` stage for stage."""
     toks = _TOKENS_SQL.format(e=text_col)
+    queries = _norm_queries(queries)
     qvals = ", ".join(
-        f"({qid}, '{t}')"
+        f"({qid}, '{_sql_str(t)}')"
         for qid, terms in queries
         for t in sorted(set(terms))
     )
     in_list = ", ".join(
-        f"'{t}'" for t in sorted({t for _, terms in queries for t in terms})
+        f"'{_sql_str(t)}'"
+        for t in sorted({t for _, terms in queries for t in terms})
     )
     return f"""
     WITH tt AS (

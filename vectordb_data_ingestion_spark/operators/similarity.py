@@ -102,7 +102,12 @@ def topk_by_certainty_vectorized(
     q_ids = [q for q, _ in query_rows]
     qm = np.asarray([v for _, v in query_rows], dtype=np.float64)
     qn = np.linalg.norm(qm, axis=1)
-    qn[qn == 0] = 1.0
+    # JVM parity on degenerate vectors: cosine_similarity returns NULL
+    # when either norm is 0 and the threshold filter drops NULL, so a
+    # zero-norm QUERY matches nothing and zero-norm CORPUS rows never
+    # rank (scoring them 0.5 would displace real neighbors).
+    q_zero = qn == 0
+    qn[q_zero] = 1.0
 
     # Preserve id dtypes instead of assuming bigint: the collection facade
     # routes arbitrary (string/UUID) chunk ids through here, exactly like
@@ -145,9 +150,15 @@ def topk_by_certainty_vectorized(
             ids = pdf[corpus_id].to_numpy()
             m = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0] = 1.0
+            nonzero = norms != 0
+            if not nonzero.all():
+                ids, m, norms = ids[nonzero], m[nonzero], norms[nonzero]
+            if not len(ids):
+                continue
             cert = np.round((1.0 + (m @ qm.T) / np.outer(norms, qn)) / 2.0, 6)
             for j, q in enumerate(q_ids):
+                if q_zero[j]:
+                    continue
                 col = cert[:, j]
                 keep = col >= threshold
                 for cid, cv in zip(ids[keep], col[keep]):
@@ -236,8 +247,28 @@ def ivf_topk(
     are closest to the query, then exact cosine within those cells. The cell
     filter is a plain equality predicate -> partition/file pruning on a
     cell-partitioned corpus."""
+    probe_cells = nearest_cells(
+        centroids, query_vector, n_probe,
+        centroid_vec=centroid_vec, centroid_id=centroid_id,
+    )
+    pruned = corpus_with_cells.filter(F.col("cell").isin(probe_cells))
+    return brute_force_topk(pruned, query_vector, k, vec_col=vec_col, id_col=id_col)
+
+
+def nearest_cells(
+    centroids: DataFrame,
+    query_vector: list[float],
+    n_probe: int,
+    centroid_vec: str = "c_embedding",
+    centroid_id: str = "c_id",
+) -> list:
+    """The ``n_probe`` centroid ids nearest the query (max rounded-6
+    cosine, ties -> lowest centroid id) — THE probe-selection contract,
+    shared by :func:`ivf_topk` and ``pq.py::ivfpq_topk`` so the two index
+    shapes can never drift on which cells a query probes. k-row collect
+    of a broadcast-sized table."""
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
-    probe_cells = [
+    return [
         r[0]
         for r in centroids.select(
             F.col(centroid_id),
@@ -249,8 +280,6 @@ def ivf_topk(
         .limit(n_probe)
         .collect()
     ]
-    pruned = corpus_with_cells.filter(F.col("cell").isin(probe_cells))
-    return brute_force_topk(pruned, query_vector, k, vec_col=vec_col, id_col=id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -797,7 +826,12 @@ def assign_ivf_cells_vectorized(
     ids = np.asarray([r[centroid_id] for r in rows])
     c = np.stack([np.asarray(r[centroid_vec], dtype=np.float64) for r in rows])
     cn = np.sqrt((c * c).sum(axis=1))
-    cn[cn == 0.0] = 1.0
+    # JVM parity: a zero-norm centroid (a Lloyd iteration CAN produce one
+    # when antipodal members cancel) scores NULL in the JVM form and NULLS
+    # LAST never wins; scoring it 0 here would let it beat all-negative
+    # real centroids. Mask its column to -inf instead.
+    c_zero = cn == 0.0
+    cn[c_zero] = 1.0
     cu = c / cn[:, None]
     out_schema = StructType(
         corpus.schema.fields + [StructField("cell", centroids.schema[centroid_id].dataType)]
@@ -811,6 +845,8 @@ def assign_ivf_cells_vectorized(
             xn = np.sqrt((x * x).sum(axis=1))
             xn[xn == 0.0] = 1.0
             sims = np.round((x / xn[:, None]) @ cu.T, 6)
+            if c_zero.any():
+                sims[:, c_zero] = -np.inf
             pdf = pdf.copy()
             pdf["cell"] = ids[np.argmax(sims, axis=1)]
             yield pdf
@@ -833,6 +869,7 @@ def bitext_mine(
     b_vec: str = "be",
     centroid_vec: str = "c_embedding",
     centroid_id: str = "c_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk ratio margin, the
     CCMatrix recipe) at corpus scale: both language sides are assigned to
@@ -866,8 +903,13 @@ def bitext_mine(
         b, centroids, vec_col=b_vec, id_col=b_id,
         centroid_vec=centroid_vec, centroid_id=centroid_id,
     ).select(b_id, b_vec, "cell")
+    # to_double_array like every sibling operator: float-typed embeddings
+    # would otherwise multiply in single precision before the fold,
+    # flipping ±1 ppm on boundary values vs the double-computing oracle
     cos_ppm = F.round(
-        cosine_similarity(F.col(a_vec), F.col(b_vec)) * 1_000_000
+        cosine_similarity(
+            to_double_array(F.col(a_vec)), to_double_array(F.col(b_vec))
+        ) * 1_000_000
     ).cast("long")
     pairs = a_cells.join(b_cells, "cell").select(
         "cell", a_id, b_id, cos_ppm.alias("cos_ppm")
@@ -877,6 +919,13 @@ def bitext_mine(
     ranked = pairs.withColumn("ra", F.row_number().over(wa)).withColumn(
         "rb", F.row_number().over(wb)
     )
+    if materialize:
+        # ranked feeds THREE subtrees (the ra==1 picks and both knn
+        # denominators): a lazy plan re-runs the two corpus assigns, the
+        # cell join, and both windows three times per action — the same
+        # measured trap semantic_dedup checkpoints against. Set False
+        # only where eager evaluation is illegal (streaming).
+        ranked = ranked.localCheckpoint()
     # mean over the neighbours actually RETRIEVED (Artetxe & Schwenk):
     # sparse cells can hold fewer than `knn` candidates, so the divisor is
     # LEAST(knn, count) — a fixed-knn divisor would deflate the mean and

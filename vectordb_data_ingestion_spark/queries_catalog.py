@@ -7807,6 +7807,11 @@ def q_zorder_layout_plan(spark, sf_dir):
 # for every query. Every query also passes the local oracle mirror
 # (tests/test_oracle.py) at sf0.001/0.01/0.1 each round.
 _DRIVER_PRIORITY = [
+    # changed-queries-first (r5 window rule): decontaminate's gram hash
+    # widened 32->60 bits this round, which can flip contamination flags;
+    # both consumers must re-verify in the SAME round as the change.
+    # (benchmark_decontaminate is already in this window below.)
+    "full_curation_pipeline",  # r5 semantics change
     "file_type_extract",  # r1
     "distinct_file_types",  # r1
     "delta_filter",  # r1

@@ -103,8 +103,20 @@ class VectorStoreWriter(DataSourceWriter):
                         except FileNotFoundError:
                             pass
         else:
-            with open(manifest, "a") as f:
+            # append via read + atomic replace, NOT a raw append: a crash
+            # mid-append leaves a truncated JSON line that makes every
+            # later read_committed()/vacuum() raise until hand-repaired
+            existing = ""
+            if os.path.exists(manifest):
+                with open(manifest) as f:
+                    existing = f.read()
+            tmp = manifest + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(existing)
                 f.writelines(lines)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, manifest)
 
     def abort(self, messages):
         spool = os.path.join(self.path, "_spool")

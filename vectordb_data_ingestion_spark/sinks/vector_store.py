@@ -51,14 +51,42 @@ class ParquetVectorSink:
         self.spark = spark
         self.base_path = base_path
         self.partition_col = partition_col
+        self._recover()
+
+    def _recover(self) -> None:
+        """Finish or roll back a rewrite interrupted by a crash. The swap
+        in :meth:`_rewrite` renames completed-new in before deleting old,
+        so on entry at most one of these holds:
+
+        - ``base`` missing + ``__rewrite`` present: the crash hit between
+          the two renames — the rewrite WAS complete (it only renames
+          after the write succeeds), finish it.
+        - ``base`` present + ``__rewrite`` present: a crash mid-write
+          left a partial rewrite — discard it.
+        - ``base`` present + ``__old`` present: the crash hit before the
+          old copy was deleted — the swap finished, retire the old copy.
+        """
+        import os
+        import shutil
+
+        base = self.base_path.rstrip("/")
+        tmp, old = base + "__rewrite", base + "__old"
+        if not os.path.exists(base) and os.path.exists(tmp):
+            os.rename(tmp, base)
+        elif os.path.exists(base) and os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(base) and os.path.exists(old):
+            shutil.rmtree(old)
 
     def upsert(self, df: DataFrame) -> None:
+        self._recover()
         writer = df.write.mode("append")
         if self.partition_col and self.partition_col in df.columns:
             writer = writer.partitionBy(self.partition_col)
         writer.parquet(self.base_path)
 
     def read(self) -> DataFrame:
+        self._recover()
         return self.spark.read.parquet(self.base_path)
 
     def delete_where(self, col: str, values: list[Any]) -> None:
@@ -72,10 +100,17 @@ class ParquetVectorSink:
         use :meth:`delete_where_df` and skip the driver round trip."""
         import os
 
+        self._recover()
         if not os.path.exists(self.base_path):
             return
         current = self.read()
-        self._rewrite(current.filter(~F.col(col).isin(values)))
+        # keep NULL-keyed rows: ~isin() is NULL (dropped by filter) for
+        # NULL keys, which would silently delete every NULL-keyed row —
+        # the anti-join form (delete_where_df) retains them, and the two
+        # paths must agree on which rows survive
+        self._rewrite(
+            current.filter(~F.col(col).isin(values) | F.col(col).isNull())
+        )
 
     def delete_where_df(self, col: str, keys: DataFrame) -> None:
         """Anti-join form of :meth:`delete_where`: the key set stays
@@ -86,6 +121,7 @@ class ParquetVectorSink:
         a shuffled anti-join instead of OOMing on a forced broadcast."""
         import os
 
+        self._recover()
         if not os.path.exists(self.base_path):
             return
         key_df = keys.select(F.col(keys.columns[0]).alias(col)).distinct()
@@ -98,15 +134,24 @@ class ParquetVectorSink:
         self._rewrite(remaining)
 
     def _rewrite(self, remaining: DataFrame) -> None:
-        tmp = self.base_path.rstrip("/") + "__rewrite"
+        """Crash-safe swap: the old layout stays on disk until the new one
+        is fully in place (rmtree-then-move had a crash window as wide as
+        the delete itself, after which a replaying micro-batch would
+        silently rebuild the sink from only the latest batch). Every crash
+        point here is repaired by :meth:`_recover`."""
+        import os
+        import shutil
+
+        base = self.base_path.rstrip("/")
+        tmp, old = base + "__rewrite", base + "__old"
         writer = remaining.write.mode("overwrite")
         if self.partition_col and self.partition_col in remaining.columns:
             writer = writer.partitionBy(self.partition_col)
         writer.parquet(tmp)
-        import shutil
-
-        shutil.rmtree(self.base_path)
-        shutil.move(tmp, self.base_path)
+        shutil.rmtree(old, ignore_errors=True)  # stale from a prior crash
+        os.rename(base, old)
+        os.rename(tmp, base)
+        shutil.rmtree(old)
 
 
 # ---------------------------------------------------------------------------

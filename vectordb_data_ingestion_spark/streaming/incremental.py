@@ -124,6 +124,7 @@ def windowed_event_rollup(
     window: str = "1 hour",
     watermark: str = "2 hours",
     group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
 ) -> DataFrame:
     """Watermarked tumbling-window aggregate over an event stream - the
     streaming form of the events_hourly_window batch query. Late rows
@@ -133,7 +134,7 @@ def windowed_event_rollup(
         .groupBy(F.window(F.col(ts_col), window).alias("w"), *group_cols)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.sum(value_col), 4).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
