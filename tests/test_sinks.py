@@ -198,3 +198,52 @@ def test_delete_where_df_matches_list_form(spark, tmp_path):
     fresh.delete_where_df(
         "doc_id", spark.createDataFrame([(1,)], "k long")
     )
+
+
+def test_parquet_sink_rewrite_crash_recovery(spark, tmp_path):
+    """Review r5: the old rmtree-then-move rewrite had a crash window as
+    wide as the delete itself — a replaying micro-batch would then
+    silently rebuild the sink from only the latest batch. Pin the three
+    recoverable crash states of the new write/rename/rename/delete swap."""
+    import shutil
+
+    base = str(tmp_path / "v")
+    sink = ParquetVectorSink(spark, base, partition_col=None)
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(6)], "chunk_id long, url string"
+    )
+    sink.upsert(df)
+
+    # state 1: crash between the two renames — base gone, completed
+    # rewrite stranded in __rewrite. Recovery must finish the swap.
+    shutil.move(base, base + "__rewrite")
+    assert ParquetVectorSink(spark, base, partition_col=None).read().count() == 6
+
+    # state 2: crash mid-write — partial __rewrite next to an intact
+    # base. Recovery must discard the partial and keep base.
+    import os
+
+    os.makedirs(base + "__rewrite")
+    with open(base + "__rewrite/part-partial.parquet", "w") as fh:
+        fh.write("garbage")
+    s2 = ParquetVectorSink(spark, base, partition_col=None)
+    assert not os.path.exists(base + "__rewrite")
+    assert s2.read().count() == 6
+
+    # state 3: crash after the swap, before old-copy cleanup — __old
+    # lingers. Recovery must retire it and keep base.
+    shutil.copytree(base, base + "__old")
+    s3 = ParquetVectorSink(spark, base, partition_col=None)
+    assert not os.path.exists(base + "__old")
+    assert s3.read().count() == 6
+
+    # NULL-keyed rows survive a list-form delete (parity with the
+    # anti-join form)
+    withnull = spark.createDataFrame(
+        [(100, None)], "chunk_id long, url string"
+    )
+    s3.upsert(withnull)
+    s3.delete_where("url", ["u0", "u1"])
+    left = s3.read()
+    assert left.count() == 5  # 6 - 2 deleted + 1 null-keyed kept
+    assert left.filter(F.col("url").isNull()).count() == 1
