@@ -320,6 +320,29 @@ def test_repetition_signals_golden(spark):
     assert r2["dup_trigram_char_fraction"] == round(10 / 7, 6) # "x x x" x2
 
 
+def test_repetition_signals_sub_n_docs(spark):
+    """Review r5: a doc with fewer than n words has NO n-grams — the old
+    gram builder emitted one degenerate sub-n gram, scoring every 1-word
+    doc top_bigram_char_fraction 1.0 (a Gopher-style gate would drop all
+    short documents as maximally repetitive). Tiny docs keep their output
+    row with zero repetition fractions."""
+    from vectordb_data_ingestion_spark.operators.textanalysis import (
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "two words"), (3, "a b a b c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert set(out) == {1, 2, 3}  # sub-n docs keep their row
+    assert out[1]["top_bigram_char_fraction"] == 0.0
+    assert out[1]["dup_trigram_char_fraction"] == 0.0
+    # a 2-word doc HAS one bigram but no trigrams
+    assert out[2]["top_bigram_char_fraction"] == round(9 / 9, 6)
+    assert out[2]["dup_trigram_char_fraction"] == 0.0
+
+
 def test_lm_perplexity_score_vs_reference(spark):
     """Add-one trigram NLL vs a direct Counter-based reference."""
     import math

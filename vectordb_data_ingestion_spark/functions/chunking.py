@@ -149,7 +149,13 @@ def recursive_char_chunks(
     atomic: list[str] = []
     for p in pieces:
         if len(p) > chunk_size and next_idx < len(_SEPARATORS):
-            atomic.extend(recursive_char_chunks(p, chunk_size, 0, next_idx))
+            # carry the SAME overlap into the recursion (langchain splits
+            # with one instance, so _chunk_overlap applies at every
+            # level); passing 0 here made sub-chunks of any oversized
+            # piece lose their overlap entirely (review r5)
+            atomic.extend(
+                recursive_char_chunks(p, chunk_size, chunk_overlap, next_idx)
+            )
         elif len(p) > chunk_size:
             # character-level fallback: hard slice
             atomic.extend(

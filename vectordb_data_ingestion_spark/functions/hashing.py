@@ -32,7 +32,10 @@ def md5_hash32_sql(expr: str) -> str:
 
 
 def md5_hash32_seeded_sql(expr: str, seed: int) -> str:
-    return md5_hash32_sql(f"concat({expr}, '#s{seed}')")
+    # || not concat(): DuckDB's concat() SKIPS NULL arguments (returning
+    # the hash of '#s<seed>'), while Spark's concat — and || in both
+    # engines — propagates NULL, so the twins agree on NULL input
+    return md5_hash32_sql(f"({expr} || '#s{seed}')")
 
 
 def md5_hash60(col: Column | str) -> Column:
@@ -53,4 +56,4 @@ def md5_hash60_sql(expr: str) -> str:
 
 
 def md5_hash60_seeded_sql(expr: str, seed: int) -> str:
-    return md5_hash60_sql(f"concat({expr}, '#s{seed}')")
+    return md5_hash60_sql(f"({expr} || '#s{seed}')")  # || : see 32-bit twin

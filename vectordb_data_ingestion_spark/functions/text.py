@@ -287,9 +287,5 @@ def ascii_ratio(col: Column | str) -> Column:
     kept = F.length(F.regexp_replace(c, r"[^\x20-\x7E]", ""))
     return F.when(F.length(c) > 0, kept / F.length(c)).otherwise(F.lit(1.0))
 
-
-def stopword_hits(col: Column | str, stopwords: list[str]) -> Column:
-    """Count of occurrences of any stopword (word-bounded, case-insensitive)."""
-    c = F.col(col) if isinstance(col, str) else col
-    pat = r"(?i)\b(?:" + "|".join(stopwords) + r")\b"
-    return F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+# stopword counting lives in operators/textanalysis.py (lang_score) — a
+# duplicate helper here was removed in r5 so the two copies cannot drift.

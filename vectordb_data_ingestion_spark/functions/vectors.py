@@ -117,9 +117,14 @@ def binary_quantize(a: Column, dim: int, word_bits: int = 32) -> Column:
         lambda w: F.aggregate(
             F.sequence(F.lit(word_bits - 1), F.lit(0), F.lit(-1)),
             F.lit(0).cast("long"),
+            # try_element_at: the last word probes past the array end when
+            # dim is not a multiple of word_bits — plain element_at throws
+            # INVALID_ARRAY_INDEX under ANSI mode (Spark 4 default), while
+            # the DuckDB twin pads out-of-range bits with 0. NULL > 0 is
+            # NULL, so the otherwise() pads identically.
             lambda acc, j: acc * 2
             + F.when(
-                F.element_at(
+                F.try_element_at(
                     a, (w * F.lit(word_bits) + j + 1).cast("int")
                 )
                 > 0,

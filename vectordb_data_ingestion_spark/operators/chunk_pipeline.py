@@ -99,6 +99,9 @@ def attach_embeddings(
     emb = embeddings.select(F.col(right_key), F.col(vec_col).alias("vector"))
     if broadcast_embeddings:
         emb = broadcast(emb)
-    return chunks.join(emb, chunks[left_key] == emb[right_key], "inner").drop(
-        right_key
-    )
+    # drop by DataFrame-qualified reference, not by name: when both keys
+    # share a name (on=("doc_id", "doc_id")) the string form would remove
+    # BOTH columns and lose the chunk key (review r5)
+    return chunks.join(
+        emb, chunks[left_key] == emb[right_key], "inner"
+    ).drop(emb[right_key])

@@ -71,13 +71,19 @@ def compose_kb_article(
             F.concat(F.lit(" Metadata: "), F.col(metadata_col)),
         ).otherwise(F.lit("")),
     )
+    # coalesce the two unguarded reference fields: the reference's pandas
+    # form CRASHES on a NaN short_description/kb_number ("str" + float),
+    # and bare concat here would instead NULL the whole article/url so it
+    # silently vanished downstream — '' keeps the composed body (review r5)
     text = F.concat(
         F.lit("Short Description : "),
-        F.col(short_desc_col),
+        F.coalesce(F.col(short_desc_col), F.lit("")),
         F.lit(" Full Article: "),
         body,
     )
-    url = F.concat(F.lit(portal_url_prefix), F.col(kb_number_col))
+    url = F.concat(
+        F.lit(portal_url_prefix), F.coalesce(F.col(kb_number_col), F.lit(""))
+    )
     return df.withColumn(out_text, text).withColumn(out_url, url)
 
 
@@ -99,7 +105,7 @@ def compose_service_catalog(
 
     text = F.concat(
         F.lit("\n\n**Title**: "),
-        F.col(title_col),
+        F.coalesce(F.col(title_col), F.lit("")),  # see compose_kb_article
         seg("\n\n**Short Description**: ", short_desc_col),
         seg("\n\n**Long Description**: ", long_desc_col),
         seg("\n\n**Metadata**: ", metadata_col),
@@ -132,7 +138,14 @@ def split_long_rows(
     tokens = token_count(F.col(text_col))
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n_words = F.size(words)
-    num_splits = F.ceil(tokens / F.lit(token_limit)).cast("int")
+    # ONE path for both shapes (within-limit rows get __ns = 1): the old
+    # two-filter union re-executed the upstream scan and the hot
+    # token_count regex once per branch — double the dominant cost at
+    # corpus scale (review r5)
+    num_splits = F.when(
+        tokens > token_limit,
+        F.ceil(tokens / F.lit(token_limit)).cast("int"),
+    ).otherwise(F.lit(1))
     wps = F.floor(n_words / num_splits).cast("int")  # words_per_split
     prefix = F.element_at(F.split(F.col(text_col), "Full Article:"), 1)
 
@@ -145,8 +158,6 @@ def split_long_rows(
         wps.alias("__wps"),
         prefix.alias("__prefix"),
     )
-    over = staged.filter(F.col("__tok") > token_limit)
-    under = staged.filter(F.col("__tok") <= token_limit)
 
     i = F.col("__i")
     start = i * F.col("__wps")
@@ -159,19 +170,23 @@ def split_long_rows(
     ).otherwise(part)
 
     exploded = (
-        over.withColumn("__i", F.explode(F.sequence(F.lit(0), F.col("__ns") - 1)))
-        .withColumn("__out_text", part_text)
-        .withColumn("__out_tokens", (end - start).cast("int"))
+        staged.withColumn(
+            "__i", F.explode(F.sequence(F.lit(0), F.col("__ns") - 1))
+        )
+        .withColumn(
+            "__out_text",
+            F.when(F.col("__ns") == 1, F.col(text_col)).otherwise(part_text),
+        )
+        .withColumn(
+            "__out_tokens",
+            F.when(F.col("__ns") == 1, F.col("__tok"))
+            .otherwise(end - start)
+            .cast("int"),
+        )
     )
     keep = [c for c in df.columns if c not in (text_col, out_tokens)]
-    split_rows = exploded.select(
+    return exploded.select(
         *keep,
         F.col("__out_text").alias(out_text),
         F.col("__out_tokens").alias(out_tokens),
     )
-    pass_rows = under.select(
-        *keep,
-        F.col(text_col).alias(out_text),
-        F.col("__tok").cast("int").alias(out_tokens),
-    )
-    return pass_rows.unionByName(split_rows)

@@ -65,7 +65,13 @@ def lang_id_sql(expr: str) -> str:
     whens = " ".join(
         f"WHEN {scores[lang]} = {m} THEN '{lang}'" for lang in LANGS
     )
-    return f"(CASE WHEN {m} = 0 THEN 'und' ELSE (CASE {whens} END) END)"
+    # COALESCE for NULL text: Spark's when(m > 0, ...).otherwise('und')
+    # yields 'und' when m is NULL, but the bare CASE here would yield SQL
+    # NULL — the twins must agree on NULL rows too (review r5)
+    return (
+        f"COALESCE((CASE WHEN {m} = 0 THEN 'und' "
+        f"ELSE (CASE {whens} END) END), 'und')"
+    )
 
 
 # --- quality ---------------------------------------------------------------
@@ -226,9 +232,15 @@ def repetition_signals(
     )
 
     def grams(n: int) -> Column:
-        starts = F.sequence(
-            F.lit(0), F.greatest(F.size(F.col("__words")) - n, F.lit(0))
-        )
+        # a doc with fewer than n words has NO n-grams: emit one NULL-gram
+        # carrier row (so the doc keeps an output row) instead of one
+        # degenerate sub-n gram — the old shape scored every 1-word doc
+        # top_bigram_char_fraction 1.0, and a Gopher-style gate would
+        # drop all short documents as maximally repetitive (review r5)
+        starts = F.when(
+            F.size(F.col("__words")) >= n,
+            F.sequence(F.lit(0), F.size(F.col("__words")) - n),
+        ).otherwise(F.array(F.lit(None).cast("int")))
         return F.transform(
             starts,
             lambda i: F.struct(
@@ -275,7 +287,9 @@ def repetition_signals(
             F.round(
                 1 - F.col("__ndw").cast("double") / F.col("__nw"), 6
             ).alias("dup_word_fraction"),
-            F.round(F.col("__top2") / nc, 6).alias("top_bigram_char_fraction"),
+            F.round(
+                F.coalesce(F.col("__top2"), F.lit(0)) / nc, 6
+            ).alias("top_bigram_char_fraction"),
             F.round(F.col("__dup3") / nc, 6).alias(
                 "dup_trigram_char_fraction"
             ),

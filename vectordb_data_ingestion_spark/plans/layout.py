@@ -79,7 +79,19 @@ def salted_join(
     """Skewed-fact equi-join: fact rows get a random salt; the (broadcast)
     dim side is exploded across every salt value so each (key, salt) shard
     joins locally. Use when one fact key dominates a partition and AQE's
-    skew split isn't available (e.g. inside a stream)."""
+    skew split isn't available (e.g. inside a stream).
+
+    Only fact-preserving joins are valid: the dim side is replicated
+    ``n_salts`` times, so a right/full outer join would emit every
+    unmatched dim row once PER SALT (silently wrong results)."""
+    if how.replace("_", "").lower() not in (
+        "inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti"
+    ):
+        raise ValueError(
+            f"salted_join(how={how!r}): the salt explode replicates dim "
+            "rows, so dim-preserving joins (right/full) would duplicate "
+            f"every unmatched dim row {n_salts}x — use a plain join there"
+        )
     f = fact.withColumn("__salt", (F.rand(seed=7) * n_salts).cast("int"))
     d = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

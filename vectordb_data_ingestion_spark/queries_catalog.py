@@ -1916,8 +1916,14 @@ def _chunk_recursive_oracle_sql() -> str | None:
         # corpus fingerprint: doc count alone can collide across sf
         # dirs (sf0.001 and sf0.01 both carry 500 docs), so key on
         # (count, total text bytes) — computed in DuckDB exactly as the
-        # oracle's scalar subquery recomputes it; memoized across builders
-        path_keys = {p: _corpus_fingerprint(con, p) for p in doc_paths}
+        # oracle's scalar subquery recomputes it; memoized across builders.
+        # The key also carries _CHUNK_ALGO_V: the golden pins the
+        # ALGORITHM's output, so a behavior fix must invalidate cached
+        # goldens generated by the old code (r5: the recursion-overlap
+        # fix would otherwise compare against stale chunks in /tmp).
+        path_keys = {
+            p: _corpus_fingerprint(con, p) + _CHUNK_ALGO_V for p in doc_paths
+        }
         if os.path.exists(golden):
             have = set(
                 papq.read_table(golden, columns=["corpus_key"])
@@ -1925,7 +1931,7 @@ def _chunk_recursive_oracle_sql() -> str | None:
                 .to_pylist()
             )
             if set(path_keys.values()) <= have:
-                return _CHUNK_RECURSIVE_GOLDEN_SQL.format(golden=golden)
+                return _CHUNK_RECURSIVE_GOLDEN_SQL.format(golden=golden, algo_v=_CHUNK_ALGO_V)
         keys, ids, idxs, lens, heads = [], [], [], [], []
         for docs_path in doc_paths:
             key = path_keys[docs_path]
@@ -1958,8 +1964,12 @@ def _chunk_recursive_oracle_sql() -> str | None:
         os.replace(tmp, golden)
     except Exception:  # pragma: no cover - testdata/write hiccups -> rows-only
         return None
-    return _CHUNK_RECURSIVE_GOLDEN_SQL.format(golden=golden)
+    return _CHUNK_RECURSIVE_GOLDEN_SQL.format(golden=golden, algo_v=_CHUNK_ALGO_V)
 
+
+# bump when recursive_char_chunks' OUTPUT changes (v2: recursion carries
+# chunk_overlap, r5) — invalidates stale /tmp goldens via the corpus key
+_CHUNK_ALGO_V = 2
 
 _CHUNK_RECURSIVE_GOLDEN_SQL = """
     SELECT doc_id, chunk_index, chunk_len, chunk_head
@@ -1967,6 +1977,7 @@ _CHUNK_RECURSIVE_GOLDEN_SQL = """
     WHERE corpus_key = (
       SELECT COUNT(*) * 1000000000000
              + COALESCE(SUM(octet_length(encode(text))), 0)
+             + {algo_v}
       FROM documents
     )
     """
@@ -2960,15 +2971,21 @@ _REP_WORDS = "string_split(regexp_replace(text, '[ \\x09-\\x0D]+', ' ', 'g'), ' 
       FROM documents
     ),
     grams AS (
+      -- sub-n docs emit one NULL-gram carrier row (mirrors the Spark
+      -- side): a 1-word doc must not score as one degenerate "bigram"
       SELECT doc_id, nc, nw, ndw, 2 AS n,
              unnest(list_transform(
-               range(0, greatest(len(words) - 2, 0) + 1),
+               CASE WHEN len(words) >= 2
+                    THEN range(0, len(words) - 2 + 1)
+                    ELSE [NULL] END,
                i -> array_to_string(words[i + 1 : i + 2], ' '))) AS gram
       FROM base
       UNION ALL
       SELECT doc_id, nc, nw, ndw, 3 AS n,
              unnest(list_transform(
-               range(0, greatest(len(words) - 3, 0) + 1),
+               CASE WHEN len(words) >= 3
+                    THEN range(0, len(words) - 3 + 1)
+                    ELSE [NULL] END,
                i -> array_to_string(words[i + 1 : i + 3], ' '))) AS gram
       FROM base
     ),
@@ -2979,7 +2996,8 @@ _REP_WORDS = "string_split(regexp_replace(text, '[ \\x09-\\x0D]+', ' ', 'g'), ' 
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(nw AS BIGINT) AS n_words,
            ROUND(1 - CAST(ndw AS DOUBLE) / nw, 6) AS dup_word_fraction,
-           ROUND(MAX(CASE WHEN n = 2 THEN cnt * length(gram) END)
+           ROUND(COALESCE(MAX(CASE WHEN n = 2 THEN cnt * length(gram) END),
+                          0)
                  / CAST(greatest(nc, 1) AS DOUBLE), 6)
              AS top_bigram_char_fraction,
            ROUND(COALESCE(SUM(CASE WHEN n = 3 AND cnt >= 2
