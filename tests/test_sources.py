@@ -751,3 +751,82 @@ def test_distributed_listing_fails_loud_on_lister_error(spark):
     )
     with pytest.raises(Exception, match="403 on /bad"):
         cat.collect()
+
+
+def test_uppercase_extensions_parse_and_extract(spark):
+    """Review r5: file_type preserves the filename's case (reference
+    identify_filetype semantics), but every downstream gate must be
+    case-insensitive — 'REPORT.PDF' used to silently get null text and
+    skip table/attachment extraction."""
+    from pyspark.sql import functions as F
+
+    from vectordb_data_ingestion_spark.sources.files import (
+        extract_pdf_tables,
+        parse_documents,
+    )
+
+    pdf = (
+        b"stream\nBT 1 0 0 1 72 700 Tm (hi) Tj 1 0 0 1 200 700 Tm (lo) Tj "
+        b"1 0 0 1 72 680 Tm (a) Tj 1 0 0 1 200 680 Tm (b) Tj ET\nendstream"
+    )
+    cat = spark.createDataFrame(
+        [("REPORT.PDF", "u1", "PDF", bytearray(b"%PDF-1.4\n" + pdf)),
+         ("notes.txt", "u2", "txt", bytearray(b"plain text"))],
+        "name string, url string, file_type string, content binary",
+    )
+    parsed = {r["url"]: r["text"] for r in parse_documents(cat).collect()}
+    assert parsed["u2"] == "plain text"
+    assert parsed["u1"] is not None and "hi" in parsed["u1"]
+    assert extract_pdf_tables(cat).count() == 1
+
+
+def test_excel_rows_to_df_empty_and_blank_columns(spark):
+    """Review r5: a header-only sheet and an entirely-blank column both
+    crashed Spark's schema inference (ValueError); typed columns keep
+    their types, blank columns fall back to string."""
+    from vectordb_data_ingestion_spark.sources.tabular import (
+        excel_rows_to_df,
+    )
+
+    empty = excel_rows_to_df(spark, [("name", "qty")], ["name", "qty"])
+    assert empty.count() == 0 and empty.columns == ["name", "qty"]
+
+    blank_col = excel_rows_to_df(
+        spark,
+        [("name", "qty", "notes"), ("w", 3, None), ("g", 5, None)],
+        ["name", "qty", "notes"],
+    )
+    rows = {r["name"]: (r["qty"], r["notes"]) for r in blank_col.collect()}
+    assert rows == {"w": (3, None), "g": (5, None)}
+
+
+def test_datasource_modified_after_is_utc_and_vanish_safe(tmp_path, spark):
+    """Review r5: a tz-naive modified_after cutoff is UTC (the emitted
+    modified_dt is UTC, and incremental loaders feed max(modified_dt)
+    straight back); a broken symlink in the walk must be skipped, not
+    abort the scan."""
+    import os
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "old.txt").write_text("old")
+    os.utime(d / "old.txt", (1e9, 1e9))  # 2001
+    (d / "new.txt").write_text("new")
+    os.utime(d / "new.txt", (2e9, 2e9))  # 2033
+    os.symlink(str(d / "gone.txt"), str(d / "dangling.txt"))
+
+    from vectordb_data_ingestion_spark.sources.datasource import (
+        DocumentCatalogReader,
+    )
+
+    reader = DocumentCatalogReader(
+        {
+            "path": str(d),
+            # between the two mtimes; naive ISO == UTC regardless of TZ
+            "modified_after": "2010-01-01T00:00:00",
+        },
+    )
+    names = sorted(
+        n for part in reader.partitions() for (n, *_rest) in part.files
+    )
+    assert names == ["new.txt"]

@@ -43,6 +43,22 @@ class VectorCollection:
         self.text_col = text_col
         self.vec_col = vec_col
         self.certainty = certainty
+        self._dim: int | None = None
+
+    def _corpus_dim(self) -> int:
+        """Embedding width, measured once and cached — every dim-less
+        near_text used to launch a fresh driver job per call, and an
+        empty corpus crashed with 'NoneType is not subscriptable'
+        instead of a clear error (review r5)."""
+        if self._dim is None:
+            row = self.corpus.select(self.vec_col).first()
+            if row is None or row[self.vec_col] is None:
+                raise ValueError(
+                    "cannot infer embedding dim from an empty corpus — "
+                    "pass near_text(..., dim=...) explicitly"
+                )
+            self._dim = len(row[self.vec_col])
+        return self._dim
 
     @classmethod
     def from_class_config(
@@ -104,9 +120,7 @@ class VectorCollection:
 
         if transport_factory is None:
             if dim is None:
-                dim = len(
-                    self.corpus.select(self.vec_col).first()[self.vec_col]
-                )
+                dim = self._corpus_dim()
             transport_factory = deterministic_fake_transport(dim=dim)
         [qvec] = transport_factory()(
             [query.replace("\n", " ")]  # the reference's newline normalize

@@ -85,6 +85,14 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
             # events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
             # Spark reads as long with nanosAsLong) or plain TIMESTAMP(MICROS);
             # normalize both to the native microsecond TimestampType.
+            # DELIBERATELY session-wide and left set: the flag is read at
+            # EXECUTION time, so restoring it after this (lazy) read would
+            # un-apply it before the scan runs. Side effect: any LATER
+            # parquet read in this session decodes TIMESTAMP(NANOS)
+            # columns as bigint too — acceptable here because the driver
+            # tables are the session's data surface and only events
+            # carries nanos; unset the conf if your own reads need
+            # nanos-as-timestamp errors back.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
             ts_type = df.schema["ts"].dataType.typeName()

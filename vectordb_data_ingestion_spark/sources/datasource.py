@@ -67,12 +67,23 @@ class DocumentCatalogReader(DataSourceReader):
         connector)."""
         cutoff = None
         if self.modified_after:
-            cutoff = datetime.fromisoformat(self.modified_after).timestamp()
+            dt = datetime.fromisoformat(self.modified_after)
+            if dt.tzinfo is None:
+                # tz-naive cutoffs are UTC: the emitted modified_dt is
+                # UTC, and an incremental loader feeds max(modified_dt)
+                # straight back as modified_after — interpreting it in
+                # the driver's LOCAL zone would permanently skip (or
+                # re-ingest) every file inside the UTC-offset window
+                dt = dt.replace(tzinfo=timezone.utc)
+            cutoff = dt.timestamp()
         out = []
         for dirpath, _dirs, names in os.walk(self.root):
             for fn in sorted(names):
                 p = os.path.join(dirpath, fn)
-                st = os.stat(p)
+                try:
+                    st = os.stat(p)
+                except (FileNotFoundError, OSError):
+                    continue  # broken symlink / vanished mid-walk
                 if cutoff is not None and st.st_mtime <= cutoff:
                     continue
                 out.append((fn, p, st.st_mtime, st.st_size))
@@ -86,8 +97,11 @@ class DocumentCatalogReader(DataSourceReader):
 
     def read(self, partition: _FilesPartition):
         for name, url, mtime, size in partition.files:
-            with open(url, "rb") as f:
-                content = f.read()
+            try:
+                with open(url, "rb") as f:
+                    content = f.read()
+            except FileNotFoundError:
+                continue  # deleted between listing and task execution
             yield (
                 name,
                 url,

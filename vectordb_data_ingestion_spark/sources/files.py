@@ -297,7 +297,11 @@ def _dispatch_full(
     already records a per-row error string; this is the same contract."""
     kind = (kind or "").lower()
     if content is None:
-        return "", None
+        # null content = nothing was fetched (fetch_content records its
+        # own error string): null text, NOT '' — '' means decoded-but-
+        # empty, and a corpus of failed fetches must not read as a
+        # corpus of clean empty documents
+        return None, "no content (fetch failed or empty payload)"
     fn = parsers.get(kind)
     if fn is None:
         raise NotImplementedError(f"no parser for file_type={kind!r}")
@@ -395,7 +399,10 @@ def parse_documents(
     both modes."""
     effective = dict(PARSERS if parsers is None else parsers)
     udf = make_parser_udf(effective, with_errors=errors)
-    in_registry = F.col("file_type").isin(list(effective))
+    # case-insensitive gate: file_type preserves the filename's case
+    # (reference identify_filetype semantics), but 'REPORT.PDF' must not
+    # silently skip the registry — _dispatch_full lowercases the kind
+    in_registry = F.lower(F.col("file_type")).isin(list(effective))
     if errors:
         parsed = catalog.withColumn(
             "_parsed",
@@ -439,7 +446,8 @@ def _pdf_tables(content: bytes, allow_stub: bool = False) -> list[str]:
     pipelines that need non-empty explode shapes)."""
     from vectordb_data_ingestion_spark.sources.ooxml import pdf_tables
 
-    if content and b"%PDF" in content[:1024]:
+    if content and b"%PDF" in content[:1028]:  # 4-byte marker may START
+        # anywhere in the first 1024 bytes — a 1024 slice truncates it
         try:
             return pdf_tables(content)
         except Exception:  # noqa: BLE001 - decoder boundary
@@ -464,7 +472,7 @@ def extract_pdf_tables(
     text — the reference builds one langchain Document per table
     (process_pdf_table, parsers.py:127-137). Undecodable payloads yield
     no rows unless ``allow_stub`` (synthetic-pipeline shapes)."""
-    pdfs = catalog.filter(F.col("file_type") == "pdf")
+    pdfs = catalog.filter(F.lower(F.col("file_type")) == "pdf")
     return pdfs.select(
         "url",
         F.posexplode(_pdf_tables_udf(allow_stub)(F.col("content"))).alias(
@@ -535,7 +543,7 @@ def extract_attachments(
     downstream parsing/chunking stays distributed instead of re-scanning a
     shared filesystem. Undecodable payloads yield no rows unless
     ``allow_stub``."""
-    msgs = catalog.filter(F.col("file_type") == "msg")
+    msgs = catalog.filter(F.lower(F.col("file_type")) == "msg")
     exploded = msgs.select(
         "url",
         F.explode(_attachments_udf(allow_stub)(F.col("content"))).alias("att"),

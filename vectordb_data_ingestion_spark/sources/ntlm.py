@@ -223,7 +223,23 @@ def http_ntlm_auth(username: str, password: str):
 
     class _NtlmAuth(requests.auth.AuthBase):
         def __call__(self, request):
+            # remember where a seekable body starts: the handshake
+            # re-sends the request twice, and a file-like body consumed
+            # by the 401'd initial send would replay EMPTY (truncated
+            # upload with a 200 auth success) — requests_ntlm rewinds
+            # the same way
+            self._body_pos = (
+                request.body.tell()
+                if request.body is not None
+                and hasattr(request.body, "tell")
+                else None
+            )
             request.register_hook("response", self._respond)
+            return request
+
+        def _rewound(self, request):
+            if self._body_pos is not None:
+                request.body.seek(self._body_pos)
             return request
 
         @staticmethod
@@ -252,7 +268,7 @@ def http_ntlm_auth(username: str, password: str):
             response.content  # drain so the connection can be reused
             response.raw.release_conn()
             # step 1: NEGOTIATE
-            req1 = response.request.copy()
+            req1 = self._rewound(response.request.copy())
             req1.headers["Authorization"] = "NTLM " + base64.b64encode(
                 negotiate_message()
             ).decode("ascii")
@@ -274,7 +290,7 @@ def http_ntlm_auth(username: str, password: str):
             # step 2: AUTHENTICATE
             resp1.content
             resp1.raw.release_conn()
-            req2 = resp1.request.copy()
+            req2 = self._rewound(resp1.request.copy())
             req2.headers["Authorization"] = "NTLM " + base64.b64encode(
                 authenticate_message(
                     user or username, password, domain,

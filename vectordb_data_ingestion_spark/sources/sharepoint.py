@@ -387,7 +387,10 @@ def fetch_content(
     executor sleep — so pass ``retries`` together with a ``retryable``
     predicate that recognizes YOUR fetcher's transient errors (default:
     every exception retries). Only the final error is recorded."""
-    urls = catalog.select("url")
+    # distinct: overlapping folder listings can yield the same url twice —
+    # without it the file downloads twice AND the join-back fans out
+    # (2 catalog rows x 2 fetched rows = 4 duplicated documents)
+    urls = catalog.select("url").distinct()
     if num_partitions:
         urls = urls.repartition(num_partitions)
 

@@ -50,9 +50,31 @@ def excel_rows_to_df(
 ) -> DataFrame:
     """Rows -> DataFrame with the reference's ``min_row=2`` header skip
     (cmfunctions.py:450). ``rows`` includes any header rows; we drop the
-    first ``skip_header_rows`` exactly as the worksheet iterator does."""
+    first ``skip_header_rows`` exactly as the worksheet iterator does.
+
+    Schema: Spark's sampling inference where it works, with an explicit
+    per-column fallback for the two ordinary-spreadsheet shapes it
+    cannot infer (a header-only sheet -> empty dataset; a column that is
+    entirely blank -> undeterminable type): both got ValueError before
+    (review r5); blank columns fall back to string."""
     data = [tuple(r) for r in rows[skip_header_rows:]]
-    return spark.createDataFrame(data, schema=columns)
+    try:
+        return spark.createDataFrame(data, schema=columns)
+    except ValueError:
+        def col_type(i: int) -> str:
+            seen = {type(r[i]) for r in data if r[i] is not None}
+            if seen == {bool}:
+                return "boolean"
+            if seen == {int}:
+                return "bigint"
+            if seen <= {int, float} and seen:
+                return "double"
+            return "string"
+
+        ddl = ", ".join(
+            f"`{c}` {col_type(i)}" for i, c in enumerate(columns)
+        )
+        return spark.createDataFrame(data, schema=ddl)
 
 
 def read_excel_catalog(
