@@ -114,17 +114,19 @@ def test_bpe_segment_vectorized_matches_fold(spark):
             (1, "  slow below  "),
             (2, ""),
             (3, "low\tlow\nlow"),
+            (4, None),  # NULL text: both forms yield NULL, not [] (r5)
         ],
         "doc_id long, text string",
     )
     fold = {
-        r["doc_id"]: list(r["bpe_tokens"])
+        r["doc_id"]: r["bpe_tokens"] and list(r["bpe_tokens"])
         for r in bpe_segment(probe, merges).collect()
     }
     vec = {
-        r["doc_id"]: list(r["bpe_tokens"])
+        r["doc_id"]: r["bpe_tokens"] and list(r["bpe_tokens"])
         for r in bpe_segment_vectorized(probe, merges).collect()
     }
     assert vec == fold
     assert vec[0][0] == "low</w>"  # learned merges actually applied
     assert vec[2] == []
+    assert vec[4] is None

@@ -619,10 +619,13 @@ def test_new_ops_null_and_empty_inputs(spark):
     assert s[1]["clean_text"] == "" and s[1]["n_words"] == 0
 
     seg = {
-        r["doc_id"]: list(r["bpe_tokens"])
+        r["doc_id"]: r["bpe_tokens"] and list(r["bpe_tokens"])
         for r in bpe_segment_vectorized(docs, [("r", "e", 2)]).collect()
     }
-    assert seg[0] == [] and seg[1] == [] and seg[2] == []
+    # NULL text -> NULL tokens (fold-form parity, r5); empty/whitespace
+    # text -> empty token list
+    assert seg[0] is None
+    assert seg[1] == [] and seg[2] == []
     assert seg[3][0] == "re"
 
     empty = spark.createDataFrame([], "doc_id long, text string")

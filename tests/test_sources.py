@@ -830,3 +830,38 @@ def test_datasource_modified_after_is_utc_and_vanish_safe(tmp_path, spark):
         n for part in reader.partitions() for (n, *_rest) in part.files
     )
     assert names == ["new.txt"]
+
+
+def test_declared_schemas_match_producers(spark):
+    """schemas.py is the engine's declared data model (T1 catalog, T4
+    multimodal) — review r5 found nothing consumed it, so drift against
+    what the builders actually produce was invisible. Pin the producer
+    outputs to the declared StructTypes."""
+    from vectordb_data_ingestion_spark.schemas import (
+        FILE_CATALOG_SCHEMA,
+        MULTIMODAL_SCHEMA,
+    )
+    from vectordb_data_ingestion_spark.sources.sharepoint import (
+        catalog_from_lister,
+    )
+
+    def lister(folder="/"):
+        yield "a.pdf", "https://h/a.pdf", "2026-01-01T00:00:00Z"
+
+    cat = catalog_from_lister(spark, lister)
+    declared = [(f.name, f.dataType) for f in FILE_CATALOG_SCHEMA.fields]
+    produced = [(f.name, f.dataType) for f in cat.schema.fields]
+    assert produced == declared
+
+    # a MULTIMODAL_SCHEMA frame feeds extract_features directly: the
+    # declared schema and the operator's expected input cannot drift
+    from vectordb_data_ingestion_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    mm = spark.createDataFrame(
+        [(1, "image", bytearray(b"x"), "image/png", {"w": "2"})],
+        MULTIMODAL_SCHEMA,
+    )
+    feats = extract_features(mm).collect()
+    assert len(feats) == 1 and feats[0]["asset_id"] == 1

@@ -202,7 +202,7 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from sessions_test").collect()
     }
     batch = {
-        (r["user_id"], r["session_idx"] - 1): (  # batch idx is 1-based
+        (r["user_id"], r["session_idx"]): (  # both forms 1-based (r5)
             r["n_events"],
             r["session_start"],
             r["session_end"],
@@ -1144,3 +1144,68 @@ def test_incremental_refresh_with_distributed_delete(spark, tmp_path):
     run_once()
     got = {(r["url"], r["version"]) for r in sink.read().collect()}
     assert got == {("u1", 2), ("u2", 1), ("u3", 2)}
+
+
+def test_sessionize_stream_late_events_and_unique_idx(spark, tmp_path):
+    """Review r5 pins: (a) a within-watermark LATE event extends the open
+    session's span — the old code regressed last_us, emitting
+    session_end < session_start and splitting on a negative 'gap';
+    (b) after an event-time timeout the per-user index state survives, so
+    a returning user's next session gets a NEW session_idx instead of a
+    duplicate key."""
+    import datetime as dt
+
+    from vectordb_data_ingestion_spark.operators.sessions import (
+        sessionize_stream,
+    )
+    from vectordb_data_ingestion_spark.streaming.incremental import (
+        read_file_stream,
+    )
+
+    def ts(sec):
+        return dt.datetime(2026, 1, 1) + dt.timedelta(seconds=sec)
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    src = tmp_path / "late_src"
+    src.mkdir()
+    # file order == micro-batch order (maxFilesPerTrigger=1); lexicographic
+    batches = [
+        [(1, ts(1000), 7, 1.0)],
+        # late-but-in-watermark 500s + in-gap 2500s: ONE session [500,2500]
+        [(2, ts(500), 7, 1.0), (3, ts(2500), 7, 1.0)],
+        # far jump: closes [500,2500] by gap, opens session 2
+        [(4, ts(100_000), 7, 1.0)],
+        # another user far in the future: advances the watermark so user
+        # 7's second session times out -> emitted with idx 2, not 1
+        [(5, ts(500_000), 8, 1.0)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+
+    stream = read_file_stream(
+        spark,
+        str(src) + "/*",
+        spark.createDataFrame([], schema).schema,
+        max_files_per_trigger=1,
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_idx"]): (
+            r["n_events"], r["session_start"], r["session_end"]
+        )
+        for r in spark.sql("select * from late_sessions").collect()
+    }
+    assert got[(7, 1)] == (3, ts(500), ts(2500))  # late event merged
+    assert (7, 2) in got  # unique idx after the timeout-closed session
+    assert got[(7, 2)][0] == 1

@@ -196,10 +196,16 @@ def bpe_segment_vectorized(
 
     def segment(batches):
         for pdf in batches:
+            # NULL text -> NULL tokens, like the fold form (word_split
+            # propagates NULL); `txt or ""` here yielded [] and the two
+            # documented-identical implementations diverged on
+            # F.size()/posexplode downstream (review r5)
             toks = [
-                [
+                None
+                if txt is None
+                else [
                     t
-                    for w in ws.sub(" ", txt or "").split(" ")
+                    for w in ws.sub(" ", txt).split(" ")
                     if w
                     for t in tokenize(w)
                 ]

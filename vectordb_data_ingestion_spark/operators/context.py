@@ -55,15 +55,14 @@ def build_context(
         running = F.sum(tokens_col).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         )
+        # the kept set is ALWAYS a contiguous rank prefix: token counts
+        # are non-negative (NULLs are skipped by SUM), so the running
+        # total is non-decreasing in rank and no later, smaller chunk
+        # can slip under the budget — a second "contiguous prefix"
+        # window pass here would be a per-query no-op sort (review r5)
         ranked = ranked.withColumn("__running", running).filter(
             (F.col("__rank") == 1) | (F.col("__running") <= max_tokens)
         )
-        # a gap in ranks after the filter means a later, smaller chunk
-        # slipped under the budget - keep only the contiguous prefix
-        w2 = Window.partitionBy(query_id).orderBy("__rank")
-        ranked = ranked.withColumn(
-            "__seq", F.row_number().over(w2)
-        ).filter(F.col("__rank") == F.col("__seq"))
     ordered = F.array_sort(
         F.collect_list(
             F.struct(

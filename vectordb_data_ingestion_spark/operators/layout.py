@@ -22,25 +22,20 @@ from pyspark.sql import functions as F
 def morton_key(x: Column, y: Column, bits: int) -> Column:
     """Interleave the low ``bits`` bits of two non-negative ints:
     bit ``j`` of ``x`` lands at position ``2j``, bit ``j`` of ``y`` at
-    ``2j+1``. Generated as ``2*bits`` literal shift/mask terms — pure
-    codegen, no UDF, no HOF interpretation."""
-    x = x.cast("long")
-    y = y.cast("long")
-    out = None
-    for j in range(bits):
-        tx = F.shiftleft(F.shiftright(x, j).bitwiseAND(F.lit(1)), 2 * j)
-        ty = F.shiftleft(F.shiftright(y, j).bitwiseAND(F.lit(1)), 2 * j + 1)
-        out = tx + ty if out is None else out + tx + ty
-    return out
+    ``2j+1`` — exactly ``plans.layout.zorder_key([x, y], bits)``
+    (position ``i*n+j`` with n=2), so THE ONE n-dimensional
+    implementation is the source of truth and a bit-order or validation
+    fix cannot miss this 2-d convenience wrapper (review r5)."""
+    from vectordb_data_ingestion_spark.plans.layout import zorder_key
+
+    return zorder_key([x, y], bits)
 
 
 def morton_key_sql(x: str, y: str, bits: int) -> str:
-    """DuckDB mirror of :func:`morton_key` (identical integer terms)."""
-    terms = []
-    for j in range(bits):
-        terms.append(f"((({x} >> {j}) & 1) << {2 * j})")
-        terms.append(f"((({y} >> {j}) & 1) << {2 * j + 1})")
-    return "(" + " + ".join(terms) + ")"
+    """DuckDB mirror of :func:`morton_key` (delegates like it)."""
+    from vectordb_data_ingestion_spark.plans.layout import zorder_key_sql
+
+    return zorder_key_sql([x, y], bits)
 
 
 def zorder_cluster(

@@ -3,8 +3,11 @@
 The reference has no event analytics at all (SURVEY.md §2.8 — nothing
 beyond config-declared top-k), but a training-data pipeline needs user/doc
 activity sessionization (e.g. to weight documents by engagement or build
-per-session training examples). Two implementations with identical
-semantics:
+per-session training examples). Two implementations with matching
+semantics (both 1-based session indices; one documented streaming
+approximation: a within-watermark late event EXTENDS the open session's
+span, because state keeps a span rather than the event list — the batch
+form is exact):
 
 - :func:`sessionize` (batch): lag -> new-session flag -> running sum,
   all JVM window functions over one ``user_id`` shuffle. Scales linearly:
@@ -133,7 +136,8 @@ def sessionize_stream(
         if state.exists:
             last_us, start_us, n, total, idx = state.get
         else:
-            last_us, start_us, n, total, idx = None, None, 0, 0.0, 0
+            # 1-based like the batch form's running-sum index
+            last_us, start_us, n, total, idx = None, None, 0, 0.0, 1
 
         closed = []
 
@@ -146,9 +150,15 @@ def sessionize_stream(
         if state.hasTimedOut:
             if n:
                 close()
-            state.remove()
+            # KEEP the state (idx only): removing it restarted the next
+            # session at the same index, emitting duplicate
+            # (user_id, session_idx) keys that overwrite/double-join in
+            # keyed sinks. Cost: ~40 bytes/user for the stream's
+            # lifetime — the price of globally unique session keys.
+            state.update((last_us, start_us, 0, 0.0, idx))
         else:
-            rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+            batches = list(pdfs)
+            rows = pd.concat(batches) if batches else pd.DataFrame()
             if not rows.empty:
                 rows = rows.sort_values(["ts", "event_id"])
                 for ts, value in zip(rows["ts"], rows["value"]):
@@ -157,11 +167,25 @@ def sessionize_stream(
                         close()
                     if not n:
                         start_us = us
-                    last_us = us
+                        last_us = us
+                    else:
+                        # a within-watermark LATE event extends the open
+                        # session's span — it must never regress last_us
+                        # (which emitted session_end < session_start) or
+                        # split the session on a negative "gap". State
+                        # keeps a span, not the event list, so a late
+                        # event older than start-gap merges instead of
+                        # forming its own session (documented
+                        # approximation; the batch form is exact).
+                        start_us = min(start_us, us)
+                        last_us = max(last_us, us)
                     n += 1
                     total += float(value)
             state.update((last_us, start_us, n, total, idx))
-            state.setTimeoutTimestamp(last_us // 1_000 + gap_seconds * 1_000)
+            if last_us is not None:
+                state.setTimeoutTimestamp(
+                    last_us // 1_000 + gap_seconds * 1_000
+                )
 
         if closed:
             out = pd.DataFrame(

@@ -81,6 +81,13 @@ def salted_join(
     joins locally. Use when one fact key dominates a partition and AQE's
     skew split isn't available (e.g. inside a stream).
 
+    NOTE the deliberately distinct sibling
+    ``operators/skew.py::salted_join``: that one salts by
+    ``pmod(hash(fact_id), n)`` — partition-invariant and replay-stable,
+    what the deterministic driver-checked queries use. This rand-salted
+    form spreads rows without needing any id column; pick by whether
+    replay determinism matters.
+
     Only fact-preserving joins are valid: the dim side is replicated
     ``n_salts`` times, so a right/full outer join would emit every
     unmatched dim row once PER SALT (silently wrong results)."""
@@ -114,6 +121,13 @@ def zorder_key(cols: Sequence[Column], bits: int = 10) -> Column:
     DuckDB for oracle checks (:func:`zorder_key_sql`).
     """
     n = len(cols)
+    if bits < 1 or bits * n > 63:
+        # bits*n = 64 would shift a bit into the long sign position:
+        # negative keys break repartitionByRange's clustering silently
+        raise ValueError(
+            f"zorder_key: bits={bits} x {n} cols must stay within a "
+            "63-bit positive long"
+        )
     key = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(cols):

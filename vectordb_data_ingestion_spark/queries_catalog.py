@@ -6236,7 +6236,9 @@ def q_key_skew_report(spark, sf_dir):
     key count, row count, max/median/p99 rows-per-key, the max-vs-mean
     skew factor, and the top hot keys — the report that decides between a
     plain shuffle, AQE skew-join, and explicit salting
-    (plans/layout.py::salted_join). One partial-agg shuffle over the fact;
+    (operators/skew.py::salted_join — the replay-stable deterministic
+    form the skew queries use; plans/layout.py::salted_join is the
+    rand-salted variant for streams). One partial-agg shuffle over the fact;
     everything downstream is key-count-table sized."""
     (orders,) = _t(spark, sf_dir, "orders")
     pk = orders.groupBy(F.col("o_custkey").alias("key")).agg(
@@ -7727,8 +7729,13 @@ from vectordb_data_ingestion_spark.operators import layout as layout_ops
       FROM events
     ),
     d AS (
+      -- truncate-toward-zero like Spark's `div`: DuckDB // FLOORS, and
+      -- the two diverge on negative sums (refund/delta-valued streams)
       SELECT event_type,
-             CAST(SUM(value_micro) AS BIGINT) // COUNT(*) AS type_avg_micro,
+             (CASE WHEN SUM(value_micro) < 0
+                   THEN -(CAST(-SUM(value_micro) AS BIGINT) // COUNT(*))
+                   ELSE CAST(SUM(value_micro) AS BIGINT) // COUNT(*) END)
+               AS type_avg_micro,
              CAST(COUNT(*) AS BIGINT) AS n_type
       FROM f GROUP BY 1
     )
