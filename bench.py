@@ -160,11 +160,14 @@ def main() -> None:
     # min of 2 runs per query: single-shot numbers on a shared host can catch
     # a noisy-neighbor window (observed 3-10x uniform inflation); the min is
     # the reproducible cost of the plan
+    # unknown names fail LOUDLY: silently skipping a renamed query would
+    # shrink the headline total and read as a cross-round perf win
+    unknown = [n for n in HEADLINE if n not in queries_catalog.SPARK_QUERIES]
+    if unknown:
+        raise SystemExit(f"HEADLINE names not in the registry: {unknown}")
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = queries_catalog.SPARK_QUERIES.get(name)
-        if fn is None:
-            continue
+        fn = queries_catalog.SPARK_QUERIES[name]
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()

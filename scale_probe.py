@@ -68,10 +68,9 @@ PROBE = [
     "bm25_topk_indexed",
 ]
 
-ALL_TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+from vectordb_data_ingestion_spark.session import (  # noqa: E402
+    ALL_TABLE_NAMES as ALL_TABLES,
+)
 
 
 def grow_by_id_offset(df, id_col: str, mult: int, max_id: int):
@@ -156,7 +155,8 @@ def build_scaled_dir(spark, mult: int, root: str) -> str:
     for t in ALL_TABLES:
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
-            os.symlink(f"{SF_DIR}/{t}.parquet", dst)
+            # absolute target (same hazard as the grow=docs branch)
+            os.symlink(os.path.abspath(f"{SF_DIR}/{t}.parquet"), dst)
     return out
 
 
@@ -175,7 +175,12 @@ def main() -> None:
         unknown = [q for q in probe if q not in queries_catalog.SPARK_QUERIES]
         if unknown:
             raise SystemExit(f"unknown probe queries: {unknown}")
-    mults = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    try:
+        mults = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    except ValueError:
+        raise SystemExit(f"multipliers must be integers: {sys.argv[1:]}")
+    if any(m < 1 for m in mults):
+        raise SystemExit(f"multipliers must be >= 1: {mults}")
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="scale_probe_")

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import math
 import os
-from datetime import date, datetime
+from datetime import date, datetime, timezone
 
 import duckdb
 import pytest
@@ -17,10 +17,9 @@ TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 SF_SMALL = os.path.join(TESTDATA, "sf0.001")
 SF_MED = os.path.join(TESTDATA, "sf0.01")
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+# the ONE canonical table list lives in session.py (review r5: four
+# hand-maintained copies could drift silently)
+from vectordb_data_ingestion_spark.session import ALL_TABLE_NAMES as TABLES  # noqa: E402
 
 
 @pytest.fixture(scope="session")
@@ -33,13 +32,21 @@ def spark():
     yield s
 
 
+_DUCK_CONS: dict[str, duckdb.DuckDBPyConnection] = {}
+
+
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for t in TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
-    return con
+    """One cached connection per sf dir: the oracle suite asserts ~160
+    times per scale factor, and a fresh connect + 10 CREATE VIEWs per
+    assertion leaked connections and re-paid view setup every call."""
+    if sf_dir not in _DUCK_CONS:
+        con = duckdb.connect()
+        for t in TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        _DUCK_CONS[sf_dir] = con
+    return _DUCK_CONS[sf_dir]
 
 
 def _norm(v):
@@ -50,6 +57,10 @@ def _norm(v):
             return "NaN"
         return round(v, 6)
     if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            # convert aware values to UTC BEFORE dropping tzinfo: equal
+            # instants in different zones must normalize identically
+            v = v.astimezone(timezone.utc)
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
         return v.isoformat()

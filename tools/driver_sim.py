@@ -14,7 +14,8 @@ print(f"entry smoke: {len(rows)} rows", flush=True)
 import duckdb, pandas as pd
 con = duckdb.connect()
 SF = "/root/testdata/sf0.01"
-for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+from vectordb_data_ingestion_spark.session import ALL_TABLE_NAMES
+for t in ALL_TABLE_NAMES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 qs = E.queries(); osql = E.oracle_sql()
@@ -54,3 +55,4 @@ for i, name in enumerate(names):
         fails.append(name)
         print(f"{i:2d} {name}: EXC {type(ex).__name__}: {str(ex)[:150]}", flush=True)
 print("FAILS:", fails)
+sys.exit(1 if fails else 0)

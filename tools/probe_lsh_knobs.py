@@ -3,7 +3,7 @@ bounds candidate-pair growth under CONTROLLED duplicate mass.
 
 The disjoint-growth scale probe makes pair counts linear by construction,
 so it cannot exercise the knob. This probe builds the opposite corpus: 10
-copies of sf0.1 documents where ~40% of words (chosen by content hash, so
+copies of sf0.1 documents where ~10% of words (chosen by content hash, so
 the SAME words in every copy) get a per-copy suffix. Word-level mutation
 compounds at the 3-gram shingle level (a shingle breaks if ANY of its 3
 words mutated): 10% word mutation -> ~0.9^3 = 73% shared shingles ->

@@ -64,23 +64,27 @@ def get_spark(
     return builder.getOrCreate()
 
 
+# THE canonical driver-table list: conftest, scale_probe, and driver_sim
+# import this instead of keeping hand-copied duplicates that drift.
+ALL_TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Read the driver's parquet tables from ``sf_dir`` into a dict of
     DataFrames and register each as a temp view (so ``spark.sql`` works)."""
-    all_names = (
-        "region",
-        "nation",
-        "customer",
-        "supplier",
-        "part",
-        "orders",
-        "lineitem",
-        "events",
-        "documents",
-        "embeddings",
-    )
     out = {}
-    for name in names or all_names:
+    for name in names or ALL_TABLE_NAMES:
         if name == "events":
             # events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
             # Spark reads as long with nanosAsLong) or plain TIMESTAMP(MICROS);
