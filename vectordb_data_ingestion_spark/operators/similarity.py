@@ -903,6 +903,15 @@ def bitext_mine(
         b, centroids, vec_col=b_vec, id_col=b_id,
         centroid_vec=centroid_vec, centroid_id=centroid_id,
     ).select(b_id, b_vec, "cell")
+    if materialize:
+        # checkpoint the LINEAR-size cell assignments, NOT the ranked
+        # pair table: ranked feeds three subtrees, but it is Σcell²
+        # rows — measured at 10x corpus, writing it costs more than
+        # re-running the cell join + windows (34-44 s vs 22 s), while
+        # the corpus-scale Arrow assigns are what must not run thrice.
+        # Set False where eager evaluation is illegal (streaming).
+        a_cells = a_cells.localCheckpoint()
+        b_cells = b_cells.localCheckpoint()
     # to_double_array like every sibling operator: float-typed embeddings
     # would otherwise multiply in single precision before the fold,
     # flipping ±1 ppm on boundary values vs the double-computing oracle
@@ -919,13 +928,6 @@ def bitext_mine(
     ranked = pairs.withColumn("ra", F.row_number().over(wa)).withColumn(
         "rb", F.row_number().over(wb)
     )
-    if materialize:
-        # ranked feeds THREE subtrees (the ra==1 picks and both knn
-        # denominators): a lazy plan re-runs the two corpus assigns, the
-        # cell join, and both windows three times per action — the same
-        # measured trap semantic_dedup checkpoints against. Set False
-        # only where eager evaluation is illegal (streaming).
-        ranked = ranked.localCheckpoint()
     # mean over the neighbours actually RETRIEVED (Artetxe & Schwenk):
     # sparse cells can hold fewer than `knn` candidates, so the divisor is
     # LEAST(knn, count) — a fixed-knn divisor would deflate the mean and
