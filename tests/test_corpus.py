@@ -111,6 +111,26 @@ def test_kmv_exact_below_k(spark):
     assert row["est_distinct"] == 40.0
 
 
+def test_kmv_null_values_excluded(spark):
+    # regression (ADVICE r5): md5_hash32(NULL) reached the Arrow prefilter
+    # as NaN and, on a sub-k partition, was unsafely cast back to long as
+    # INT64_MIN — a phantom global-minimum hash. NULLs must not count.
+    df = spark.createDataFrame(
+        [("w0",), (None,), ("w1",), (None,), ("w2",)],
+        "word string",
+    )
+    row = cp.kmv_distinct(df, "word", k=64).collect()[0]
+    assert row["k_used"] == 3
+    assert row["est_distinct"] == 3.0
+    assert row["kth_min_hash"] > 0  # INT64_MIN would be negative
+
+
+def test_kmv_all_null_input(spark):
+    df = spark.createDataFrame([(None,), (None,)], "word string")
+    row = cp.kmv_distinct(df, "word", k=64).collect()[0]
+    assert row["k_used"] == 0
+
+
 def test_kmv_estimate_within_tolerance(spark):
     n = 5000
     df = spark.range(0, n * 3).select(

@@ -292,6 +292,34 @@ def test_pdf_tables_ruled_lattice():
     assert pdf_tables(mixed) == ["p1|q1|p2|q2"]
 
 
+def test_pdf_tables_rules_only_stream_feeds_adjacent_text_stream():
+    """Regression (ADVICE r5): a page whose ruled lines live in a
+    graphics-only content stream (no BT) separate from its text stream
+    lost its lattice table — the per-stream restructure skipped BT-less
+    streams entirely. Rules-only streams must contribute their geometry
+    to the adjacent text stream (following first, else preceding)."""
+    from vectordb_data_ingestion_spark.sources.ooxml import pdf_tables
+
+    grid = (
+        b"stream\n"
+        b"70 710 m 310 710 l S 70 690 m 310 690 l S 70 670 m 310 670 l S "
+        b"70 670 m 70 710 l S 190 670 m 190 710 l S 310 670 m 310 710 l S\n"
+        b"endstream"
+    )
+    text = (
+        b"stream\nBT "
+        b"1 0 0 1 80 700 Tm (name) Tj 1 0 0 1 200 700 Tm (price) Tj "
+        b"1 0 0 1 80 675 Tm (widget) Tj "
+        b"ET\nendstream"
+    )
+    # grid stream BEFORE the text stream (the common producer order)
+    assert pdf_tables(grid + b"\n" + text) == ["name|price|widget|"]
+    # grid stream AFTER the text stream attaches to the preceding one
+    assert pdf_tables(text + b"\n" + grid) == ["name|price|widget|"]
+    # a grid with no text stream anywhere yields nothing (no cells)
+    assert pdf_tables(grid) == []
+
+
 def test_pdf_tables_per_page_and_newline_ops():
     """Review r5 pins: (a) each content stream (≈ page) gets its OWN
     grid — two pages with same-coordinate ruled tables must yield two

@@ -166,6 +166,44 @@ def test_vector_store_writer_overwrite_retires_spool_and_vacuum(spark, tmp_path)
     assert len(read_committed(path)) == 2
 
 
+def test_vector_store_concurrent_append_commits_lossless(tmp_path):
+    # regression (ADVICE r5): append-mode commit is read-modify-replace; two
+    # jobs committing to the same sink path concurrently raced, the loser's
+    # manifest lines vanished, and vacuum() then deleted its committed spool
+    # files. The flock sidecar makes the section mutually exclusive.
+    import threading
+
+    from vectordb_data_ingestion_spark.sinks.datasource_writer import (
+        VectorStoreWriter,
+        _SpoolCommit,
+        read_committed,
+        vacuum,
+    )
+
+    path = str(tmp_path / "store_conc")
+    os.makedirs(os.path.join(path, "_spool"), exist_ok=True)
+    n_threads, n_commits = 4, 25
+
+    def run(tid):
+        w = VectorStoreWriter({"path": path}, overwrite=False)
+        for i in range(n_commits):
+            fname = f"t{tid}_{i}.jsonl"
+            with open(os.path.join(path, "_spool", fname), "w") as f:
+                f.write('{"class": "Chunk", "chunk_id": "%s"}\n' % fname)
+            w.commit([_SpoolCommit(filename=fname, n_rows=1)])
+
+    threads = [threading.Thread(target=run, args=(t,)) for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    rows = read_committed(path)
+    assert len(rows) == n_threads * n_commits
+    # and vacuum must not remove any committed file
+    assert vacuum(path) == 0
+    assert len(read_committed(path)) == n_threads * n_commits
+
+
 def test_delete_where_df_matches_list_form(spark, tmp_path):
     """The anti-join delete (keys stay distributed) removes exactly the
     same rows as the driver-list form — the streaming refresh can swap

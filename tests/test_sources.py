@@ -800,6 +800,40 @@ def test_excel_rows_to_df_empty_and_blank_columns(spark):
     assert rows == {"w": (3, None), "g": (5, None)}
 
 
+def test_excel_rows_to_df_datetime_backtick_and_mixed(spark):
+    """Regression (ADVICE r5): the inference fallback (triggered by a
+    blank column alongside others) built DDL that (a) broke on a header
+    cell containing a backtick and (b) mapped datetime columns to
+    'string', making the typed createDataFrame raise on the values.
+    Datetimes now type as timestamp/date; residual mixed-type columns
+    str()-coerce instead of raising."""
+    import datetime as dt
+
+    from vectordb_data_ingestion_spark.sources.tabular import (
+        excel_rows_to_df,
+    )
+
+    rows = [
+        ("when", "day", "qty `backtick`", "mixed", "blank"),
+        (dt.datetime(2024, 1, 2, 3, 4), dt.date(2024, 1, 2), 3, "x", None),
+        (dt.datetime(2024, 5, 6, 7, 8), dt.date(2024, 5, 6), 5, 7, None),
+    ]
+    df = excel_rows_to_df(
+        spark, rows, ["when", "day", "qty `backtick`", "mixed", "blank"]
+    )
+    assert dict(df.dtypes) == {
+        "when": "timestamp",
+        "day": "date",
+        "qty `backtick`": "bigint",
+        "mixed": "string",
+        "blank": "string",
+    }
+    out = sorted(df.collect(), key=lambda r: r["when"])
+    assert out[0]["when"] == dt.datetime(2024, 1, 2, 3, 4)
+    assert out[0]["day"] == dt.date(2024, 1, 2)
+    assert [r["mixed"] for r in out] == ["x", "7"]
+
+
 def test_datasource_modified_after_is_utc_and_vanish_safe(tmp_path, spark):
     """Review r5: a tz-naive modified_after cutoff is UTC (the emitted
     modified_dt is UTC, and incremental loaders feed max(modified_dt)

@@ -383,7 +383,14 @@ def kmv_distinct(
     import pandas as pd
 
     c = F.col(col) if isinstance(col, str) else col
-    hashed = df.select(md5_hash32(c).alias("__h"))
+    # NULL inputs hash to NULL; drop them BEFORE the Arrow prefilter. In
+    # pandas a NULL int64 arrives as NaN (float64), survives np.unique when
+    # a partition holds < k distinct hashes, and the unsafe Arrow cast back
+    # to 'long' turns NaN into INT64_MIN — a phantom global minimum that
+    # skews kth_min/est_distinct (or raises under convertToArrowArraySafely).
+    hashed = df.select(md5_hash32(c).alias("__h")).filter(
+        F.col("__h").isNotNull()
+    )
 
     def part_k_smallest(batches):
         import numpy as np
@@ -421,8 +428,12 @@ def kmv_distinct_sql(values_sql: str, value_expr: str, k: int = 256) -> str:
     """Oracle for :func:`kmv_distinct`; ``values_sql`` yields the exploded
     rows, ``value_expr`` the column to sketch."""
     h = md5_hash32_sql(value_expr)
+    # NULL values are excluded from the sketch (mirrors the Spark side's
+    # isNotNull prefilter; without it a NULL sorts last in DuckDB and can
+    # inflate k_used by one on a sub-k sketch).
     return f"""
-    WITH hashes AS (SELECT DISTINCT {h} AS h FROM ({values_sql})),
+    WITH hashes AS (SELECT DISTINCT {h} AS h FROM ({values_sql})
+                    WHERE {value_expr} IS NOT NULL),
     smallest AS (SELECT h FROM hashes ORDER BY h ASC LIMIT {k})
     SELECT CAST(COUNT(*) AS INTEGER) AS k_used,
            MAX(h) AS kth_min_hash,

@@ -7823,70 +7823,70 @@ def q_zorder_layout_plan(spark, sf_dir):
     )
 
 
-# ROUND-5 NOTE: the registry stays FROZEN at 162 and the cumulative union
-# is 162/162, so from this round on the window is pure RE-verification
-# rotation (tools/rotate_window.py): the 50 least-recently-verified
-# queries — the full r1 cohort (35 queries last driver-checked in round 1,
-# before three rounds of refactors landed around them) followed by the 15
-# oldest r2 rows. Zero r4 repeats; staleness is now bounded at ~3 rounds
-# for every query. Every query also passes the local oracle mirror
-# (tests/test_oracle.py) at sf0.001/0.01/0.1 each round.
+# ROUND-6 NOTE: registry stays FROZEN at 162; pure re-verification rotation
+# continues (tools/rotate_window.py). This window = 12 changed-queries-first
+# promotions + the natural next-38 (24 r2-cohort + 14 r3-cohort); the 12
+# displaced r3 rows (bigram_pmi .. key_skew_report) lead the r7 window.
+#
+# Promotions (the r5-judge's #1 item): commit 8d3779b changed scorer
+# semantics in-principle for the retrieval/dedup family (bm25/tfidf query
+# lowercasing, zero-norm vector parity, CC convergence checksum, span
+# canonicity) but only full_curation_pipeline/benchmark_decontaminate were
+# re-driver-verified in r5 — the rest carried r4 driver rows against
+# pre-change code. They re-verify HERE so every touched query has a
+# post-change driver row. kmv_distinct_words is promoted because round 6
+# changes its Arrow prefilter (NULL-hash handling, ADVICE r5).
 _DRIVER_PRIORITY = [
-    # changed-queries-first (r5 window rule): decontaminate's gram hash
-    # widened 32->60 bits this round, which can flip contamination flags;
-    # both consumers must re-verify in the SAME round as the change.
-    # (benchmark_decontaminate is already in this window below.)
-    "full_curation_pipeline",  # r5 semantics change
-    "file_type_extract",  # r1
-    "distinct_file_types",  # r1
-    "delta_filter",  # r1
-    "incremental_diff",  # r1
-    "seqno",  # r1
-    "url_synthesis",  # r1
-    "clean_text",  # r1
-    "token_count",  # r1
-    "chunk_fixed_overlap",  # r1
-    "string_compose_kb",  # r1
-    "events_hourly_window",  # r1
-    "events_range_join",  # r1
-    "corpus_stats_rollup",  # r1
-    "events_asof_join",  # r1
-    "topk_certainty",  # r1
-    "topk_certainty_vectorized",  # r1
-    "ivf_assign",  # r1
-    "lsh_assign",  # r1
-    "lsh_topk_multitable",  # r1
-    "ann_topk_batch",  # r1
-    "minhash_signatures",  # r1
-    "near_dup_components",  # r1
-    "simhash",  # r1
-    "lang_id",  # r1
-    "quality_score",  # r1
-    "corpus_stats",  # r1
-    "doc_fingerprint",  # r1
-    "kb_article_compose",  # r1
-    "service_catalog_compose",  # r1
-    "split_long_rows",  # r1
-    "multimodal_metadata",  # r1
-    "embed_enrich",  # r1
-    "chunk_table_pipeline",  # r1
-    "corpus_split",  # r1
-    "vocabulary_top",  # r1
-    "events_asof_nearest",  # r2
-    "media_sampling_plan",  # r2
-    "multimodal_features",  # r2
-    "word_split",  # r2
-    "chunk_recursive",  # r2
-    "trigram_counts",  # r2
-    "pii_scrub",  # r2
-    "benchmark_decontaminate",  # r2
-    "kmv_distinct_words",  # r2
-    "per_source_cap",  # r2
-    "weighted_source_sample",  # r2
-    "shard_assign",  # r2
-    "embedding_quantize",  # r2
-    "filtered_topk_certainty",  # r2
+    "bm25_topk",  # r4 row predates 8d3779b (query lowercasing)
+    "bm25_topk_indexed",  # r4 row predates 8d3779b
+    "tfidf_topk",  # r4 row predates 8d3779b
+    "hybrid_rrf_search",  # r4 row predates 8d3779b
+    "near_dup_dedup",  # r4 row predates CC checksum fix
+    "dup_span_removal",  # r4 row predates span canonicity fix
+    "simhash_near_dup",  # r4 row predates 8d3779b family
+    "minhash_lsh_near_dup",  # r4 row predates 8d3779b family
+    "brute_force_topk",  # r4 row predates zero-norm parity fix
+    "ivf_topk",  # r4 row predates zero-norm parity fix
+    "ivfpq_topk",  # r4 row predates zero-norm parity fix
+    "kmv_distinct_words",  # r5 row; r6 changes its NULL-hash prefilter
     "catalog_merge",  # r2
+    "scd2_user_state",  # r2
+    "kmeans_refine_step",  # r2
+    "pq_encode",  # r2
+    "repetition_signals",  # r2
+    "bpe_pair_counts",  # r2
+    "zorder_key",  # r2
+    "orders_topk_revenue",  # r2
+    "lm_perplexity_score",  # r2
+    "pq_adc_topk_batch",  # r2
+    "quality_deciles",  # r2
+    "stratified_sample",  # r2
+    "length_quantiles",  # r2
+    "events_moving_avg",  # r2
+    "late_shipment_priority",  # r2
+    "promo_revenue",  # r2
+    "nation_revenue_share",  # r2
+    "doc_prefix_dup",  # r2
+    "component_size_histogram",  # r2
+    "token_histogram",  # r2
+    "ivf_recall_eval",  # r2
+    "dup_window_stats",  # r2
+    "kmeans_inertia",  # r2
+    "quantile_sketch_histogram",  # r2
+    "events_json_props",  # r3
+    "events_interval_overlap",  # r3
+    "compaction_plan",  # r3
+    "mrl_recall_eval",  # r3
+    "hard_negatives",  # r3
+    "lang_source_pivot",  # r3
+    "user_retention_cohorts",  # r3
+    "event_funnel",  # r3
+    "corpus_stats_cube",  # r3
+    "cluster_topics",  # r3
+    "tokenizer_compression_eval",  # r3
+    "minhash_estimate_error",  # r3
+    "events_resample_ffill",  # r3
+    "snapshot_diff",  # r3
 ]
 
 

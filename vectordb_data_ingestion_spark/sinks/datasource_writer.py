@@ -23,6 +23,7 @@ spool files count.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import uuid
@@ -35,6 +36,34 @@ from pyspark.sql.datasource import (
 )
 
 MANIFEST = "_committed_manifest.jsonl"
+_LOCKFILE = "_manifest.lock"
+
+
+@contextlib.contextmanager
+def _manifest_lock(path: str):
+    """Exclusive advisory lock serialising manifest read-modify-replace.
+
+    Append-mode commit is a read + atomic-replace (crash-safe against
+    truncated lines), which means two jobs committing to the same sink path
+    concurrently would otherwise race: the loser's manifest lines vanish,
+    and a later vacuum() permanently deletes its committed spool files.
+    flock on a sidecar file (NOT the manifest itself — os.replace would
+    swap the locked inode out from under the lock) makes the section
+    mutually exclusive per host; a real multi-driver deployment would use
+    the store's own transactional swap instead (see module docstring).
+    """
+    os.makedirs(path, exist_ok=True)
+    fd = os.open(os.path.join(path, _LOCKFILE), os.O_CREAT | os.O_RDWR)
+    try:
+        try:
+            import fcntl
+
+            fcntl.flock(fd, fcntl.LOCK_EX)
+        except ImportError:  # non-POSIX: best-effort, same as before
+            pass
+        yield
+    finally:
+        os.close(fd)  # closing the fd releases the flock
 
 
 @dataclass
@@ -81,42 +110,46 @@ class VectorStoreWriter(DataSourceWriter):
             if m is not None
         ]
         if self.overwrite:
-            # Publish the new manifest ATOMICALLY before retiring any prior
-            # load's spool files: a crash mid-commit must leave either the
-            # old manifest (all its files still present) or the new one —
-            # never a manifest referencing deleted files.
-            tmp = manifest + f".tmp.{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.writelines(lines)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, manifest)
-            # now retire spool files the new manifest no longer references
-            # (truncating only the manifest would leak every prior load's
-            # spool files forever)
-            spool = os.path.join(self.path, "_spool")
-            if os.path.isdir(spool):
-                for fn in os.listdir(spool):
-                    if fn not in committed:
-                        try:
-                            os.remove(os.path.join(spool, fn))
-                        except FileNotFoundError:
-                            pass
+            with _manifest_lock(self.path):
+                # Publish the new manifest ATOMICALLY before retiring any
+                # prior load's spool files: a crash mid-commit must leave
+                # either the old manifest (all its files still present) or
+                # the new one — never a manifest referencing deleted files.
+                tmp = manifest + f".tmp.{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    f.writelines(lines)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, manifest)
+                # now retire spool files the new manifest no longer
+                # references (truncating only the manifest would leak every
+                # prior load's spool files forever)
+                spool = os.path.join(self.path, "_spool")
+                if os.path.isdir(spool):
+                    for fn in os.listdir(spool):
+                        if fn not in committed:
+                            try:
+                                os.remove(os.path.join(spool, fn))
+                            except FileNotFoundError:
+                                pass
         else:
             # append via read + atomic replace, NOT a raw append: a crash
             # mid-append leaves a truncated JSON line that makes every
-            # later read_committed()/vacuum() raise until hand-repaired
-            existing = ""
-            if os.path.exists(manifest):
-                with open(manifest) as f:
-                    existing = f.read()
-            tmp = manifest + f".tmp.{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(existing)
-                f.writelines(lines)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, manifest)
+            # later read_committed()/vacuum() raise until hand-repaired.
+            # The lock serialises concurrent appenders — without it the
+            # read-modify-replace loser's commit silently vanishes.
+            with _manifest_lock(self.path):
+                existing = ""
+                if os.path.exists(manifest):
+                    with open(manifest) as f:
+                        existing = f.read()
+                tmp = manifest + f".tmp.{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    f.write(existing)
+                    f.writelines(lines)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, manifest)
 
     def abort(self, messages):
         spool = os.path.join(self.path, "_spool")
@@ -148,18 +181,21 @@ def vacuum(path: str) -> int:
     spool = os.path.join(path, "_spool")
     if not os.path.isdir(spool):
         return 0
-    committed: set[str] = set()
-    if os.path.exists(manifest):
-        with open(manifest) as f:
-            committed = {json.loads(line)["file"] for line in f if line.strip()}
-    removed = 0
-    for fn in os.listdir(spool):
-        if fn not in committed:
-            try:
-                os.remove(os.path.join(spool, fn))
-                removed += 1
-            except FileNotFoundError:
-                pass
+    with _manifest_lock(path):
+        committed: set[str] = set()
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                committed = {
+                    json.loads(line)["file"] for line in f if line.strip()
+                }
+        removed = 0
+        for fn in os.listdir(spool):
+            if fn not in committed:
+                try:
+                    os.remove(os.path.join(spool, fn))
+                    removed += 1
+                except FileNotFoundError:
+                    pass
     return removed
 
 

@@ -723,12 +723,16 @@ def pdf_tables(content: bytes, y_tol: float = 2.0) -> list[str]:
     Each content stream (≈ one page in the simple tier) is processed
     INDEPENDENTLY: pooling pages would merge same-coordinate tables from
     different pages into one garbled grid and join stream-mode runs
-    across page boundaries. A page whose content is split across several
-    streams is likewise handled per-stream (documented limit).
+    across page boundaries. A page whose TEXT is split across several
+    streams is handled per-stream (documented limit); a stream holding
+    only rule geometry (no ``BT`` / no positioned text — some producers
+    emit the grid and the text as separate content streams) contributes
+    its rules to the ADJACENT text stream (the next one, else the
+    previous) instead of being dropped.
 
     Scanned (raster) documents stay out of scope — there is no text or
     vector geometry to interpret; that needs OCR."""
-    tables: list[str] = []
+    streams: list[tuple[list, list, list]] = []
     for m in re.finditer(rb"stream\r?\n(.*?)endstream", content, re.DOTALL):
         data = m.group(1)
         try:
@@ -738,16 +742,30 @@ def pdf_tables(content: bytes, y_tol: float = 2.0) -> list[str]:
                 decoded = bounded_inflate(data.rstrip(b"\r\n"))
             except zlib.error:
                 decoded = data
-        if b"BT" not in decoded:
-            continue
-        chunks = _pdf_positioned(decoded)
-        if not chunks:
-            continue
+        chunks = _pdf_positioned(decoded) if b"BT" in decoded else []
         if _RULE_OP_RE.search(decoded):
             hlines, vlines = _pdf_rules(decoded)
         else:
             hlines, vlines = [], []
+        if chunks or hlines or vlines:
+            streams.append((chunks, list(hlines), list(vlines)))
 
+    # rules-only streams: attach their geometry to the nearest text stream
+    # (following first — producers typically draw the grid before the text
+    # of the same page — else the preceding one)
+    text_idx = [i for i, (c, _h, _v) in enumerate(streams) if c]
+    if text_idx:
+        for i, (chunks, h, v) in enumerate(streams):
+            if chunks or not (h or v):
+                continue
+            target = next((t for t in text_idx if t > i), text_idx[-1])
+            streams[target][1].extend(h)
+            streams[target][2].extend(v)
+
+    tables: list[str] = []
+    for chunks, hlines, vlines in streams:
+        if not chunks:
+            continue
         lattice, bbox = _lattice_table(chunks, hlines, vlines)
         if lattice is not None:
             tables.append(lattice)

@@ -56,7 +56,13 @@ def excel_rows_to_df(
     per-column fallback for the two ordinary-spreadsheet shapes it
     cannot infer (a header-only sheet -> empty dataset; a column that is
     entirely blank -> undeterminable type): both got ValueError before
-    (review r5); blank columns fall back to string."""
+    (review r5); blank columns fall back to string. The fallback handles
+    datetime/date columns (openpyxl yields them for date-formatted
+    cells), escapes backticks in header names, and str()-coerces any
+    residual mixed-type column so the typed createDataFrame cannot raise
+    on values the DDL called string (ADVICE r5)."""
+    import datetime as _dt
+
     data = [tuple(r) for r in rows[skip_header_rows:]]
     try:
         return spark.createDataFrame(data, schema=columns)
@@ -69,10 +75,25 @@ def excel_rows_to_df(
                 return "bigint"
             if seen <= {int, float} and seen:
                 return "double"
+            if seen == {_dt.datetime}:
+                return "timestamp"
+            if seen == {_dt.date}:
+                return "date"
             return "string"
 
+        types = [col_type(i) for i in range(len(columns))]
+        data = [
+            tuple(
+                str(v)
+                if t == "string" and v is not None and not isinstance(v, str)
+                else v
+                for v, t in zip(r, types)
+            )
+            for r in data
+        ]
         ddl = ", ".join(
-            f"`{c}` {col_type(i)}" for i, c in enumerate(columns)
+            "`%s` %s" % (c.replace("`", "``"), t)
+            for c, t in zip(columns, types)
         )
         return spark.createDataFrame(data, schema=ddl)
 
