@@ -9,9 +9,12 @@ committed (GFDL/GPL-licensed documentation — referencing beats
 redistributing). Each test skips cleanly on hosts without the package,
 so the suite stays hermetic-green everywhere while this container runs
 the leg for real. No real-world .docx/.pptx/.msg exists in this
-container (no Office toolchain); the OOXML/CFB decoders keep their
-spec-vector + fuzz coverage (test_ooxml.py / test_cfb.py) until a
-deployment contributes genuine files.
+container (no Office toolchain); for OOXML the r6 substitute is an
+INDEPENDENT second writer path (tests/ecma376_emitter.py — ElementTree
+serialization + full package parts + real-producer quirks, written
+against ECMA-376's part inventory, sharing nothing with the decoders
+or their hand templates); CFB keeps spec-vector + fuzz coverage
+(test_cfb.py) until a deployment contributes genuine .msg files.
 """
 
 import os
@@ -57,6 +60,72 @@ def test_stdlib_pdf_decodes_real_toolchain_output(path, min_len, anchors):
 
 
 @realworld
+def test_independent_emitter_docx_decodes():
+    """OOXML anchor from a SECOND writer path (verdict r5 item 4): the
+    package comes from tests/ecma376_emitter.py — written against
+    ECMA-376's part inventory with ElementTree serialization (ns0:
+    prefixes, self-closed empties, full content-types/rels/docProps),
+    sharing no code or idiom with the decoder or its hand-templated
+    goldens. A decoder that only handled the shapes its own authors
+    synthesized fails here."""
+    from tests.ecma376_emitter import emit_docx, emit_docx_with_table
+    from vectordb_data_ingestion_spark.sources.ooxml import docx_to_text
+
+    pkg = emit_docx([
+        [("text", "Quarterly "), ("bold", "results"), ("tab", ""),
+         ("text", "FY2026")],
+        [("text", "line one"), ("br", ""), ("text", " line two")],
+    ])
+    assert docx_to_text(pkg) == (
+        "Quarterly results\tFY2026\nline one\n line two"
+    )
+
+    # table-cell paragraphs included in document order (documented tier
+    # behavior; python-docx's .paragraphs would skip them)
+    tbl = emit_docx_with_table(
+        "before", [["a", "b"], ["c", "d"]], "after"
+    )
+    assert docx_to_text(tbl) == "before\na\nb\nc\nd\nafter"
+
+
+def test_independent_emitter_pptx_decodes():
+    from tests.ecma376_emitter import emit_pptx
+    from vectordb_data_ingestion_spark.sources.ooxml import pptx_to_text
+
+    pkg = emit_pptx([["alpha beta", "gamma"], ["delta"]])
+    # full p:cSld/p:spTree/p:sp/p:txBody tree, each a:p split into two
+    # a:r runs with rPr blocks — text must reassemble per paragraph
+    assert pptx_to_text(pkg) == "alpha beta\ngamma\ndelta"
+
+
+def test_independent_emitter_xlsx_decodes():
+    from tests.ecma376_emitter import emit_xlsx
+    from vectordb_data_ingestion_spark.sources.ooxml import xlsx_rows
+
+    pkg = emit_xlsx([
+        ("Data", [
+            ["product", "qty", "price"],
+            ["widget", 4, 2.5],
+            [None, True, 7],
+            ["gadget"],
+        ]),
+        ("Summary", [["total", 13.5]]),
+    ])
+    expect_data = [
+        ("product", "qty", "price"),
+        ("widget", 4, 2.5),
+        (None, True, 7),
+        ("gadget", None, None),
+    ]
+    # workbook-ORDER index resolution: the emitter reverses part
+    # filenames (Data lives in sheet2.xml), so a filename sort returns
+    # the wrong sheet; the rels map must be followed — and the first
+    # rel Target is package-absolute (/xl/...), a real-producer quirk
+    assert xlsx_rows(pkg, sheet=0) == expect_data
+    assert xlsx_rows(pkg, sheet="Data") == expect_data
+    assert xlsx_rows(pkg, sheet="Summary") == [("total", 13.5)]
+
+
 def test_registry_parses_real_pdf_catalog(spark, tmp_path):
     """End-to-end through the Spark path: a binaryFile catalog over the
     real PDFs -> parse_documents -> non-null text with the same anchors.
