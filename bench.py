@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -181,7 +182,10 @@ def main() -> None:
             force(fn(spark, SF_DIR))
             runs.append(time.perf_counter() - t0)
         runs.sort()
-        timings[name] = round(runs[len(runs) // 2], 3)
+        # statistics.median, not runs[n//2]: the index form reads the
+        # UPPER middle on an even run count (review r6 — "median of 2"
+        # would have reported the worse run)
+        timings[name] = round(statistics.median(runs), 3)
         spreads[name] = round(runs[-1] - runs[0], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

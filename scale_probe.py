@@ -125,28 +125,22 @@ def build_scaled_dir(spark, mult: int, root: str) -> str:
     # point 99 cosine-1.0 twins at x100, and a semantic-dedup probe would
     # measure that duplicate mass (k^2 per group — the data), not the
     # engine. Copy 0 stays untouched (x1 == sf0.1 exactly).
-    emb_parts = []
-    for i in range(mult):
-        e = embs.withColumn("vec_id", F.col("vec_id") + F.lit(i * max_doc))
-        if i > 0:
-            e = e.withColumn(
-                "embedding",
-                F.transform(
-                    F.col("embedding"),
-                    lambda x, j: F.when(
-                        F.pmod(
-                            F.hash(F.concat_ws("_", F.lit(str(i)), j)), 2
-                        )
-                        == 0,
-                        x,
-                    ).otherwise(-x),
-                ),
+    copy_no = (F.col("vec_id") / F.lit(max_doc)).cast("long")
+    grow_by_id_offset(embs, "vec_id", mult, max_doc).withColumn(
+        "embedding",
+        F.when(copy_no == 0, F.col("embedding")).otherwise(
+            F.transform(
+                F.col("embedding"),
+                lambda x, j: F.when(
+                    F.pmod(
+                        F.hash(F.concat_ws("_", copy_no, j)), 2
+                    )
+                    == 0,
+                    x,
+                ).otherwise(-x),
             )
-        emb_parts.append(e)
-    scaled_embs = emb_parts[0]
-    for e in emb_parts[1:]:
-        scaled_embs = scaled_embs.unionByName(e)
-    scaled_embs.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+        ),
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
     if grow == "docs":
         for t in ALL_TABLES:

@@ -319,6 +319,35 @@ def test_pdf_tables_rules_only_stream_feeds_adjacent_text_stream():
     # a grid with no text stream anywhere yields nothing (no cells)
     assert pdf_tables(grid) == []
 
+    # review r6 (confirmed repro): two text-then-grid pages — each grid
+    # sits BETWEEN two text streams, and pure index order would weld
+    # page 1's grid onto page 2's text. The bbox-overlap rule attaches
+    # each grid to the page whose text lies inside it.
+    def textpage(a: bytes, b: bytes, c: bytes) -> bytes:
+        return (
+            b"stream\nBT "
+            b"1 0 0 1 80 700 Tm (" + a + b") Tj "
+            b"1 0 0 1 200 700 Tm (" + b + b") Tj "
+            b"1 0 0 1 80 675 Tm (" + c + b") Tj "
+            b"ET\nendstream"
+        )
+
+    two = (
+        textpage(b"sku", b"qty", b"gadget") + b"\n" + grid + b"\n"
+        + textpage(b"name", b"price", b"widget") + b"\n" + grid
+    )
+    assert pdf_tables(two) == [
+        "sku|qty|gadget|", "name|price|widget|"
+    ]
+    # ...and the mirror-image grid-then-text producer pairs forward
+    two_rev = (
+        grid + b"\n" + textpage(b"sku", b"qty", b"gadget") + b"\n"
+        + grid + b"\n" + textpage(b"name", b"price", b"widget")
+    )
+    assert pdf_tables(two_rev) == [
+        "sku|qty|gadget|", "name|price|widget|"
+    ]
+
 
 def test_pdf_tables_per_page_and_newline_ops():
     """Review r5 pins: (a) each content stream (≈ page) gets its OWN

@@ -204,6 +204,46 @@ def test_vector_store_concurrent_append_commits_lossless(tmp_path):
     assert len(read_committed(path)) == n_threads * n_commits
 
 
+def test_overwrite_commit_spares_inflight_spool(tmp_path):
+    # review r6: overwrite used to retire EVERY spool file not in the new
+    # manifest — including a concurrent job's spooled-but-uncommitted
+    # file, whose commit then published lines for deleted files. Only
+    # files the PREVIOUS manifest listed may be retired.
+    from vectordb_data_ingestion_spark.sinks.datasource_writer import (
+        VectorStoreWriter,
+        _SpoolCommit,
+        read_committed,
+    )
+
+    path = str(tmp_path / "store_inflight")
+    spool = os.path.join(path, "_spool")
+    os.makedirs(spool, exist_ok=True)
+
+    def spool_file(fname):
+        with open(os.path.join(spool, fname), "w") as f:
+            f.write('{"class": "Chunk", "chunk_id": "%s"}\n' % fname)
+
+    appender = VectorStoreWriter({"path": path}, overwrite=False)
+    spool_file("old.jsonl")
+    appender.commit([_SpoolCommit(filename="old.jsonl", n_rows=1)])
+    spool_file("inflight.jsonl")  # another job's task: spooled, uncommitted
+
+    overwriter = VectorStoreWriter({"path": path}, overwrite=True)
+    spool_file("new.jsonl")
+    overwriter.commit([_SpoolCommit(filename="new.jsonl", n_rows=1)])
+
+    # the prior load is retired, the in-flight file survives
+    assert not os.path.exists(os.path.join(spool, "old.jsonl"))
+    assert os.path.exists(os.path.join(spool, "inflight.jsonl"))
+    assert [r["chunk_id"] for r in read_committed(path)] == ["new.jsonl"]
+
+    # ...so the in-flight job's own commit still lands intact
+    appender.commit([_SpoolCommit(filename="inflight.jsonl", n_rows=1)])
+    assert sorted(r["chunk_id"] for r in read_committed(path)) == [
+        "inflight.jsonl", "new.jsonl",
+    ]
+
+
 def test_delete_where_df_matches_list_form(spark, tmp_path):
     """The anti-join delete (keys stay distributed) removes exactly the
     same rows as the driver-list form — the streaming refresh can swap

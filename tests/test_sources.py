@@ -834,6 +834,28 @@ def test_excel_rows_to_df_datetime_backtick_and_mixed(spark):
     assert [r["mixed"] for r in out] == ["x", "7"]
 
 
+def test_excel_rows_to_df_mixed_numeric_column(spark):
+    """Review r6 (confirmed live): a column mixing ints and floats — the
+    most ordinary spreadsheet column there is — raised PySparkTypeError
+    [CANNOT_MERGE_TYPE] (a TypeError, which the ValueError-only except
+    let through), and even via the fallback a 'double' column rejected
+    raw ints. Both paths must land on double; bool+int mixes land on
+    string via str() coercion."""
+    from vectordb_data_ingestion_spark.sources.tabular import (
+        excel_rows_to_df,
+    )
+
+    df = excel_rows_to_df(
+        spark,
+        [("qty", "flag"), (3, True), (2.5, 1)],
+        ["qty", "flag"],
+    )
+    assert dict(df.dtypes) == {"qty": "double", "flag": "string"}
+    rows = sorted(df.collect(), key=lambda r: r["qty"])
+    assert [r["qty"] for r in rows] == [2.5, 3.0]
+    assert [r["flag"] for r in rows] == ["1", "True"]
+
+
 def test_datasource_modified_after_is_utc_and_vanish_safe(tmp_path, spark):
     """Review r5: a tz-naive modified_after cutoff is UTC (the emitted
     modified_dt is UTC, and incremental loaders feed max(modified_dt)

@@ -7891,11 +7891,17 @@ _DRIVER_PRIORITY = [
 
 
 def _apply_driver_priority() -> None:
-    ordered = {
-        name: SPARK_QUERIES[name]
-        for name in _DRIVER_PRIORITY
-        if name in SPARK_QUERIES
-    }
+    # a typo in the rotated window must fail LOUDLY at import: silently
+    # skipping it would shrink the priority prefix and promote whatever
+    # query is 51st — the driver would then attest 50 re-verifications
+    # while one intended promotion was never checked (review r6; bench.py
+    # guards its HEADLINE list the same way)
+    unknown = [n for n in _DRIVER_PRIORITY if n not in SPARK_QUERIES]
+    if unknown:
+        raise ValueError(
+            f"_DRIVER_PRIORITY names not in the registry: {unknown}"
+        )
+    ordered = {name: SPARK_QUERIES[name] for name in _DRIVER_PRIORITY}
     for name, fn in list(SPARK_QUERIES.items()):
         ordered.setdefault(name, fn)
     SPARK_QUERIES.clear()

@@ -111,7 +111,22 @@ class VectorStoreWriter(DataSourceWriter):
         ]
         if self.overwrite:
             with _manifest_lock(self.path):
-                # Publish the new manifest ATOMICALLY before retiring any
+                # Retirement set = files the PREVIOUS manifest listed and
+                # the new one doesn't. Deleting "everything not in the new
+                # manifest" instead would destroy a concurrent job's
+                # spooled-but-uncommitted files — it would then publish
+                # manifest lines for files this commit deleted (review
+                # r6). Orphans from dead tasks are vacuum()'s job, which
+                # is documented quiescent-only.
+                retire: set[str] = set()
+                if os.path.exists(manifest):
+                    with open(manifest) as f:
+                        retire = {
+                            json.loads(line)["file"]
+                            for line in f
+                            if line.strip()
+                        } - committed
+                # Publish the new manifest ATOMICALLY before retiring the
                 # prior load's spool files: a crash mid-commit must leave
                 # either the old manifest (all its files still present) or
                 # the new one — never a manifest referencing deleted files.
@@ -121,17 +136,12 @@ class VectorStoreWriter(DataSourceWriter):
                     f.flush()
                     os.fsync(f.fileno())
                 os.replace(tmp, manifest)
-                # now retire spool files the new manifest no longer
-                # references (truncating only the manifest would leak every
-                # prior load's spool files forever)
                 spool = os.path.join(self.path, "_spool")
-                if os.path.isdir(spool):
-                    for fn in os.listdir(spool):
-                        if fn not in committed:
-                            try:
-                                os.remove(os.path.join(spool, fn))
-                            except FileNotFoundError:
-                                pass
+                for fn in retire:
+                    try:
+                        os.remove(os.path.join(spool, fn))
+                    except FileNotFoundError:
+                        pass
         else:
             # append via read + atomic replace, NOT a raw append: a crash
             # mid-append leaves a truncated JSON line that makes every

@@ -727,8 +727,13 @@ def pdf_tables(content: bytes, y_tol: float = 2.0) -> list[str]:
     streams is handled per-stream (documented limit); a stream holding
     only rule geometry (no ``BT`` / no positioned text — some producers
     emit the grid and the text as separate content streams) contributes
-    its rules to the ADJACENT text stream (the next one, else the
-    previous) instead of being dropped.
+    its rules to an ADJACENT text stream instead of being dropped:
+    between the nearest preceding and following text streams, the one
+    whose positioned text actually falls inside the rules' bounding box
+    wins (content beats order — producers emit grid-then-text AND
+    text-then-grid, and index order alone would weld one page's grid
+    onto the next page's text); with no overlap either side, the
+    following one.
 
     Scanned (raster) documents stay out of scope — there is no text or
     vector geometry to interpret; that needs OCR."""
@@ -750,15 +755,45 @@ def pdf_tables(content: bytes, y_tol: float = 2.0) -> list[str]:
         if chunks or hlines or vlines:
             streams.append((chunks, list(hlines), list(vlines)))
 
-    # rules-only streams: attach their geometry to the nearest text stream
-    # (following first — producers typically draw the grid before the text
-    # of the same page — else the preceding one)
+    # rules-only streams: attach their geometry to the adjacent text
+    # stream whose text actually lies inside the rules' bounding box
     text_idx = [i for i, (c, _h, _v) in enumerate(streams) if c]
     if text_idx:
         for i, (chunks, h, v) in enumerate(streams):
             if chunks or not (h or v):
                 continue
-            target = next((t for t in text_idx if t > i), text_idx[-1])
+            xs = [x for _y, x0, x1 in h for x in (x0, x1)] + [
+                x for x, _y0, _y1 in v
+            ]
+            ys = [y for y, _x0, _x1 in h] + [
+                y for _x, y0, y1 in v for y in (y0, y1)
+            ]
+            bbox = (min(xs), min(ys), max(xs), max(ys))
+
+            def overlap(t: int) -> int:
+                return sum(
+                    1
+                    for cx, cy, _txt in streams[t][0]
+                    if bbox[0] <= cx <= bbox[2] and bbox[1] <= cy <= bbox[3]
+                )
+
+            after = next((t for t in text_idx if t > i), None)
+            before = next(
+                (t for t in reversed(text_idx) if t < i), None
+            )
+            ovr_a = overlap(after) if after is not None else -1
+            ovr_b = overlap(before) if before is not None else -1
+            if ovr_a != ovr_b:
+                target = after if ovr_a > ovr_b else before
+            else:
+                # overlap ties (every page drawing its table at the same
+                # coordinates): infer the producer's order from the first
+                # stream — a document that OPENS with text is a
+                # text-then-grid producer, so the grid belongs to the
+                # preceding page; one that opens with geometry is
+                # grid-then-text.
+                prefer_before = bool(streams[0][0]) and before is not None
+                target = before if prefer_before else after
             streams[target][1].extend(h)
             streams[target][2].extend(v)
 

@@ -56,17 +56,21 @@ def excel_rows_to_df(
     per-column fallback for the two ordinary-spreadsheet shapes it
     cannot infer (a header-only sheet -> empty dataset; a column that is
     entirely blank -> undeterminable type): both got ValueError before
-    (review r5); blank columns fall back to string. The fallback handles
-    datetime/date columns (openpyxl yields them for date-formatted
-    cells), escapes backticks in header names, and str()-coerces any
-    residual mixed-type column so the typed createDataFrame cannot raise
-    on values the DDL called string (ADVICE r5)."""
+    (review r5); blank columns fall back to string. The except also
+    catches TypeError — Spark raises PySparkTypeError (a TypeError) for
+    CANNOT_MERGE_TYPE when one column mixes ints and floats, the single
+    most ordinary spreadsheet column there is (review r6). The fallback
+    handles datetime/date columns (openpyxl yields them for
+    date-formatted cells), escapes backticks in header names, and
+    coerces values to the column's chosen type (float for double
+    columns, str for residual mixed columns) so the typed
+    createDataFrame cannot raise on them (ADVICE r5, review r6)."""
     import datetime as _dt
 
     data = [tuple(r) for r in rows[skip_header_rows:]]
     try:
         return spark.createDataFrame(data, schema=columns)
-    except ValueError:
+    except (ValueError, TypeError):
         def col_type(i: int) -> str:
             seen = {type(r[i]) for r in data if r[i] is not None}
             if seen == {bool}:
@@ -81,16 +85,17 @@ def excel_rows_to_df(
                 return "date"
             return "string"
 
+        def coerce(v, t):
+            if v is None:
+                return None
+            if t == "double" and isinstance(v, int):
+                return float(v)
+            if t == "string" and not isinstance(v, str):
+                return str(v)
+            return v
+
         types = [col_type(i) for i in range(len(columns))]
-        data = [
-            tuple(
-                str(v)
-                if t == "string" and v is not None and not isinstance(v, str)
-                else v
-                for v, t in zip(r, types)
-            )
-            for r in data
-        ]
+        data = [tuple(coerce(v, t) for v, t in zip(r, types)) for r in data]
         ddl = ", ".join(
             "`%s` %s" % (c.replace("`", "``"), t)
             for c, t in zip(columns, types)
