@@ -217,6 +217,56 @@ def test_registry_serves_stdlib_tier_when_libs_absent():
             assert "Hello" in text
 
 
+def test_xlsx_phonetic_runs_excluded():
+    """Review r6: si.iter() collected <t> inside <rPh> phonetic runs, so
+    furigana-annotated cells rendered '東京とうきょう' where Excel and
+    openpyxl show '東京' — shared AND inline strings must skip rPh."""
+    pkg = make_zip({
+        "xl/sharedStrings.xml": (
+            f'<sst xmlns="{S}"><si><t>東京</t>'
+            '<rPh sb="0" eb="2"><t>とうきょう</t></rPh>'
+            "<phoneticPr fontId='1'/></si></sst>"
+        ),
+        "xl/worksheets/sheet1.xml": f"""<worksheet xmlns="{S}"><sheetData>
+<row r="1"><c r="A1" t="s"><v>0</v></c>
+<c r="B1" t="inlineStr"><is><t>大阪</t>
+<rPh sb="0" eb="2"><t>おおさか</t></rPh></is></c></row>
+</sheetData></worksheet>""",
+    })
+    assert xlsx_rows(pkg) == [("東京", "大阪")]
+
+
+def test_xlsx_chartsheet_not_counted_as_worksheet():
+    """Review r6: <sheets> lists chartsheets too; counting them shifted
+    integer indexing off openpyxl's wb.worksheets — sheet=0 on a
+    [Chart1, Data] workbook silently returned the empty chartsheet."""
+    wb = (
+        f'<workbook xmlns="{S}" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+        'relationships"><sheets>'
+        '<sheet name="Chart1" sheetId="1" r:id="rId1"/>'
+        '<sheet name="Data" sheetId="2" r:id="rId2"/>'
+        "</sheets></workbook>"
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships">'
+        '<Relationship Id="rId1" Type="t" Target="chartsheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="t" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    pkg = make_zip({
+        "xl/workbook.xml": wb,
+        "xl/_rels/workbook.xml.rels": rels,
+        "xl/chartsheets/sheet1.xml": f'<chartsheet xmlns="{S}"/>',
+        "xl/worksheets/sheet1.xml": f"""<worksheet xmlns="{S}"><sheetData>
+<row r="1"><c r="A1" t="str"><v>hello</v></c></row>
+</sheetData></worksheet>""",
+    })
+    assert xlsx_rows(pkg, sheet=0) == [("hello",)]
+    assert xlsx_rows(pkg, sheet="Data") == [("hello",)]
+
+
 def test_pdf_tables_positioned_heuristic():
     """Positioned-text table heuristic: rows cluster by y, cells order by
     x, single-cell lines (titles, footers) never join a table, and two
@@ -528,6 +578,43 @@ def test_decompression_bombs_refused():
     with zipfile.ZipFile(io.BytesIO(bytes(data))) as z:
         assert z.getinfo("word/document.xml").file_size > _MAX_INFLATE
     assert fmod.parse_bytes(bytes(data), "docx") is None
+
+
+def test_zip_member_lying_small_size_stays_bounded():
+    """Review r6 (confirmed by memory probe): the declared-size gate is
+    attacker-controlled, and CPython's whole-member z.read() inflates the
+    full DEFLATE stream before noticing the lie — a member DECLARING 100
+    bytes but inflating to gigabytes sailed past the gate and ballooned.
+    _read_member now streams via z.open() in 1 MB chunks, so peak
+    allocation tracks the cap, not the stream."""
+    import struct as _struct
+    import tracemalloc
+
+    from vectordb_data_ingestion_spark.sources.ooxml import _read_member
+
+    real = 64 * (1 << 20)  # 64 MB of zeros -> tiny on disk
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("word/document.xml", b"\x00" * real)
+    data = bytearray(buf.getvalue())
+    for off in range(len(data) - 4):
+        if data[off:off + 4] in (b"PK\x03\x04", b"PK\x01\x02"):
+            size_off = off + (22 if data[off + 3] == 4 else 24)
+            _struct.pack_into("<I", data, size_off, 100)  # the lie
+
+    with zipfile.ZipFile(io.BytesIO(bytes(data))) as z:
+        assert z.getinfo("word/document.xml").file_size == 100
+        tracemalloc.start()
+        try:
+            out = _read_member(z, "word/document.xml")
+        except (ValueError, zipfile.BadZipFile):
+            out = b""  # refusing is equally acceptable — just not OOM
+        _cur, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+    # pre-fix this peaked at ~the full inflated size (64 MB+);
+    # streaming keeps it near the chunk size
+    assert peak < 16 * (1 << 20), f"peak {peak} bytes — bomb not bounded"
+    assert len(out) <= 100
 
 
 def test_xml_entity_bomb_refused():

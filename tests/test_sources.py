@@ -300,6 +300,48 @@ def test_parse_documents_error_column(spark, tmp_path):
         fmod.PARSERS.update(prior)
 
 
+def test_parse_documents_unregistered_extension_yields_null(spark, tmp_path):
+    """Review r6 (confirmed live): Spark evaluates the pandas UDF inside
+    F.when() for EVERY row of the batch, so one row with an unregistered
+    extension (a .wav in a text corpus, an extensionless file) raised
+    NotImplementedError and aborted the whole job — the docstring's
+    'unknown types yield null text' contract now actually holds. Direct
+    _dispatch_full callers keep the loud strict failure."""
+    from vectordb_data_ingestion_spark.sources import files as fmod
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "ok.txt").write_bytes(b"fine")
+    (d / "noise.wav").write_bytes(b"RIFF....WAVE")
+    (d / "noext").write_bytes(b"???")
+    cat = read_binary_catalog(spark, str(d) + "/**")
+    rows = {r["name"]: r["text"] for r in parse_documents(cat).collect()}
+    assert rows == {"ok.txt": "fine", "noise.wav": None, "noext": None}
+    err = {
+        r["name"]: r["parse_error"]
+        for r in parse_documents(cat, errors=True).collect()
+    }
+    assert err["ok.txt"] is None
+    # gated rows read null structs — no crash is the contract
+
+    with pytest.raises(NotImplementedError, match="no parser"):
+        fmod._dispatch_full(dict(fmod.PARSERS), b"x", "wav")
+
+
+def test_parse_documents_caller_parsers_keys_normalized(spark, tmp_path):
+    """Review r6: a caller-injected parsers dict with upper-case keys
+    ({'PDF': fn}) never matched the lowercased dispatch kind — every PDF
+    read null text. Keys are normalized at both injection points."""
+    d = tmp_path / "inj"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(b"payload")
+    cat = read_binary_catalog(spark, str(d) + "/**")
+    out = parse_documents(
+        cat, parsers={"PDF": lambda b: f"decoded {len(b)}"}
+    ).collect()
+    assert [r["text"] for r in out] == ["decoded 7"]
+
+
 def test_extract_pdf_tables(spark, tmp_path):
     from vectordb_data_ingestion_spark.sources.files import (
         _stub_pdf_tables,
@@ -834,6 +876,26 @@ def test_excel_rows_to_df_datetime_backtick_and_mixed(spark):
     assert [r["mixed"] for r in out] == ["x", "7"]
 
 
+def test_excel_rows_to_df_rows_narrower_than_columns(spark):
+    """Review r6 (confirmed live): a sheet whose trailing DECLARED column
+    has no cells yields rows padded only to the used width; the fallback
+    then raised IndexError on r[i]. Narrow rows now right-pad to the
+    declared width and the blank column types as string."""
+    from vectordb_data_ingestion_spark.sources.tabular import (
+        excel_rows_to_df,
+    )
+
+    df = excel_rows_to_df(
+        spark,
+        [("a", "b"), ("x", 1), ("y", 2)],  # used width 2
+        ["a", "b", "c"],  # declared width 3
+    )
+    assert dict(df.dtypes) == {"a": "string", "b": "bigint", "c": "string"}
+    assert sorted((r["a"], r["b"], r["c"]) for r in df.collect()) == [
+        ("x", 1, None), ("y", 2, None),
+    ]
+
+
 def test_excel_rows_to_df_mixed_numeric_column(spark):
     """Review r6 (confirmed live): a column mixing ints and floats — the
     most ordinary spreadsheet column there is — raised PySparkTypeError
@@ -854,6 +916,83 @@ def test_excel_rows_to_df_mixed_numeric_column(spark):
     rows = sorted(df.collect(), key=lambda r: r["qty"])
     assert [r["qty"] for r in rows] == [2.5, 3.0]
     assert [r["flag"] for r in rows] == ["1", "True"]
+
+
+def test_datasource_modified_dt_instant_survives_session_timezone(
+    tmp_path, spark
+):
+    """Review r6 (confirmed live): the reader emitted UTC wall-clock
+    stripped to tz-naive, which Spark read in the SESSION zone — under
+    America/New_York the stored instant was 5 h off, skewing every
+    modified_dt > load_dt watermark. Emitting tz-aware datetimes makes
+    unix_timestamp(modified_dt) equal the file's real st_mtime under any
+    session timezone."""
+    import os
+
+    from vectordb_data_ingestion_spark.sources.datasource import (
+        DocumentCatalogDataSource,
+    )
+
+    d = tmp_path / "tzdocs"
+    d.mkdir()
+    (d / "a.txt").write_text("x")
+    mtime = int(os.stat(d / "a.txt").st_mtime)
+    spark.dataSource.register(DocumentCatalogDataSource)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        row = (
+            spark.read.format("document_catalog")
+            .option("path", str(d))
+            .load()
+            .select(F.unix_timestamp("modified_dt").alias("epoch"))
+            .collect()[0]
+        )
+        assert abs(row["epoch"] - mtime) <= 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_datasource_stream_skips_unreadable_entry(tmp_path):
+    """Review r6: the stream reader caught only FileNotFoundError, so any
+    other OSError (symlink loop, permissions, stale NFS handle) wedged
+    the stream forever — the offset never advanced past the bad file.
+    One poisoned entry must be skipped while its siblings flow."""
+    import os
+
+    from vectordb_data_ingestion_spark.sources.datasource import (
+        DocumentCatalogStreamReader,
+    )
+
+    d = tmp_path / "streamdocs"
+    d.mkdir()
+    (d / "good.txt").write_text("fine")
+    os.symlink(str(d / "loop.lnk"), str(d / "loop.lnk"))  # ELOOP on stat
+    reader = DocumentCatalogStreamReader(
+        {"path": str(d), "grace_seconds": "0"}
+    )
+    rows, end = reader.read(reader.initialOffset())
+    names = [r[0] for r in rows]
+    assert names == ["good.txt"]
+    assert end["mtime_ns"] > 0  # offset advanced despite the bad entry
+
+
+def test_local_dir_lister_skips_dangling_symlink(tmp_path, spark):
+    """Review r6: one dangling symlink anywhere under root crashed the
+    whole catalog build (os.path.getmtime raised through the walk)."""
+    import os
+
+    from vectordb_data_ingestion_spark.sources.sharepoint import (
+        catalog_from_lister,
+        local_dir_lister,
+    )
+
+    d = tmp_path / "cat"
+    d.mkdir()
+    (d / "real.txt").write_text("x")
+    os.symlink(str(d / "gone.txt"), str(d / "dangle.txt"))
+    cat = catalog_from_lister(spark, local_dir_lister(str(d)))
+    assert [r["name"] for r in cat.collect()] == ["real.txt"]
 
 
 def test_datasource_modified_after_is_utc_and_vanish_safe(tmp_path, spark):

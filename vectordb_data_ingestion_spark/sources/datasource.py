@@ -100,12 +100,21 @@ class DocumentCatalogReader(DataSourceReader):
             try:
                 with open(url, "rb") as f:
                     content = f.read()
-            except FileNotFoundError:
-                continue  # deleted between listing and task execution
+            except OSError:
+                # deleted between listing and task execution, or turned
+                # unreadable (permissions / stale NFS handle) — one bad
+                # file must not kill the task (review r6)
+                continue
             yield (
                 name,
                 url,
-                datetime.fromtimestamp(mtime, tz=timezone.utc).replace(tzinfo=None),
+                # tz-AWARE: stripping tzinfo made Spark read the UTC
+                # wall-clock in the SESSION zone, skewing the stored
+                # instant by the UTC offset whenever the session isn't
+                # UTC — which poisons every modified_dt > load_dt
+                # comparison against correctly-stored timestamps
+                # (review r6, confirmed live)
+                datetime.fromtimestamp(mtime, tz=timezone.utc),
                 _file_type(name),
                 size,
                 content,
@@ -158,8 +167,12 @@ class DocumentCatalogStreamReader(SimpleDataSourceStreamReader):
                 p = os.path.join(dirpath, fn)
                 try:
                     st = os.stat(p)
-                except FileNotFoundError:
-                    continue  # vanished mid-walk (rotation/compaction)
+                except OSError:
+                    # vanished mid-walk OR unreadable (permissions, stale
+                    # NFS handle): catching only FileNotFoundError let one
+                    # bad file wedge the stream forever — the offset never
+                    # advanced past it (review r6)
+                    continue
                 if st.st_mtime_ns <= after_ns or st.st_mtime_ns > up_to_ns:
                     continue
                 yield fn, p, st
@@ -169,11 +182,10 @@ class DocumentCatalogStreamReader(SimpleDataSourceStreamReader):
             try:
                 with open(p, "rb") as f:
                     content = f.read()
-            except FileNotFoundError:
-                continue  # deleted between stat and read / before replay
-            mod = datetime.fromtimestamp(
-                st.st_mtime, tz=timezone.utc
-            ).replace(tzinfo=None)
+            except OSError:
+                continue  # deleted/unreadable between stat and read
+            # tz-aware for the same session-zone reason as the batch read
+            mod = datetime.fromtimestamp(st.st_mtime, tz=timezone.utc)
             yield (fn, p, mod, _file_type(fn), st.st_size, content)
 
     def read(self, start: dict):

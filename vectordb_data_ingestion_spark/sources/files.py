@@ -287,14 +287,21 @@ _LOGGED_PARSE_FAILURES: set[tuple[str, str]] = set()
 
 
 def _dispatch_full(
-    parsers: dict[str, ParserFn], content, kind
+    parsers: dict[str, ParserFn], content, kind, strict: bool = True
 ) -> tuple[str | None, str | None]:
     """Decode one payload -> (text, error). ``error`` carries the
     exception type+message when the decoder raised (text is null then);
     a 100%-null decode run must be diagnosable as a CODE bug (e.g. a
     broken deployment-injected decoder raising NameError) rather than
     silently indistinguishable from mass-corrupt payloads — fetch_content
-    already records a per-row error string; this is the same contract."""
+    already records a per-row error string; this is the same contract.
+
+    ``strict``: direct callers get the documented loud
+    NotImplementedError for an unregistered kind; the batched UDF passes
+    strict=False because Spark evaluates a pandas UDF inside F.when()
+    for EVERY row of the batch — one .wav row in a text catalog must not
+    abort a 100 TB job just because the when() gate would have nulled
+    its result anyway (review r6, confirmed live)."""
     kind = (kind or "").lower()
     if content is None:
         # null content = nothing was fetched (fetch_content records its
@@ -304,7 +311,9 @@ def _dispatch_full(
         return None, "no content (fetch failed or empty payload)"
     fn = parsers.get(kind)
     if fn is None:
-        raise NotImplementedError(f"no parser for file_type={kind!r}")
+        if strict:
+            raise NotImplementedError(f"no parser for file_type={kind!r}")
+        return None, f"no parser for file_type={kind!r}"
     try:
         return fn(content), None
     except Exception as exc:  # noqa: BLE001 - decoder boundary
@@ -326,11 +335,14 @@ def _dispatch_full(
 
 
 def _dispatch(parsers: dict[str, ParserFn], content, kind) -> str | None:
-    return _dispatch_full(parsers, content, kind)[0]
+    return _dispatch_full(parsers, content, kind, strict=False)[0]
 
 
 def parse_bytes(content: bytes | None, kind: str | None) -> str:
-    return _dispatch(PARSERS, content, kind)
+    # direct API keeps the documented LOUD failure for unregistered
+    # kinds; only the batched UDF path is lenient (it cannot choose its
+    # rows — F.when() gates results, not evaluation)
+    return _dispatch_full(PARSERS, content, kind, strict=True)[0]
 
 
 _PARSE_RESULT = StructType(
@@ -351,14 +363,20 @@ def make_parser_udf(
 
     ``with_errors=True`` returns ``struct<text, parse_error>`` instead of
     a bare string, exposing the per-row decoder exception."""
-    snapshot = dict(PARSERS if parsers is None else parsers)
+    # keys lowercased: register_parser lowercases, but a caller-passed
+    # dict ({'PDF': fn}) would otherwise never match the lowercased
+    # dispatched kind (review r6)
+    snapshot = {
+        k.lower(): v
+        for k, v in (PARSERS if parsers is None else parsers).items()
+    }
 
     if with_errors:
 
         @F.pandas_udf(_PARSE_RESULT)
         def _udf_err(content: pd.Series, kind: pd.Series) -> pd.DataFrame:
             pairs = [
-                _dispatch_full(snapshot, c, k)
+                _dispatch_full(snapshot, c, k, strict=False)
                 for c, k in zip(content, kind)
             ]
             return pd.DataFrame(
@@ -397,7 +415,10 @@ def parse_documents(
     this corpus corrupt or is my decoder broken". Decoder exceptions are
     also WARNING-logged once per (kind, exception type) per executor in
     both modes."""
-    effective = dict(PARSERS if parsers is None else parsers)
+    effective = {
+        k.lower(): v
+        for k, v in (PARSERS if parsers is None else parsers).items()
+    }
     udf = make_parser_udf(effective, with_errors=errors)
     # case-insensitive gate: file_type preserves the filename's case
     # (reference identify_filetype semantics), but 'REPORT.PDF' must not

@@ -51,13 +51,32 @@ _MAX_INFLATE = 1 << 28
 
 
 def _read_member(z: zipfile.ZipFile, name: str) -> bytes:
+    """Bounded zip-member read. The declared file_size is
+    attacker-controlled AND CPython's ``z.read()`` inflates the whole
+    DEFLATE stream before noticing the size lie (review r6, measured:
+    a member declaring 100 bytes still allocated the full inflated
+    stream) — so the real guard is streaming via ``z.open()`` and
+    cutting off one chunk past the cap; the declared-size check stays
+    as the cheap fast path."""
     info = z.getinfo(name)
     if info.file_size > _MAX_INFLATE:
         raise ValueError(
             f"zip member {name!r} declares {info.file_size} bytes "
             f"(> {_MAX_INFLATE}); refusing to inflate"
         )
-    return z.read(name)
+    out = bytearray()
+    with z.open(name) as fh:
+        while True:
+            chunk = fh.read(1 << 20)
+            if not chunk:
+                break
+            out.extend(chunk)
+            if len(out) > _MAX_INFLATE:
+                raise ValueError(
+                    f"zip member {name!r} inflates past {_MAX_INFLATE} "
+                    "bytes despite its declared size; refusing to continue"
+                )
+    return bytes(out)
 
 
 def _parse_xml(data: bytes) -> ET.Element:
@@ -169,6 +188,23 @@ def _col_index(cell_ref: str) -> int:
     return idx - 1
 
 
+def _rich_text(el) -> str:
+    """Concatenated ``t`` text of a rich-text container (``si``/``is``),
+    SKIPPING ``rPh`` phonetic-run subtrees: furigana annotations are
+    display hints, not cell text — a blind ``.iter()`` rendered
+    '東京とうきょう' where Excel and openpyxl show '東京' (review r6)."""
+    parts = []
+    for node in el:
+        ln = _local(node.tag)
+        if ln == "rPh":
+            continue
+        if ln == "t":
+            parts.append(node.text or "")
+        else:
+            parts.append(_rich_text(node))
+    return "".join(parts)
+
+
 def _cell_value(cell, shared: list[str]):
     t = cell.get("t", "n")
     v_node = None
@@ -182,9 +218,7 @@ def _cell_value(cell, shared: list[str]):
     if t == "inlineStr":
         if is_node is None:
             return None
-        return "".join(
-            n.text or "" for n in is_node.iter() if _local(n.tag) == "t"
-        )
+        return _rich_text(is_node)
     if v_node is None or v_node.text is None:
         return None
     raw = v_node.text
@@ -238,7 +272,15 @@ def _sheet_parts(z: zipfile.ZipFile) -> list[tuple[str | None, str]]:
                 (v for k, v in node.attrib.items() if k.endswith("}id")),
                 None,
             )
-            if rid and rid in rel_target:
+            # WORKSHEETS only: <sheets> also lists chartsheets, whose
+            # inclusion shifts integer indexing off openpyxl's
+            # wb.worksheets and silently returns an empty sheet
+            # (review r6)
+            if (
+                rid
+                and rid in rel_target
+                and rel_target[rid].startswith("xl/worksheets/")
+            ):
                 ordered.append((node.get("name"), rel_target[rid]))
         if ordered:
             return ordered
@@ -261,13 +303,7 @@ def _shared_strings(z: zipfile.ZipFile) -> list[str]:
         for si in root:
             if _local(si.tag) != "si":
                 continue
-            shared.append(
-                "".join(
-                    n.text or ""
-                    for n in si.iter()
-                    if _local(n.tag) == "t"
-                )
-            )
+            shared.append(_rich_text(si))
     return shared
 
 

@@ -59,9 +59,16 @@ def local_dir_lister(root: str) -> Lister:
         for dirpath, _dirnames, filenames in os.walk(root):
             for fn in sorted(filenames):
                 p = os.path.join(dirpath, fn)
-                mtime = datetime.fromtimestamp(
-                    os.path.getmtime(p), tz=timezone.utc
-                ).isoformat()
+                try:
+                    mtime = datetime.fromtimestamp(
+                        os.path.getmtime(p), tz=timezone.utc
+                    ).isoformat()
+                except OSError:
+                    # dangling symlink (os.walk lists it as a filename) or
+                    # a file deleted mid-walk: skip the entry instead of
+                    # aborting the whole catalog build (review r6 — the
+                    # DataSource's _listing already guards this race)
+                    continue
                 yield fn, p, mtime
 
     return _list

@@ -67,7 +67,16 @@ def excel_rows_to_df(
     createDataFrame cannot raise on them (ADVICE r5, review r6)."""
     import datetime as _dt
 
-    data = [tuple(r) for r in rows[skip_header_rows:]]
+    # right-pad rows narrower than the declared column list (a sheet
+    # whose trailing declared column has no cells at all is padded only
+    # to its USED width by both decoder tiers) — unpadded, the fallback's
+    # r[i] raised IndexError instead of typing the column blank
+    # (review r6)
+    width = len(columns)
+    data = [
+        tuple(r) + (None,) * (width - len(r)) if len(r) < width else tuple(r)
+        for r in rows[skip_header_rows:]
+    ]
     try:
         return spark.createDataFrame(data, schema=columns)
     except (ValueError, TypeError):
