@@ -340,6 +340,22 @@ def test_repetition_signals_golden(spark):
     assert r2["dup_trigram_char_fraction"] == round(10 / 7, 6) # "x x x" x2
 
 
+def test_repetition_signals_most_frequent_not_highest_coverage(spark):
+    """Review r6: the Gopher rule (Rae et al. A1.1) scores the MOST
+    FREQUENTLY occurring bigram's character share; the old max(cnt*len)
+    picked the highest-COVERAGE bigram instead, over-weighting long rare
+    bigrams — both engines agreed, so the driver gate couldn't see it."""
+    from vectordb_data_ingestion_spark.operators.textanalysis import (
+        repetition_signals,
+    )
+
+    # "x y" x3 (cnt 3, 9 chars) vs "w1long w2long" x2 (cnt 2, 26 chars)
+    text = "x y x y x y w1long w2long q w1long w2long"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = repetition_signals(docs).collect()[0]
+    assert row["top_bigram_char_fraction"] == round(9 / len(text), 6)
+
+
 def test_repetition_signals_sub_n_docs(spark):
     """Review r5: a doc with fewer than n words has NO n-grams — the old
     gram builder emitted one degenerate sub-n gram, scoring every 1-word

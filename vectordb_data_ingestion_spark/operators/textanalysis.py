@@ -210,9 +210,14 @@ def repetition_signals(
     """Per-document repetition metrics for corpus filtering:
 
     - ``dup_word_fraction``: 1 - distinct/total words;
-    - ``top_bigram_char_fraction``: characters covered by the single
-      highest-coverage word bigram (max of count * gram length) over total
-      characters;
+    - ``top_bigram_char_fraction``: characters covered by the MOST
+      FREQUENTLY occurring word bigram (Rae et al. 2021 §A1.1; ties
+      broken toward the bigram covering more characters, then the count
+      itself makes the argmax deterministic) over total characters.
+      Until r6 this took max(count*length) — the highest-COVERAGE bigram
+      — which over-weights long rare bigrams relative to the cited rule
+      (a Gopher-calibrated 0.20 gate then drops docs the rule keeps);
+      both engines agreed, so only review caught it;
     - ``dup_trigram_char_fraction``: characters covered by word trigrams
       occurring more than once, over total characters.
 
@@ -265,12 +270,20 @@ def repetition_signals(
         F.count(F.lit(1)).alias("cnt")
     )
     nc = F.greatest(F.col("__nc"), F.lit(1)).cast("double")
+    # argmax by (count, chars) as ONE packed bigint — max(cnt*1e9 + chars)
+    # — so Spark and the DuckDB oracle share the exact tie-break without
+    # leaning on either engine's struct-comparison semantics. chars <=
+    # length(text), far below 1e9 for any document inside the decoder's
+    # 256 MB payload cap.
+    packed2 = F.when(
+        F.col("n") == 2,
+        F.col("cnt") * F.lit(1_000_000_000).cast("long")
+        + F.col("cnt") * F.length("gram"),
+    )
     return (
         counts.groupBy(id_col, "__nc", "__nw", "__ndw")
         .agg(
-            F.max(
-                F.when(F.col("n") == 2, F.col("cnt") * F.length("gram"))
-            ).alias("__top2"),
+            F.max(packed2).alias("__top2packed"),
             F.coalesce(
                 F.sum(
                     F.when(
@@ -288,7 +301,12 @@ def repetition_signals(
                 1 - F.col("__ndw").cast("double") / F.col("__nw"), 6
             ).alias("dup_word_fraction"),
             F.round(
-                F.coalesce(F.col("__top2"), F.lit(0)) / nc, 6
+                F.coalesce(
+                    F.pmod(F.col("__top2packed"), F.lit(1_000_000_000)),
+                    F.lit(0),
+                )
+                / nc,
+                6,
             ).alias("top_bigram_char_fraction"),
             F.round(F.col("__dup3") / nc, 6).alias(
                 "dup_trigram_char_fraction"

@@ -302,27 +302,50 @@ def q_string_compose_kb(spark, sf_dir):
     """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT))
+                AS BIGINT) / 10000.0 AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q_pricing_summary(spark, sf_dir):
     """Relational-spine aggregate (TPC-H Q1 shape) - partial aggregation
-    map-side, two-column shuffle key only."""
+    map-side, two-column shuffle key only.
+
+    r6 fixes (review): the shipdate cutoff is Q1's own 1998-09-02 — the
+    previous 2024 timestamp belonged to the EVENTS time domain and kept
+    100% of lineitem (shipdates span 1995-2001), so the query's one
+    selective predicate was never exercised; and the price sums
+    accumulate in integer micro-units (price carries 2dp, discount 2dp,
+    so x*1e4 is integral — the orders_topk_revenue convention), because
+    rounding a ~1e10-magnitude float sum to 2dp leaves cross-engine
+    summation-order noise (~1e-3) astride cent boundaries — a flaky
+    driver gate. Quantity is integral, so its double SUM/AVG is exact."""
     (li,) = _t(spark, sf_dir, "lineitem")
+    micro = lambda c: F.round(c * 10000).cast("long")  # noqa: E731
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
+        li.filter(
+            F.col("l_shipdate")
+            <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (F.sum(micro(F.col("l_extendedprice"))) / 10000.0).alias(
+                "sum_base_price"
+            ),
+            (
+                F.sum(
+                    micro(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    )
+                )
+                / 10000.0
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
@@ -645,6 +668,21 @@ def q_exact_dedup(spark, sf_dir):
 
 
 _DBL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _tdiv(a: str, b: str) -> str:
+    """DuckDB SQL for Spark's ``div``: integer division TRUNCATING toward
+    zero. DuckDB's ``//`` FLOORS, and the two diverge whenever the
+    operands' signs differ (-7 div 4 = -1 vs -7 // 4 = -2) — the exact
+    cross-engine trap skew_salted_join's oracle pins inline; this helper
+    is the reusable form for oracles whose numerators can go negative
+    (review r6: the bitext margin family's cosine sums)."""
+    return (
+        f"(CASE WHEN (({a}) >= 0) = (({b}) >= 0) "
+        f"THEN ABS(CAST(({a}) AS BIGINT)) // ABS(CAST(({b}) AS BIGINT)) "
+        f"ELSE -(ABS(CAST(({a}) AS BIGINT)) // ABS(CAST(({b}) AS BIGINT))) "
+        "END)"
+    )
 
 
 @register(
@@ -1016,11 +1054,16 @@ from vectordb_data_ingestion_spark.functions.hashing import (
 
 # Deterministic near-dup corpus: every 7th document gets a copy with its
 # first word dropped (high-Jaccard near-duplicate, new id).
+# the whitespace class is spelled out ([ \\x09-\\x0D]) instead of \\s/\\S:
+# RE2 (DuckDB) and Java (Spark) disagree on \\x0B membership, so a first
+# token containing a vertical tab would plant DIFFERENT near-duplicates
+# per engine and diverge the whole minhash family (review r6; same pin
+# as word_split's explicit Java-\\s class)
 _NEARDUP_CORPUS_SQL = """
   SELECT doc_id, text, lang FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id,
-         regexp_replace(text, '^\\S+\\s*', '') AS text, lang
+         regexp_replace(text, '^[^ \\x09-\\x0D]+[ \\x09-\\x0D]*', '') AS text, lang
   FROM documents WHERE doc_id % 7 = 0
 """
 
@@ -1034,7 +1077,10 @@ def _neardup_corpus(docs: DataFrame) -> DataFrame:
     docs = spread(docs)
     perturbed = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
+        # explicit class, not \S/\s — see _NEARDUP_CORPUS_SQL
+        F.regexp_replace(
+            "text", r"^[^ \x09-\x0D]+[ \x09-\x0D]*", ""
+        ).alias("text"),
         "lang",
     )
     return docs.select("doc_id", "text", "lang").unionAll(perturbed)
@@ -1277,7 +1323,7 @@ _SIMHASH_BITS = 32
     dd.simhash_sql("text", "doc_id", f"({_NEARDUP_CORPUS_SQL})", _SIMHASH_BITS),
 )
 def q_simhash(spark, sf_dir):
-    """16-bit SimHash signature per document (per-bit vote over word
+    """32-bit SimHash signature per document (per-bit vote over word
     hashes)."""
     (docs,) = _t(spark, sf_dir, "documents")
     return dd.simhash(_neardup_corpus(docs), bits=_SIMHASH_BITS)
@@ -2996,8 +3042,11 @@ _REP_WORDS = "string_split(regexp_replace(text, '[ \\x09-\\x0D]+', ' ', 'g'), ' 
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(nw AS BIGINT) AS n_words,
            ROUND(1 - CAST(ndw AS DOUBLE) / nw, 6) AS dup_word_fraction,
-           ROUND(COALESCE(MAX(CASE WHEN n = 2 THEN cnt * length(gram) END),
-                          0)
+           -- MOST FREQUENT bigram (Rae et al. A1.1), tie -> more chars:
+           -- argmax as one packed bigint, the exact Spark-side formula
+           ROUND(COALESCE(MAX(CASE WHEN n = 2
+                              THEN cnt * 1000000000 + cnt * length(gram)
+                              END) % 1000000000, 0)
                  / CAST(greatest(nc, 1) AS DOUBLE), 6)
              AS top_bigram_char_fraction,
            ROUND(COALESCE(SUM(CASE WHEN n = 3 AND cnt >= 2
@@ -5879,19 +5928,24 @@ def q_near_dup_recall_eval(spark, sf_dir):
     "events_session_window",
     """
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       FROM events
     ),
     f AS (
-      SELECT user_id, ts, CASE WHEN prev IS NULL
+      SELECT user_id, ts, event_id, CASE WHEN prev IS NULL
                  OR epoch_us(ts) - epoch_us(prev) > CAST(86400 AS BIGINT) * 1000000
             THEN 1 ELSE 0 END AS is_new
       FROM o
     ),
     s AS (
+      -- running sum ordered by (ts, event_id) — the SAME total order the
+      -- lag used. ORDER BY ts alone leaves same-(user, ts) rows in an
+      -- unspecified frame order, and a tied peer sorted before its
+      -- is_new=1 twin would inherit the PREVIOUS session id (review r6;
+      -- sessionize_sql pins this ordering for the same reason)
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS sid
       FROM f
     )
@@ -6255,10 +6309,22 @@ def q_key_skew_report(spark, sf_dir):
             "p99_rows"
         ),
     )
+    # collect_list order after an exchange is UNSPECIFIED — today a single
+    # TakeOrderedAndProject partition happens to preserve it, but any plan
+    # change could permute the 5 rows (review r6). Re-sort inside the
+    # array: struct(-count, key) array_sorts to (count DESC, key ASC),
+    # the codebase's standard determinism idiom.
     top = (
         pk.orderBy(F.desc("c"), F.asc("key"))
         .limit(5)
-        .agg(F.collect_list("key").alias("hot"))
+        .agg(
+            F.collect_list(
+                F.struct((-F.col("c")).alias("negc"), F.col("key").alias("k"))
+            ).alias("hs")
+        )
+        .select(
+            F.transform(F.array_sort("hs"), lambda s: s["k"]).alias("hot")
+        )
     )
     return stats.crossJoin(broadcast(top)).select(
         F.col("n_keys").cast("long").alias("n_keys"),
@@ -7220,14 +7286,14 @@ def q_full_curation_pipeline(spark, sf_dir):
                                 ORDER BY cos_ppm DESC, a_id ASC) AS rb
       FROM pairs
     ), denom_a AS (
-      SELECT a_id, CAST(SUM(cos_ppm) AS BIGINT) // LEAST(4, COUNT(*)) AS avg_a
+      SELECT a_id, {_tdiv("SUM(cos_ppm)", "LEAST(4, COUNT(*))")} AS avg_a
       FROM ranked WHERE ra <= 4 GROUP BY 1
     ), denom_b AS (
-      SELECT b_id, CAST(SUM(cos_ppm) AS BIGINT) // LEAST(4, COUNT(*)) AS avg_b
+      SELECT b_id, {_tdiv("SUM(cos_ppm)", "LEAST(4, COUNT(*))")} AS avg_b
       FROM ranked WHERE rb <= 4 GROUP BY 1
     )
     SELECT r.a_id, r.b_id, r.cos_ppm,
-           (r.cos_ppm * 2000000) // (da.avg_a + db.avg_b) AS margin_ppm
+           {_tdiv("r.cos_ppm * 2000000", "da.avg_a + db.avg_b")} AS margin_ppm
     FROM ranked r
     JOIN denom_a da USING (a_id)
     JOIN denom_b db USING (b_id)
@@ -7336,12 +7402,12 @@ def q_bitext_margin_pairs(spark, sf_dir):
                                 ORDER BY cos_ppm DESC, a_id ASC) AS rb
       FROM pairs
     ),
-    denom_a AS (SELECT a_id, CAST(SUM(cos_ppm) AS BIGINT) // LEAST(4, COUNT(*)) AS avg_a
+    denom_a AS (SELECT a_id, {_tdiv("SUM(cos_ppm)", "LEAST(4, COUNT(*))")} AS avg_a
                 FROM ranked WHERE ra <= 4 GROUP BY 1),
-    denom_b AS (SELECT b_id, CAST(SUM(cos_ppm) AS BIGINT) // LEAST(4, COUNT(*)) AS avg_b
+    denom_b AS (SELECT b_id, {_tdiv("SUM(cos_ppm)", "LEAST(4, COUNT(*))")} AS avg_b
                 FROM ranked WHERE rb <= 4 GROUP BY 1)
     SELECT r.a_id, r.b_id, r.cell, r.cos_ppm,
-           (r.cos_ppm * 2000000) // (da.avg_a + db.avg_b) AS margin_ppm
+           {_tdiv("r.cos_ppm * 2000000", "da.avg_a + db.avg_b")} AS margin_ppm
     FROM ranked r
     JOIN denom_a da USING (a_id)
     JOIN denom_b db USING (b_id)
@@ -7835,8 +7901,18 @@ def q_zorder_layout_plan(spark, sf_dir):
 # re-driver-verified in r5 — the rest carried r4 driver rows against
 # pre-change code. They re-verify HERE so every touched query has a
 # post-change driver row. kmv_distinct_words is promoted because round 6
-# changes its Arrow prefilter (NULL-hash handling, ADVICE r5).
+# changes its Arrow prefilter (NULL-hash handling, ADVICE r5);
+# pricing_summary and repetition_signals because the r6 oracle-fidelity
+# review changed their OUTPUTS (Q1's real 1998-09-02 cutoff + micro-int
+# sums; most-frequent-bigram Gopher metric — repetition_signals was
+# already in this window). Oracle-robustness fixes that provably cannot
+# change sf0.01 output (bitext trunc-div: all sums positive on driver
+# data; session-window tiebreak: zero ts ties; key_skew hot-key re-sort:
+# single-partition order preserved today; neardup \x0B class: no such
+# bytes in testdata) are documented at their sites, and the touched
+# near-dup/bitext queries either sit in this window or head r7.
 _DRIVER_PRIORITY = [
+    "pricing_summary",  # r6 semantics change (Q1 cutoff + micro-int sums)
     "bm25_topk",  # r4 row predates 8d3779b (query lowercasing)
     "bm25_topk_indexed",  # r4 row predates 8d3779b
     "tfidf_topk",  # r4 row predates 8d3779b
