@@ -13,8 +13,11 @@ container (no Office toolchain); for OOXML the r6 substitute is an
 INDEPENDENT second writer path (tests/ecma376_emitter.py — ElementTree
 serialization + full package parts + real-producer quirks, written
 against ECMA-376's part inventory, sharing nothing with the decoders
-or their hand templates); CFB keeps spec-vector + fuzz coverage
-(test_cfb.py) until a deployment contributes genuine .msg files.
+or their hand templates); for CFB/.msg the r6 substitute is the same
+move (tests/cfb_emitter.py — balanced name-ordered directory BST,
+round-robin interleaved sector chains, v4 4096-byte containers,
+big-stream FAT chains, DIFAT overflow; the structural choices the
+spec-vector fixtures in test_cfb.py deliberately do NOT make).
 """
 
 import os
@@ -124,6 +127,79 @@ def test_independent_emitter_xlsx_decodes():
     assert xlsx_rows(pkg, sheet=0) == expect_data
     assert xlsx_rows(pkg, sheet="Data") == expect_data
     assert xlsx_rows(pkg, sheet="Summary") == [("total", 13.5)]
+
+
+@pytest.mark.parametrize("version", [3, 4])
+def test_independent_emitter_msg_decodes(version):
+    """CFB/.msg anchor from a SECOND writer path: tests/cfb_emitter.py
+    lays out the container with the opposite structural choices of the
+    test_cfb.py fixtures — a balanced name-ordered directory BST (left
+    AND right pointers live), round-robin interleaved sector chains (no
+    chain contiguous), a >=4096-byte body in a regular FAT chain, plus
+    the __properties/__nameid furniture real producers write. v4 uses
+    4096-byte sectors — a path the in-repo fixtures never exercised."""
+    from tests.cfb_emitter import emit_msg
+    from vectordb_data_ingestion_spark.sources.cfb import (
+        msg_attachments,
+        msg_to_text,
+    )
+
+    body = "body paragraph. " * 300  # 4800 chars -> 9600 B UTF-16 -> FAT
+    raw = emit_msg(
+        subject="Q3 capacity review",
+        sender="Ops Planner",
+        to="Data Platform",
+        body=body,
+        attachments=[
+            ("capacity.csv", b"region,cores\neu,512\nus,1024\n"),
+            ("notes.txt", b"\xff\xferaw bytes, not text"),
+        ],
+        version=version,
+    )
+    text = msg_to_text(raw)
+    assert text == "\n".join(
+        ["Q3 capacity review", "Ops Planner", "Data Platform", body]
+    )
+    atts = msg_attachments(raw)
+    assert atts == [
+        ("capacity.csv", b"region,cores\neu,512\nus,1024\n"),
+        ("notes.txt", b"\xff\xferaw bytes, not text"),
+    ]
+
+
+def test_independent_emitter_cfb_difat_overflow():
+    """>109 FAT sectors spills the sector map into DIFAT sectors chained
+    from the header — the reader's DIFAT walk (sources/cfb.py:76-85) had
+    only spec-vector coverage. 112 FAT sectors x 128 entries maps ~7 MB;
+    the small stream must still round-trip from the mini stream AND the
+    pad stream from its (interleaved) multi-megabyte FAT chain."""
+    from tests.cfb_emitter import emit_cfb
+    from vectordb_data_ingestion_spark.sources.cfb import CfbFile
+
+    raw = emit_cfb(
+        [(("meta", "marker"), b"needle-77")], version=3, difat_pad=112
+    )
+    cfb = CfbFile(raw)
+    assert cfb.read_stream(("meta", "marker")) == b"needle-77"
+    pad = cfb.read_stream(("__difat_pad",))
+    assert len(pad) == 112 * 128 * 512 and pad[:3] == b"\xa5\xa5\xa5"
+
+
+def test_independent_emitter_cfb_deep_tree_and_big_streams():
+    """Many siblings force a multi-level BST under one storage; two big
+    streams interleave their FAT chains sector-by-sector; nesting goes
+    three storages deep. Exact byte round-trip for every stream."""
+    from tests.cfb_emitter import emit_cfb
+    from vectordb_data_ingestion_spark.sources.cfb import CfbFile
+
+    streams = [((f"s{i:02d}",), f"payload-{i}".encode()) for i in range(17)]
+    streams.append((("a", "b", "c", "deep"), b"nested"))
+    big1 = bytes(range(256)) * 40  # 10240 B
+    big2 = b"\x42" * 8192
+    streams += [(("big1",), big1), (("a", "big2"), big2)]
+    cfb = CfbFile(emit_cfb(streams, version=4))
+    for path, data in streams:
+        assert cfb.read_stream(path) == data, path
 
 
 def test_registry_parses_real_pdf_catalog(spark, tmp_path):

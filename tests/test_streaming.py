@@ -1209,3 +1209,78 @@ def test_sessionize_stream_late_events_and_unique_idx(spark, tmp_path):
     assert got[(7, 1)] == (3, ts(500), ts(2500))  # late event merged
     assert (7, 2) in got  # unique idx after the timeout-closed session
     assert got[(7, 2)][0] == 1
+
+
+def test_near_dup_index_compaction_preserves_admission(spark, tmp_path):
+    """compact_near_dup_index merges the per-batch index partitions into
+    one negative-id partition without changing ANY admission verdict:
+    a near-copy of a pre-compaction doc is still rejected, a fresh doc is
+    still admitted, and a replayed batch id never collides with the
+    compacted partition (negative vs >= 0). Second compaction with one
+    partition is a no-op."""
+    import os
+
+    from vectordb_data_ingestion_spark.streaming.incremental import (
+        compact_near_dup_index,
+        near_dup_batch_fn,
+    )
+
+    index_dir = str(tmp_path / "index")
+    run_batch = near_dup_batch_fn(
+        index_dir=index_dir, out_dir=str(tmp_path / "out"),
+        jaccard_threshold=0.5,
+    )
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        1: "one two three four five six seven eight nine ten eleven",
+        2: "red orange yellow green blue indigo violet umber ochre teal",
+    }
+    for i in (0, 1, 2):
+        run_batch(
+            spark.createDataFrame(
+                [(i, texts[i])], "doc_id long, text string"
+            ),
+            i,
+        )
+    assert len(os.listdir(f"{index_dir}/bands")) == 3
+
+    merged = compact_near_dup_index(spark, index_dir)
+    assert merged == 6  # 3 partitions x 2 tables
+    assert os.listdir(f"{index_dir}/bands") == ["batch=-1"]
+    assert os.listdir(f"{index_dir}/shingles") == ["batch=-1"]
+
+    # admission against the compacted index: near-copy of doc 1 rejected,
+    # fresh doc admitted — including on replay of the same batch id
+    wave = spark.createDataFrame(
+        [
+            (10, texts[1].replace("eleven", "twelve")),
+            (11, "fresh payload entirely disjoint tokens mu nu xi omicron"),
+        ],
+        "doc_id long, text string",
+    )
+    run_batch(wave, 3)
+    run_batch(wave, 3)  # at-least-once replay
+    admitted = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert admitted == [0, 1, 2, 11]
+
+    # compacting again folds {batch=-1, batch=3} into batch=-2
+    assert compact_near_dup_index(spark, index_dir) == 4
+    assert os.listdir(f"{index_dir}/bands") == ["batch=-2"]
+    # and a single-partition index is left alone
+    assert compact_near_dup_index(spark, index_dir) == 0
+
+    # the full verdict history survives both compactions
+    run_batch(
+        spark.createDataFrame(
+            [(20, texts[2] + " extra")], "doc_id long, text string"
+        ),
+        4,
+    )
+    final = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert final == [0, 1, 2, 11]  # near-copy of doc 2 rejected post-compact

@@ -304,6 +304,70 @@ def near_dup_batch_fn(
     return run_batch
 
 
+def compact_near_dup_index(spark: SparkSession, index_dir: str) -> int:
+    """Merge every ``batch=*`` partition of the persisted near-dup index
+    into ONE compacted partition per table (bands/, shingles/).
+
+    Why this exists: ``near_dup_batch_fn`` appends a ``batch=N`` subdir
+    per micro-batch, so after K batches every admission probe lists and
+    opens O(K) directories — the per-batch cost grows with BATCH COUNT
+    even when data volume is flat (measured: tools/probe_streaming_state.py;
+    the same failure mode plans/layout.py::compaction_plan targets for
+    event tables). A deployment runs this periodically (e.g. every 1000
+    batches) from the maintenance cadence, not inside the hot loop.
+
+    Correctness under the admission contract:
+
+    - compacted partitions get NEGATIVE batch ids (one below the lowest
+      existing), so ``run_batch``'s replay-exclusion filter
+      (``batch != current_batch_id``, always >= 0) never excludes them;
+    - crash-safe: the merged partition is written to an underscore-
+      prefixed staging dir (invisible to Spark's partition discovery),
+      ``os.replace``d into place, and only then are source partitions
+      deleted. A crash between the swap and the deletes leaves duplicate
+      index rows — admission stays correct (``dup_ids`` is distinct; a
+      duplicate candidate verifies to the same verdict) and the next
+      compaction removes them.
+
+    Returns the number of source partitions merged away (0 = nothing to
+    do). Local-filesystem paths only (the sink layer here is file-based;
+    an object-store deployment would swap the os.* calls for its
+    manifest-commit equivalent, as sinks/datasource_writer.py does)."""
+    import os
+    import shutil
+
+    merged = 0
+    for sub in ("bands", "shingles"):
+        root = f"{index_dir}/{sub}"
+        local = root[len("file:"):] if root.startswith("file:") else root
+        if not os.path.isdir(local):
+            continue
+        parts = [
+            d
+            for d in os.listdir(local)
+            if d.startswith("batch=")
+            and os.path.isdir(os.path.join(local, d))
+        ]
+        if len(parts) <= 1:
+            continue
+        gen = min(int(d.split("=", 1)[1]) for d in parts)
+        gen = min(gen, 0) - 1
+        staging = os.path.join(local, "_compact_staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        # `batch` is a discovered partition column — drop it so the rows
+        # re-partition under the new batch=<gen> directory name alone
+        spark.read.parquet(root).drop("batch").coalesce(
+            max(1, spark.sparkContext.defaultParallelism // 4)
+        ).write.mode("overwrite").parquet(staging)
+        target = os.path.join(local, f"batch={gen}")
+        shutil.rmtree(target, ignore_errors=True)
+        os.replace(staging, target)
+        for d in parts:
+            shutil.rmtree(os.path.join(local, d))
+            merged += 1
+    return merged
+
+
 def foreach_batch_near_dup_filter(
     stream_df: DataFrame,
     index_dir: str,
