@@ -142,3 +142,45 @@ def test_html_to_text_never_raises(data, text):
     for payload in (data.decode("latin-1"), text, "<table>" + text):
         out = html_to_text(payload)
         assert isinstance(out, str)
+
+
+# ---------------------------------------------------------------------------
+# emitter <-> reader property: every container the independent [MS-CFB]
+# emitter can express round-trips byte-exactly through sources/cfb.py —
+# random stream trees (arbitrary nesting), sizes straddling the 4096-byte
+# mini cutoff, both container versions. The two sides share no code, so a
+# surviving run is structural agreement on the spec, not self-consistency.
+# ---------------------------------------------------------------------------
+
+_seg = st.text(
+    alphabet=st.characters(min_codepoint=0x30, max_codepoint=0x7A),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    version=st.sampled_from([3, 4]),
+    streams=st.dictionaries(
+        st.lists(_seg, min_size=1, max_size=3).map(tuple),
+        st.binary(max_size=9000),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_cfb_emitter_reader_roundtrip_property(version, streams):
+    from tests.cfb_emitter import emit_cfb
+    from vectordb_data_ingestion_spark.sources.cfb import CfbFile
+
+    # a path may not also be a storage prefix of another path (a name
+    # can't be both a stream and a storage in one directory)
+    paths = list(streams)
+    for p in paths:
+        for q in paths:
+            if p is not q and q[: len(p)] == p:
+                return  # skip degenerate draw
+    cfb = CfbFile(emit_cfb(list(streams.items()), version=version))
+    for path, data in streams.items():
+        assert cfb.read_stream(path) == data

@@ -170,3 +170,26 @@ def test_annotator_malformed_row_raises_cleanly(spark):
 
     with pytest.raises(Exception, match="malformed row"):
         annotate_via_api(df, bad_factory, max_retries=1).collect()
+
+
+def test_null_text_raises_instead_of_embedding_none(spark):
+    """astype(str) renders a NULL text as the literal 'None' — before the
+    r6 guard that string was silently embedded/labeled as real content
+    (the reference crashes on None.replace, cmfunctions.py:497, so loud
+    is also parity)."""
+    from vectordb_data_ingestion_spark.operators.enrichment import (
+        annotate_via_api,
+        deterministic_fake_annotator,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "real text"), (2, None)], "id long, text string"
+    )
+    with pytest.raises(Exception, match="NULL 'text'"):
+        embed_via_api(
+            df, deterministic_fake_transport(4), text_col="text"
+        ).collect()
+    with pytest.raises(Exception, match="NULL 'text'"):
+        annotate_via_api(
+            df, deterministic_fake_annotator(), text_col="text"
+        ).collect()

@@ -220,3 +220,17 @@ def test_extract_features_real_and_stub_paths(spark):
     stub = _stub_decode(blob, "image")
     assert rows[3]["width"] == stub["width"]
     assert list(rows[3]["feature"]) == pytest.approx(stub["feature"])
+
+
+def test_bmp_invalid_dimensions_raise():
+    """A crafted header declaring negative width (or zero dims) must raise
+    like any other malformed payload — before the r6 guard the pixel loops
+    ran zero iterations and decode 'succeeded' with width=-N metadata."""
+    good = bytearray(make_bmp([[(1, 2, 3)]]))
+    neg_w = bytearray(good)
+    struct.pack_into("<i", neg_w, 18, -4)
+    zero_h = bytearray(good)
+    struct.pack_into("<i", zero_h, 22, 0)
+    for bad in (neg_w, zero_h):
+        with pytest.raises(ValueError, match="invalid dimensions"):
+            decode_bmp(bytes(bad))

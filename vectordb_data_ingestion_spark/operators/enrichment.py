@@ -157,6 +157,17 @@ def embed_via_api(
         for pdf in batches:
             if pdf.empty:
                 continue
+            # NULL text must fail LOUDLY here: astype(str) renders None as
+            # the literal string "None", which would be silently embedded
+            # as real content (the reference crashes on None.replace —
+            # cmfunctions.py:497 — so loud is also parity). Upstream
+            # pipelines filter/compose text before this stage; a NULL
+            # reaching it is a wiring bug, not data.
+            if pdf[text_col].isna().any():
+                raise ValueError(
+                    f"embed_via_api: NULL {text_col!r} in batch — filter "
+                    "or coalesce text before the embed stage"
+                )
             # cmfunctions.py:497 — newlines confuse the gateway tokenizer.
             texts = (
                 pdf[text_col].astype(str).str.replace("\n", " ", regex=False)
@@ -270,6 +281,13 @@ def annotate_via_api(
         for pdf in batches:
             if pdf.empty:
                 continue
+            # same loud-NULL contract as embed_via_api: "None" labels are
+            # silent corruption
+            if pdf[text_col].isna().any():
+                raise ValueError(
+                    f"annotate_via_api: NULL {text_col!r} in batch — filter "
+                    "or coalesce text before the annotate stage"
+                )
             texts = (
                 pdf[text_col].astype(str).str.replace("\n", " ", regex=False)
             ).tolist()

@@ -166,6 +166,12 @@ def decode_bmp(content: bytes) -> dict:
     compression = struct.unpack_from("<I", content, 30)[0]
     if bpp not in (24, 32) or compression != 0:
         raise ValueError(f"unsupported BMP ({bpp}bpp, comp {compression})")
+    # width/height are SIGNED: a negative width (or zero dims) is a
+    # crafted/corrupt header — without this check the pixel loops run
+    # zero iterations and the decode "succeeds" with width=-N garbage
+    # metadata instead of raising like every other malformed payload
+    if width <= 0 or height == 0:
+        raise ValueError(f"BMP declares invalid dimensions {width}x{height}")
     nch = bpp // 8
     row_stride = (width * nch + 3) & ~3
     lumas = []
