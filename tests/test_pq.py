@@ -295,3 +295,21 @@ def test_persisted_ivfpq_index_lifecycle(spark, tmp_path):
     }
     assert len(probe_files) < len(all_files)  # genuinely pruned
     assert n_cells > 2
+
+
+def test_adc_batch_empty_queries_fails_on_driver(spark):
+    """An empty query batch must fail loudly on the DRIVER naming the
+    cause, not inside a task as pandas' 'No objects to concatenate'."""
+    import pytest as _pytest
+
+    from vectordb_data_ingestion_spark.operators.pq import pq_adc_topk_batch
+
+    enc = spark.createDataFrame(
+        [(1, [0, 1])], "vec_id long, pq_codes array<bigint>"
+    )
+    books = spark.createDataFrame(
+        [(0, 0, [0.0]), (0, 1, [1.0]), (1, 0, [0.0]), (1, 1, [1.0])],
+        "sub int, code long, sv array<double>",
+    )
+    with _pytest.raises(ValueError, match="non-empty"):
+        pq_adc_topk_batch(enc, books, [], k=1, m=2, dim=2)

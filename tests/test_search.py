@@ -280,3 +280,24 @@ def test_query_terms_case_normalized(spark):
     # oracle side normalizes AND escapes quotes identically
     sql = bm25_sql("docs", [(0, ["O'Brien"])])
     assert "o''brien" in sql and "O'Brien" not in sql
+
+
+def test_rerank_null_pair_side_raises(spark):
+    """astype(str) would score a NULL query/text as the literal 'None' —
+    the same silent-corruption class fixed in embed_via_api (r6); the
+    rerank boundary must refuse NULL pair sides loudly."""
+    import pytest as _pytest
+
+    from vectordb_data_ingestion_spark.operators.search import (
+        cross_encoder_rerank,
+        deterministic_fake_cross_encoder,
+    )
+
+    cand = spark.createDataFrame(
+        [(0, 1, "q", None), (0, 2, "q", "fine")],
+        "q_id long, doc_id long, query string, text string",
+    )
+    with _pytest.raises(Exception, match="NULL"):
+        cross_encoder_rerank(
+            cand, deterministic_fake_cross_encoder(), k=2
+        ).collect()

@@ -397,6 +397,11 @@ def pq_adc_topk_batch(
         StructType,
     )
 
+    if not queries:
+        # fail on the driver with the cause named — an empty query batch
+        # otherwise dies inside a task as pandas' "No objects to
+        # concatenate"
+        raise ValueError("pq_adc_topk_batch: queries must be non-empty")
     dsub = dim // m
     rows = codebooks.select("sub", "code", "sv").collect()
     k_per_sub = max(r["code"] for r in rows) + 1

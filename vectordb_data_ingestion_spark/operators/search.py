@@ -292,6 +292,14 @@ def cross_encoder_rerank(
         for pdf in batches:
             if pdf.empty:
                 continue
+            # same loud-NULL contract as enrichment.embed_via_api:
+            # astype(str) would score the literal 'None' as real content
+            if pdf[query_col].isna().any() or pdf[text_col].isna().any():
+                raise ValueError(
+                    f"cross_encoder_rerank: NULL {query_col!r}/{text_col!r} "
+                    "in candidate batch — recall stages must not emit NULL "
+                    "pair sides"
+                )
             pairs = list(zip(pdf[query_col].astype(str), pdf[text_col].astype(str)))
             scores: list[float] = []
             for start in range(0, len(pairs), batch_size):
