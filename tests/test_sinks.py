@@ -325,3 +325,130 @@ def test_parquet_sink_rewrite_crash_recovery(spark, tmp_path):
     left = s3.read()
     assert left.count() == 5  # 6 - 2 deleted + 1 null-keyed kept
     assert left.filter(F.col("url").isNull()).count() == 1
+
+
+def _bucketed(spark, tmp_path, name="bk", n=8):
+    return ParquetVectorSink(
+        spark, str(tmp_path / name), partition_col=None,
+        key_col="chunk_id", n_buckets=n,
+    )
+
+
+def test_bucketed_sink_roundtrip_and_pruned_delete(spark, tmp_path):
+    """Bucketed layout: rows land under pbucket=hash(key)%N, read() hides
+    the layout column, and a key delete rewrites ONLY the buckets its keys
+    hash into — verified by mtime: untouched bucket dirs keep their files.
+    Both delete forms (list and DataFrame) share the bucketed path."""
+    import os
+
+    sink = _bucketed(spark, tmp_path)
+    rows = [(f"c{i}", f"text {i}", [float(i)]) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "chunk_id string, text string, vector array<float>"
+    )
+    sink.upsert(df)
+    base = str(tmp_path / "bk")
+    dirs = sorted(d for d in os.listdir(base) if d.startswith("pbucket="))
+    assert len(dirs) > 1
+    assert sorted(sink.read().columns) == ["chunk_id", "text", "vector"]
+    assert sink.read().count() == 40
+
+    from pyspark.sql import functions as F
+
+    victim = "c7"
+    vb = df.filter(F.col("chunk_id") == victim).select(
+        F.pmod(F.xxhash64("chunk_id"), F.lit(8)).cast("int")
+    ).first()[0]
+    before = {
+        d: sorted(os.listdir(os.path.join(base, d))) for d in dirs
+    }
+    sink.delete_where("chunk_id", [victim])
+    after_rows = sink.read()
+    assert after_rows.count() == 39
+    assert after_rows.filter(F.col("chunk_id") == victim).count() == 0
+    for d in dirs:
+        bucket = int(d.split("=")[1])
+        if bucket != vb:
+            assert sorted(
+                os.listdir(os.path.join(base, d))
+            ) == before[d], f"untouched bucket {d} was rewritten"
+
+    # DataFrame form: deleting EVERY row retires the base dir entirely (an
+    # emptied sink returns to the not-yet-created state) and a fresh
+    # upsert recreates it
+    all_keys = spark.createDataFrame([(k,) for k, _t, _v in rows], ["chunk_id"])
+    sink.delete_where_df("chunk_id", all_keys)
+    assert not os.path.exists(base)
+    sink.upsert(df.limit(3))
+    assert sink.read().count() == 3
+
+
+def test_bucketed_delete_crash_recovery(spark, tmp_path):
+    """The _BUCKET_SWAP manifest is the commit point: an uncommitted
+    staging dir is discarded (delete never happened), a committed one
+    rolls forward from any rename crash point — including the
+    staged-but-not-yet-swapped and half-swapped states."""
+    import os
+    import shutil
+
+    sink = _bucketed(spark, tmp_path, name="ck")
+    df = spark.createDataFrame(
+        [(f"c{i}", i) for i in range(30)], "chunk_id string, v long"
+    )
+    sink.upsert(df)
+    base = str(tmp_path / "ck")
+    staging = base + "__rewrite"
+
+    # crash BEFORE the manifest: staging exists, no commit -> discarded
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "_partial"), "w") as fh:
+        fh.write("junk")
+    s2 = _bucketed(spark, tmp_path, name="ck")
+    assert not os.path.exists(staging)
+    assert s2.read().count() == 30
+
+    # committed manifest, crash before ANY rename: reopen rolls forward
+    s2.delete_where_df(
+        "chunk_id", spark.createDataFrame([("c3",), ("c4",)], ["chunk_id"])
+    )
+    assert s2.read().count() == 28
+
+    # simulate the mid-swap crash: re-create a committed staging whose
+    # keep-bucket was already swapped (staging dir gone) and whose drop
+    # bucket still exists in base — roll-forward must be idempotent and
+    # must NOT delete the already-swapped keep bucket's new data
+    from pyspark.sql import functions as F
+
+    vb = spark.createDataFrame([("c5",)], ["chunk_id"]).select(
+        F.pmod(F.xxhash64("chunk_id"), F.lit(8)).cast("int")
+    ).first()[0]
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "_BUCKET_SWAP"), "w") as fh:
+        fh.write(f"{vb} keep")  # keep-bucket, staging dir already consumed
+    kept_dir = os.path.join(base, f"pbucket={vb}")
+    kept_before = sorted(os.listdir(kept_dir)) if os.path.isdir(kept_dir) else None
+    s3 = _bucketed(spark, tmp_path, name="ck")
+    assert not os.path.exists(staging)
+    if kept_before is not None:
+        assert sorted(os.listdir(kept_dir)) == kept_before
+    assert s3.read().count() == 28
+    shutil.rmtree(base)
+
+
+def test_bucketed_delete_refuses_unbucketed_layout(spark, tmp_path):
+    plain = ParquetVectorSink(
+        spark, str(tmp_path / "flat"), partition_col=None
+    )
+    plain.upsert(
+        spark.createDataFrame([("a", 1)], "chunk_id string, v long")
+    )
+    bucketed = ParquetVectorSink(
+        spark, str(tmp_path / "flat"), partition_col=None,
+        key_col="chunk_id", n_buckets=4,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="unbucketed"):
+        bucketed.delete_where_df(
+            "chunk_id", spark.createDataFrame([("a",)], ["chunk_id"])
+        )

@@ -1284,3 +1284,55 @@ def test_near_dup_index_compaction_preserves_admission(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert final == [0, 1, 2, 11]  # near-copy of doc 2 rejected post-compact
+
+
+def test_incremental_refresh_with_bucketed_sink(spark, tmp_path):
+    """The 100 TB refresh shape end-to-end: the sink is hash-bucketed on
+    the refresh key, so each micro-batch's delete-then-insert rewrites
+    only the buckets its keys hash into (never the whole store), while
+    the refresh contract — latest version wins, replay-idempotent —
+    holds unchanged. The 'auto' wiring must pick the bucketed sink's
+    delete_where_df by itself."""
+    stream_dir = str(tmp_path / "incoming")
+    sink_dir = str(tmp_path / "vectors")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stream_dir)
+    sink = ParquetVectorSink(
+        spark, sink_dir, partition_col=None, key_col="url", n_buckets=8
+    )
+
+    def transform(batch_df):
+        return batch_df.select(
+            "url",
+            F.sha2(F.concat_ws("#", "url", "text"), 256).alias("chunk_id"),
+            "text",
+            "version",
+        )
+
+    schema = _catalog_df(spark, 1, ["u1"]).schema
+
+    def run_once():
+        stream = read_file_stream(spark, stream_dir, schema)
+        q = foreach_batch_refresh(
+            stream,
+            transform,
+            sink_upsert=sink.upsert,
+            sink_delete_where=sink.delete_where,
+            key_col="url",
+            checkpoint=ckpt,
+        ).start()  # sink_delete_where_df defaults to "auto"
+        q.awaitTermination(120)
+
+    _catalog_df(spark, 1, ["u1", "u2"]).write.mode("append").parquet(
+        stream_dir
+    )
+    run_once()
+    _catalog_df(spark, 2, ["u1", "u3"]).write.mode("append").parquet(
+        stream_dir
+    )
+    run_once()
+    got = {(r["url"], r["version"]) for r in sink.read().collect()}
+    assert got == {("u1", 2), ("u2", 1), ("u3", 2)}
+    # the storage really is bucketed (layout hidden from readers)
+    dirs = [d for d in os.listdir(sink_dir) if d.startswith("pbucket=")]
+    assert dirs and "pbucket" not in sink.read().columns

@@ -981,13 +981,17 @@ def binary_hamming_topk(
     XORed words — one codegen expression per pair), then rescore the
     survivors with exact cosine in integer ppm.
 
-    The corpus scan reads floats once, packs in the same projection, and
-    scores against the broadcast (tiny) query set — no shuffle touches
-    the float vectors; only k rows per query reach the rerank. At 100 TB
-    the packed codes are the only thing resident per comparison (a 1536-d
-    float row is 6 KB; its code is 192 bytes), which is the point of the
-    binary mode. Ties break on ``(hamming, id)`` so the result is exact
-    across engines and partitionings.
+    Shuffle discipline: the |Q|x|corpus| candidate stream carries ONLY
+    (q_id, id, hamming) — the packed comparison happens in the scan
+    projection and neither float vector rides a candidate row (the r6
+    x100 probe caught the float-carrying form filling the disk with sort
+    spill). Only k rows per query reach the rerank, which joins the float
+    vectors back. Cost shape: the corpus float column is read twice (pack
+    pass + rerank pass) — at index scale you'd materialize the code table
+    once instead (the ``vector_index.py`` pattern) and the pack pass
+    disappears; a second pruned scan is the honest price of the ad-hoc
+    form, a disk-filling spill is not. Ties break on ``(hamming, id)`` so
+    the result is exact across engines and partitionings.
     """
     from vectordb_data_ingestion_spark.functions.vectors import (
         binary_quantize,
@@ -1002,13 +1006,33 @@ def binary_hamming_topk(
         F.col(q_id),
         to_double_array(q_vec).alias("qe"),
     ).withColumn("qw", binary_quantize(F.col("qe"), dim))
-    scored = c.join(broadcast(q)).withColumn(
-        "hamming", hamming_distance(F.col("qw"), F.col("cw"))
+    # the candidate table carries ONLY (q_id, id, hamming) — ~20 bytes a
+    # row — into the per-query window. The r6 x100 probe caught the old
+    # form (floats riding every scored row) filling the disk with sort
+    # spill: |Q|x|corpus| pairs each hauling two dim-double arrays is
+    # ~50x the bytes of the packed comparison it exists to accelerate.
+    # Floats rejoin AFTER the k-per-query cut, so the rerank touches
+    # k*|Q| rows — which is what the binary mode promises.
+    scored = (
+        c.select(id_col, "cw")
+        .join(broadcast(q.select(q_id, "qw")))
+        .select(
+            q_id,
+            id_col,
+            hamming_distance(F.col("qw"), F.col("cw")).alias("hamming"),
+        )
     )
     w = Window.partitionBy(q_id).orderBy(F.asc("hamming"), F.asc(id_col))
-    return (
+    top = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
+    )
+    # survivors are k rows per query: AQE broadcasts this side into the
+    # corpus scan by measured size (no forced broadcast — |Q| grows with
+    # the workload, same discipline as the LSH candidate tables)
+    return (
+        top.join(c.select(id_col, "ce"), id_col)
+        .join(broadcast(q.select(q_id, "qe")), q_id)
         .select(
             q_id,
             id_col,

@@ -47,11 +47,82 @@ class VectorClient(Protocol):
 
 
 class ParquetVectorSink:
-    def __init__(self, spark: SparkSession, base_path: str, partition_col: str | None = "load_dt"):
+    """``key_col`` + ``n_buckets > 0`` turns on HASH-BUCKETED layout: rows
+    land under ``pbucket=pmod(xxhash64(key), n_buckets)`` (first partition
+    level), and a key-predicate delete rewrites ONLY the buckets its keys
+    hash into instead of the whole sink. Without it, every incremental
+    refresh micro-batch re-reads and re-writes the entire store — per-batch
+    cost proportional to SINK size, a non-starter at 100 TB; bucketed, the
+    cost is (touched buckets / n_buckets) of the sink, bounded by the
+    batch's own key count (measured: tools/probe_sink_delete.py)."""
+
+    BUCKET_COL = "pbucket"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        partition_col: str | None = "load_dt",
+        key_col: str | None = None,
+        n_buckets: int = 0,
+    ):
+        if n_buckets and not key_col:
+            raise ValueError("n_buckets requires key_col (the bucket key)")
         self.spark = spark
         self.base_path = base_path
         self.partition_col = partition_col
+        self.key_col = key_col
+        self.n_buckets = int(n_buckets)
         self._recover()
+
+    # -- bucketed-layout helpers ---------------------------------------------
+
+    def _bucket_expr(self, col: str):
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_buckets)).cast(
+            "int"
+        )
+
+    def _partition_cols(self, df: DataFrame) -> list[str]:
+        cols = []
+        if self.n_buckets and self.BUCKET_COL in df.columns:
+            cols.append(self.BUCKET_COL)
+        if self.partition_col and self.partition_col in df.columns:
+            cols.append(self.partition_col)
+        return cols
+
+    def _bucket_swap_roll_forward(self) -> None:
+        """Finish (or finish replaying) a committed per-bucket swap. The
+        manifest (``_BUCKET_SWAP`` in the staging root, written only after
+        the staging write fully succeeded) is the commit point; each line
+        is ``<bucket> keep|drop``. Idempotent: 'keep' buckets whose staging
+        dir is gone were already swapped; 'drop' removals re-run safely."""
+        import os
+        import shutil
+
+        base = self.base_path.rstrip("/")
+        staging = base + "__rewrite"
+        manifest = os.path.join(staging, "_BUCKET_SWAP")
+        with open(manifest) as fh:
+            entries = [line.split() for line in fh.read().split("\n") if line]
+        for bucket, action in entries:
+            sub = f"{self.BUCKET_COL}={bucket}"
+            dst = os.path.join(base, sub)
+            src = os.path.join(staging, sub)
+            if action == "keep":
+                if os.path.isdir(src):
+                    shutil.rmtree(dst, ignore_errors=True)
+                    os.rename(src, dst)
+            else:
+                shutil.rmtree(dst, ignore_errors=True)
+        # a delete that dropped the LAST bucket leaves a schema-less husk
+        # no parquet read can infer — retire it: an emptied sink returns
+        # to the not-yet-created state (upsert recreates it; delete_where
+        # on a missing path is already a documented no-op)
+        if os.path.isdir(base) and not any(
+            e.startswith(f"{self.BUCKET_COL}=") for e in os.listdir(base)
+        ):
+            shutil.rmtree(base)
+        shutil.rmtree(staging)
 
     def _recover(self) -> None:
         """Finish or roll back a rewrite interrupted by a crash. The swap
@@ -65,12 +136,19 @@ class ParquetVectorSink:
           left a partial rewrite — discard it.
         - ``base`` present + ``__old`` present: the crash hit before the
           old copy was deleted — the swap finished, retire the old copy.
+
+        Bucketed sinks add one state: ``__rewrite`` carrying a
+        ``_BUCKET_SWAP`` manifest is a COMMITTED per-bucket delete — roll
+        it forward (without the manifest, a staging dir is an uncommitted
+        partial write and is discarded by the rules above).
         """
         import os
         import shutil
 
         base = self.base_path.rstrip("/")
         tmp, old = base + "__rewrite", base + "__old"
+        if os.path.exists(os.path.join(tmp, "_BUCKET_SWAP")):
+            self._bucket_swap_roll_forward()
         if not os.path.exists(base) and os.path.exists(tmp):
             os.rename(tmp, base)
         elif os.path.exists(base) and os.path.exists(tmp):
@@ -80,14 +158,27 @@ class ParquetVectorSink:
 
     def upsert(self, df: DataFrame) -> None:
         self._recover()
+        if self.n_buckets:
+            # recompute, never trust a caller-supplied bucket column — a
+            # mis-bucketed row would be invisible to every future delete
+            df = df.withColumn(
+                self.BUCKET_COL, self._bucket_expr(self.key_col)
+            )
         writer = df.write.mode("append")
-        if self.partition_col and self.partition_col in df.columns:
-            writer = writer.partitionBy(self.partition_col)
+        parts = self._partition_cols(df)
+        if parts:
+            writer = writer.partitionBy(*parts)
         writer.parquet(self.base_path)
+
+    def _read_raw(self) -> DataFrame:
+        return self.spark.read.parquet(self.base_path)
 
     def read(self) -> DataFrame:
         self._recover()
-        return self.spark.read.parquet(self.base_path)
+        df = self._read_raw()
+        # the bucket key is storage layout, not data — consumers see the
+        # rows they wrote
+        return df.drop(self.BUCKET_COL) if self.n_buckets else df
 
     def delete_where(self, col: str, values: list[Any]) -> None:
         """Predicate delete via rewrite: read, anti-filter, overwrite.
@@ -103,7 +194,18 @@ class ParquetVectorSink:
         self._recover()
         if not os.path.exists(self.base_path):
             return
-        current = self.read()
+        if self.n_buckets and col == self.key_col:
+            # same bucketed path as the DataFrame form — one code path to
+            # keep correct, and a catalog-sized list gains the same
+            # touched-buckets-only rewrite
+            if not values:
+                return
+            self.delete_where_df(
+                col,
+                self.spark.createDataFrame([(v,) for v in values], [col]),
+            )
+            return
+        current = self._read_raw()
         # keep NULL-keyed rows: ~isin() is NULL (dropped by filter) for
         # NULL keys, which would silently delete every NULL-keyed row —
         # the anti-join form (delete_where_df) retains them, and the two
@@ -125,13 +227,82 @@ class ParquetVectorSink:
         if not os.path.exists(self.base_path):
             return
         key_df = keys.select(F.col(keys.columns[0]).alias(col)).distinct()
-        current = self.read()
+        if self.n_buckets and col == self.key_col:
+            self._delete_buckets(col, key_df)
+            return
+        current = self._read_raw()
         # USING-style join moves the key column to the front — restore the
         # stored column order, or every rewrite permutes the sink schema
         remaining = current.join(
             key_df, col, "left_anti"
         ).select(*current.columns)
         self._rewrite(remaining)
+
+    def _delete_buckets(self, col: str, key_df: DataFrame) -> None:
+        """Bucket-pruned delete: rewrite only the ``pbucket=`` partitions
+        the key set hashes into.
+
+        1. The affected-bucket list is a driver collect BOUNDED BY
+           ``n_buckets`` (ints, never keys) — at most one row per bucket
+           regardless of batch size.
+        2. One pruned scan (``PartitionFilters`` on pbucket) anti-joins the
+           distributed key set and writes survivors to the staging root,
+           partitioned the same way.
+        3. The ``_BUCKET_SWAP`` manifest (bucket -> keep|drop) is the
+           crash-commit point: written only after the staging write fully
+           succeeded, then the per-bucket swap runs — idempotently
+           re-runnable from :meth:`_recover` at any crash point. NULL keys
+           never delete anything (they hash to a bucket but the anti-join
+           keeps NULL-keyed rows, same as the unbucketed paths).
+        """
+        import os
+
+        base = self.base_path.rstrip("/")
+        staging = base + "__rewrite"
+        affected = sorted(
+            r[0]
+            for r in key_df.select(
+                self._bucket_expr(col).alias("b")
+            ).distinct().collect()
+            if r[0] is not None
+        )
+        if not affected:
+            return
+        raw = self._read_raw()
+        if self.BUCKET_COL not in raw.columns:
+            raise RuntimeError(
+                f"sink at {base} has no {self.BUCKET_COL!r} layout — it was "
+                "written unbucketed; rebuild it through a bucketed sink (or "
+                "open it with n_buckets=0)"
+            )
+        current = raw.filter(F.col(self.BUCKET_COL).isin(affected))
+        remaining = current.join(key_df, col, "left_anti").select(
+            *current.columns
+        )
+        writer = remaining.write.mode("overwrite")
+        parts = self._partition_cols(remaining)
+        writer.partitionBy(*parts).parquet(staging)
+        # which buckets still have rows: read the staging DIRS, not a
+        # second anti-join pass (an all-rows-deleted staging has no part
+        # files at all, which a parquet read cannot even infer a schema
+        # from)
+        kept = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(staging)
+            if d.startswith(f"{self.BUCKET_COL}=")
+        }
+        manifest = os.path.join(staging, "_BUCKET_SWAP")
+        tmp_manifest = manifest + ".tmp"
+        with open(tmp_manifest, "w") as fh:
+            fh.write(
+                "\n".join(
+                    f"{b} {'keep' if b in kept else 'drop'}" for b in affected
+                )
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp_manifest, manifest)  # atomic commit point
+        self._bucket_swap_roll_forward()
 
     def _rewrite(self, remaining: DataFrame) -> None:
         """Crash-safe swap: the old layout stays on disk until the new one
@@ -145,8 +316,12 @@ class ParquetVectorSink:
         base = self.base_path.rstrip("/")
         tmp, old = base + "__rewrite", base + "__old"
         writer = remaining.write.mode("overwrite")
-        if self.partition_col and self.partition_col in remaining.columns:
-            writer = writer.partitionBy(self.partition_col)
+        parts = self._partition_cols(remaining)
+        if parts:
+            # includes pbucket on a bucketed sink: a non-key-predicate
+            # rewrite must not flatten the bucket layout future key
+            # deletes prune on
+            writer = writer.partitionBy(*parts)
         writer.parquet(tmp)
         shutil.rmtree(old, ignore_errors=True)  # stale from a prior crash
         os.rename(base, old)
