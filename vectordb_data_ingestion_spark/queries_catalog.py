@@ -7912,6 +7912,7 @@ def q_zorder_layout_plan(spark, sf_dir):
 # bytes in testdata) are documented at their sites, and the touched
 # near-dup/bitext queries either sit in this window or head r7.
 _DRIVER_PRIORITY = [
+    "binary_hamming_topk",  # r6 plan change (spill fix) — output oracle-identical, but the driver row should postdate it
     "pricing_summary",  # r6 semantics change (Q1 cutoff + micro-int sums)
     "bm25_topk",  # r4 row predates 8d3779b (query lowercasing)
     "bm25_topk_indexed",  # r4 row predates 8d3779b
