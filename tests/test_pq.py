@@ -313,3 +313,186 @@ def test_adc_batch_empty_queries_fails_on_driver(spark):
     )
     with _pytest.raises(ValueError, match="non-empty"):
         pq_adc_topk_batch(enc, books, [], k=1, m=2, dim=2)
+
+
+def _clustered_corpus(n_clusters=16, per_cluster=120, dim=16, spread=0.08):
+    """Deterministic clustered embeddings: cluster centers on distinct
+    positive directions far from the origin, members tightly around them —
+    the geometry where residual encoding (quantize x - centroid) beats
+    direct encoding with the same codebook budget."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(loc=3.0, scale=1.0, size=(n_clusters, dim))
+    centers = np.abs(centers) + 1.0  # positive orthant: cosine probing works
+    pts, cells = [], []
+    for ci in range(n_clusters):
+        pts.append(centers[ci] + rng.normal(0.0, spread, (per_cluster, dim)))
+        cells.extend([ci] * per_cluster)
+    return centers, np.vstack(pts)
+
+
+def test_residual_ivfpq_beats_direct_recall(spark):
+    """The A/B that earns residual encoding its place (Jegou et al. 2011
+    §IV): same m x k codebook budget, same probe contract — codes built on
+    residuals recall the exact-L2 top-10 better than codes built on raw
+    vectors, because 16 global codewords per subspace cannot cover 16
+    cluster positions AND local offsets at once."""
+    import numpy as np
+
+    from vectordb_data_ingestion_spark.operators.pq import (
+        ivfpq_topk,
+        pq_adc_topk_codes_residual,
+        pq_encode_residual_vectorized,
+        pq_encode_vectorized,
+        pq_train,
+        residual_table,
+    )
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        assign_ivf_cells_vectorized,
+    )
+
+    m, dim, n_probe, k = 4, 16, 3, 10
+    centers, x = _clustered_corpus(dim=dim)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(v) for v in centers[i]]) for i in range(len(centers))],
+        "c_id long, c_embedding array<double>",
+    )
+
+    # ground truth: exact L2 top-k (numpy, driver-side — test-sized)
+    def exact_topk(q):
+        d = ((x - q) ** 2).sum(axis=1)
+        return set(np.lexsort((np.arange(len(x)), d))[:k])
+
+    queries = [x[i] + 0.01 for i in (5, 300, 777, 1200, 1750)]
+
+    # direct: codebooks trained on raw vectors, existing path
+    books_direct = pq_train(emb, m, dim, k=16, iterations=3)
+    assigned = assign_ivf_cells_vectorized(emb, cents)
+    enc_direct = pq_encode_vectorized(emb, books_direct, m, dim).join(
+        assigned.select("vec_id", "cell"), "vec_id"
+    )
+    # residual: codebooks trained on residuals, new path
+    rt = residual_table(emb, cents)
+    books_res = pq_train(rt, m, dim, k=16, iterations=3, vec_col="rvec")
+    enc_res = pq_encode_residual_vectorized(emb, cents, books_res, m, dim)
+
+    hits_direct = hits_res = total = 0
+    for q in queries:
+        truth = exact_topk(q)
+        qv = [float(v) for v in q]
+        got_d = {
+            r["vec_id"]
+            for r in ivfpq_topk(
+                enc_direct, cents, books_direct, qv, k,
+                n_probe=n_probe, m=m, dim=dim,
+            ).collect()
+        }
+        got_r = {
+            r["vec_id"]
+            for r in pq_adc_topk_codes_residual(
+                enc_res, books_res, cents, qv, k,
+                n_probe=n_probe, m=m, dim=dim,
+            ).collect()
+        }
+        hits_direct += len(got_d & truth)
+        hits_res += len(got_r & truth)
+        total += k
+    recall_d, recall_r = hits_direct / total, hits_res / total
+    # the A/B is the claim: same budget, same probes, residual wins by a
+    # clear margin. Absolute recall@10 is bounded by code-collision ties
+    # among ~120 near-identical cluster members (ADC ties resolve by id,
+    # exact L2 by true distance), so the bar is relative + a sanity floor.
+    assert recall_r >= recall_d + 0.15, (recall_r, recall_d)
+    assert recall_r >= 0.35, recall_r
+
+
+def test_residual_index_roundtrip_and_append(spark, tmp_path):
+    """_meta.json makes the stored encoding part of the index contract:
+    load routes queries to the residual scorer, a streaming append
+    encodes residually (a direct-encoded append would corrupt the cells
+    it lands in), and a pre-meta (legacy) index loads as direct."""
+    import os
+
+    from vectordb_data_ingestion_spark.operators.pq import (
+        pq_train,
+        residual_table,
+    )
+    from vectordb_data_ingestion_spark.operators.vector_index import (
+        build_ivfpq_index,
+        foreach_batch_index_append,
+        load_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    m, dim = 4, 16
+    centers, x = _clustered_corpus(per_cluster=40, dim=dim)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(500)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(v) for v in centers[i]]) for i in range(len(centers))],
+        "c_id long, c_embedding array<double>",
+    )
+    books = pq_train(residual_table(emb, cents), m, dim, k=16,
+                     iterations=2, vec_col="rvec")
+    out = str(tmp_path / "residx")
+    build_ivfpq_index(emb, cents, books, out, m=m, dim=dim, residual=True)
+    idx = load_ivfpq_index(spark, out)
+    assert idx.residual and idx.m == m and idx.dim == dim
+
+    q = [float(v) for v in x[42]]
+    got = query_ivfpq_index(idx, q, k=5, n_probe=3).collect()
+    assert [r["vec_id"] for r in got][0] == 42  # self is the L2-0 match
+
+    # streaming append keeps the stored encoding
+    inc_dir = str(tmp_path / "inc")
+    spark.createDataFrame(
+        [(9000 + i, [float(v) for v in x[520 + i]]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    ).write.mode("append").parquet(inc_dir)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(inc_dir)
+    qy = foreach_batch_index_append(
+        stream, out, str(tmp_path / "ckpt"), m=m, dim=dim
+    ).start()
+    qy.awaitTermination(120)
+    idx2 = load_ivfpq_index(spark, out)
+    # the real contract: the appended rows' STORED codes equal the
+    # residual encoding (a direct-encoded append would differ and corrupt
+    # its cells) — nearest-neighbor ranks are tie-ridden at this spread
+    # (whole clusters collide to one code tuple; ties resolve by id)
+    from vectordb_data_ingestion_spark.operators.pq import (
+        pq_encode_residual_vectorized as _enc_res,
+    )
+
+    appended = spark.createDataFrame(
+        [(9000 + i, [float(v) for v in x[520 + i]]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    expect = {
+        r["vec_id"]: (r["cell"], list(r["pq_codes"]))
+        for r in _enc_res(appended, cents, books, m, dim).collect()
+    }
+    stored = {
+        r["vec_id"]: (r["cell"], list(r["pq_codes"]))
+        for r in idx2.codes.filter("vec_id >= 9000").collect()
+    }
+    assert stored == expect
+    # and the appended vector is retrievable (within the tie-group bound)
+    q2 = [float(v) for v in x[525]]
+    got2 = {
+        r["vec_id"]
+        for r in query_ivfpq_index(idx2, q2, k=60, n_probe=3).collect()
+    }
+    assert 9005 in got2
+
+    # legacy index (no meta) loads as direct
+    os.remove(os.path.join(out, "_meta.json"))
+    assert not load_ivfpq_index(spark, out, m=m, dim=dim).residual

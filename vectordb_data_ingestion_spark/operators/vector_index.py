@@ -33,6 +33,7 @@ class IvfPqIndex:
     codes: DataFrame  # (vec_id, pq_codes, cell) — cell is the partition key
     m: int
     dim: int
+    residual: bool = False  # codes quantize x - centroid[cell] (IVFADC)
 
 
 def build_ivfpq_index(
@@ -46,25 +47,45 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     centroid_id: str = "c_id",
     centroid_vec: str = "c_embedding",
+    residual: bool = False,
 ) -> None:
     """One corpus pass: assign each vector's coarse cell (broadcast
     centroids, vectorized matmul) and its PQ codes (broadcast codebooks,
     matmul+argmin per Arrow batch), then write ``codes/`` partitioned by
     cell. Centroids and codebooks persist alongside so queries need ONLY
-    ``out_dir``."""
-    from vectordb_data_ingestion_spark.operators.pq import pq_encode_vectorized
+    ``out_dir``.
+
+    ``residual=True`` stores FAISS-IVFADC codes (quantize
+    ``x - centroid[cell]``; pass codebooks TRAINED on residuals —
+    ``pq.residual_table`` -> ``pq.pq_train``) and records the mode in
+    ``_meta.json`` so :func:`load_ivfpq_index` routes queries to the
+    residual scorer automatically — an index can never be silently read
+    under the wrong decoding."""
+    import json
+
+    from vectordb_data_ingestion_spark.operators.pq import (
+        pq_encode_residual_vectorized,
+        pq_encode_vectorized,
+    )
     from vectordb_data_ingestion_spark.operators.similarity import (
         assign_ivf_cells_vectorized,
     )
 
-    assigned = assign_ivf_cells_vectorized(
-        emb, centroids, vec_col=vec_col, centroid_id=centroid_id,
-        centroid_vec=centroid_vec, id_col=id_col,
-    )
-    encoded = pq_encode_vectorized(
-        emb, codebooks, m, dim, vec_col=vec_col, id_col=id_col
-    )
-    codes = encoded.join(assigned.select(id_col, "cell"), id_col)
+    if residual:
+        codes = pq_encode_residual_vectorized(
+            emb, centroids, codebooks, m, dim, vec_col=vec_col,
+            id_col=id_col, centroid_id=centroid_id,
+            centroid_vec=centroid_vec,
+        )
+    else:
+        assigned = assign_ivf_cells_vectorized(
+            emb, centroids, vec_col=vec_col, centroid_id=centroid_id,
+            centroid_vec=centroid_vec, id_col=id_col,
+        )
+        encoded = pq_encode_vectorized(
+            emb, codebooks, m, dim, vec_col=vec_col, id_col=id_col
+        )
+        codes = encoded.join(assigned.select(id_col, "cell"), id_col)
     # the base build lands under batch=base so streaming appends
     # (batch=<id> subdirs, see foreach_batch_index_append) share one
     # consistent two-level (batch, cell) partition layout
@@ -77,6 +98,8 @@ def build_ivfpq_index(
     codebooks.write.mode("overwrite").parquet(
         os.path.join(out_dir, "codebooks")
     )
+    with open(os.path.join(out_dir, "_meta.json"), "w") as fh:
+        json.dump({"residual": bool(residual), "m": m, "dim": dim}, fh)
 
 
 def _migrate_legacy_flat_codes(codes_dir: str, force: bool = False) -> bool:
@@ -180,16 +203,27 @@ def load_ivfpq_index(
     # concurrent reader is mid-migration: attempt the layout fix, but fall
     # back to reading whatever is there (a flat layout is still readable
     # until the first streaming append adds a batch= dir next to it).
+    import json
+
     try:
         _migrate_legacy_flat_codes(os.path.join(out_dir, "codes"))
     except OSError:
         pass
+    residual = False
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        residual = bool(meta.get("residual", False))
+        m = int(meta.get("m", m))
+        dim = int(meta.get("dim", dim))
     return IvfPqIndex(
         centroids=spark.read.parquet(os.path.join(out_dir, "centroids")),
         codebooks=spark.read.parquet(os.path.join(out_dir, "codebooks")),
         codes=spark.read.parquet(os.path.join(out_dir, "codes")),
         m=m,
         dim=dim,
+        residual=residual,
     )
 
 
@@ -205,12 +239,32 @@ def query_ivfpq_index(
     """Answer a query from the stored index: pick the ``n_probe`` nearest
     centroids (tiny driver-side sort), prune ``codes/`` with a cell
     partition filter, ADC-score only the probed rows. Bit-identical to the
-    rebuild-every-time ``pq.ivfpq_topk`` (parity-tested)."""
+    rebuild-every-time ``pq.ivfpq_topk`` (parity-tested). A residual index
+    (``_meta.json``) routes to the per-cell-LUT residual scorer instead —
+    same probe contract, same pruning."""
     from vectordb_data_ingestion_spark.functions.vectors import (
         cosine_similarity,
         to_double_array,
     )
-    from vectordb_data_ingestion_spark.operators.pq import pq_adc_topk_codes
+    from vectordb_data_ingestion_spark.operators.pq import (
+        pq_adc_topk_codes,
+        pq_adc_topk_codes_residual,
+    )
+
+    if index.residual:
+        return pq_adc_topk_codes_residual(
+            index.codes,
+            index.codebooks,
+            index.centroids,
+            query_vector,
+            k,
+            n_probe=n_probe,
+            m=index.m,
+            dim=index.dim,
+            id_col=id_col,
+            centroid_id=centroid_id,
+            centroid_vec=centroid_vec,
+        )
 
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
     probe_cells = [
@@ -273,14 +327,36 @@ def foreach_batch_index_append(
         spark = batch_df.sparkSession
         centroids = spark.read.parquet(_os.path.join(out_dir, "centroids"))
         codebooks = spark.read.parquet(_os.path.join(out_dir, "codebooks"))
-        assigned = assign_ivf_cells_vectorized(
-            batch_df, centroids, vec_col=vec_col, centroid_id=centroid_id,
-            centroid_vec=centroid_vec, id_col=id_col,
-        )
-        encoded = pq_encode_vectorized(
-            batch_df, codebooks, m, dim, vec_col=vec_col, id_col=id_col
-        )
-        codes = encoded.join(assigned.select(id_col, "cell"), id_col)
+        # appends MUST match the stored encoding: direct-encoded rows
+        # appended to a residual index (or vice versa) would silently
+        # corrupt every query that touches their cells
+        residual = False
+        meta_path = _os.path.join(out_dir, "_meta.json")
+        if _os.path.exists(meta_path):
+            import json as _json
+
+            with open(meta_path) as fh:
+                residual = bool(_json.load(fh).get("residual", False))
+        if residual:
+            from vectordb_data_ingestion_spark.operators.pq import (
+                pq_encode_residual_vectorized,
+            )
+
+            codes = pq_encode_residual_vectorized(
+                batch_df, centroids, codebooks, m, dim, vec_col=vec_col,
+                id_col=id_col, centroid_id=centroid_id,
+                centroid_vec=centroid_vec,
+            )
+        else:
+            assigned = assign_ivf_cells_vectorized(
+                batch_df, centroids, vec_col=vec_col,
+                centroid_id=centroid_id,
+                centroid_vec=centroid_vec, id_col=id_col,
+            )
+            encoded = pq_encode_vectorized(
+                batch_df, codebooks, m, dim, vec_col=vec_col, id_col=id_col
+            )
+            codes = encoded.join(assigned.select(id_col, "cell"), id_col)
         # batch-keyed subdir + overwrite: a RETRIED micro-batch rewrites
         # its own partition instead of double-appending (foreachBatch is
         # at-least-once; the append form broke the determinism claim)
