@@ -496,3 +496,39 @@ def test_residual_index_roundtrip_and_append(spark, tmp_path):
     # legacy index (no meta) loads as direct
     os.remove(os.path.join(out, "_meta.json"))
     assert not load_ivfpq_index(spark, out, m=m, dim=dim).residual
+
+
+def test_residual_query_prunes_cell_partitions(spark, tmp_path):
+    """The residual scorer inherits the partition-pruning contract: its
+    cell filter must reach the codes scan as PartitionFilters (only
+    probed directories are read, same as the direct path's pinned test)."""
+    from vectordb_data_ingestion_spark.operators.pq import (
+        pq_train,
+        residual_table,
+    )
+    from vectordb_data_ingestion_spark.operators.vector_index import (
+        build_ivfpq_index,
+        load_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    centers, x = _clustered_corpus(per_cluster=20, dim=16)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(v) for v in centers[i]]) for i in range(len(centers))],
+        "c_id long, c_embedding array<double>",
+    )
+    books = pq_train(residual_table(emb, cents), 4, 16, k=8,
+                     iterations=1, vec_col="rvec")
+    out = str(tmp_path / "residx")
+    build_ivfpq_index(emb, cents, books, out, m=4, dim=16, residual=True)
+    idx = load_ivfpq_index(spark, out)
+    res = query_ivfpq_index(idx, [float(v) for v in x[0]], k=5, n_probe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    pf = scan.split("PartitionFilters")[1].split("]")[0]
+    assert "cell" in pf and " in (" in pf.lower()
+    assert res.count() == 5
