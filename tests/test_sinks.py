@@ -452,3 +452,32 @@ def test_bucketed_delete_refuses_unbucketed_layout(spark, tmp_path):
         bucketed.delete_where_df(
             "chunk_id", spark.createDataFrame([("a",)], ["chunk_id"])
         )
+
+
+def test_sink_mutations_serialize_on_flock(spark, tmp_path):
+    """Two writers on one sink path must serialize: while one holds the
+    mutation lock, another's delete blocks instead of racing the shared
+    __rewrite staging (the lost-commit class the datasource writer's
+    flock closes)."""
+    import threading
+    import time
+
+    sink = ParquetVectorSink(spark, str(tmp_path / "locked"), partition_col=None)
+    sink.upsert(
+        spark.createDataFrame([("a", 1), ("b", 2)], "chunk_id string, v long")
+    )
+    order = []
+
+    def contender():
+        order.append("contender-start")
+        sink.delete_where("chunk_id", ["a"])
+        order.append("contender-done")
+
+    with sink._locked():
+        t = threading.Thread(target=contender)
+        t.start()
+        time.sleep(1.5)  # the delete must still be blocked on the flock
+        order.append("holder-release")
+    t.join(60)
+    assert order == ["contender-start", "holder-release", "contender-done"]
+    assert {r["chunk_id"] for r in sink.read().collect()} == {"b"}

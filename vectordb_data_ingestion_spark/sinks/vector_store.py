@@ -73,7 +73,42 @@ class ParquetVectorSink:
         self.partition_col = partition_col
         self.key_col = key_col
         self.n_buckets = int(n_buckets)
-        self._recover()
+        with self._locked():
+            self._recover()
+
+    def _locked(self):
+        """Serialize MUTATING operations on one sink path across
+        processes: two concurrent deletes both stage at ``base__rewrite``
+        and the loser's staging (or manifest) vanishes under the winner's
+        cleanup — the same lost-commit class the datasource writer's
+        flock closes (sinks/datasource_writer.py). An exclusive flock on
+        a sidecar lockfile spans recover+stage+swap; readers don't take
+        it (renames are atomic, and _recover inside a mutator is the one
+        that must not race). Local-filesystem semantics, like every
+        os.rename in this sink; an object-store deployment swaps these
+        for its conditional-put primitives."""
+        import contextlib
+        import fcntl
+        import os
+
+        @contextlib.contextmanager
+        def hold():
+            os.makedirs(
+                os.path.dirname(self.base_path.rstrip("/")) or ".",
+                exist_ok=True,
+            )
+            fd = os.open(
+                self.base_path.rstrip("/") + "__lock",
+                os.O_CREAT | os.O_RDWR,
+                0o644,
+            )
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                os.close(fd)  # closing releases the flock
+
+        return hold()
 
     # -- bucketed-layout helpers ---------------------------------------------
 
@@ -157,7 +192,8 @@ class ParquetVectorSink:
             shutil.rmtree(old)
 
     def upsert(self, df: DataFrame) -> None:
-        self._recover()
+        with self._locked():
+            self._recover()
         if self.n_buckets:
             # recompute, never trust a caller-supplied bucket column — a
             # mis-bucketed row would be invisible to every future delete
@@ -174,7 +210,8 @@ class ParquetVectorSink:
         return self.spark.read.parquet(self.base_path)
 
     def read(self) -> DataFrame:
-        self._recover()
+        with self._locked():
+            self._recover()
         df = self._read_raw()
         # the bucket key is storage layout, not data — consumers see the
         # rows they wrote
@@ -191,9 +228,6 @@ class ParquetVectorSink:
         use :meth:`delete_where_df` and skip the driver round trip."""
         import os
 
-        self._recover()
-        if not os.path.exists(self.base_path):
-            return
         if self.n_buckets and col == self.key_col:
             # same bucketed path as the DataFrame form — one code path to
             # keep correct, and a catalog-sized list gains the same
@@ -205,6 +239,13 @@ class ParquetVectorSink:
                 self.spark.createDataFrame([(v,) for v in values], [col]),
             )
             return
+        with self._locked():
+            self._recover()
+            if not os.path.exists(self.base_path):
+                return
+            self._delete_where_unbucketed(col, values)
+
+    def _delete_where_unbucketed(self, col: str, values: list[Any]) -> None:
         current = self._read_raw()
         # keep NULL-keyed rows: ~isin() is NULL (dropped by filter) for
         # NULL keys, which would silently delete every NULL-keyed row —
@@ -220,16 +261,25 @@ class ParquetVectorSink:
         never materializes its keys on the driver. The join strategy is
         left to AQE (r5): catalog-sized key sets broadcast into the scan;
         a backfill batch whose keys outgrow executor memory falls back to
-        a shuffled anti-join instead of OOMing on a forced broadcast."""
+        a shuffled anti-join instead of OOMing on a forced broadcast.
+
+        Mutations on one sink path serialize via :meth:`_locked` — see
+        its docstring for the lost-commit race it closes."""
         import os
 
-        self._recover()
-        if not os.path.exists(self.base_path):
-            return
-        key_df = keys.select(F.col(keys.columns[0]).alias(col)).distinct()
-        if self.n_buckets and col == self.key_col:
-            self._delete_buckets(col, key_df)
-            return
+        with self._locked():
+            self._recover()
+            if not os.path.exists(self.base_path):
+                return
+            key_df = keys.select(
+                F.col(keys.columns[0]).alias(col)
+            ).distinct()
+            if self.n_buckets and col == self.key_col:
+                self._delete_buckets(col, key_df)
+                return
+            self._delete_df_unbucketed(col, key_df)
+
+    def _delete_df_unbucketed(self, col: str, key_df: DataFrame) -> None:
         current = self._read_raw()
         # USING-style join moves the key column to the front — restore the
         # stored column order, or every rewrite permutes the sink schema
