@@ -192,19 +192,23 @@ class ParquetVectorSink:
             shutil.rmtree(old)
 
     def upsert(self, df: DataFrame) -> None:
+        # the WRITE stays under the lock too: an append racing a
+        # concurrent delete's whole-root swap would land its files in the
+        # directory the swap is about to retire — silently lost rows
         with self._locked():
             self._recover()
-        if self.n_buckets:
-            # recompute, never trust a caller-supplied bucket column — a
-            # mis-bucketed row would be invisible to every future delete
-            df = df.withColumn(
-                self.BUCKET_COL, self._bucket_expr(self.key_col)
-            )
-        writer = df.write.mode("append")
-        parts = self._partition_cols(df)
-        if parts:
-            writer = writer.partitionBy(*parts)
-        writer.parquet(self.base_path)
+            if self.n_buckets:
+                # recompute, never trust a caller-supplied bucket column —
+                # a mis-bucketed row would be invisible to every future
+                # delete
+                df = df.withColumn(
+                    self.BUCKET_COL, self._bucket_expr(self.key_col)
+                )
+            writer = df.write.mode("append")
+            parts = self._partition_cols(df)
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(self.base_path)
 
     def _read_raw(self) -> DataFrame:
         return self.spark.read.parquet(self.base_path)
