@@ -273,6 +273,7 @@ def pq_encode_vectorized(
     dim: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rotation: list | None = None,
 ) -> DataFrame:
     """Scale path for :func:`pq_encode` (same semantics, same oracle): the
     codebooks (m * k rows, tiny) are collected once into numpy arrays and
@@ -290,6 +291,12 @@ def pq_encode_vectorized(
 
     dsub = dim // m
     books = _collect_books(codebooks, m, dsub)
+    # OPQ: the learned orthonormal rotation ships in the closure and
+    # costs one extra matmul per batch (opq_train's contract)
+    rot = (
+        np.asarray(rotation, dtype=np.float64) if rotation is not None
+        else None
+    )
     out_schema = StructType(
         [
             StructField(id_col, corpus.schema[id_col].dataType),
@@ -302,6 +309,8 @@ def pq_encode_vectorized(
             if pdf.empty:
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if rot is not None:
+                x = x @ rot.T
             codes = np.empty((len(pdf), m), dtype=np.int64)
             for j in range(m):
                 xs = x[:, j * dsub : (j + 1) * dsub]
@@ -327,6 +336,7 @@ def pq_adc_topk_codes(
     m: int,
     dim: int,
     id_col: str = "vec_id",
+    rotation: list | None = None,
 ) -> DataFrame:
     """ADC top-k over the packed ``pq_codes`` column (the layout a 100 TB
     index actually stores): the per-query lookup table is built driver-side
@@ -340,6 +350,7 @@ def pq_adc_topk_codes(
     dsub = dim // m
     rows = codebooks.select("sub", "code", "sv").collect()
     k_per_sub = max(r["code"] for r in rows) + 1
+    query_vector = _maybe_rotate_query(query_vector, rotation)
     q = np.asarray(query_vector, dtype=np.float64)
     lut = np.zeros((m, k_per_sub), dtype=np.float64)
     for r in rows:
@@ -376,6 +387,7 @@ def pq_adc_topk_batch(
     m: int,
     dim: int,
     id_col: str = "vec_id",
+    rotation: list | None = None,
 ) -> DataFrame:
     """Batched ADC: answer EVERY query in one scan of the packed-codes
     table. The per-query lookup tables stack into one (nq, m, k) tensor on
@@ -405,7 +417,7 @@ def pq_adc_topk_batch(
     q_ids = []
     for qi, (q_id, vec) in enumerate(queries):
         q_ids.append(q_id)
-        q = np.asarray(vec, dtype=np.float64)
+        q = np.asarray(_maybe_rotate_query(vec, rotation), dtype=np.float64)
         for r in rows:
             qs = q[r["sub"] * dsub : (r["sub"] + 1) * dsub]
             cv = np.asarray(r["sv"], dtype=np.float64)
@@ -453,6 +465,126 @@ def pq_adc_topk_batch(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def _np_pq_train(X, m: int, dsub: int, k: int, iterations: int):
+    """Joint per-subspace Lloyd iterations on a driver-side sample — the
+    numpy twin of :func:`pq_train`'s distributed form (same conventions:
+    first-k-row seeds, 6dp-rounded argmin ties to the lowest code, empty
+    cells keep their codeword)."""
+    import numpy as np
+
+    kk = min(k, len(X))
+    books = np.stack(
+        [X[:kk, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
+    )
+    for _ in range(iterations):
+        for j in range(m):
+            xs = X[:, j * dsub : (j + 1) * dsub]
+            cb = books[j]
+            d = (
+                (xs * xs).sum(axis=1)[:, None]
+                - 2.0 * (xs @ cb.T)
+                + (cb * cb).sum(axis=1)[None, :]
+            )
+            codes = np.argmin(np.round(d, 6), axis=1)
+            for c in range(kk):
+                mask = codes == c
+                if mask.any():
+                    books[j, c] = np.round(xs[mask].mean(axis=0), 6)
+    return books
+
+
+def _np_pq_reconstruct(X, books, m: int, dsub: int):
+    import numpy as np
+
+    Y = np.empty_like(X)
+    for j in range(m):
+        xs = X[:, j * dsub : (j + 1) * dsub]
+        cb = books[j]
+        d = (
+            (xs * xs).sum(axis=1)[:, None]
+            - 2.0 * (xs @ cb.T)
+            + (cb * cb).sum(axis=1)[None, :]
+        )
+        Y[:, j * dsub : (j + 1) * dsub] = cb[
+            np.argmin(np.round(d, 6), axis=1)
+        ]
+    return Y
+
+
+def opq_train(
+    corpus: DataFrame,
+    m: int,
+    dim: int,
+    k: int = 16,
+    iterations: int = 5,
+    pq_iterations: int = 3,
+    sample_size: int = 20_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Optimized Product Quantization (Ge et al., CVPR 2013 — public
+    literature; the non-parametric alternating form): learn an ORTHONORMAL
+    rotation R so that ``R @ x`` splits into subspaces PQ quantizes well —
+    plain PQ assumes the coordinate split is already decorrelated, and on
+    mixed/correlated embeddings that assumption costs recall
+    (tests/test_pq.py A/B).
+
+    Alternation per iteration: (a) train PQ codebooks on the rotated
+    sample, (b) reconstruct, (c) update R by orthogonal Procrustes
+    (SVD of X^T Y). Trains DRIVER-SIDE on the ``sample_size`` lowest-id
+    vectors (deterministic, like pq_train's seeding; OPQ is standardly
+    sample-trained), then the rotation applies at corpus scale as ONE
+    extra matmul inside the existing Arrow encode pass
+    (``pq_encode_vectorized(rotation=...)``) and queries rotate
+    driver-side (``rotation=`` on the ADC scorers).
+
+    Returns ``(rotation, codebooks_df)``: rotation as a dim x dim nested
+    list (JSON/closure friendly), codebooks trained in the ROTATED space.
+    """
+    import numpy as np
+
+    dsub = dim // m
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col))
+        .limit(int(sample_size))
+        .collect()
+    )
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    R = np.eye(dim)
+    books = None
+    for _ in range(iterations):
+        Xr = X @ R.T
+        books = _np_pq_train(Xr, m, dsub, k, pq_iterations)
+        Y = _np_pq_reconstruct(Xr, books, m, dsub)
+        # orthogonal Procrustes: min_{Q^T Q = I} ||X Q - Y||_F with
+        # Q = R^T  ->  Q = U V^T from SVD(X^T Y)
+        U, _s, Vt = np.linalg.svd(X.T @ Y)
+        R = (U @ Vt).T
+    spark = corpus.sparkSession
+    cb_rows = [
+        (j, int(c), [float(v) for v in books[j, c]])
+        for j in range(m)
+        for c in range(books.shape[1])
+    ]
+    codebooks = spark.createDataFrame(
+        cb_rows, "sub int, code long, sv array<double>"
+    )
+    return [[float(v) for v in row] for row in R], codebooks
+
+
+def _maybe_rotate_query(query_vector, rotation):
+    if rotation is None:
+        return query_vector
+    import numpy as np
+
+    return [
+        float(v)
+        for v in np.asarray(rotation, dtype=np.float64)
+        @ np.asarray(query_vector, dtype=np.float64)
+    ]
 
 
 def residual_table(
