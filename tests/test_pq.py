@@ -601,3 +601,111 @@ def test_opq_rotation_beats_plain_pq_on_correlated_data(spark):
     # determinism: retraining yields the identical rotation
     rot2, _ = opq_train(emb, m, dim, k=16, iterations=5)
     assert np.allclose(np.asarray(rot2), R)
+
+
+def test_opq_composes_with_residual_ivfpq(spark, tmp_path):
+    """The full OPQ,IVF,PQ chain: cells assign in the ORIGINAL space
+    (cosine is rotation-invariant), codes quantize R @ (x - c). On
+    clusters whose WITHIN-cluster structure is anisotropic and mixed
+    across subspace boundaries, rotated residuals beat plain residuals
+    at the same budget — and the persisted index carries the rotation in
+    _meta.json so loads and appends stay mode-consistent."""
+    import numpy as np
+
+    from vectordb_data_ingestion_spark.operators.pq import (
+        opq_train,
+        pq_adc_topk_codes_residual,
+        pq_encode_residual_vectorized,
+        pq_train,
+        residual_table,
+    )
+    from vectordb_data_ingestion_spark.operators.vector_index import (
+        build_ivfpq_index,
+        load_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    m, dim, k, n_probe = 4, 16, 10, 3
+    rng = np.random.default_rng(23)
+    centers = np.abs(rng.normal(3.0, 1.0, (8, dim))) + 1.0
+    mix, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+    pts, rows = [], []
+    for ci in range(8):
+        local = rng.normal(size=(250, dim)) * np.linspace(1.2, 0.05, dim)
+        pts.append(centers[ci] + local @ mix.T)
+    x = np.vstack(pts)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(v) for v in centers[i]]) for i in range(len(centers))],
+        "c_id long, c_embedding array<double>",
+    )
+    rt = residual_table(emb, cents)
+
+    def exact_topk(q):
+        d = ((x - q) ** 2).sum(axis=1)
+        return set(np.lexsort((np.arange(len(x)), d))[:k])
+
+    queries = [x[i] + 0.01 for i in (10, 600, 1100, 1700)]
+
+    books_plain = pq_train(rt, m, dim, k=16, iterations=3, vec_col="rvec")
+    enc_plain = pq_encode_residual_vectorized(emb, cents, books_plain, m, dim)
+    rot, books_opq = opq_train(rt, m, dim, k=16, iterations=5, vec_col="rvec")
+    enc_opq = pq_encode_residual_vectorized(
+        emb, cents, books_opq, m, dim, rotation=rot
+    )
+
+    hits_p = hits_o = total = 0
+    for q in queries:
+        truth = exact_topk(q)
+        qv = [float(v) for v in q]
+        got_p = {
+            r["vec_id"]
+            for r in pq_adc_topk_codes_residual(
+                enc_plain, books_plain, cents, qv, k,
+                n_probe=n_probe, m=m, dim=dim,
+            ).collect()
+        }
+        got_o = {
+            r["vec_id"]
+            for r in pq_adc_topk_codes_residual(
+                enc_opq, books_opq, cents, qv, k,
+                n_probe=n_probe, m=m, dim=dim, rotation=rot,
+            ).collect()
+        }
+        hits_p += len(got_p & truth)
+        hits_o += len(got_o & truth)
+        total += k
+    assert hits_o / total > hits_p / total, (hits_o / total, hits_p / total)
+
+    # persisted chain: rotation survives the index roundtrip
+    out = str(tmp_path / "opqidx")
+    build_ivfpq_index(
+        emb, cents, books_opq, out, m=m, dim=dim, residual=True, rotation=rot
+    )
+    idx = load_ivfpq_index(spark, out)
+    assert idx.residual and idx.rotation is not None
+    qv = [float(v) for v in queries[0]]
+    via_index = {
+        r["vec_id"] for r in query_ivfpq_index(idx, qv, k, n_probe=n_probe).collect()
+    }
+    direct = {
+        r["vec_id"]
+        for r in pq_adc_topk_codes_residual(
+            enc_opq, books_opq, cents, qv, k, n_probe=n_probe, m=m, dim=dim,
+            rotation=rot,
+        ).collect()
+    }
+    assert via_index == direct
+
+    # a rotation without residual is refused loudly (direct pruning would
+    # need rotated centroids)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="residual=True"):
+        build_ivfpq_index(
+            emb, cents, books_opq, str(tmp_path / "bad"),
+            m=m, dim=dim, residual=False, rotation=rot,
+        )

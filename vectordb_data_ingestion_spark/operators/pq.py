@@ -643,6 +643,7 @@ def pq_encode_residual_vectorized(
     id_col: str = "vec_id",
     centroid_id: str = "c_id",
     centroid_vec: str = "c_embedding",
+    rotation: list | None = None,
 ) -> DataFrame:
     """(id, cell, pq_codes) with RESIDUAL encoding (Jegou et al. 2011 §IV /
     FAISS IVFADC): codes quantize ``x - centroid[cell]``, not ``x``.
@@ -680,6 +681,11 @@ def pq_encode_residual_vectorized(
         ]
     )
 
+    rot = (
+        np.asarray(rotation, dtype=np.float64) if rotation is not None
+        else None
+    )
+
     def encode(batches):
         for pdf in batches:
             if pdf.empty:
@@ -687,6 +693,8 @@ def pq_encode_residual_vectorized(
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             cents = np.stack([cmap[c] for c in pdf["cell"]])
             r = x - cents
+            if rot is not None:
+                r = r @ rot.T
             codes = np.empty((len(pdf), m), dtype=np.int64)
             for j in range(m):
                 xs = r[:, j * dsub : (j + 1) * dsub]
@@ -731,6 +739,7 @@ def pq_adc_topk_codes_residual(
     id_col: str = "vec_id",
     centroid_id: str = "c_id",
     centroid_vec: str = "c_embedding",
+    rotation: list | None = None,
 ) -> DataFrame:
     """Residual-ADC top-k: probe the ``n_probe`` nearest cells (the shared
     :func:`similarity.nearest_cells` contract), build ONE lookup table per
@@ -758,9 +767,18 @@ def pq_adc_topk_codes_residual(
         centroid_vec=centroid_vec, centroid_id=centroid_id,
     )
     q = np.asarray(query_vector, dtype=np.float64)
+    rot = (
+        np.asarray(rotation, dtype=np.float64) if rotation is not None
+        else None
+    )
     luts = {}
     for cell in probe:
+        # OPQ composition: the stored codes quantize R(x - c), so the
+        # per-cell table is built from R(q - c) — probing stays in the
+        # ORIGINAL space (cosine is rotation-invariant)
         qr = q - cmap[cell]
+        if rot is not None:
+            qr = rot @ qr
         lut = np.zeros((m, books.shape[1]), dtype=np.float64)
         for j in range(m):
             qs = qr[j * dsub : (j + 1) * dsub]

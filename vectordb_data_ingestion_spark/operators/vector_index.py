@@ -34,6 +34,7 @@ class IvfPqIndex:
     m: int
     dim: int
     residual: bool = False  # codes quantize x - centroid[cell] (IVFADC)
+    rotation: list | None = None  # OPQ rotation the codes were built under
 
 
 def build_ivfpq_index(
@@ -48,6 +49,7 @@ def build_ivfpq_index(
     centroid_id: str = "c_id",
     centroid_vec: str = "c_embedding",
     residual: bool = False,
+    rotation: list | None = None,
 ) -> None:
     """One corpus pass: assign each vector's coarse cell (broadcast
     centroids, vectorized matmul) and its PQ codes (broadcast codebooks,
@@ -75,7 +77,14 @@ def build_ivfpq_index(
         codes = pq_encode_residual_vectorized(
             emb, centroids, codebooks, m, dim, vec_col=vec_col,
             id_col=id_col, centroid_id=centroid_id,
-            centroid_vec=centroid_vec,
+            centroid_vec=centroid_vec, rotation=rotation,
+        )
+    elif rotation is not None:
+        raise ValueError(
+            "rotation requires residual=True here: the direct encoder "
+            "would need rotated CENTROID pruning too — compose OPQ with "
+            "the residual (IVFADC) form, where probing stays in the "
+            "original space"
         )
     else:
         assigned = assign_ivf_cells_vectorized(
@@ -99,7 +108,15 @@ def build_ivfpq_index(
         os.path.join(out_dir, "codebooks")
     )
     with open(os.path.join(out_dir, "_meta.json"), "w") as fh:
-        json.dump({"residual": bool(residual), "m": m, "dim": dim}, fh)
+        json.dump(
+            {
+                "residual": bool(residual),
+                "m": m,
+                "dim": dim,
+                "rotation": rotation,
+            },
+            fh,
+        )
 
 
 def _migrate_legacy_flat_codes(codes_dir: str, force: bool = False) -> bool:
@@ -209,12 +226,13 @@ def load_ivfpq_index(
         _migrate_legacy_flat_codes(os.path.join(out_dir, "codes"))
     except OSError:
         pass
-    residual = False
+    residual, rotation = False, None
     meta_path = os.path.join(out_dir, "_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             meta = json.load(fh)
         residual = bool(meta.get("residual", False))
+        rotation = meta.get("rotation")
         m = int(meta.get("m", m))
         dim = int(meta.get("dim", dim))
     return IvfPqIndex(
@@ -224,6 +242,7 @@ def load_ivfpq_index(
         m=m,
         dim=dim,
         residual=residual,
+        rotation=rotation,
     )
 
 
@@ -264,6 +283,7 @@ def query_ivfpq_index(
             id_col=id_col,
             centroid_id=centroid_id,
             centroid_vec=centroid_vec,
+            rotation=index.rotation,
         )
 
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
@@ -330,13 +350,15 @@ def foreach_batch_index_append(
         # appends MUST match the stored encoding: direct-encoded rows
         # appended to a residual index (or vice versa) would silently
         # corrupt every query that touches their cells
-        residual = False
+        residual, rotation = False, None
         meta_path = _os.path.join(out_dir, "_meta.json")
         if _os.path.exists(meta_path):
             import json as _json
 
             with open(meta_path) as fh:
-                residual = bool(_json.load(fh).get("residual", False))
+                meta = _json.load(fh)
+            residual = bool(meta.get("residual", False))
+            rotation = meta.get("rotation")
         if residual:
             from vectordb_data_ingestion_spark.operators.pq import (
                 pq_encode_residual_vectorized,
@@ -345,7 +367,7 @@ def foreach_batch_index_append(
             codes = pq_encode_residual_vectorized(
                 batch_df, centroids, codebooks, m, dim, vec_col=vec_col,
                 id_col=id_col, centroid_id=centroid_id,
-                centroid_vec=centroid_vec,
+                centroid_vec=centroid_vec, rotation=rotation,
             )
         else:
             assigned = assign_ivf_cells_vectorized(
