@@ -1,0 +1,396 @@
+"""Object-store-safe commit protocol (VERDICT r6 item 2): the
+ConditionalStore primitives, the ManifestVectorSink built on them, and the
+two-phase datasource writer's CAS manifest publication — each scenario the
+rename/flock protocol's tests pin (crash-replay, concurrent mutators,
+bucketed pruning, replay idempotence), re-proven under conditional-put
+bindings."""
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_data_ingestion_spark.sinks.commit_store import (
+    CasConflict,
+    FileConditionalStore,
+    MemoryConditionalStore,
+    cas_update,
+)
+from vectordb_data_ingestion_spark.sinks.manifest_sink import ManifestVectorSink
+
+
+# ---------------------------------------------------------------------------
+# commit primitives
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(params=["memory", "file"])
+def store(request, tmp_path):
+    if request.param == "memory":
+        return MemoryConditionalStore()
+    return FileConditionalStore(str(tmp_path / "store"))
+
+
+def test_conditional_store_semantics(store):
+    # create requires token=None; wrong token fails; token advances
+    assert store.get("k") is None
+    assert not store.put_if("k", b"x", 0)  # key absent, token must be None
+    assert store.put_if("k", b"v1", None)
+    data, tok1 = store.get("k")
+    assert data == b"v1"
+    assert not store.put_if("k", b"v2", None)  # exists now
+    assert store.put_if("k", b"v2", tok1)
+    data, tok2 = store.get("k")
+    assert data == b"v2" and tok2 != tok1
+    # delete honors the token the same way
+    assert not store.delete_if("k", tok1)
+    assert store.delete_if("k", tok2)
+    assert store.get("k") is None
+    assert store.delete_if("k", None)  # already gone + None token = ok
+
+
+def test_cas_update_concurrent_counters_lossless(store):
+    """The lost-update scenario the flock used to close: N threads each
+    increment a shared counter via read-modify-write. With CAS retry, all
+    increments land."""
+    N, PER = 8, 25
+
+    def bump():
+        for _ in range(PER):
+            cas_update(
+                store,
+                "counter",
+                lambda d: str(int(d or b"0") + 1).encode(),
+            )
+
+    threads = [threading.Thread(target=bump) for _ in range(N)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert int(store.get("counter")[0]) == N * PER
+
+
+def test_cas_update_gives_up_loudly():
+    class AlwaysConflict(MemoryConditionalStore):
+        def put_if(self, key, data, token):
+            return False
+
+    with pytest.raises(CasConflict):
+        cas_update(AlwaysConflict(), "k", lambda d: b"x", max_retries=3,
+                   backoff=0)
+
+
+def test_file_store_adopts_pre_cas_files(tmp_path):
+    """A manifest written by the pre-CAS flock protocol (data file, no
+    version sidecar) must read as version 0 and stay CAS-able — existing
+    sinks upgrade in place."""
+    root = str(tmp_path / "legacy")
+    os.makedirs(root)
+    with open(os.path.join(root, "m.jsonl"), "wb") as fh:
+        fh.write(b"old line\n")
+    s = FileConditionalStore(root)
+    data, tok = s.get("m.jsonl")
+    assert data == b"old line\n" and tok == 0
+    assert s.put_if("m.jsonl", b"old line\nnew line\n", tok)
+    assert s.get("m.jsonl")[0].endswith(b"new line\n")
+
+
+# ---------------------------------------------------------------------------
+# ManifestVectorSink — both bindings
+# ---------------------------------------------------------------------------
+
+
+def _sink(spark, tmp_path, binding, name="msink", **kw):
+    store = MemoryConditionalStore() if binding == "memory" else None
+    return ManifestVectorSink(
+        spark, str(tmp_path / name), partition_col=None, store=store, **kw
+    )
+
+
+@pytest.fixture(params=["file", "memory"])
+def binding(request):
+    return request.param
+
+
+def test_manifest_sink_roundtrip_and_delete(spark, tmp_path, binding):
+    sink = _sink(spark, tmp_path, binding)
+    df = spark.createDataFrame(
+        [(f"c{i}", f"doc{i % 3}", float(i)) for i in range(12)],
+        "chunk_id string, url string, v double",
+    )
+    sink.upsert(df)
+    assert sink.read().count() == 12
+    sink.delete_where("url", ["doc0"])
+    remaining = sink.read()
+    assert remaining.count() == 8
+    assert remaining.filter(F.col("url") == "doc0").count() == 0
+    # delete-then-insert refresh: re-add doc0 rows idempotently
+    sink.upsert(df.filter(F.col("url") == "doc0"))
+    assert sink.read().count() == 12
+
+
+def test_manifest_sink_bucketed_prunes_by_reference(spark, tmp_path, binding):
+    """Key deletes rewrite only touched buckets; untouched buckets' parquet
+    files carry over into the new manifest BY REFERENCE — the exact same
+    file paths, zero bytes copied."""
+    sink = _sink(
+        spark, tmp_path, binding, key_col="chunk_id", n_buckets=8
+    )
+    df = spark.createDataFrame(
+        [(f"c{i}", f"text {i}") for i in range(40)],
+        "chunk_id string, text string",
+    )
+    sink.upsert(df)
+    assert sink.read().count() == 40
+    assert sorted(sink.read().columns) == ["chunk_id", "text"]
+
+    manifest_before, _ = sink._get_manifest()
+    files_before = {
+        (s["dir"], f) for s in manifest_before["segments"] for f in s["files"]
+    }
+    victim_bucket = spark.createDataFrame([("c7",)], ["chunk_id"]).select(
+        F.pmod(F.xxhash64("chunk_id"), F.lit(8)).cast("int")
+    ).first()[0]
+
+    sink.delete_where("chunk_id", ["c7"])
+    assert sink.read().count() == 39
+    assert sink.read().filter(F.col("chunk_id") == "c7").count() == 0
+
+    manifest_after, _ = sink._get_manifest()
+    files_after = {
+        (s["dir"], f) for s in manifest_after["segments"] for f in s["files"]
+    }
+    surviving_refs = files_before & files_after
+    dropped = files_before - files_after
+    # every untouched-bucket file survived as the SAME reference; only the
+    # victim bucket's files were replaced
+    assert all(f"pbucket={victim_bucket}/" in f for _d, f in dropped)
+    untouched_before = {
+        (d, f) for d, f in files_before
+        if f"pbucket={victim_bucket}/" not in f
+    }
+    assert untouched_before <= surviving_refs
+
+
+def test_manifest_sink_bucketed_key_type_cast(spark, tmp_path, binding):
+    """Same xxhash64 type rule as ParquetVectorSink: int-typed stored key
+    deleted with long-inferred values must still prune the right bucket."""
+    sink = _sink(
+        spark, tmp_path, binding, name="ik", key_col="doc_id", n_buckets=8
+    )
+    sink.upsert(
+        spark.createDataFrame(
+            [(i, f"t{i}") for i in range(20)], "doc_id int, text string"
+        )
+    )
+    sink.delete_where("doc_id", [7])
+    remaining = sink.read()
+    assert remaining.count() == 19
+    assert remaining.filter(F.col("doc_id") == 7).count() == 0
+
+
+def test_manifest_sink_crash_before_cas_is_invisible(spark, tmp_path, binding):
+    """A mutation that dies before its conditional put leaves an orphan
+    segment no reader sees; vacuum reclaims it. This is the whole
+    crash-recovery story — no rename dance, no recovery state machine."""
+    sink = _sink(spark, tmp_path, binding, name="crash")
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "chunk_id string, v long")
+    sink.upsert(df)
+
+    # simulate the crash: segment written, CAS never issued
+    orphan = sink._write_segment(
+        spark.createDataFrame([("ghost", 99)], "chunk_id string, v long")
+    )
+    assert sink.read().count() == 2  # invisible
+    assert {r["chunk_id"] for r in sink.read().collect()} == {"a", "b"}
+    assert sink.vacuum() == 1  # orphan reclaimed
+    assert not os.path.isdir(
+        os.path.join(sink.base_path, "_data", orphan["dir"])
+    )
+    assert sink.read().count() == 2
+
+
+def test_manifest_sink_concurrent_delete_vs_upsert(spark, tmp_path, binding):
+    """delete and upsert race on the CAS instead of serializing on a lock:
+    whatever the interleaving, neither side's rows are lost — the upserted
+    rows are visible and the deleted keys are gone."""
+    sink = _sink(spark, tmp_path, binding, name="race")
+    base = spark.createDataFrame(
+        [(f"c{i}", 1) for i in range(10)], "chunk_id string, v long"
+    )
+    sink.upsert(base)
+    extra = spark.createDataFrame(
+        [(f"x{i}", 2) for i in range(5)], "chunk_id string, v long"
+    )
+    errs = []
+
+    def deleter():
+        try:
+            sink.delete_where("chunk_id", ["c0", "c1", "c2"])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def upserter():
+        try:
+            sink.upsert(extra)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1, t2 = threading.Thread(target=deleter), threading.Thread(target=upserter)
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errs
+    got = {r["chunk_id"] for r in sink.read().collect()}
+    assert got == ({f"c{i}" for i in range(3, 10)} | {f"x{i}" for i in range(5)})
+
+
+def test_manifest_sink_refresh_replay_idempotent(spark, tmp_path, binding):
+    """The reference's refresh contract (delete-then-insert per batch,
+    cmfunctions.py:177-261) replayed with the same batch converges: the
+    manifest sink plugs into refresh_batch_fn's auto-detected distributed
+    delete path."""
+    from vectordb_data_ingestion_spark.streaming.incremental import (
+        refresh_batch_fn,
+    )
+
+    sink = _sink(spark, tmp_path, binding, name="refresh")
+    run_batch = refresh_batch_fn(
+        transform=lambda df: df,
+        sink_upsert=sink.upsert,
+        sink_delete_where=sink.delete_where,
+        key_col="url",
+    )
+    b1 = spark.createDataFrame(
+        [("u1", "v1"), ("u2", "v1")], "url string, text string"
+    )
+    run_batch(b1, 0)
+    run_batch(b1, 0)  # at-least-once replay
+    got = {(r["url"], r["text"]) for r in sink.read().collect()}
+    assert got == {("u1", "v1"), ("u2", "v1")}
+
+    b2 = spark.createDataFrame(
+        [("u1", "v2"), ("u3", "v2")], "url string, text string"
+    )
+    run_batch(b2, 1)
+    run_batch(b2, 1)
+    got = {(r["url"], r["text"]) for r in sink.read().collect()}
+    assert got == {("u1", "v2"), ("u2", "v1"), ("u3", "v2")}
+
+
+def test_manifest_sink_layout_mismatch_refused(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "file", name="layout",
+                 key_col="chunk_id", n_buckets=4)
+    sink.upsert(spark.createDataFrame([("a", 1)], "chunk_id string, v long"))
+    with pytest.raises(RuntimeError, match="layout"):
+        ManifestVectorSink(
+            spark, str(tmp_path / "layout"), partition_col=None
+        )
+
+
+def test_manifest_sink_compact(spark, tmp_path, binding):
+    sink = _sink(spark, tmp_path, binding, name="cmp")
+    for i in range(4):
+        sink.upsert(
+            spark.createDataFrame([(f"c{i}", i)], "chunk_id string, v long")
+        )
+    assert sink.compact() == 4
+    assert sink.read().count() == 4
+    manifest, _ = sink._get_manifest()
+    assert len(manifest["segments"]) == 1
+    assert sink.vacuum() == 4  # the four pre-compaction segment dirs
+
+
+# ---------------------------------------------------------------------------
+# two-phase datasource writer under both bindings
+# ---------------------------------------------------------------------------
+
+
+def _writer(path, overwrite=False):
+    from vectordb_data_ingestion_spark.sinks.datasource_writer import (
+        VectorStoreWriter,
+    )
+
+    return VectorStoreWriter(
+        {"path": path, "class_name": "Chunk", "batch_size": "2"}, overwrite
+    )
+
+
+def _rows(ids):
+    from pyspark.sql import Row
+
+    return [Row(chunk_id=i, text=f"t-{i}") for i in ids]
+
+
+@pytest.fixture(params=["file", "memory"])
+def writer_store(request, tmp_path):
+    if request.param == "memory":
+        return MemoryConditionalStore()
+    return None  # writer builds its default FileConditionalStore
+
+
+def test_writer_commit_protocol_under_binding(tmp_path, writer_store):
+    """The two-phase writer's spool -> commit -> read_committed contract,
+    exercised directly (write/commit are plain methods) under each
+    commit-primitive binding: uncommitted spools invisible, append commits
+    accumulate, overwrite retires exactly the replaced generation."""
+    from vectordb_data_ingestion_spark.sinks import datasource_writer as dw
+
+    path = str(tmp_path / "store")
+    w = _writer(path)
+    store = writer_store or dw._manifest_store(path)
+
+    m1 = w.write(iter(_rows(["a", "b", "c"])))
+    # spooled but uncommitted: invisible
+    assert dw.read_committed(path, store=store) == []
+    w.commit([m1], store=store)
+    assert {o["chunk_id"] for o in dw.read_committed(path, store=store)} == {
+        "a", "b", "c",
+    }
+
+    # append commit accumulates
+    m2 = w.write(iter(_rows(["d"])))
+    w.commit([m2], store=store)
+    assert {o["chunk_id"] for o in dw.read_committed(path, store=store)} == {
+        "a", "b", "c", "d",
+    }
+
+    # overwrite retires the replaced generation's spool files
+    w_over = _writer(path, overwrite=True)
+    m3 = w_over.write(iter(_rows(["z"])))
+    w_over.commit([m3], store=store)
+    assert {o["chunk_id"] for o in dw.read_committed(path, store=store)} == {
+        "z",
+    }
+    spool = os.path.join(path, "_spool")
+    assert sorted(os.listdir(spool)) == [m3.filename]
+
+    # abort removes only what it was told about
+    m4 = w.write(iter(_rows(["q"])))
+    w.abort([m4])
+    assert sorted(os.listdir(spool)) == [m3.filename]
+    # vacuum cleans orphans of dead tasks under the same binding
+    w.write(iter(_rows(["orphan"])))
+    assert dw.vacuum(path, store=store) == 1
+
+
+def test_writer_concurrent_append_commits_lossless_cas(tmp_path, writer_store):
+    """The race the flock used to close, now closed by CAS: N threads
+    commit appends concurrently; every manifest line survives."""
+    from vectordb_data_ingestion_spark.sinks import datasource_writer as dw
+
+    path = str(tmp_path / "ccommit")
+    w = _writer(path)
+    store = writer_store or dw._manifest_store(path)
+    msgs = [w.write(iter(_rows([f"id{i}"]))) for i in range(8)]
+    threads = [
+        threading.Thread(target=w.commit, args=([m],), kwargs={"store": store})
+        for m in msgs
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    got = {o["chunk_id"] for o in dw.read_committed(path, store=store)}
+    assert got == {f"id{i}" for i in range(8)}

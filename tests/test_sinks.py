@@ -481,3 +481,65 @@ def test_sink_mutations_serialize_on_flock(spark, tmp_path):
     t.join(60)
     assert order == ["contender-start", "holder-release", "contender-done"]
     assert {r["chunk_id"] for r in sink.read().collect()} == {"b"}
+
+
+def test_bucketed_delete_casts_key_type_to_stored(spark, tmp_path):
+    """xxhash64 is TYPE-sensitive: hash(1 as int) != hash(1 as long). A
+    sink whose key column was stored as int, deleted with Python ints
+    (createDataFrame infers LongType), used to prune the WRONG buckets
+    and silently delete nothing. The key set must be cast to the stored
+    key type before bucket pruning (ADVICE r6)."""
+    sink = ParquetVectorSink(
+        spark, str(tmp_path / "intkey"), partition_col=None,
+        key_col="doc_id", n_buckets=8,
+    )
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id int, text string"
+    )
+    sink.upsert(df)
+    assert sink.read().count() == 40
+
+    # list form (values infer LongType on the way in)
+    sink.delete_where("doc_id", [7, 11])
+    remaining = sink.read()
+    assert remaining.count() == 38
+    assert remaining.filter(F.col("doc_id").isin(7, 11)).count() == 0
+
+    # DataFrame form with an explicitly LongType key set
+    keys = spark.createDataFrame([(13,), (17,)], "doc_id long")
+    sink.delete_where_df("doc_id", keys)
+    remaining = sink.read()
+    assert remaining.count() == 36
+    assert remaining.filter(F.col("doc_id").isin(13, 17)).count() == 0
+
+
+def test_upsert_refuses_mismatched_bucket_layout(spark, tmp_path):
+    """A bucketed-configured sink must not append pbucket= files into an
+    existing unbucketed store (mixed partition layouts break every later
+    read), and vice versa — the same error delete raises, but at WRITE
+    time (ADVICE r6)."""
+    df = spark.createDataFrame([("a", 1)], "chunk_id string, v long")
+
+    plain = ParquetVectorSink(spark, str(tmp_path / "mix"), partition_col=None)
+    plain.upsert(df)
+    bucketed = ParquetVectorSink(
+        spark, str(tmp_path / "mix"), partition_col=None,
+        key_col="chunk_id", n_buckets=4,
+    )
+    with pytest.raises(RuntimeError, match="unbucketed"):
+        bucketed.upsert(df)
+
+    bsink = ParquetVectorSink(
+        spark, str(tmp_path / "mix2"), partition_col=None,
+        key_col="chunk_id", n_buckets=4,
+    )
+    bsink.upsert(df)
+    plain2 = ParquetVectorSink(
+        spark, str(tmp_path / "mix2"), partition_col=None
+    )
+    with pytest.raises(RuntimeError, match="hash-bucketed"):
+        plain2.upsert(df)
+
+    # the original stores are intact after the refused writes
+    assert plain.read().count() == 1
+    assert bsink.read().count() == 1

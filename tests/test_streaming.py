@@ -1216,8 +1216,10 @@ def test_near_dup_index_compaction_preserves_admission(spark, tmp_path):
     one negative-id partition without changing ANY admission verdict:
     a near-copy of a pre-compaction doc is still rejected, a fresh doc is
     still admitted, and a replayed batch id never collides with the
-    compacted partition (negative vs >= 0). Second compaction with one
-    partition is a no-op."""
+    compacted partition (negative vs >= 0). The NEWEST batch is never
+    folded (its offset commit may still be pending — see
+    test_compaction_never_folds_pending_replay_batch). Second compaction
+    with one compactable partition is a no-op."""
     import os
 
     from vectordb_data_ingestion_spark.streaming.incremental import (
@@ -1245,9 +1247,14 @@ def test_near_dup_index_compaction_preserves_admission(spark, tmp_path):
     assert len(os.listdir(f"{index_dir}/bands")) == 3
 
     merged = compact_near_dup_index(spark, index_dir)
-    assert merged == 6  # 3 partitions x 2 tables
-    assert os.listdir(f"{index_dir}/bands") == ["batch=-1"]
-    assert os.listdir(f"{index_dir}/shingles") == ["batch=-1"]
+    # batches 0 and 1 fold; batch=2 (newest, possibly pending replay) stays
+    assert merged == 4
+    assert sorted(os.listdir(f"{index_dir}/bands")) == [
+        "batch=-1", "batch=2",
+    ]
+    assert sorted(os.listdir(f"{index_dir}/shingles")) == [
+        "batch=-1", "batch=2",
+    ]
 
     # admission against the compacted index: near-copy of doc 1 rejected,
     # fresh doc admitted — including on replay of the same batch id
@@ -1266,10 +1273,13 @@ def test_near_dup_index_compaction_preserves_admission(spark, tmp_path):
     )
     assert admitted == [0, 1, 2, 11]
 
-    # compacting again folds {batch=-1, batch=3} into batch=-2
+    # compacting again folds {batch=-1, batch=2} into batch=-2; batch=3 is
+    # now the newest and stays out
     assert compact_near_dup_index(spark, index_dir) == 4
-    assert os.listdir(f"{index_dir}/bands") == ["batch=-2"]
-    # and a single-partition index is left alone
+    assert sorted(os.listdir(f"{index_dir}/bands")) == [
+        "batch=-2", "batch=3",
+    ]
+    # with only the compacted generation left compactable, it's a no-op
     assert compact_near_dup_index(spark, index_dir) == 0
 
     # the full verdict history survives both compactions
@@ -1336,3 +1346,58 @@ def test_incremental_refresh_with_bucketed_sink(spark, tmp_path):
     # the storage really is bucketed (layout hidden from readers)
     dirs = [d for d in os.listdir(sink_dir) if d.startswith("pbucket=")]
     assert dirs and "pbucket" not in sink.read().columns
+
+
+def test_compaction_never_folds_pending_replay_batch(spark, tmp_path):
+    """The maintenance-window hazard (ADVICE r6): the stream crashed after
+    writing batch=N's index rows but BEFORE the checkpoint commit, then
+    compaction ran, then the stream restarted and replayed batch N. If
+    compaction had folded batch N into a negative partition, the replay's
+    `batch != N` self-exclusion would no longer see those rows — every doc
+    batch N kept would self-match at jaccard 1.0 and the replay would
+    overwrite out/batch=N with nothing (data loss). Compaction must leave
+    the newest batch partition alone."""
+    import os
+
+    from vectordb_data_ingestion_spark.streaming.incremental import (
+        compact_near_dup_index,
+        near_dup_batch_fn,
+    )
+
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "out")
+    run_batch = near_dup_batch_fn(
+        index_dir=index_dir, out_dir=out_dir, jaccard_threshold=0.5
+    )
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        1: "one two three four five six seven eight nine ten eleven",
+        2: "red orange yellow green blue indigo violet umber ochre teal",
+    }
+    waves = {
+        i: spark.createDataFrame([(i, texts[i])], "doc_id long, text string")
+        for i in texts
+    }
+    run_batch(waves[0], 0)
+    run_batch(waves[1], 1)
+    # batch 2: writes land, offset commit does NOT (crash) — the engine
+    # will replay this exact batch_id on restart
+    run_batch(waves[2], 2)
+
+    # maintenance window: compaction runs before the restart
+    merged = compact_near_dup_index(spark, index_dir)
+    assert merged == 4  # batches 0+1 fold; the pending batch=2 survives
+    assert "batch=2" in os.listdir(f"{index_dir}/bands")
+
+    # restart: the replay must be a lossless no-op
+    run_batch(waves[2], 2)
+    admitted = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert admitted == [0, 1, 2]  # doc 2 NOT self-matched away
+    idx_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{index_dir}/shingles")
+        .select("doc_id").distinct().collect()
+    )
+    assert idx_ids == [0, 1, 2]

@@ -64,6 +64,7 @@ def pq_train(
     iterations: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_driver_elements: int | None = None,
 ) -> DataFrame:
     """Train per-subspace codebooks with JOINT Lloyd iterations under the
     standard PQ objective (squared L2 per subspace, Jegou et al. 2011):
@@ -93,7 +94,14 @@ def pq_train(
         StructType,
     )
 
+    from vectordb_data_ingestion_spark.operators._guards import (
+        check_driver_collect_budget,
+    )
+
     dsub = dim // m
+    # guards BOTH driver materializations: the k-seed collect here and the
+    # per-iteration m*k*(dsub+1) partials (same k x dim order)
+    check_driver_collect_budget(k, dim, "pq_train seeds", max_driver_elements)
     seed_rows = corpus.orderBy(F.col(id_col)).limit(k).collect()
     if len(seed_rows) < k:
         k = len(seed_rows)
@@ -523,6 +531,7 @@ def opq_train(
     sample_size: int = 20_000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_driver_elements: int | None = None,
 ):
     """Optimized Product Quantization (Ge et al., CVPR 2013 — public
     literature; the non-parametric alternating form): learn an ORTHONORMAL
@@ -545,7 +554,14 @@ def opq_train(
     """
     import numpy as np
 
+    from vectordb_data_ingestion_spark.operators._guards import (
+        check_driver_collect_budget,
+    )
+
     dsub = dim // m
+    check_driver_collect_budget(
+        sample_size, dim, "opq_train sample", max_driver_elements
+    )
     rows = (
         corpus.select(id_col, vec_col)
         .orderBy(F.col(id_col))
@@ -734,8 +750,14 @@ def pq_adc_topk_codes_residual(
     query_vector: list[float],
     k: int,
     n_probe: int = 2,
-    m: int = 8,
-    dim: int = 64,
+    *,
+    # m/dim are REQUIRED (like every sibling scorer): defaults here let a
+    # caller decode an index built with different parameters — a shape
+    # error at best, silently wrong distances at worst (wrong dim changes
+    # the query's dsub slicing but can still score). query_ivfpq_index
+    # passes them from the index's _meta.json.
+    m: int,
+    dim: int,
     id_col: str = "vec_id",
     centroid_id: str = "c_id",
     centroid_vec: str = "c_embedding",

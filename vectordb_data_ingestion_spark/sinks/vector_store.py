@@ -191,12 +191,44 @@ class ParquetVectorSink:
         if os.path.exists(base) and os.path.exists(old):
             shutil.rmtree(old)
 
+    def _check_layout_compatible(self) -> None:
+        """A bucketed-configured sink appending into an existing unbucketed
+        store (or vice versa) would mix partition layouts under one root —
+        every subsequent parquet read then dies on a partition-discovery
+        conflict, and key deletes prune buckets that don't exist. Detect the
+        mismatch at WRITE time, the same error :meth:`_delete_buckets`
+        raises at delete time."""
+        import os
+
+        base = self.base_path.rstrip("/")
+        if not os.path.isdir(base):
+            return
+        entries = [e for e in os.listdir(base) if not e.startswith(("_", "."))]
+        if not entries:
+            return
+        bucketed_store = any(
+            e.startswith(f"{self.BUCKET_COL}=") for e in entries
+        )
+        if self.n_buckets and not bucketed_store:
+            raise RuntimeError(
+                f"sink at {base} has no {self.BUCKET_COL!r} layout — it was "
+                "written unbucketed; rebuild it through a bucketed sink (or "
+                "open it with n_buckets=0)"
+            )
+        if not self.n_buckets and bucketed_store:
+            raise RuntimeError(
+                f"sink at {base} is hash-bucketed ({self.BUCKET_COL}= "
+                "layout) — open it with the same key_col/n_buckets it was "
+                "built with"
+            )
+
     def upsert(self, df: DataFrame) -> None:
         # the WRITE stays under the lock too: an append racing a
         # concurrent delete's whole-root swap would land its files in the
         # directory the swap is about to retire — silently lost rows
         with self._locked():
             self._recover()
+            self._check_layout_compatible()
             if self.n_buckets:
                 # recompute, never trust a caller-supplied bucket column —
                 # a mis-bucketed row would be invisible to every future
@@ -313,6 +345,22 @@ class ParquetVectorSink:
 
         base = self.base_path.rstrip("/")
         staging = base + "__rewrite"
+        raw = self._read_raw()
+        if self.BUCKET_COL not in raw.columns:
+            raise RuntimeError(
+                f"sink at {base} has no {self.BUCKET_COL!r} layout — it was "
+                "written unbucketed; rebuild it through a bucketed sink (or "
+                "open it with n_buckets=0)"
+            )
+        # xxhash64 is TYPE-sensitive: hash(1 as int) != hash(1 as long), so
+        # a key set whose inferred type (createDataFrame → LongType) differs
+        # from the stored key column's would prune the WRONG buckets and the
+        # delete would silently remove nothing. Cast to the stored type
+        # first; values that don't survive the cast become NULL, and NULL
+        # keys never delete anything (same rule as the anti-join below).
+        key_df = key_df.select(
+            F.col(col).cast(raw.schema[col].dataType).alias(col)
+        )
         affected = sorted(
             r[0]
             for r in key_df.select(
@@ -322,13 +370,6 @@ class ParquetVectorSink:
         )
         if not affected:
             return
-        raw = self._read_raw()
-        if self.BUCKET_COL not in raw.columns:
-            raise RuntimeError(
-                f"sink at {base} has no {self.BUCKET_COL!r} layout — it was "
-                "written unbucketed; rebuild it through a bucketed sink (or "
-                "open it with n_buckets=0)"
-            )
         current = raw.filter(F.col(self.BUCKET_COL).isin(affected))
         remaining = current.join(key_df, col, "left_anti").select(
             *current.columns

@@ -321,6 +321,14 @@ def compact_near_dup_index(spark: SparkSession, index_dir: str) -> int:
     - compacted partitions get NEGATIVE batch ids (one below the lowest
       existing), so ``run_batch``'s replay-exclusion filter
       (``batch != current_batch_id``, always >= 0) never excludes them;
+    - the HIGHEST non-negative batch id is never compacted: foreachBatch
+      is at-least-once, so the newest ``batch=N`` rows may belong to a
+      batch whose offset commit hasn't landed yet. Folding them into a
+      negative partition would defeat the replay's ``batch != N``
+      self-exclusion — every doc batch N kept would self-match at
+      jaccard 1.0 on restart and the replay would overwrite
+      ``out_dir/batch=N`` with nothing (data loss). Leaving the newest
+      partition out keeps a pending replay's own rows excludable;
     - crash-safe: the merged partition is written to an underscore-
       prefixed staging dir (invisible to Spark's partition discovery),
       ``os.replace``d into place, and only then are source partitions
@@ -348,6 +356,14 @@ def compact_near_dup_index(spark: SparkSession, index_dir: str) -> int:
             if d.startswith("batch=")
             and os.path.isdir(os.path.join(local, d))
         ]
+        # never compact the newest non-negative batch: its offset commit
+        # may not have landed, and a replay must still be able to exclude
+        # its own rows via the `batch != N` filter (see docstring)
+        live = [int(d.split("=", 1)[1]) for d in parts]
+        non_negative = [b for b in live if b >= 0]
+        if non_negative:
+            newest = max(non_negative)
+            parts = [d for d in parts if int(d.split("=", 1)[1]) != newest]
         if len(parts) <= 1:
             continue
         gen = min(int(d.split("=", 1)[1]) for d in parts)
@@ -355,8 +371,11 @@ def compact_near_dup_index(spark: SparkSession, index_dir: str) -> int:
         staging = os.path.join(local, "_compact_staging")
         shutil.rmtree(staging, ignore_errors=True)
         # `batch` is a discovered partition column — drop it so the rows
-        # re-partition under the new batch=<gen> directory name alone
-        spark.read.parquet(root).drop("batch").coalesce(
+        # re-partition under the new batch=<gen> directory name alone;
+        # read ONLY the partitions being merged (the excluded newest batch
+        # must not leak into the compacted generation)
+        srcs = [f"{root}/{d}" for d in parts]
+        spark.read.parquet(*srcs).coalesce(
             max(1, spark.sparkContext.defaultParallelism // 4)
         ).write.mode("overwrite").parquet(staging)
         target = os.path.join(local, f"batch={gen}")
