@@ -394,3 +394,68 @@ def test_writer_concurrent_append_commits_lossless_cas(tmp_path, writer_store):
         t.join(120)
     got = {o["chunk_id"] for o in dw.read_committed(path, store=store)}
     assert got == {f"id{i}" for i in range(8)}
+
+
+def test_manifest_sink_snapshot_reads(spark, tmp_path, binding):
+    """Every committed generation is snapshot-readable until vacuumed out
+    of the retention window (commit-log time travel): read_at(v) returns
+    the visible rows exactly as of commit v; vacuum(retain_versions=N)
+    keeps the last N generations readable and makes older ones fail
+    loudly instead of dangling on reclaimed segments."""
+    sink = _sink(spark, tmp_path, binding, name="tt")
+    sink.upsert(
+        spark.createDataFrame([("a", 1), ("b", 1)], "chunk_id string, v long")
+    )
+    v1 = sink.current_commit_id()
+    sink.upsert(spark.createDataFrame([("c", 2)], "chunk_id string, v long"))
+    v2 = sink.current_commit_id()
+    sink.delete_where("chunk_id", ["a"])
+    v3 = sink.current_commit_id()
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert sink.history() == [3, 2, 1]
+
+    assert {r["chunk_id"] for r in sink.read_at(v1).collect()} == {"a", "b"}
+    assert {r["chunk_id"] for r in sink.read_at(v2).collect()} == {
+        "a", "b", "c",
+    }
+    assert {r["chunk_id"] for r in sink.read_at(v3).collect()} == {"b", "c"}
+    assert {r["chunk_id"] for r in sink.read().collect()} == {"b", "c"}
+
+    # retention: keep one generation back — v2 stays readable, v1 is
+    # reclaimed and fails loudly
+    sink.vacuum(retain_versions=1)
+    assert {r["chunk_id"] for r in sink.read_at(v2).collect()} == {
+        "a", "b", "c",
+    }
+    with pytest.raises(FileNotFoundError, match="no retained manifest"):
+        sink.read_at(v1)
+    # full vacuum: only the current generation's segments survive
+    sink.vacuum(retain_versions=0)
+    assert {r["chunk_id"] for r in sink.read().collect()} == {"b", "c"}
+
+
+def test_manifest_sink_schema_evolution(spark, tmp_path, binding):
+    """An upsert that adds a column must not strand the sink: segments
+    union by name, pre-evolution rows read NULL for the new column (the
+    mixed-footer ambiguity a plain directory read has)."""
+    sink = _sink(spark, tmp_path, binding, name="evo")
+    sink.upsert(
+        spark.createDataFrame([("a", 1)], "chunk_id string, v long")
+    )
+    sink.upsert(
+        spark.createDataFrame(
+            [("b", 2, "en")], "chunk_id string, v long, lang string"
+        )
+    )
+    got = {
+        (r["chunk_id"], r["v"], r["lang"]) for r in sink.read().collect()
+    }
+    assert got == {("a", 1, None), ("b", 2, "en")}
+    # deletes across evolved segments still work (anti-join on the shared
+    # key column; survivors keep their own segment's schema via the same
+    # by-name union)
+    sink.delete_where("chunk_id", ["a"])
+    got = {
+        (r["chunk_id"], r["v"], r["lang"]) for r in sink.read().collect()
+    }
+    assert got == {("b", 2, "en")}
