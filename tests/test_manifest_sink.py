@@ -459,3 +459,14 @@ def test_manifest_sink_schema_evolution(spark, tmp_path, binding):
         (r["chunk_id"], r["v"], r["lang"]) for r in sink.read().collect()
     }
     assert got == {("b", 2, "en")}
+
+
+def test_manifest_sink_maybe_compact_threshold(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "file", name="mc")
+    for i in range(5):
+        sink.upsert(
+            spark.createDataFrame([(f"c{i}", i)], "chunk_id string, v long")
+        )
+    assert sink.maybe_compact(max_segments=8) == 0  # under threshold
+    assert sink.maybe_compact(max_segments=4) == 5  # folds all five
+    assert sink.read().count() == 5

@@ -365,6 +365,19 @@ class ManifestVectorSink:
             f"delete on {self.base_path} lost {self.max_cas_retries} CAS races"
         )
 
+    def maybe_compact(self, max_segments: int = 64) -> int:
+        """Maintenance-cadence form of :meth:`compact`: fold only when the
+        visible segment count exceeds ``max_segments``. Every mutation adds
+        a segment, and each segment adds a scan branch to every read — the
+        same batch-count small-files growth the streaming near-dup index
+        compaction bounds (``compact_near_dup_index``). A refresh pipeline
+        calls this after its batch loop (or on a timer), never in the hot
+        path. Returns segments merged (0 = under threshold)."""
+        manifest, _ = self._get_manifest()
+        if manifest is None or len(manifest["segments"]) <= max_segments:
+            return 0
+        return self.compact()
+
     def compact(self) -> int:
         """Fold every visible segment into one (object-store compaction:
         read visible rows, write a single fresh segment, CAS-swap). Returns

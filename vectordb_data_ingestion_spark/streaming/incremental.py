@@ -329,18 +329,18 @@ def compact_near_dup_index(spark: SparkSession, index_dir: str) -> int:
       jaccard 1.0 on restart and the replay would overwrite
       ``out_dir/batch=N`` with nothing (data loss). Leaving the newest
       partition out keeps a pending replay's own rows excludable;
-    - crash-safe: the merged partition is written to an underscore-
-      prefixed staging dir (invisible to Spark's partition discovery),
-      ``os.replace``d into place, and only then are source partitions
-      deleted. A crash between the swap and the deletes leaves duplicate
-      index rows — admission stays correct (``dup_ids`` is distinct; a
-      duplicate candidate verifies to the same verdict) and the next
-      compaction removes them.
+    - crash-safe WITHOUT renames (r7): the merged rows are written
+      directly to the fresh ``batch=<gen>`` partition (a batch id that
+      never existed; Spark's committer exposes only complete task files),
+      and source partitions are deleted only after the write succeeds.
+      Any crash point leaves duplicate index rows, never missing ones —
+      admission stays correct (``dup_ids`` is distinct; a duplicate
+      candidate verifies to the same verdict) and the next compaction
+      folds the leftovers. Rename-free, so the same sequence is valid on
+      an object store (the source deletes become object deletes).
 
     Returns the number of source partitions merged away (0 = nothing to
-    do). Local-filesystem paths only (the sink layer here is file-based;
-    an object-store deployment would swap the os.* calls for its
-    manifest-commit equivalent, as sinks/datasource_writer.py does)."""
+    do)."""
     import os
     import shutil
 
@@ -368,19 +368,15 @@ def compact_near_dup_index(spark: SparkSession, index_dir: str) -> int:
             continue
         gen = min(int(d.split("=", 1)[1]) for d in parts)
         gen = min(gen, 0) - 1
-        staging = os.path.join(local, "_compact_staging")
-        shutil.rmtree(staging, ignore_errors=True)
-        # `batch` is a discovered partition column — drop it so the rows
-        # re-partition under the new batch=<gen> directory name alone;
         # read ONLY the partitions being merged (the excluded newest batch
-        # must not leak into the compacted generation)
+        # must not leak into the compacted generation) and write straight
+        # to the fresh batch=<gen> dir — no staging, no rename (docstring:
+        # every crash point leaves duplicates, never losses)
         srcs = [f"{root}/{d}" for d in parts]
+        target = os.path.join(local, f"batch={gen}")
         spark.read.parquet(*srcs).coalesce(
             max(1, spark.sparkContext.defaultParallelism // 4)
-        ).write.mode("overwrite").parquet(staging)
-        target = os.path.join(local, f"batch={gen}")
-        shutil.rmtree(target, ignore_errors=True)
-        os.replace(staging, target)
+        ).write.mode("overwrite").parquet(target)
         for d in parts:
             shutil.rmtree(os.path.join(local, d))
             merged += 1
