@@ -470,3 +470,61 @@ def test_manifest_sink_maybe_compact_threshold(spark, tmp_path):
     assert sink.maybe_compact(max_segments=8) == 0  # under threshold
     assert sink.maybe_compact(max_segments=4) == 5  # folds all five
     assert sink.read().count() == 5
+
+
+def test_manifest_sink_randomized_against_model(spark, tmp_path):
+    """Model-based drill: a seeded random sequence of upserts / key
+    deletes / compactions / vacuums runs against both the sink and a
+    plain in-memory multiset model; after every mutation the sink's
+    visible rows equal the model, and at the end every retained snapshot
+    equals the model's state as of that commit. Catches whole classes of
+    manifest-bookkeeping bugs (dropped refs, double refs, wrong-bucket
+    pruning) that example tests can miss."""
+    import random
+
+    rng = random.Random(20260816)
+    sink = _sink(
+        spark, tmp_path, "file", name="model", key_col="k", n_buckets=4
+    )
+    model: list[tuple[str, int]] = []  # multiset of (k, v)
+    snapshots: dict[int, list[tuple[str, int]]] = {}
+
+    def check():
+        got = sorted((r["k"], r["v"]) for r in sink.read().collect())
+        assert got == sorted(model)
+
+    for step in range(18):
+        op = rng.choice(["upsert", "upsert", "delete", "compact", "vacuum"])
+        if op == "upsert":
+            rows = [
+                (f"k{rng.randrange(12)}", rng.randrange(100))
+                for _ in range(rng.randrange(1, 5))
+            ]
+            sink.upsert(spark.createDataFrame(rows, "k string, v int"))
+            model.extend(rows)
+            snapshots[sink.current_commit_id()] = list(model)
+        elif op == "delete":
+            keys = [f"k{rng.randrange(12)}" for _ in range(rng.randrange(1, 4))]
+            before = sink.current_commit_id()
+            sink.delete_where("k", keys)
+            model = [r for r in model if r[0] not in set(keys)]
+            after = sink.current_commit_id()
+            if after != before:  # no-op deletes don't commit
+                snapshots[after] = list(model)
+        elif op == "compact":
+            before = sink.current_commit_id()
+            sink.compact()
+            after = sink.current_commit_id()
+            if after != before:
+                snapshots[after] = list(model)
+        else:
+            sink.vacuum(retain_versions=100)  # keep all history readable
+        if model:
+            check()
+
+    # every retained snapshot reproduces the model's state at that commit
+    for cid, state in snapshots.items():
+        if not state:
+            continue
+        got = sorted((r["k"], r["v"]) for r in sink.read_at(cid).collect())
+        assert got == sorted(state), f"snapshot v{cid} diverged"
