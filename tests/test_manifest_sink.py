@@ -528,3 +528,84 @@ def test_manifest_sink_randomized_against_model(spark, tmp_path):
             continue
         got = sorted((r["k"], r["v"]) for r in sink.read_at(cid).collect())
         assert got == sorted(state), f"snapshot v{cid} diverged"
+
+
+def test_manifest_sink_upsert_cas_exhaustion_cleans_up(spark, tmp_path):
+    """An upsert that loses every CAS retry raises loudly AND removes its
+    staged segment — no silent garbage, no invisible half-commit."""
+    class AlwaysConflict(MemoryConditionalStore):
+        def put_if(self, key, data, token):
+            return False
+
+    sink = ManifestVectorSink(
+        spark, str(tmp_path / "exhaust"), partition_col=None,
+        store=AlwaysConflict(), max_cas_retries=2,
+    )
+    with pytest.raises(RuntimeError, match="CAS races"):
+        sink.upsert(
+            spark.createDataFrame([("a", 1)], "chunk_id string, v long")
+        )
+    data_root = os.path.join(str(tmp_path / "exhaust"), "_data")
+    assert (not os.path.isdir(data_root)) or os.listdir(data_root) == []
+
+
+def test_manifest_sink_streaming_refresh_end_to_end(spark, tmp_path):
+    """The reference's incremental refresh (E2: diff -> delete -> insert)
+    as a REAL checkpointed stream writing through the object-store-safe
+    sink: two availableNow runs, the second updating one document and
+    adding another. Mirrors the ParquetVectorSink end-to-end test so both
+    protocol bindings carry the same integration guarantee."""
+    from vectordb_data_ingestion_spark.streaming.incremental import (
+        foreach_batch_refresh,
+        read_file_stream,
+    )
+
+    stream_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stream_dir)
+    sink = ManifestVectorSink(
+        spark, str(tmp_path / "vectors"), partition_col=None,
+        key_col="url", n_buckets=4,
+    )
+
+    def catalog(version, urls):
+        return spark.createDataFrame(
+            [(u, f"content v{version} of {u}", version) for u in urls],
+            "url string, text string, version int",
+        )
+
+    def transform(batch_df):
+        return batch_df.select(
+            "url",
+            F.sha2(F.concat_ws("#", "url", "text"), 256).alias("chunk_id"),
+            "text",
+            "version",
+        )
+
+    schema = catalog(1, ["u1"]).schema
+
+    def run_once():
+        q = foreach_batch_refresh(
+            read_file_stream(spark, stream_dir, schema),
+            transform,
+            sink_upsert=sink.upsert,
+            sink_delete_where=sink.delete_where,
+            key_col="url",
+            checkpoint=ckpt,
+        ).start()
+        q.awaitTermination(120)
+
+    catalog(1, ["u1", "u2"]).write.mode("append").parquet(stream_dir)
+    run_once()
+    got = {(r["url"], r["version"]) for r in sink.read().collect()}
+    assert got == {("u1", 1), ("u2", 1)}
+
+    catalog(2, ["u1", "u3"]).write.mode("append").parquet(stream_dir)
+    run_once()
+    got = {(r["url"], r["version"]) for r in sink.read().collect()}
+    assert got == {("u1", 2), ("u2", 1), ("u3", 2)}
+    # maintenance cadence after the batch loop
+    sink.maybe_compact(max_segments=1)
+    sink.vacuum()
+    got = {(r["url"], r["version"]) for r in sink.read().collect()}
+    assert got == {("u1", 2), ("u2", 1), ("u3", 2)}
