@@ -5,9 +5,12 @@ streaming index's batch-count small-files growth,
 tools/probe_streaming_state.py). This measures read latency at growing
 segment counts and the reset `maybe_compact` buys.
 
-Method: one fixed-size corpus upserted as K micro-batches (so data volume
-is CONSTANT across the axis — only segment count grows), read-count timed
-at checkpoints, then compacted and re-timed.
+Method: K micro-batch upserts (data volume grows WITH the axis — each
+batch appends rows, as a real refresh does), read-noop timed at
+checkpoints, then compacted and re-timed. The controlled segment-count
+comparison is the LAST pair: read at K segments vs read after compaction
+— same rows, same bytes, 1 segment — so `segment_overhead_at_max` isolates
+the scan-branch cost from data growth.
 
 Writes one JSON line; findings go to BENCH_NOTES.md / SCALE.md.
 
@@ -84,11 +87,15 @@ def main() -> None:
             "batches": batches,
             "unit": "sec",
             "curve": curve,
-            "growth_1_to_max": round(
+            # data grew ~`batches`x along this axis too — NOT a pure
+            # segment-overhead number
+            "read_growth_with_data_and_segments": round(
                 curve[f"read_at_{batches}_segments"]
                 / curve["read_at_1_segments"], 2
             ),
-            "compact_reset": round(
+            # same data, 1 segment vs `batches` segments: the isolated
+            # scan-branch overhead maybe_compact resets
+            "segment_overhead_at_max": round(
                 curve[f"read_at_{batches}_segments"]
                 / curve["read_after_compact"], 2
             ),
