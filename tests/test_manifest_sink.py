@@ -609,3 +609,61 @@ def test_manifest_sink_streaming_refresh_end_to_end(spark, tmp_path):
     sink.vacuum()
     got = {(r["url"], r["version"]) for r in sink.read().collect()}
     assert got == {("u1", 2), ("u2", 1), ("u3", 2)}
+
+
+def test_manifest_sink_partition_drop_is_manifest_only(spark, tmp_path, binding):
+    """delete_where on the PARTITION column is a pure manifest edit: the
+    matching load_dt dirs' files leave the manifest, no segment is
+    written, rows in other partitions are untouched — the 100 TB
+    retention-delete shape. Values compare against the Hive-DECODED path
+    segment, so special characters survive the dir escaping."""
+    store = MemoryConditionalStore() if binding == "memory" else None
+    sink = ManifestVectorSink(
+        spark, str(tmp_path / "ret"), partition_col="load_dt", store=store
+    )
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01"), ("b", "2024-01-01"),
+            ("c", "2024-01-02"), ("d", "v 1"),  # space exercises escaping
+        ],
+        "chunk_id string, load_dt string",
+    )
+    sink.upsert(df)
+    segs_before = [
+        s["dir"] for s in sink._get_manifest()[0]["segments"]
+    ]
+    sink.delete_where("load_dt", ["2024-01-01", "v 1", None])
+    manifest, _ = sink._get_manifest()
+    # no new segment: same dirs, just fewer files referenced
+    assert [s["dir"] for s in manifest["segments"]] == segs_before
+    # str(): with only date-shaped values left, Spark's standard partition
+    # type inference reads load_dt as a date (same as any partitioned
+    # parquet dir read)
+    got = {(r["chunk_id"], str(r["load_dt"])) for r in sink.read().collect()}
+    assert got == {("c", "2024-01-02")}
+    # idempotent: a second drop of the same values is a no-op commit-wise
+    cid = sink.current_commit_id()
+    sink.delete_where("load_dt", ["2024-01-01"])
+    assert sink.current_commit_id() == cid
+
+
+def test_manifest_sink_partition_drop_under_buckets(spark, tmp_path):
+    """Partition drop composes with the bucketed layout: load_dt dirs are
+    dropped inside every pbucket, key deletes still prune afterwards."""
+    sink = ManifestVectorSink(
+        spark, str(tmp_path / "retbk"), partition_col="load_dt",
+        key_col="chunk_id", n_buckets=4,
+    )
+    rows = [
+        (f"c{i}", "2024-01-01" if i % 2 == 0 else "2024-01-02")
+        for i in range(20)
+    ]
+    sink.upsert(
+        spark.createDataFrame(rows, "chunk_id string, load_dt string")
+    )
+    sink.delete_where("load_dt", ["2024-01-01"])
+    got = {r["chunk_id"] for r in sink.read().collect()}
+    assert got == {f"c{i}" for i in range(20) if i % 2 == 1}
+    sink.delete_where("chunk_id", ["c1"])
+    got = {r["chunk_id"] for r in sink.read().collect()}
+    assert got == {f"c{i}" for i in range(20) if i % 2 == 1 and i != 1}

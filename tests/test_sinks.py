@@ -543,3 +543,32 @@ def test_upsert_refuses_mismatched_bucket_layout(spark, tmp_path):
     # the original stores are intact after the refused writes
     assert plain.read().count() == 1
     assert bsink.read().count() == 1
+
+
+def test_unbucketed_open_delete_preserves_bucket_layout(spark, tmp_path):
+    """The documented inspection hatch (open a bucketed store with
+    n_buckets=0) must not let a non-key delete's rewrite FLATTEN the
+    pbucket layout: the rewrite partitions by whatever layout columns the
+    data carries, so a later bucketed open still prunes correctly."""
+    import os
+
+    bucketed = _bucketed(spark, tmp_path, name="keep")
+    bucketed.upsert(
+        spark.createDataFrame(
+            [(f"c{i}", "old" if i < 10 else "new") for i in range(20)],
+            "chunk_id string, tag string",
+        )
+    )
+    plain = ParquetVectorSink(
+        spark, str(tmp_path / "keep"), partition_col=None
+    )
+    plain.delete_where("tag", ["old"])
+    base = str(tmp_path / "keep")
+    assert any(d.startswith("pbucket=") for d in os.listdir(base)), (
+        "layout flattened by the unbucketed rewrite"
+    )
+    # bucketed reopen still works end-to-end, including a pruned delete
+    again = _bucketed(spark, tmp_path, name="keep")
+    assert again.read().count() == 10
+    again.delete_where("chunk_id", ["c15"])
+    assert again.read().count() == 9

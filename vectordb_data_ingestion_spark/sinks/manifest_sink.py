@@ -284,11 +284,70 @@ class ManifestVectorSink:
         df = self._read_raw()
         return df.drop(self.BUCKET_COL) if self.n_buckets else df
 
+    @staticmethod
+    def _hive_unescape(s: str) -> str:
+        """Decode Spark/Hive partition-dir escaping (%XX per special
+        char) back to the value's string rendering."""
+        import re
+
+        return re.sub(
+            r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), s
+        )
+
     def delete_where(self, col: str, values: list[Any]) -> None:
         if not values:
             return
+        if self.partition_col and col == self.partition_col:
+            # retention fast path: every matching row lives in a
+            # `<col>=<value>` partition dir, so the delete is a pure
+            # manifest edit — zero rows scanned, zero bytes rewritten.
+            # The 100 TB shape: dropping aged-out load_dt partitions is
+            # the commonest maintenance delete there is.
+            self._drop_partitions(values)
+            return
         self.delete_where_df(
             col, self.spark.createDataFrame([(v,) for v in values], [col])
+        )
+
+    def _drop_partitions(self, values: list[Any]) -> None:
+        """Remove every file under ``<partition_col>=<value>`` dirs for
+        the given values, by manifest CAS — no data read or written.
+        Values compare by their string rendering against the DECODED
+        path segment (the path is the authoritative Hive-escaped encoding
+        of the value, so 'a b' matches its 'a%20b' dir). NULL values are
+        skipped: equality deletes never match NULL, same as the anti-join
+        paths."""
+        targets = {str(v) for v in values if v is not None}
+        if not targets:
+            return
+        prefix = f"{self.partition_col}="
+
+        def in_targets(path: str) -> bool:
+            for seg in path.split("/"):
+                if seg.startswith(prefix):
+                    if self._hive_unescape(seg[len(prefix):]) in targets:
+                        return True
+            return False
+
+        for attempt in range(self.max_cas_retries + 1):
+            manifest, token = self._get_manifest()
+            if manifest is None:
+                return
+            new_segments = []
+            changed = False
+            for seg in manifest["segments"]:
+                kept = [f for f in seg["files"] if not in_targets(f)]
+                if len(kept) != len(seg["files"]):
+                    changed = True
+                if kept:
+                    new_segments.append({"dir": seg["dir"], "files": kept})
+            if not changed:
+                return
+            if self._commit(manifest, new_segments, token) is not None:
+                return
+        raise RuntimeError(
+            f"partition drop on {self.base_path} lost "
+            f"{self.max_cas_retries} CAS races"
         )
 
     def delete_where_df(self, col: str, keys: DataFrame) -> None:

@@ -119,7 +119,11 @@ class ParquetVectorSink:
 
     def _partition_cols(self, df: DataFrame) -> list[str]:
         cols = []
-        if self.n_buckets and self.BUCKET_COL in df.columns:
+        # keyed on the DATA, not just self.n_buckets: a bucketed store
+        # opened with n_buckets=0 (the documented rebuild/inspection
+        # hatch) must not have a non-key delete's rewrite silently
+        # FLATTEN the pbucket layout future bucketed opens prune on
+        if self.BUCKET_COL in df.columns:
             cols.append(self.BUCKET_COL)
         if self.partition_col and self.partition_col in df.columns:
             cols.append(self.partition_col)
