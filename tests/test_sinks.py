@@ -572,3 +572,52 @@ def test_unbucketed_open_delete_preserves_bucket_layout(spark, tmp_path):
     assert again.read().count() == 10
     again.delete_where("chunk_id", ["c15"])
     assert again.read().count() == 9
+
+
+def test_partition_drop_fast_path(spark, tmp_path):
+    """delete_where on the partition column drops the matching load_dt
+    dirs directly (rename-to-trash + remove) — no scan, no rewrite: the
+    untouched partitions' files are bit-identical afterwards. Works
+    through the bucketed layout too, sweeps stranded trash on reopen,
+    and retires an emptied sink."""
+    import os
+
+    base = str(tmp_path / "ret")
+    sink = ParquetVectorSink(spark, base)  # partition_col="load_dt" default
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01"), ("b", "2024-01-01"),
+            ("c", "2024-01-02"), ("d", "2024-01-03"),
+        ],
+        "chunk_id string, load_dt string",
+    )
+    sink.upsert(df)
+    kept_dir = os.path.join(base, "load_dt=2024-01-02")
+    before = sorted(os.listdir(kept_dir))
+    sink.delete_where("load_dt", ["2024-01-01", None])
+    got = {(r["chunk_id"], str(r["load_dt"])) for r in sink.read().collect()}
+    assert got == {("c", "2024-01-02"), ("d", "2024-01-03")}
+    assert sorted(os.listdir(kept_dir)) == before  # untouched bytes
+
+    # stranded trash from a simulated crash is swept on reopen
+    os.makedirs(base + "__trash_deadbeef")
+    ParquetVectorSink(spark, base)
+    assert not os.path.exists(base + "__trash_deadbeef")
+
+    # dropping everything retires the sink (husk rule)
+    sink.delete_where("load_dt", ["2024-01-02", "2024-01-03"])
+    assert not os.path.exists(base)
+    sink.upsert(df.limit(1))
+    assert sink.read().count() == 1
+
+    # composed with buckets: load_dt dirs live one level down
+    bsink = ParquetVectorSink(
+        spark, str(tmp_path / "retbk"), partition_col="load_dt",
+        key_col="chunk_id", n_buckets=4,
+    )
+    bsink.upsert(df)
+    bsink.delete_where("load_dt", ["2024-01-01"])
+    got = {r["chunk_id"] for r in bsink.read().collect()}
+    assert got == {"c", "d"}
+    bsink.delete_where("chunk_id", ["c"])  # key pruning still works after
+    assert {r["chunk_id"] for r in bsink.read().collect()} == {"d"}

@@ -284,16 +284,6 @@ class ManifestVectorSink:
         df = self._read_raw()
         return df.drop(self.BUCKET_COL) if self.n_buckets else df
 
-    @staticmethod
-    def _hive_unescape(s: str) -> str:
-        """Decode Spark/Hive partition-dir escaping (%XX per special
-        char) back to the value's string rendering."""
-        import re
-
-        return re.sub(
-            r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), s
-        )
-
     def delete_where(self, col: str, values: list[Any]) -> None:
         if not values:
             return
@@ -322,10 +312,14 @@ class ManifestVectorSink:
             return
         prefix = f"{self.partition_col}="
 
+        from vectordb_data_ingestion_spark.sinks.vector_store import (
+            hive_unescape,
+        )
+
         def in_targets(path: str) -> bool:
             for seg in path.split("/"):
                 if seg.startswith(prefix):
-                    if self._hive_unescape(seg[len(prefix):]) in targets:
+                    if hive_unescape(seg[len(prefix):]) in targets:
                         return True
             return False
 

@@ -30,6 +30,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def hive_unescape(s: str) -> str:
+    """Decode Spark/Hive partition-dir escaping (%XX per special char)
+    back to the value's string rendering — the path is the authoritative
+    encoding of a partition value, so matching decodes the path rather
+    than re-encoding the value."""
+    import re
+
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), s
+    )
+
+
 class VectorClient(Protocol):
     """Minimal client surface (subset of the weaviate v1 client used by the
     reference)."""
@@ -184,7 +196,14 @@ class ParquetVectorSink:
         import os
         import shutil
 
+        import glob
+
         base = self.base_path.rstrip("/")
+        # stranded retention trash: a partition drop renames dirs out to
+        # base__trash_* before removing them — finish any interrupted
+        # removal (the rename already made them invisible to readers)
+        for trash in glob.glob(base + "__trash_*"):
+            shutil.rmtree(trash, ignore_errors=True)
         tmp, old = base + "__rewrite", base + "__old"
         if os.path.exists(os.path.join(tmp, "_BUCKET_SWAP")):
             self._bucket_swap_roll_forward()
@@ -265,9 +284,26 @@ class ParquetVectorSink:
         transactionally. No-op on a sink that doesn't exist yet (first
         incremental batch). ``values`` is a driver-side list (fine to
         ~1M keys via InSet); when the keys already live in a DataFrame,
-        use :meth:`delete_where_df` and skip the driver round trip."""
+        use :meth:`delete_where_df` and skip the driver round trip.
+
+        A delete on the PARTITION column takes the retention fast path:
+        matching ``<col>=<value>`` dirs are dropped directly (rename to a
+        sibling trash dir, then remove) — zero rows scanned or rewritten,
+        the aged-out ``load_dt`` maintenance shape. Per-dir renames are
+        atomic; a crash mid-way leaves some partitions dropped and some
+        not, which a replayed delete finishes (converging, like every
+        delete here), and :meth:`_recover` sweeps stranded trash."""
         import os
 
+        if self.partition_col and col == self.partition_col:
+            if not values:
+                return
+            with self._locked():
+                self._recover()
+                if not os.path.exists(self.base_path):
+                    return
+                self._drop_partition_dirs(values)
+            return
         if self.n_buckets and col == self.key_col:
             # same bucketed path as the DataFrame form — one code path to
             # keep correct, and a catalog-sized list gains the same
@@ -284,6 +320,65 @@ class ParquetVectorSink:
             if not os.path.exists(self.base_path):
                 return
             self._delete_where_unbucketed(col, values)
+
+    def _drop_partition_dirs(self, values: list[Any]) -> None:
+        """Retention fast path body (caller holds the mutation lock):
+        rename every ``<partition_col>=<value>`` dir (top-level, or one
+        level under ``pbucket=`` on a bucketed sink) to a sibling trash
+        dir, then remove it. Values compare against the Hive-DECODED dir
+        name; NULLs are skipped (equality deletes never match NULL —
+        ``__HIVE_DEFAULT_PARTITION__`` survives). An emptied sink retires
+        to the not-yet-created state, same husk rule as the bucket
+        swap."""
+        import os
+        import shutil
+        import uuid as _uuid
+
+        targets = {str(v) for v in values if v is not None}
+        if not targets:
+            return
+        base = self.base_path.rstrip("/")
+        prefix = f"{self.partition_col}="
+
+        def matching_dirs():
+            parents = [base]
+            if self.n_buckets:
+                parents = [
+                    os.path.join(base, d)
+                    for d in os.listdir(base)
+                    if d.startswith(f"{self.BUCKET_COL}=")
+                ]
+            for parent in parents:
+                if not os.path.isdir(parent):
+                    continue
+                for d in os.listdir(parent):
+                    full = os.path.join(parent, d)
+                    if (
+                        d.startswith(prefix)
+                        and os.path.isdir(full)
+                        and hive_unescape(d[len(prefix):]) in targets
+                    ):
+                        yield full
+
+        for full in list(matching_dirs()):
+            trash = base + f"__trash_{_uuid.uuid4().hex}"
+            os.rename(full, trash)  # atomic per partition dir
+            shutil.rmtree(trash, ignore_errors=True)
+        # husk rule: nothing data-bearing left -> retire the base dir so
+        # reads fail loudly and the next upsert recreates it
+        leftover = [
+            e for e in os.listdir(base) if not e.startswith(("_", "."))
+        ]
+        if self.n_buckets:
+            leftover = [
+                e for e in leftover
+                if not (
+                    e.startswith(f"{self.BUCKET_COL}=")
+                    and not os.listdir(os.path.join(base, e))
+                )
+            ]
+        if not leftover:
+            shutil.rmtree(base)
 
     def _delete_where_unbucketed(self, col: str, values: list[Any]) -> None:
         current = self._read_raw()
