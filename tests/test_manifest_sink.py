@@ -667,3 +667,48 @@ def test_manifest_sink_partition_drop_under_buckets(spark, tmp_path):
     sink.delete_where("chunk_id", ["c1"])
     got = {r["chunk_id"] for r in sink.read().collect()}
     assert got == {f"c{i}" for i in range(20) if i % 2 == 1 and i != 1}
+
+
+def test_vacuum_reclaims_dead_files_inside_live_segments(spark, tmp_path):
+    """Partition drops and bucketed deletes dereference FILES while their
+    segment dir stays live — vacuum must reclaim those bytes at file
+    granularity, leave every referenced file intact, and the sink must
+    read identically afterwards."""
+    import glob
+
+    sink = ManifestVectorSink(
+        spark, str(tmp_path / "fv"), partition_col="load_dt"
+    )
+    sink.upsert(
+        spark.createDataFrame(
+            [("a", "d1"), ("b", "d2"), ("c", "d3")],
+            "chunk_id string, load_dt string",
+        )
+    )
+    data_root = os.path.join(str(tmp_path / "fv"), "_data")
+
+    def disk_parquets():
+        return {
+            p for p in glob.glob(f"{data_root}/**/*.parquet", recursive=True)
+        }
+
+    before = disk_parquets()
+    sink.delete_where("load_dt", ["d1"])  # manifest-only: bytes linger
+    assert disk_parquets() == before
+    removed = sink.vacuum()
+    assert removed > 0
+    after = disk_parquets()
+    assert after < before  # d1's files reclaimed
+    assert all("load_dt=d1" not in p for p in after)
+    got = {(r["chunk_id"], r["load_dt"]) for r in sink.read().collect()}
+    assert got == {("b", "d2"), ("c", "d3")}
+
+    # retention: a snapshot kept via retain_versions keeps its files
+    sink.delete_where("load_dt", ["d2"])
+    v_before = sink.current_commit_id()
+    sink.vacuum(retain_versions=1)  # previous generation (with d2) retained
+    got_prev = {
+        (r["chunk_id"], r["load_dt"])
+        for r in sink.read_at(v_before - 1).collect()
+    }
+    assert got_prev == {("b", "d2"), ("c", "d3")}

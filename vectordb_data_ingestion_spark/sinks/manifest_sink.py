@@ -485,22 +485,37 @@ class ManifestVectorSink:
         return out
 
     def vacuum(self, retain_versions: int = 0) -> int:
-        """Remove data segment dirs no RETAINED manifest references — the
-        leftovers of mutations that crashed before their CAS (or lost it)
-        plus generations aged out of the retention window.
+        """Reclaim data no RETAINED manifest references, at two
+        granularities:
+
+        - whole segment dirs nothing references (mutations that crashed
+          before their CAS, or generations aged out of retention);
+        - individual dead FILES inside live dirs — partition drops and
+          bucketed deletes dereference files while their segment dir stays
+          live through its other files, so without file-level reclaim
+          those bytes would linger until a full compact.
+
         ``retain_versions=N`` keeps the last N historical generations
-        snapshot-readable (their history keys and segments survive);
-        older history keys are deleted so ``read_at`` fails loudly rather
-        than dangling on reclaimed segments. Quiescent-only, like the
-        datasource writer's vacuum: an in-flight mutation's staged segment
-        is indistinguishable from an orphan. Returns dirs removed."""
+        snapshot-readable (their history keys, segments, and files
+        survive); older history keys are deleted so ``read_at`` fails
+        loudly rather than dangling on reclaimed data. Quiescent-only,
+        like the datasource writer's vacuum: an in-flight mutation's
+        staged segment is indistinguishable from an orphan. Returns
+        dirs + files removed."""
         import shutil
 
         data_root = os.path.join(self.base_path, "_data")
         if not os.path.isdir(data_root):
             return 0
         manifest, _ = self._get_manifest()
-        live = {s["dir"] for s in (manifest or {}).get("segments", [])}
+        live_files: dict[str, set[str]] = {}
+
+        def absorb(m: dict) -> None:
+            for s in m.get("segments", []):
+                live_files.setdefault(s["dir"], set()).update(s["files"])
+
+        if manifest:
+            absorb(manifest)
         cur_id = int((manifest or {}).get("commit_id", 0))
         retained_floor = cur_id - int(retain_versions)
         cid = cur_id - 1
@@ -509,8 +524,7 @@ class ManifestVectorSink:
             cur = self.store.get(key)
             if cur is not None:
                 if cid >= retained_floor:
-                    hist = json.loads(cur[0].decode("utf-8"))
-                    live |= {s["dir"] for s in hist["segments"]}
+                    absorb(json.loads(cur[0].decode("utf-8")))
                 else:
                     self.store.delete_if(key, cur[1])
             elif cid < retained_floor:
@@ -521,7 +535,28 @@ class ManifestVectorSink:
             cid -= 1
         removed = 0
         for d in os.listdir(data_root):
-            if d not in live:
-                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+            seg_dir = os.path.join(data_root, d)
+            if d not in live_files:
+                shutil.rmtree(seg_dir, ignore_errors=True)
                 removed += 1
+                continue
+            live = live_files[d]
+            for dirpath, _dirs, names in os.walk(seg_dir, topdown=False):
+                rel = os.path.relpath(dirpath, seg_dir)
+                for n in names:
+                    if not n.endswith(".parquet"):
+                        continue  # _SUCCESS and friends stay
+                    relf = n if rel == "." else os.path.join(rel, n)
+                    if relf not in live:
+                        try:
+                            os.remove(os.path.join(dirpath, n))
+                            removed += 1
+                        except FileNotFoundError:
+                            pass
+                # prune now-empty partition dirs so discovery stays clean
+                if dirpath != seg_dir and not os.listdir(dirpath):
+                    try:
+                        os.rmdir(dirpath)
+                    except OSError:
+                        pass
         return removed
