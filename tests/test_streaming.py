@@ -1401,3 +1401,160 @@ def test_compaction_never_folds_pending_replay_batch(spark, tmp_path):
         .select("doc_id").distinct().collect()
     )
     assert idx_ids == [0, 1, 2]
+
+
+def _small_ivfpq(spark, tmp_path, n=200, dim=16, m=4):
+    """Build a tiny persisted ivfpq index + return (out_dir, emb, query)."""
+    import numpy as np
+
+    from vectordb_data_ingestion_spark.operators.pq import pq_train
+    from vectordb_data_ingestion_spark.operators.vector_index import (
+        build_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(n, dim)) + 2.0
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [float(v) for v in x[: n // 2].mean(axis=0)]),
+         (1, [float(v) for v in x[n // 2:].mean(axis=0)])],
+        "c_id long, c_embedding array<double>",
+    )
+    books = pq_train(emb, m, dim, k=8, iterations=1)
+    out = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, cents, books, out, m=m, dim=dim)
+    return out, x
+
+
+def test_compact_ivfpq_codes_preserves_queries(spark, tmp_path):
+    """codes/ compaction folds batch=base + old append batches into one
+    negative generation WITH the cell partitioning intact, leaves the
+    newest append batch out (pending-replay safety), and query results
+    are bit-identical before and after."""
+    import numpy as np
+
+    from vectordb_data_ingestion_spark.operators.vector_index import (
+        foreach_batch_index_append,
+        load_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from vectordb_data_ingestion_spark.streaming.incremental import (
+        compact_ivfpq_codes,
+    )
+
+    out, x = _small_ivfpq(spark, tmp_path)
+    dim = x.shape[1]
+    rng = np.random.default_rng(9)
+
+    # two streaming appends -> codes/{batch=base,batch=0,batch=1}
+    inc = str(tmp_path / "inc")
+    for wave in range(2):
+        spark.createDataFrame(
+            [(1000 + wave * 10 + i,
+              [float(v) for v in rng.normal(size=dim) + 2.0])
+             for i in range(5)],
+            "vec_id long, embedding array<double>",
+        ).write.mode("append").parquet(inc)
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(inc)
+        q = foreach_batch_index_append(
+            stream, out, str(tmp_path / "ckpt"), m=4, dim=dim
+        ).start()
+        q.awaitTermination(120)
+
+    codes = os.path.join(out, "codes")
+    assert sorted(os.listdir(codes)) == ["batch=0", "batch=1", "batch=base"]
+
+    qv = [float(v) for v in x[7]]
+    before = [
+        (r["vec_id"], r["adc"])
+        for r in query_ivfpq_index(
+            load_ivfpq_index(spark, out), qv, k=8, n_probe=2
+        ).collect()
+    ]
+    merged = compact_ivfpq_codes(spark, out)
+    assert merged == 2  # base + batch=0 fold; batch=1 (newest) stays
+    listing = sorted(os.listdir(codes))
+    assert listing == ["batch=-1", "batch=1"]
+    # the folded generation keeps cell= partitioning (probe pruning)
+    assert all(
+        d.startswith("cell=")
+        for d in os.listdir(os.path.join(codes, "batch=-1"))
+        if not d.startswith(("_", "."))
+    )
+    after = [
+        (r["vec_id"], r["adc"])
+        for r in query_ivfpq_index(
+            load_ivfpq_index(spark, out), qv, k=8, n_probe=2
+        ).collect()
+    ]
+    assert after == before
+
+
+def test_ivfpq_fold_crash_recovery(spark, tmp_path):
+    """The two-marker fold protocol: a crash during the generation write
+    (PENDING only) rolls back to the sources; a crash during the source
+    deletes (COMMITTED present) finishes them — a loaded index never
+    serves a row from both a folded generation and its source batch."""
+    import json
+    import shutil
+
+    from vectordb_data_ingestion_spark.operators.vector_index import (
+        load_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from vectordb_data_ingestion_spark.streaming.incremental import (
+        compact_ivfpq_codes,
+    )
+
+    out, x = _small_ivfpq(spark, tmp_path)
+    codes = os.path.join(out, "codes")
+    qv = [float(v) for v in x[7]]
+    truth = [
+        (r["vec_id"], r["adc"])
+        for r in query_ivfpq_index(
+            load_ivfpq_index(spark, out), qv, k=8, n_probe=2
+        ).collect()
+    ]
+
+    # crash mid-write: PENDING marker + a partial target dir
+    os.makedirs(os.path.join(codes, "batch=-1", "cell=0"), exist_ok=True)
+    with open(os.path.join(codes, "batch=-1", "cell=0", "junk.parquet"), "w") as fh:
+        fh.write("partial")
+    with open(os.path.join(codes, "_FOLD_PENDING"), "w") as fh:
+        json.dump({"target": "batch=-1", "sources": ["batch=base"]}, fh)
+    got = [
+        (r["vec_id"], r["adc"])
+        for r in query_ivfpq_index(
+            load_ivfpq_index(spark, out), qv, k=8, n_probe=2
+        ).collect()
+    ]
+    assert got == truth
+    assert not os.path.exists(os.path.join(codes, "batch=-1"))
+    assert not os.path.exists(os.path.join(codes, "_FOLD_PENDING"))
+
+    # crash mid-delete: COMMITTED marker, folded gen complete, source
+    # still present — recovery deletes the source, not the generation
+    shutil.copytree(
+        os.path.join(codes, "batch=base"), os.path.join(codes, "batch=-1")
+    )
+    payload = {"target": "batch=-1", "sources": ["batch=base"]}
+    with open(os.path.join(codes, "_FOLD_PENDING"), "w") as fh:
+        json.dump(payload, fh)
+    with open(os.path.join(codes, "_FOLD_COMMITTED"), "w") as fh:
+        json.dump(payload, fh)
+    got = [
+        (r["vec_id"], r["adc"])
+        for r in query_ivfpq_index(
+            load_ivfpq_index(spark, out), qv, k=8, n_probe=2
+        ).collect()
+    ]
+    assert got == truth  # no duplicates served
+    assert not os.path.exists(os.path.join(codes, "batch=base"))
+    assert os.path.exists(os.path.join(codes, "batch=-1"))
+    # idempotent: compaction after recovery is a no-op on one partition
+    assert compact_ivfpq_codes(spark, out) == 0

@@ -239,6 +239,17 @@ def load_ivfpq_index(
         _migrate_legacy_flat_codes(os.path.join(out_dir, "codes"))
     except OSError:
         pass
+    # finish/roll back a codes compaction a crash interrupted — an index
+    # must never serve the same row from both a folded generation and a
+    # not-yet-deleted source batch. Unlike the flat-layout migration
+    # (whose unmigrated state is still CORRECT to read), an unrecovered
+    # fold is duplicate data — a read-only store that can't be repaired
+    # rightly fails here rather than serve wrong rows.
+    from vectordb_data_ingestion_spark.streaming.incremental import (
+        _fold_recover,
+    )
+
+    _fold_recover(os.path.join(out_dir, "codes"))
     residual, rotation = False, None
     meta_path = os.path.join(out_dir, "_meta.json")
     # completion gate: build writes _meta.json first and _INDEX_SUCCESS

@@ -330,14 +330,15 @@ def compact_near_dup_index(spark: SparkSession, index_dir: str) -> int:
       ``out_dir/batch=N`` with nothing (data loss). Leaving the newest
       partition out keeps a pending replay's own rows excludable;
     - crash-safe WITHOUT renames (r7): the merged rows are written
-      directly to the fresh ``batch=<gen>`` partition (a batch id that
-      never existed; Spark's committer exposes only complete task files),
-      and source partitions are deleted only after the write succeeds.
-      Any crash point leaves duplicate index rows, never missing ones —
-      admission stays correct (``dup_ids`` is distinct; a duplicate
-      candidate verifies to the same verdict) and the next compaction
-      folds the leftovers. Rename-free, so the same sequence is valid on
-      an object store (the source deletes become object deletes).
+      directly to the fresh ``batch=<gen>`` partition and source
+      partitions are deleted only after — under the two-marker recovery
+      protocol (:func:`_fold_recover`), so a crash at any point either
+      rolls the partial generation back or finishes the deletes. (For
+      THIS index even unrecovered duplicates would stay verdict-correct —
+      ``dup_ids`` is distinct and a duplicate candidate verifies the same
+      way — but the shared fold is duplicate-free at rest because the
+      ivfpq codes table, which reuses it, is not duplicate-tolerant.)
+      Rename-free, so the same sequence is valid on an object store.
 
     Returns the number of source partitions merged away (0 = nothing to
     do)."""
@@ -346,41 +347,164 @@ def compact_near_dup_index(spark: SparkSession, index_dir: str) -> int:
 
     merged = 0
     for sub in ("bands", "shingles"):
-        root = f"{index_dir}/{sub}"
-        local = root[len("file:"):] if root.startswith("file:") else root
-        if not os.path.isdir(local):
-            continue
-        parts = [
-            d
-            for d in os.listdir(local)
-            if d.startswith("batch=")
-            and os.path.isdir(os.path.join(local, d))
-        ]
-        # never compact the newest non-negative batch: its offset commit
-        # may not have landed, and a replay must still be able to exclude
-        # its own rows via the `batch != N` filter (see docstring)
-        live = [int(d.split("=", 1)[1]) for d in parts]
-        non_negative = [b for b in live if b >= 0]
-        if non_negative:
-            newest = max(non_negative)
-            parts = [d for d in parts if int(d.split("=", 1)[1]) != newest]
-        if len(parts) <= 1:
-            continue
-        gen = min(int(d.split("=", 1)[1]) for d in parts)
-        gen = min(gen, 0) - 1
-        # read ONLY the partitions being merged (the excluded newest batch
-        # must not leak into the compacted generation) and write straight
-        # to the fresh batch=<gen> dir — no staging, no rename (docstring:
-        # every crash point leaves duplicates, never losses)
-        srcs = [f"{root}/{d}" for d in parts]
-        target = os.path.join(local, f"batch={gen}")
-        spark.read.parquet(*srcs).coalesce(
-            max(1, spark.sparkContext.defaultParallelism // 4)
-        ).write.mode("overwrite").parquet(target)
-        for d in parts:
-            shutil.rmtree(os.path.join(local, d))
-            merged += 1
+        merged += _fold_batch_partitions(spark, f"{index_dir}/{sub}")
     return merged
+
+
+def _fold_recover(root: str) -> None:
+    """Finish or roll back a fold interrupted by a crash. Two marker
+    files narrate the fold's phase (both under ``root``, underscore
+    prefixed so partition discovery ignores them):
+
+    - ``_FOLD_COMMITTED`` present (readable JSON): the merged generation
+      is complete — finish by deleting any listed source dirs that still
+      exist, then both markers. COMMITTED is checked FIRST and removed
+      LAST, so the rollback branch below can never fire after sources
+      were deleted.
+    - only ``_FOLD_PENDING`` present: the crash hit during (or before)
+      the generation write — roll back by removing the partial target;
+      the source dirs are intact, nothing was lost. An unreadable/torn
+      marker of either kind lands in this branch too (a torn COMMITTED
+      means the data write finished but we can't prove it — rolling back
+      wastes work, never rows)."""
+    import json as _json
+    import os
+    import shutil
+
+    local = root[len("file:"):] if root.startswith("file:") else root
+    pending = os.path.join(local, "_FOLD_PENDING")
+    committed = os.path.join(local, "_FOLD_COMMITTED")
+
+    def read_marker(path):
+        try:
+            with open(path) as fh:
+                return _json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    state = read_marker(committed)
+    if state is not None:
+        for d in state.get("sources", []):
+            shutil.rmtree(os.path.join(local, d), ignore_errors=True)
+        for m in (pending, committed):  # pending first, committed last
+            try:
+                os.remove(m)
+            except FileNotFoundError:
+                pass
+        return
+    state = read_marker(pending)
+    if state is not None:
+        shutil.rmtree(
+            os.path.join(local, state["target"]), ignore_errors=True
+        )
+    for m in (pending, committed):
+        try:
+            os.remove(m)
+        except FileNotFoundError:
+            pass
+
+
+def _fold_batch_partitions(
+    spark: SparkSession, root: str, partition_by: tuple[str, ...] = ()
+) -> int:
+    """Shared fold for batch-keyed index tables (near-dup bands/shingles,
+    ivfpq codes): merge every foldable ``batch=*`` partition into one
+    fresh negative-id generation, never touching the newest non-negative
+    batch (its offset commit may be pending — see
+    ``compact_near_dup_index``'s docstring for the replay proof).
+    Non-numeric batch ids (the ivfpq base build's ``batch=base``) fold
+    like old batches: they are written synchronously, never replayed.
+    ``partition_by`` preserves inner partitioning (ivfpq's ``cell`` —
+    probe pruning depends on it).
+
+    Rename-free AND duplicate-free at rest: the two-marker protocol
+    (:func:`_fold_recover`) means a crash at any point either rolls the
+    partial generation back (sources intact) or finishes the source
+    deletes — an index LOADED after a crash never serves the same row
+    twice. (A reader concurrent with the fold itself can see duplicates
+    between the commit marker and the source deletes — compaction is a
+    maintenance-window operation, same contract as every vacuum here.)"""
+    import json as _json
+    import os
+    import shutil
+
+    local = root[len("file:"):] if root.startswith("file:") else root
+    if not os.path.isdir(local):
+        return 0
+    _fold_recover(root)
+
+    def batch_id(d: str):
+        raw = d.split("=", 1)[1]
+        try:
+            return int(raw)
+        except ValueError:
+            return None  # e.g. batch=base — foldable, never newest
+
+    parts = [
+        d
+        for d in os.listdir(local)
+        if d.startswith("batch=") and os.path.isdir(os.path.join(local, d))
+    ]
+    non_negative = [b for b in map(batch_id, parts) if b is not None and b >= 0]
+    if non_negative:
+        newest = max(non_negative)
+        parts = [d for d in parts if batch_id(d) != newest]
+    if len(parts) <= 1:
+        return 0
+    numeric = [b for b in map(batch_id, parts) if b is not None]
+    gen = min([*numeric, 0]) - 1
+    target_name = f"batch={gen}"
+    pending = os.path.join(local, "_FOLD_PENDING")
+    committed = os.path.join(local, "_FOLD_COMMITTED")
+    payload = _json.dumps({"target": target_name, "sources": parts})
+    with open(pending, "w") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+
+    srcs = [f"{root}/{d}" for d in parts]
+    # basePath so multi-level sources (codes' batch=/cell=) read as one
+    # table instead of "conflicting directory structures"; the inferred
+    # `batch` column is the partition key being folded away — drop it so
+    # rows land under the new batch=<gen> dir name alone
+    df = spark.read.option("basePath", root).parquet(*srcs)
+    if "batch" in df.columns:
+        df = df.drop("batch")
+    writer = df.coalesce(
+        max(1, spark.sparkContext.defaultParallelism // 4)
+    ).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(local, target_name))
+
+    with open(committed, "w") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    merged = 0
+    for d in parts:
+        shutil.rmtree(os.path.join(local, d))
+        merged += 1
+    os.remove(pending)
+    os.remove(committed)
+    return merged
+
+
+def compact_ivfpq_codes(spark: SparkSession, index_dir: str) -> int:
+    """Fold the ivfpq ``codes/`` table's per-batch partitions (the base
+    build's ``batch=base`` plus streaming appends' ``batch=<id>`` dirs,
+    ``foreach_batch_index_append``) into one compacted generation,
+    PRESERVING the ``cell`` partitioning the probe pruning reads. Same
+    contract as :func:`compact_near_dup_index`: newest non-negative batch
+    never folds (pending-replay safety — a replayed append overwrites its
+    own ``batch=N`` dir, which must still exist as the only copy of those
+    rows), rename-free, crash points leave duplicates that the next
+    compaction folds. Run from the maintenance cadence."""
+    import os
+
+    return _fold_batch_partitions(
+        spark, os.path.join(index_dir, "codes"), partition_by=("cell",)
+    )
 
 
 def foreach_batch_near_dup_filter(
