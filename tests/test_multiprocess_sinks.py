@@ -124,3 +124,31 @@ def test_two_process_writer_commits_lossless(tmp_path):
     assert got == {
         f"{wid}-{i}" for wid in ("pa", "pb") for i in range(N)
     }
+
+
+@pytest.mark.multiproc
+def test_two_process_race_bucketed_sinks(spark, tmp_path):
+    """The bucketed layouts under REAL cross-process contention: key
+    deletes prune to hashed buckets while the other process appends —
+    for the rename protocol that exercises the flock across the staged
+    bucket swap; for the manifest protocol, CAS retries over by-reference
+    file carryover. Final state must be row-exact for both."""
+    from vectordb_data_ingestion_spark.sinks.manifest_sink import (
+        ManifestVectorSink,
+    )
+    from vectordb_data_ingestion_spark.sinks.vector_store import (
+        ParquetVectorSink,
+    )
+
+    for kind, cls in (
+        ("posix_bucketed", ParquetVectorSink),
+        ("manifest_bucketed", ManifestVectorSink),
+    ):
+        path = str(tmp_path / kind)
+        _run_two_workers(kind, path)
+        sink = cls(
+            spark, path, partition_col=None, key_col="chunk_id", n_buckets=4
+        )
+        got = [r["chunk_id"] for r in sink.read().collect()]
+        assert len(got) == len(set(got)), f"{kind}: duplicate rows"
+        assert set(got) == _expected(), f"{kind}: lost/resurrected rows"

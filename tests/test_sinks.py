@@ -621,3 +621,51 @@ def test_partition_drop_fast_path(spark, tmp_path):
     assert got == {"c", "d"}
     bsink.delete_where("chunk_id", ["c"])  # key pruning still works after
     assert {r["chunk_id"] for r in bsink.read().collect()} == {"d"}
+
+
+def test_parquet_sink_randomized_against_model(spark, tmp_path):
+    """Model-based drill, rename-protocol edition (the manifest sink has
+    its own in test_manifest_sink.py): a seeded random mutation sequence
+    against the bucketed parquet sink and an in-memory multiset model in
+    lockstep — upserts, key deletes (list + DataFrame forms), partition
+    drops — visible rows must equal the model after every step."""
+    import random
+
+    rng = random.Random(20260817)
+    sink = ParquetVectorSink(
+        spark, str(tmp_path / "model"), partition_col="load_dt",
+        key_col="k", n_buckets=4,
+    )
+    model: list[tuple[str, str]] = []  # multiset of (k, load_dt)
+    dts = ["d1", "d2", "d3"]
+
+    for step in range(14):
+        op = rng.choice(["upsert", "upsert", "delete_key", "delete_df",
+                         "drop_partition"])
+        if op == "upsert":
+            rows = [
+                (f"k{rng.randrange(10)}", rng.choice(dts))
+                for _ in range(rng.randrange(1, 5))
+            ]
+            sink.upsert(
+                spark.createDataFrame(rows, "k string, load_dt string")
+            )
+            model.extend(rows)
+        elif op in ("delete_key", "delete_df") and model:
+            keys = [f"k{rng.randrange(10)}" for _ in range(rng.randrange(1, 3))]
+            if op == "delete_key":
+                sink.delete_where("k", keys)
+            else:
+                sink.delete_where_df(
+                    "k", spark.createDataFrame([(x,) for x in keys], ["k"])
+                )
+            model = [r for r in model if r[0] not in set(keys)]
+        elif op == "drop_partition" and model:
+            dt = rng.choice(dts)
+            sink.delete_where("load_dt", [dt])
+            model = [r for r in model if r[1] != dt]
+        if model:
+            got = sorted(
+                (r["k"], str(r["load_dt"])) for r in sink.read().collect()
+            )
+            assert got == sorted(model), f"diverged at step {step} ({op})"

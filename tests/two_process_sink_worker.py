@@ -26,18 +26,27 @@ def main() -> int:
         .getOrCreate()
     )
     try:
-        if kind == "posix":
+        bucketed = kind.endswith("_bucketed")
+        layout = (
+            {"key_col": "chunk_id", "n_buckets": 4} if bucketed else {}
+        )
+        base_kind = kind.removesuffix("_bucketed")
+        if base_kind == "posix":
             from vectordb_data_ingestion_spark.sinks.vector_store import (
                 ParquetVectorSink,
             )
 
-            sink = ParquetVectorSink(spark, path, partition_col=None)
-        elif kind == "manifest":
+            sink = ParquetVectorSink(
+                spark, path, partition_col=None, **layout
+            )
+        elif base_kind == "manifest":
             from vectordb_data_ingestion_spark.sinks.manifest_sink import (
                 ManifestVectorSink,
             )
 
-            sink = ManifestVectorSink(spark, path, partition_col=None)
+            sink = ManifestVectorSink(
+                spark, path, partition_col=None, **layout
+            )
         else:
             raise SystemExit(f"unknown sink kind {kind!r}")
 
