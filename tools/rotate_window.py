@@ -12,7 +12,9 @@ ready-to-paste Python list. Queries whose semantics changed since their
 last green row should be promoted to the head manually — the git log, not
 this script, knows that.
 
-Usage: python tools/rotate_window.py [window_size]
+Usage: python tools/rotate_window.py [window_size] [--apply]
+       --apply rewrites the _DRIVER_PRIORITY block in queries_catalog.py
+       in place (manual semantics-promotions still go on top by hand).
 """
 
 from __future__ import annotations
@@ -49,20 +51,44 @@ def last_verified() -> dict[str, int]:
     return seen
 
 
+def render(window, seen) -> str:
+    lines = ["_DRIVER_PRIORITY = ["]
+    for n in window:
+        lines.append(f'    "{n}",  # r{seen.get(n, "-never-")}')
+    lines.append("]")
+    return "\n".join(lines)
+
+
+def apply_window(block: str) -> None:
+    """Rewrite the _DRIVER_PRIORITY list literal in queries_catalog.py in
+    place (the commentary above it is left untouched — update it by hand
+    when the rationale changes)."""
+    path = os.path.join(
+        _REPO, "vectordb_data_ingestion_spark", "queries_catalog.py"
+    )
+    src = open(path).read()
+    start = src.index("_DRIVER_PRIORITY = [")
+    end = src.index("]", start) + 1
+    open(path, "w").write(src[:start] + block + src[end:])
+
+
 def main() -> None:
-    size = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    args = [a for a in sys.argv[1:] if a != "--apply"]
+    do_apply = "--apply" in sys.argv[1:]
+    size = int(args[0]) if args else 50
     seen = last_verified()
     registry = list(queries_catalog.SPARK_QUERIES)
     ranked = sorted(
         registry, key=lambda n: (seen.get(n, -1), registry.index(n))
     )
     window = ranked[:size]
+    block = render(window, seen)
     print(f"# next window ({size} of {len(registry)}; last-verified round "
           "in comments)")
-    print("_DRIVER_PRIORITY = [")
-    for n in window:
-        print(f'    "{n}",  # r{seen.get(n, "-never-")}')
-    print("]")
+    print(block)
+    if do_apply:
+        apply_window(block)
+        print("# applied to queries_catalog.py — re-import to validate")
 
 
 if __name__ == "__main__":
