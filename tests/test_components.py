@@ -139,3 +139,39 @@ def test_string_ids_converge_and_collapse(spark):
     df = spark.createDataFrame(edges, "id_a string, id_b string")
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == {n: "doc-a" for n in names}
+
+
+def test_choose_lsh_banding_curve_properties():
+    """The banding chooser returns the cheapest (b, r) whose s-curve
+    meets the declared recall/false-candidate bounds; its numbers are
+    the exact closed-form probabilities, feasibility failures raise
+    loudly, and the curve is monotone in similarity."""
+    import pytest
+
+    from vectordb_data_ingestion_spark.operators.dedup import (
+        choose_lsh_banding,
+    )
+
+    for t in (0.5, 0.7, 0.8):
+        cfg = choose_lsh_banding(t)
+        b, r = cfg["bands"], cfg["rows_per_band"]
+        assert b * r == cfg["num_hashes"] <= 256
+        # exact closed form at the two declared operating points
+        assert cfg["p_at_threshold"] >= 0.9
+        assert cfg["p_at_fp"] <= 0.25
+        assert round(1 - (1 - t ** r) ** b, 4) == cfg["p_at_threshold"]
+        curve = [cfg["curve"][k] for k in sorted(cfg["curve"])]
+        assert curve == sorted(curve)  # monotone s-curve
+    # cheapest-first: no smaller signature satisfies the same bounds
+    cfg = choose_lsh_banding(0.5)
+    for total in range(2, cfg["num_hashes"]):
+        for r in range(1, total + 1):
+            if total % r:
+                continue
+            b = total // r
+            ok_hit = 1 - (1 - 0.5 ** r) ** b >= 0.9
+            ok_fp = 1 - (1 - 0.25 ** r) ** b <= 0.25
+            assert not (ok_hit and ok_fp), (total, b, r)
+    # infeasible bounds raise instead of nearest-fitting
+    with pytest.raises(ValueError, match="loosen"):
+        choose_lsh_banding(0.5, max_hashes=32, max_fp_rate=0.05)

@@ -1009,3 +1009,78 @@ def remove_duplicate_spans_sql(
            CAST(len(j.words) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
     FROM j LEFT JOIN cleaned c ON j.id = c.id
     """
+
+
+def choose_lsh_banding(
+    threshold: float,
+    max_hashes: int = 256,
+    min_recall_at_threshold: float = 0.9,
+    max_fp_at: float = 0.5,
+    max_fp_rate: float = 0.25,
+) -> dict:
+    """Pick ``(num_hashes, bands, rows_per_band)`` for a target jaccard
+    ``threshold`` from the banding s-curve (Leskovec/Rajaraman/Ullman,
+    MMDS ch.3 — public literature): a pair with similarity ``s`` becomes
+    a candidate with probability ``1 - (1 - s^r)^b``. The knobs trade
+    recall at the threshold against false-candidate mass below it — the
+    LSH analogue of ``vector_index.calibrate_n_probe``'s declarative
+    target (and a principled replacement for hand-picking bands=4).
+
+    Scans (b, r) grids with ``b*r <= max_hashes`` (smallest signature
+    first — signature width is the per-doc index cost at 100 TB) and
+    returns the cheapest configuration whose curve has
+
+    - candidate probability >= ``min_recall_at_threshold`` at ``s =
+      threshold`` (pairs the verifier SHOULD see reach it), and
+    - candidate probability <= ``max_fp_rate`` at ``s = threshold *
+      max_fp_at`` (clearly-dissimilar pairs mostly don't reach the
+      exact-jaccard verifier — candidate mass, not correctness: the
+      verify step drops them either way).
+
+    Returns ``{"num_hashes", "bands", "rows_per_band", "p_at_threshold",
+    "p_at_fp", "curve"}``; raises if no grid point satisfies both within
+    ``max_hashes`` (loosen a bound or raise the budget — stated loudly,
+    the banding-validator precedent). Feasibility is bound-sensitive at
+    low thresholds: 0.9-recall@0.5 costs 54 hashes at fp<=0.25 but over
+    128 at fp<=0.2 — the s-curve is only as steep as the signature is
+    wide, which is why the budget is a parameter and the failure is an
+    error, not a silent nearest-fit."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+
+    def p_candidate(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s ** r) ** b
+
+    best = None
+    for total in range(2, max_hashes + 1):
+        for r in range(1, total + 1):
+            if total % r:
+                continue
+            b = total // r
+            p_hit = p_candidate(threshold, b, r)
+            p_fp = p_candidate(threshold * max_fp_at, b, r)
+            if p_hit >= min_recall_at_threshold and p_fp <= max_fp_rate:
+                best = (total, b, r, p_hit, p_fp)
+                break
+        if best:
+            break
+    if not best:
+        raise ValueError(
+            f"no (bands, rows) within num_hashes<={max_hashes} reaches "
+            f"recall>={min_recall_at_threshold} at s={threshold} with "
+            f"false-candidate rate<={max_fp_rate} at s={threshold * max_fp_at}"
+            " — loosen a bound or raise max_hashes"
+        )
+    total, b, r, p_hit, p_fp = best
+    curve = {
+        round(s, 2): round(p_candidate(s, b, r), 4)
+        for s in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    }
+    return {
+        "num_hashes": total,
+        "bands": b,
+        "rows_per_band": r,
+        "p_at_threshold": round(p_hit, 4),
+        "p_at_fp": round(p_fp, 4),
+        "curve": curve,
+    }
