@@ -9,7 +9,7 @@ once, nothing lost, nothing resurrected. Run for both mutation protocols —
 the flock+rename ``ParquetVectorSink`` and the conditional-put
 ``ManifestVectorSink`` (whose CAS must converge under real contention).
 
-24+ mutations per run (2 workers x 12 iterations, upsert each + delete
+60 mutations per run (2 workers x 20 iterations, upsert each + delete
 every other) keeps the drill inside the CI time budget while exercising
 dozens of real lock/CAS contentions.
 """
@@ -22,7 +22,7 @@ import pytest
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _WORKER = os.path.join(_REPO, "tests", "two_process_sink_worker.py")
-ITERS = 12
+ITERS = 20
 
 
 def _run_two_workers(kind: str, path: str) -> None:
