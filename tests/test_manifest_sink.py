@@ -712,3 +712,34 @@ def test_vacuum_reclaims_dead_files_inside_live_segments(spark, tmp_path):
         for r in sink.read_at(v_before - 1).collect()
     }
     assert got_prev == {("b", "d2"), ("c", "d3")}
+
+
+def test_upsert_lost_response_does_not_duplicate(spark, tmp_path):
+    """Real conditional-put stores can apply a put and still report
+    failure (lost response / internal retry). upsert's CAS retry must
+    detect that its own segment already landed and stop — never append
+    the entry twice."""
+    class LostResponseOnce(MemoryConditionalStore):
+        def __init__(self):
+            super().__init__()
+            self.lied = False
+
+        def put_if(self, key, data, token):
+            ok = super().put_if(key, data, token)
+            if ok and key == "MANIFEST" and not self.lied:
+                self.lied = True
+                return False  # it LANDED, but the caller hears failure
+            return ok
+
+    store = LostResponseOnce()
+    sink = ManifestVectorSink(
+        spark, str(tmp_path / "lost"), partition_col=None, store=store
+    )
+    sink.upsert(
+        spark.createDataFrame([("a", 1), ("b", 2)], "chunk_id string, v long")
+    )
+    assert store.lied
+    got = [r["chunk_id"] for r in sink.read().collect()]
+    assert sorted(got) == ["a", "b"]  # exactly once, no duplicates
+    manifest, _ = sink._get_manifest()
+    assert len(manifest["segments"]) == 1

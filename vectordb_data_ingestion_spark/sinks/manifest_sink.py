@@ -262,7 +262,18 @@ class ManifestVectorSink:
                 raise RuntimeError(
                     f"sink at {self.base_path} layout changed concurrently"
                 )
-            segments = [*(manifest or {}).get("segments", []), entry]
+            existing = (manifest or {}).get("segments", [])
+            # lost-response guard: a conditional put that LANDED but
+            # reported failure (network retry against a real store) would
+            # otherwise re-append this entry on the next loop — duplicate
+            # rows. The segment dir is a uuid, so finding it in the
+            # manifest proves our own put won. (Deletes and compactions
+            # don't need this: their retry re-derives against the current
+            # manifest, which already reflects them — idempotent by
+            # construction.)
+            if any(s["dir"] == entry["dir"] for s in existing):
+                return
+            segments = [*existing, entry]
             if self._commit(
                 manifest, segments, token, schema_json=df.schema.json()
             ) is not None:
