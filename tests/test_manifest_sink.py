@@ -743,3 +743,36 @@ def test_upsert_lost_response_does_not_duplicate(spark, tmp_path):
     assert sorted(got) == ["a", "b"]  # exactly once, no duplicates
     manifest, _ = sink._get_manifest()
     assert len(manifest["segments"]) == 1
+
+
+def test_writer_append_commit_is_idempotent_on_lost_response(tmp_path):
+    """Same lost-response class for the two-phase writer: a manifest put
+    that landed but reported failure must not list the spool file twice
+    (read_committed would double its rows); a re-driven commit of the
+    same messages is equally a no-op."""
+    from vectordb_data_ingestion_spark.sinks import datasource_writer as dw
+
+    class LostResponseOnce(MemoryConditionalStore):
+        def __init__(self):
+            super().__init__()
+            self.lied = False
+
+        def put_if(self, key, data, token):
+            ok = super().put_if(key, data, token)
+            if ok and not self.lied:
+                self.lied = True
+                return False
+            return ok
+
+    path = str(tmp_path / "wl")
+    store = LostResponseOnce()
+    w = _writer(path)
+    msg = w.write(iter(_rows(["a", "b"])))
+    w.commit([msg], store=store)
+    assert store.lied
+    objs = dw.read_committed(path, store=store)
+    assert sorted(o["chunk_id"] for o in objs) == ["a", "b"]
+    # driver-level commit retry (same messages) is also a no-op
+    w.commit([msg], store=store)
+    objs = dw.read_committed(path, store=store)
+    assert sorted(o["chunk_id"] for o in objs) == ["a", "b"]

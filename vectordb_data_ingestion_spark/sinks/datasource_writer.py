@@ -150,12 +150,24 @@ class VectorStoreWriter(DataSourceWriter):
             # the conditional put and the loser re-applies onto the
             # winner's manifest — no committed lines ever vanish, and a
             # crash mid-put leaves the prior manifest intact (the put is
-            # atomic), never a truncated JSON line.
-            cas_update(
-                store,
-                MANIFEST,
-                lambda data: (data or b"") + new_payload,
-            )
+            # atomic), never a truncated JSON line. Idempotent by spool
+            # filename: a lost-response retry (the put landed but reported
+            # failure) or a re-driven commit must not list a file twice —
+            # read_committed would read its rows twice.
+            def transform(data: bytes | None) -> bytes:
+                seen = {
+                    json.loads(line)["file"]
+                    for line in (data or b"").decode().splitlines()
+                    if line.strip()
+                }
+                add = [
+                    line
+                    for line in lines
+                    if json.loads(line)["file"] not in seen
+                ]
+                return (data or b"") + "".join(add).encode()
+
+            cas_update(store, MANIFEST, transform)
 
     def abort(self, messages):
         spool = os.path.join(self.path, "_spool")
