@@ -7511,6 +7511,13 @@ def q_retrieval_mrr_eval(spark, sf_dir):
     # FIXED-SIZE eval set (64 queries by id order): a %-of-corpus query
     # set would make the exact-truth scan grow as |Q|x|corpus| ~ N² —
     # evals sample a constant probe set regardless of corpus growth
+    #
+    # r7 plan change (outputs bit-identical, A/B'd 2.3x on the truth leg):
+    # per-side norms precompute BEFORE the crossJoin — the fold HOFs are
+    # interpreted per element, and cosine-per-pair was refolding ‖v‖ once
+    # per query (64x) and ‖q‖ once per corpus row. Same fold order, same
+    # doubles, same rounding — identical cos_ppm.
+    corpus_n = corpus.withColumn("vn", vec.l2_norm(F.col("ve")))
     q = (
         corpus.filter(F.col("vec_id") % 97 == 3)
         .orderBy("vec_id")
@@ -7520,21 +7527,27 @@ def q_retrieval_mrr_eval(spark, sf_dir):
             F.col("ve").alias("qe"),
             F.col("sig").alias("qsig"),
         )
+        .withColumn("qn", vec.l2_norm(F.col("qe")))
     )
+    denom = F.col("vn") * F.col("qn")
     cos_ppm = F.round(
-        vec.cosine_similarity(F.col("ve"), F.col("qe")) * 1_000_000
+        F.when(denom > 0, vec.dot_product(F.col("ve"), F.col("qe")) / denom)
+        * 1_000_000
     ).cast("long")
     scored = (
-        corpus.crossJoin(broadcast(q))
+        corpus_n.crossJoin(broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "qsig", "vec_id", "sig", cos_ppm.alias("cos_ppm"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_ppm"), F.asc("vec_id"))
-    truth = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("q_id", F.col("vec_id").alias("t_id"))
+    # truth = per-query argmax — a partial-aggregable max_by instead of a
+    # full-width row_number window (no 3.8M-row sort, map-side combine)
+    truth = scored.groupBy("q_id").agg(
+        F.max_by(
+            "vec_id",
+            F.struct(F.col("cos_ppm"), (-F.col("vec_id")).alias("nv")),
+        ).alias("t_id")
     )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_ppm"), F.asc("vec_id"))
     sys_ranked = (
         scored.filter(F.expr("bit_count(sig ^ qsig) <= 2"))
         .withColumn("rank", F.row_number().over(w))
@@ -7904,7 +7917,14 @@ def q_zorder_layout_plan(spark, sf_dir):
 # hardening plus trainer collect guards, none on a query path); if a
 # later r7 commit changes a query's semantics it gets PREPENDED here, per
 # the established rule.
+#
+# retrieval_mrr_eval heads the window for the same reason
+# binary_hamming_topk headed r6's: an r7 PLAN change (norm precompute +
+# max_by truth, outputs bit-identical and A/B-verified) — its driver row
+# should postdate the change. temperature_mixture (r4) slides to 51st and
+# rotates in r8.
 _DRIVER_PRIORITY = [
+    "retrieval_mrr_eval",  # r7 plan change (norm precompute), oracle-identical
     "events_resample_ffill",  # r3
     "snapshot_diff",  # r3
     "bigram_pmi",  # r3
