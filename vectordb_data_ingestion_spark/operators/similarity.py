@@ -32,6 +32,8 @@ from pyspark.sql.window import Window
 from vectordb_data_ingestion_spark.functions.vectors import (
     certainty,
     cosine_similarity,
+    dot_product,
+    l2_norm,
     to_double_array,
 )
 
@@ -908,14 +910,25 @@ def bitext_mine(
     batch, no per-id window shuffle — same rounded-6/lowest-id contract
     as the JVM form, parity-tested via semantic_dedup's oracle).
     """
+    # per-side norms ride the LINEAR cell tables (r7): the pair table is
+    # Σcell² rows and the fold HOFs are interpreted per element, so
+    # cosine-per-pair refolded each vector's norm once per cell partner —
+    # 2/3 of the per-pair fold work. Same fold order, same doubles, same
+    # rounding: cos_ppm is bit-identical (A/B'd on the registered query).
     a_cells = assign_ivf_cells_vectorized(
         a, centroids, vec_col=a_vec, id_col=a_id,
         centroid_vec=centroid_vec, centroid_id=centroid_id,
-    ).select(a_id, a_vec, "cell")
+    ).select(
+        a_id, a_vec, "cell",
+        l2_norm(to_double_array(F.col(a_vec))).alias("__an"),
+    )
     b_cells = assign_ivf_cells_vectorized(
         b, centroids, vec_col=b_vec, id_col=b_id,
         centroid_vec=centroid_vec, centroid_id=centroid_id,
-    ).select(b_id, b_vec, "cell")
+    ).select(
+        b_id, b_vec, "cell",
+        l2_norm(to_double_array(F.col(b_vec))).alias("__bn"),
+    )
     if materialize:
         # checkpoint the LINEAR-size cell assignments, NOT the ranked
         # pair table: ranked feeds three subtrees, but it is Σcell²
@@ -927,11 +940,18 @@ def bitext_mine(
         b_cells = b_cells.localCheckpoint()
     # to_double_array like every sibling operator: float-typed embeddings
     # would otherwise multiply in single precision before the fold,
-    # flipping ±1 ppm on boundary values vs the double-computing oracle
+    # flipping ±1 ppm on boundary values vs the double-computing oracle.
+    # NULL parity with cosine_similarity: zero denom -> NULL cos_ppm.
+    __denom = F.col("__an") * F.col("__bn")
     cos_ppm = F.round(
-        cosine_similarity(
-            to_double_array(F.col(a_vec)), to_double_array(F.col(b_vec))
-        ) * 1_000_000
+        F.when(
+            __denom > 0,
+            dot_product(
+                to_double_array(F.col(a_vec)), to_double_array(F.col(b_vec))
+            )
+            / __denom,
+        )
+        * 1_000_000
     ).cast("long")
     pairs = a_cells.join(b_cells, "cell").select(
         "cell", a_id, b_id, cos_ppm.alias("cos_ppm")

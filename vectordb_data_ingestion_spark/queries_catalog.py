@@ -7925,6 +7925,7 @@ def q_zorder_layout_plan(spark, sf_dir):
 # rotates in r8.
 _DRIVER_PRIORITY = [
     "retrieval_mrr_eval",  # r7 plan change (norm precompute), oracle-identical
+    "bitext_margin_pairs_blocked",  # r7 plan change (same norm precompute in bitext_mine)
     "events_resample_ffill",  # r3
     "snapshot_diff",  # r3
     "bigram_pmi",  # r3
