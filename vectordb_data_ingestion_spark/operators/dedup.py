@@ -36,7 +36,8 @@ from vectordb_data_ingestion_spark.functions.hashing import (
 )
 from vectordb_data_ingestion_spark.functions.text import word_split
 from vectordb_data_ingestion_spark.functions.vectors import (
-    cosine_similarity,
+    dot_product,
+    l2_norm,
     to_double_array,
 )
 
@@ -618,17 +619,36 @@ def embedding_near_dup_pairs(
             for i in range(sign_bits)
         ],
     )
-    base = df.select(F.col(id_col), F.col(vec_col), bucket.alias("__b"))
+    # norms ride the LINEAR bucket table (and its checkpoint): the pair
+    # table is bucket² rows and the fold is interpreted per element, so
+    # cosine-per-pair refolded each vector's norm once per bucket partner
+    # (r7, same change as bitext_mine — identical doubles, identical
+    # round, NULL on zero norms as before)
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        bucket.alias("__b"),
+        l2_norm(v).alias("__n"),
+    )
     if materialize_buckets:
         base = base.localCheckpoint()
     left = base.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__b"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__b",
+        F.col("__n").alias("__na"),
     )
     right = base.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__b"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__b",
+        F.col("__n").alias("__nb"),
     )
+    __denom = F.col("__na") * F.col("__nb")
     cos = F.round(
-        cosine_similarity(to_double_array(F.col("va")), to_double_array(F.col("vb"))),
+        F.when(
+            __denom > 0,
+            dot_product(
+                to_double_array(F.col("va")), to_double_array(F.col("vb"))
+            )
+            / __denom,
+        ),
         6,
     )
     return (
@@ -688,14 +708,27 @@ def semantic_dedup(
     )
     if materialize:
         assigned = assigned.localCheckpoint()
-    slim = assigned.select("cell", id_col, vec_col)
+    # per-side norms on the LINEAR slim tables (r7, same as bitext_mine):
+    # the self-join is Σcell² pairs and cosine-per-pair refolded each
+    # vector's norm once per cell partner. Identical doubles/rounding;
+    # zero-norm pairs stay NULL and fail the >= filter, as before.
+    slim = assigned.select(
+        "cell", id_col, vec_col,
+        l2_norm(to_double_array(F.col(vec_col))).alias("__n"),
+    )
     right = slim.select(
         F.col("cell"),
         F.col(id_col).alias("__id_b"),
         F.col(vec_col).alias("__vec_b"),
+        F.col("__n").alias("__nb"),
     )
-    sim = cosine_similarity(
-        to_double_array(F.col(vec_col)), to_double_array(F.col("__vec_b"))
+    __denom = F.col("__n") * F.col("__nb")
+    sim = F.when(
+        __denom > 0,
+        dot_product(
+            to_double_array(F.col(vec_col)), to_double_array(F.col("__vec_b"))
+        )
+        / __denom,
     )
     dominated = (
         slim.join(right, "cell")
