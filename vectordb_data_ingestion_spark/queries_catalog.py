@@ -7924,58 +7924,56 @@ def q_zorder_layout_plan(spark, sf_dir):
 # should postdate the change. temperature_mixture (r4) slides to 51st and
 # rotates in r8.
 _DRIVER_PRIORITY = [
-    "retrieval_mrr_eval",  # r7 plan change (norm precompute), oracle-identical
-    "bitext_margin_pairs_blocked",  # r7 plan change (same norm precompute in bitext_mine)
-    "events_resample_ffill",  # r3
-    "snapshot_diff",  # r3
-    "bigram_pmi",  # r3
-    "word_entropy",  # r3
-    "countmin_heavy_hitters",  # r3
-    "lang_id_confusion",  # r3
-    "doc_keywords_tfidf",  # r3
-    "near_dup_recall_eval",  # r3
-    "events_session_window",  # r3
-    "events_value_anomalies",  # r3
-    "cross_modal_topk",  # r3
-    "cheapest_supplier_per_part",  # r3
-    "llm_annotate",  # r3
-    "key_skew_report",  # r3
-    "table_profile",  # r3
-    "eval_set_sample",  # r3
-    "purchase_attribution",  # r3
-    "temperature_sample",  # r3
-    "source_vocab_overlap",  # r3
-    "sole_late_supplier",  # r3
-    "top_supplier_revenue",  # r3
-    "nation_pair_volume",  # r3
-    "token_budget_fill",  # r3
-    "interleave_manifest",  # r3
-    "weighted_reservoir_sample",  # r3
-    "nation_yearly_profit",  # r3
-    "dataset_card",  # r3
-    "events_sessionize",  # r4
-    "exact_dedup",  # r4
-    "lsh_topk",  # r4
-    "training_corpus_prep",  # r4
-    "ngram_jaccard_near_dup",  # r4
-    "embedding_near_dup",  # r4
-    "sequence_packing",  # r4
-    "paragraph_dedup",  # r4
-    "semantic_dedup",  # r4
-    "pq_adc_topk",  # r4
-    "bpe_train_merges",  # r4
-    "rerank_topk",  # r4
-    "rag_context",  # r4
-    "gopher_quality_filter",  # r4
-    "bpe_segment_tokens",  # r4
-    "customer_order_distribution",  # r4
-    "large_orders",  # r4
-    "returned_item_losses",  # r4
-    "length_cdf",  # r4
-    "lang_source_unpivot",  # r4
-    "parts_supplier_stats",  # r4
     "local_supplier_volume",  # r4
     "temperature_mixture",  # r4
+    "small_quantity_revenue",  # r4
+    "lapsed_customer_balance",  # r4
+    "shipping_delay_buckets",  # r4
+    "disjunctive_brand_revenue",  # r4
+    "dominant_part_suppliers",  # r4
+    "important_part_share",  # r4
+    "missing_event_hours",  # r4
+    "bitext_margin_pairs",  # r4
+    "forecast_revenue_change",  # r4
+    "skew_salted_join",  # r4
+    "zorder_layout_plan",  # r4
+    "file_type_extract",  # r5
+    "distinct_file_types",  # r5
+    "delta_filter",  # r5
+    "incremental_diff",  # r5
+    "seqno",  # r5
+    "url_synthesis",  # r5
+    "clean_text",  # r5
+    "token_count",  # r5
+    "chunk_fixed_overlap",  # r5
+    "string_compose_kb",  # r5
+    "events_hourly_window",  # r5
+    "events_range_join",  # r5
+    "corpus_stats_rollup",  # r5
+    "events_asof_join",  # r5
+    "events_asof_nearest",  # r5
+    "topk_certainty",  # r5
+    "topk_certainty_vectorized",  # r5
+    "ivf_assign",  # r5
+    "lsh_assign",  # r5
+    "lsh_topk_multitable",  # r5
+    "ann_topk_batch",  # r5
+    "minhash_signatures",  # r5
+    "near_dup_components",  # r5
+    "simhash",  # r5
+    "lang_id",  # r5
+    "quality_score",  # r5
+    "corpus_stats",  # r5
+    "doc_fingerprint",  # r5
+    "kb_article_compose",  # r5
+    "service_catalog_compose",  # r5
+    "split_long_rows",  # r5
+    "multimodal_metadata",  # r5
+    "media_sampling_plan",  # r5
+    "multimodal_features",  # r5
+    "word_split",  # r5
+    "chunk_recursive",  # r5
+    "embed_enrich",  # r5
 ]
 
 
