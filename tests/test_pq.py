@@ -860,3 +860,79 @@ def test_calibrate_n_probe_hits_target_recall(spark, tmp_path):
     for level, rec in res["measured"].items():
         if level < res["n_probe"]:
             assert rec < target, (level, rec, target)
+
+
+def test_legacy_protocol1_index_loads_without_marker(spark, tmp_path):
+    """ADVICE r7 (medium): indexes built by protocol-1 versions of this
+    module wrote _meta.json LAST and never wrote _INDEX_SUCCESS — for
+    them meta-present means the build completed, so the completion gate
+    must not require the marker (versioned via meta's "protocol" field).
+    Only a meta that DECLARES protocol >= 2 promises a trailing marker."""
+    import json
+    import numpy as np
+
+    from vectordb_data_ingestion_spark.operators.pq import (
+        pq_train,
+        residual_table,
+    )
+    from vectordb_data_ingestion_spark.operators.vector_index import (
+        build_ivfpq_index,
+        load_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    m, dim = 4, 16
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(60, dim))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [float(v) for v in x[:30].mean(axis=0)]),
+         (1, [float(v) for v in x[30:].mean(axis=0)])],
+        "c_id long, c_embedding array<double>",
+    )
+    books = pq_train(residual_table(emb, cents), m, dim, k=8,
+                     iterations=1, vec_col="rvec")
+    out = str(tmp_path / "idx")
+    build_ivfpq_index(emb, cents, books, out, m=m, dim=dim, residual=True)
+    qv = [float(v) for v in x[3]]
+    truth = [
+        (r["vec_id"], r["adc"])
+        for r in query_ivfpq_index(
+            load_ivfpq_index(spark, out), qv, k=5, n_probe=2
+        ).collect()
+    ]
+
+    # rewrite the on-disk state as a protocol-1 upgrade would find it:
+    # meta without a protocol field, NO marker ever written
+    meta_path = os.path.join(out, "_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    del meta["protocol"]
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    os.remove(os.path.join(out, "_INDEX_SUCCESS"))
+
+    idx = load_ivfpq_index(spark, out)  # loads, no "crashed" misread
+    assert idx.residual
+    got = [
+        (r["vec_id"], r["adc"])
+        for r in query_ivfpq_index(idx, qv, k=5, n_probe=2).collect()
+    ]
+    assert got == truth
+
+    # the streaming-append gate accepts the legacy index too
+    from vectordb_data_ingestion_spark.operators.vector_index import (
+        _check_index_complete,
+    )
+
+    assert _check_index_complete(out, "accept appends") == meta
+
+    # but a protocol-2 meta without its marker still fails loudly
+    meta["protocol"] = 2
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(RuntimeError, match="_INDEX_SUCCESS"):
+        load_ivfpq_index(spark, out)

@@ -669,3 +669,29 @@ def test_parquet_sink_randomized_against_model(spark, tmp_path):
                 (r["k"], str(r["load_dt"])) for r in sink.read().collect()
             )
             assert got == sorted(model), f"diverged at step {step} ({op})"
+
+
+def test_partition_drop_fast_path_checks_layout(spark, tmp_path):
+    """ADVICE r7: the partition-delete fast path must run the same layout
+    gate as upsert — a bucketed sink opened over an unbucketed store
+    would otherwise scan only (nonexistent) pbucket= parents and silently
+    delete nothing."""
+    plain = ParquetVectorSink(
+        spark, str(tmp_path / "flat"), partition_col="load_dt"
+    )
+    plain.upsert(
+        spark.createDataFrame(
+            [("a", "2024-01-01"), ("b", "2024-01-02")],
+            "chunk_id string, load_dt string",
+        )
+    )
+    bucketed = ParquetVectorSink(
+        spark, str(tmp_path / "flat"), partition_col="load_dt",
+        key_col="chunk_id", n_buckets=4,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="unbucketed"):
+        bucketed.delete_where("load_dt", ["2024-01-01"])
+    # nothing was silently dropped
+    assert plain.read().count() == 2

@@ -1244,17 +1244,16 @@ def test_near_dup_index_compaction_preserves_admission(spark, tmp_path):
             ),
             i,
         )
-    assert len(os.listdir(f"{index_dir}/bands")) == 3
+    def _parts(p):
+        return sorted(d for d in os.listdir(p) if not d.startswith("_"))
+
+    assert len(_parts(f"{index_dir}/bands")) == 3
 
     merged = compact_near_dup_index(spark, index_dir)
     # batches 0 and 1 fold; batch=2 (newest, possibly pending replay) stays
     assert merged == 4
-    assert sorted(os.listdir(f"{index_dir}/bands")) == [
-        "batch=-1", "batch=2",
-    ]
-    assert sorted(os.listdir(f"{index_dir}/shingles")) == [
-        "batch=-1", "batch=2",
-    ]
+    assert _parts(f"{index_dir}/bands") == ["batch=-1", "batch=2"]
+    assert _parts(f"{index_dir}/shingles") == ["batch=-1", "batch=2"]
 
     # admission against the compacted index: near-copy of doc 1 rejected,
     # fresh doc admitted — including on replay of the same batch id
@@ -1276,9 +1275,7 @@ def test_near_dup_index_compaction_preserves_admission(spark, tmp_path):
     # compacting again folds {batch=-1, batch=2} into batch=-2; batch=3 is
     # now the newest and stays out
     assert compact_near_dup_index(spark, index_dir) == 4
-    assert sorted(os.listdir(f"{index_dir}/bands")) == [
-        "batch=-2", "batch=3",
-    ]
+    assert _parts(f"{index_dir}/bands") == ["batch=-2", "batch=3"]
     # with only the compacted generation left compactable, it's a no-op
     assert compact_near_dup_index(spark, index_dir) == 0
 
@@ -1478,7 +1475,9 @@ def test_compact_ivfpq_codes_preserves_queries(spark, tmp_path):
     ]
     merged = compact_ivfpq_codes(spark, out)
     assert merged == 2  # base + batch=0 fold; batch=1 (newest) stays
-    listing = sorted(os.listdir(codes))
+    listing = sorted(
+        d for d in os.listdir(codes) if not d.startswith("_")
+    )
     assert listing == ["batch=-1", "batch=1"]
     # the folded generation keeps cell= partitioning (probe pruning)
     assert all(
@@ -1558,3 +1557,123 @@ def test_ivfpq_fold_crash_recovery(spark, tmp_path):
     assert os.path.exists(os.path.join(codes, "batch=-1"))
     # idempotent: compaction after recovery is a no-op on one partition
     assert compact_ivfpq_codes(spark, out) == 0
+
+
+def test_fold_recovery_skips_while_fold_lock_held(spark, tmp_path):
+    """ADVICE r7 (high): a loader's recovery pass racing a LIVE fold must
+    not mistake the fold's in-progress markers for a crash — between the
+    fold's finished target write and its _FOLD_COMMITTED write, a
+    rollback would rmtree the finished generation, and the fold would
+    then commit and delete every source (permanent row loss). With the
+    fold lock held (simulating the live fold at exactly that point),
+    _fold_recover must skip; once released, it recovers normally."""
+    import fcntl
+    import json
+    import shutil
+
+    from vectordb_data_ingestion_spark.operators.vector_index import (
+        load_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from vectordb_data_ingestion_spark.streaming.incremental import (
+        _fold_recover,
+    )
+
+    out, x = _small_ivfpq(spark, tmp_path)
+    codes = os.path.join(out, "codes")
+    qv = [float(v) for v in x[7]]
+    truth = [
+        (r["vec_id"], r["adc"])
+        for r in query_ivfpq_index(
+            load_ivfpq_index(spark, out), qv, k=8, n_probe=2
+        ).collect()
+    ]
+
+    # the live fold's state between target write and COMMITTED: complete
+    # target generation + PENDING marker, fold lock held
+    shutil.copytree(
+        os.path.join(codes, "batch=base"), os.path.join(codes, "batch=-1")
+    )
+    payload = {"target": "batch=-1", "sources": ["batch=base"]}
+    with open(os.path.join(codes, "_FOLD_PENDING"), "w") as fh:
+        json.dump(payload, fh)
+    fd = os.open(os.path.join(codes, "_FOLD_LOCK"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        _fold_recover(codes)
+        # skipped: the generation the fold is about to commit survives
+        assert os.path.exists(os.path.join(codes, "batch=-1"))
+        assert os.path.exists(os.path.join(codes, "_FOLD_PENDING"))
+    finally:
+        os.close(fd)
+
+    # the fold then finishes its own protocol (COMMITTED + source delete)
+    with open(os.path.join(codes, "_FOLD_COMMITTED"), "w") as fh:
+        json.dump(payload, fh)
+    shutil.rmtree(os.path.join(codes, "batch=base"))
+    os.remove(os.path.join(codes, "_FOLD_PENDING"))
+    os.remove(os.path.join(codes, "_FOLD_COMMITTED"))
+    got = [
+        (r["vec_id"], r["adc"])
+        for r in query_ivfpq_index(
+            load_ivfpq_index(spark, out), qv, k=8, n_probe=2
+        ).collect()
+    ]
+    assert got == truth  # zero rows lost across the race
+
+    # lock released + a genuine crash marker: recovery behaves as before
+    with open(os.path.join(codes, "_FOLD_PENDING"), "w") as fh:
+        json.dump({"target": "batch=-2", "sources": ["batch=-1"]}, fh)
+    os.makedirs(os.path.join(codes, "batch=-2"), exist_ok=True)
+    _fold_recover(codes)
+    assert not os.path.exists(os.path.join(codes, "batch=-2"))
+    assert not os.path.exists(os.path.join(codes, "_FOLD_PENDING"))
+
+
+def test_fold_aborts_if_target_vanishes_before_commit(spark, tmp_path):
+    """The lock-less substrate guard: if the written fold target is gone
+    at commit time, the fold must abort with sources intact — writing
+    _FOLD_COMMITTED anyway would finish with source deletes and lose the
+    rows forever."""
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from vectordb_data_ingestion_spark.operators.vector_index import (
+        load_ivfpq_index,
+    )
+    from vectordb_data_ingestion_spark.streaming.incremental import (
+        compact_ivfpq_codes,
+    )
+
+    out, x = _small_ivfpq(spark, tmp_path)
+    codes = os.path.join(out, "codes")
+    # two extra batch partitions so the fold has >1 foldable partition
+    # (batch=1 is newest and never folds; {base, 0} fold)
+    shutil.copytree(os.path.join(codes, "batch=base"),
+                    os.path.join(codes, "batch=0"))
+    shutil.copytree(os.path.join(codes, "batch=base"),
+                    os.path.join(codes, "batch=1"))
+    n_before = load_ivfpq_index(spark, out).codes.count()
+
+    orig = DataFrameWriter.parquet
+
+    def vanish_after_write(self, path, **kw):
+        orig(self, path, **kw)
+        if "batch=-" in path:  # the fold's target generation
+            shutil.rmtree(path)
+
+    DataFrameWriter.parquet = vanish_after_write
+    try:
+        with _pytest.raises(RuntimeError, match="vanished"):
+            compact_ivfpq_codes(spark, out)
+    finally:
+        DataFrameWriter.parquet = orig
+    # sources intact, markers cleaned, zero rows lost
+    assert not os.path.exists(os.path.join(codes, "_FOLD_PENDING"))
+    assert not os.path.exists(os.path.join(codes, "_FOLD_COMMITTED"))
+    assert load_ivfpq_index(spark, out).codes.count() == n_before
+    # and the next (unmolested) fold succeeds
+    assert compact_ivfpq_codes(spark, out) >= 1
+    assert load_ivfpq_index(spark, out).codes.count() == n_before

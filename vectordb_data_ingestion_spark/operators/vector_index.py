@@ -107,6 +107,12 @@ def build_ivfpq_index(
     with open(os.path.join(out_dir, "_meta.json"), "w") as fh:
         json.dump(
             {
+                # protocol 2 = "this build writes _INDEX_SUCCESS last";
+                # the load gate requires the marker ONLY for metas that
+                # declare it — indexes built by protocol-1 versions of
+                # this module (meta written last, no marker ever) stay
+                # loadable instead of misreading as crashed builds
+                "protocol": 2,
                 "residual": bool(residual),
                 "m": m,
                 "dim": dim,
@@ -226,6 +232,34 @@ def _migrate_legacy_flat_codes(codes_dir: str, force: bool = False) -> bool:
     return True
 
 
+def _check_index_complete(out_dir: str, action: str) -> dict | None:
+    """Read ``_meta.json`` (None when absent — pre-meta legacy indexes,
+    direct mode, stay loadable) and enforce the completion gate: a
+    protocol-2 build writes ``_meta.json`` FIRST and ``_INDEX_SUCCESS``
+    last, so a protocol-2 meta without the marker is a build that died
+    mid-write — fail loudly rather than serve partial codes. Metas that
+    do not declare ``protocol >= 2`` were written by builds that wrote
+    meta LAST and never a marker (meta present = data complete), so the
+    marker is not required of them (ADVICE r7: the gate must not brick
+    every pre-marker index on upgrade)."""
+    import json as _json
+
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    if int(meta.get("protocol", 1)) >= 2 and not os.path.exists(
+        os.path.join(out_dir, "_INDEX_SUCCESS")
+    ):
+        raise RuntimeError(
+            f"ivfpq index at {out_dir} has a protocol-2 _meta.json but no "
+            "_INDEX_SUCCESS marker: the build crashed before completing "
+            f"— rebuild the index (a partial index must not {action})"
+        )
+    return meta
+
+
 def load_ivfpq_index(
     spark: SparkSession, out_dir: str, m: int = 8, dim: int = 64
 ) -> IvfPqIndex:
@@ -251,22 +285,8 @@ def load_ivfpq_index(
 
     _fold_recover(os.path.join(out_dir, "codes"))
     residual, rotation = False, None
-    meta_path = os.path.join(out_dir, "_meta.json")
-    # completion gate: build writes _meta.json first and _INDEX_SUCCESS
-    # last, so meta-without-marker is a build that died mid-write — fail
-    # loudly rather than serve partial codes. Marker-less AND meta-less
-    # dirs are pre-meta legacy indexes (direct mode) and stay loadable.
-    if os.path.exists(meta_path) and not os.path.exists(
-        os.path.join(out_dir, "_INDEX_SUCCESS")
-    ):
-        raise RuntimeError(
-            f"ivfpq index at {out_dir} has _meta.json but no "
-            "_INDEX_SUCCESS marker: the build crashed before completing "
-            "— rebuild the index (a partial index must not serve queries)"
-        )
-    if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            meta = json.load(fh)
+    meta = _check_index_complete(out_dir, "serve queries")
+    if meta is not None:
         residual = bool(meta.get("residual", False))
         rotation = meta.get("rotation")
         m = int(meta.get("m", m))
@@ -382,14 +402,7 @@ def foreach_batch_index_append(
         _migrate_legacy_flat_codes(_os.path.join(out_dir, "codes"))
         # same completion gate as load_ivfpq_index: never append into a
         # build that died between its meta write and its data writes
-        if _os.path.exists(
-            _os.path.join(out_dir, "_meta.json")
-        ) and not _os.path.exists(_os.path.join(out_dir, "_INDEX_SUCCESS")):
-            raise RuntimeError(
-                f"ivfpq index at {out_dir} has _meta.json but no "
-                "_INDEX_SUCCESS marker: the build crashed before "
-                "completing — rebuild it before appending"
-            )
+        meta = _check_index_complete(out_dir, "accept appends")
         spark = batch_df.sparkSession
         centroids = spark.read.parquet(_os.path.join(out_dir, "centroids"))
         codebooks = spark.read.parquet(_os.path.join(out_dir, "codebooks"))
@@ -397,12 +410,7 @@ def foreach_batch_index_append(
         # appended to a residual index (or vice versa) would silently
         # corrupt every query that touches their cells
         residual, rotation = False, None
-        meta_path = _os.path.join(out_dir, "_meta.json")
-        if _os.path.exists(meta_path):
-            import json as _json
-
-            with open(meta_path) as fh:
-                meta = _json.load(fh)
+        if meta is not None:
             residual = bool(meta.get("residual", False))
             rotation = meta.get("rotation")
         if residual:

@@ -302,6 +302,10 @@ class ParquetVectorSink:
                 self._recover()
                 if not os.path.exists(self.base_path):
                     return
+                # same layout gate as upsert: a bucketed sink opened over
+                # an unbucketed store must fail loudly, not scan
+                # nonexistent pbucket= parents and silently delete nothing
+                self._check_layout_compatible()
                 self._drop_partition_dirs(values)
             return
         if self.n_buckets and col == self.key_col:

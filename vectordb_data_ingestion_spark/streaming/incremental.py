@@ -351,7 +351,39 @@ def compact_near_dup_index(spark: SparkSession, index_dir: str) -> int:
     return merged
 
 
-def _fold_recover(root: str) -> None:
+def _fold_lock(local: str, blocking: bool = True):
+    """Exclusive flock on ``<root>/_FOLD_LOCK``, serializing a live fold
+    against load-time recovery (the destructive race: a loader that sees
+    only ``_FOLD_PENDING`` between the fold's finished target write and
+    its ``_FOLD_COMMITTED`` write would rmtree the finished target, then
+    the fold would commit and delete every source — rows permanently
+    lost). Context manager yielding True when acquired; with
+    ``blocking=False`` a held lock yields False instead of waiting (the
+    recovery path: a live fold owns the markers — skip, don't repair)."""
+    import contextlib
+    import fcntl
+    import os
+
+    @contextlib.contextmanager
+    def _cm():
+        fd = os.open(
+            os.path.join(local, "_FOLD_LOCK"), os.O_CREAT | os.O_RDWR, 0o644
+        )
+        try:
+            flags = fcntl.LOCK_EX | (0 if blocking else fcntl.LOCK_NB)
+            try:
+                fcntl.flock(fd, flags)
+            except OSError:
+                yield False
+                return
+            yield True
+        finally:
+            os.close(fd)  # closing releases the flock
+
+    return _cm()
+
+
+def _fold_recover(root: str, _locked: bool = False) -> None:
     """Finish or roll back a fold interrupted by a crash. Two marker
     files narrate the fold's phase (both under ``root``, underscore
     prefixed so partition discovery ignores them):
@@ -366,7 +398,14 @@ def _fold_recover(root: str) -> None:
       the source dirs are intact, nothing was lost. An unreadable/torn
       marker of either kind lands in this branch too (a torn COMMITTED
       means the data write finished but we can't prove it — rolling back
-      wastes work, never rows)."""
+      wastes work, never rows).
+
+    A marker left by a LIVE fold (not a crashed one) must never be
+    "recovered": unless the caller already holds the fold lock
+    (``_locked=True`` — the fold's own pre-flight recovery), this takes
+    it non-blocking and SKIPS when it's held — the fold that holds it
+    will finish its own protocol. Lock-free fast path when no marker
+    exists (the common case; also keeps read-only stores readable)."""
     import json as _json
     import os
     import shutil
@@ -374,6 +413,13 @@ def _fold_recover(root: str) -> None:
     local = root[len("file:"):] if root.startswith("file:") else root
     pending = os.path.join(local, "_FOLD_PENDING")
     committed = os.path.join(local, "_FOLD_COMMITTED")
+    if not (os.path.exists(pending) or os.path.exists(committed)):
+        return
+    if not _locked:
+        with _fold_lock(local, blocking=False) as got:
+            if got:
+                _fold_recover(root, _locked=True)
+        return
 
     def read_marker(path):
         try:
@@ -423,15 +469,35 @@ def _fold_batch_partitions(
     deletes — an index LOADED after a crash never serves the same row
     twice. (A reader concurrent with the fold itself can see duplicates
     between the commit marker and the source deletes — compaction is a
-    maintenance-window operation, same contract as every vacuum here.)"""
-    import json as _json
+    maintenance-window operation, same contract as every vacuum here.)
+
+    The whole fold runs under :func:`_fold_lock`, so a concurrent
+    loader's recovery pass can never roll back a generation this fold is
+    about to commit (ADVICE r7: the lost-rows load-during-fold race)."""
     import os
-    import shutil
 
     local = root[len("file:"):] if root.startswith("file:") else root
     if not os.path.isdir(local):
         return 0
-    _fold_recover(root)
+    with _fold_lock(local):
+        return _fold_batch_partitions_locked(spark, root, local, partition_by)
+
+
+def _fold_batch_partitions_locked(
+    spark: SparkSession,
+    root: str,
+    local: str,
+    partition_by: tuple[str, ...],
+) -> int:
+    """Body of :func:`_fold_batch_partitions`; caller holds the fold lock
+    for the whole fold, so a concurrent :func:`_fold_recover` (e.g. from
+    ``load_ivfpq_index``) can never mistake our in-progress markers for a
+    crash and roll back a generation we are about to commit."""
+    import json as _json
+    import os
+    import shutil
+
+    _fold_recover(root, _locked=True)
 
     def batch_id(d: str):
         raw = d.split("=", 1)[1]
@@ -477,6 +543,17 @@ def _fold_batch_partitions(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(os.path.join(local, target_name))
 
+    # belt-and-braces under the flock (and the only guard a lock-less
+    # substrate would have): never commit a target something deleted out
+    # from under us — COMMITTED followed by source deletes would then be
+    # permanent row loss. Sources are intact here, so aborting loses work,
+    # never data.
+    if not os.path.isdir(os.path.join(local, target_name)):
+        os.remove(pending)
+        raise RuntimeError(
+            f"fold target {target_name} under {root} vanished before "
+            "commit — aborting the fold (source partitions are intact)"
+        )
     with open(committed, "w") as fh:
         fh.write(payload)
         fh.flush()
