@@ -776,3 +776,227 @@ def test_writer_append_commit_is_idempotent_on_lost_response(tmp_path):
     w.commit([msg], store=store)
     objs = dw.read_committed(path, store=store)
     assert sorted(o["chunk_id"] for o in objs) == ["a", "b"]
+
+
+def test_compact_small_leaves_large_segments_in_place(spark, tmp_path):
+    """Size-tiered compaction (VERDICT r7 item 2): only segments under the
+    small-bytes threshold fold — the big compacted segment's files carry
+    over BY REFERENCE (same dir, zero bytes rewritten), so maintenance
+    cost is bounded by the small-segment mass, never the sink size."""
+    sink = _sink(spark, tmp_path, "file", name="tiered")
+    # one "large" segment (many rows), then a tail of small ones — the
+    # incremental-refresh accretion shape
+    big = spark.createDataFrame(
+        [(f"b{i}", i) for i in range(2000)], "chunk_id string, v long"
+    )
+    sink.upsert(big)
+    manifest, _ = sink._get_manifest()
+    big_dir = manifest["segments"][0]["dir"]
+    big_bytes = sink._segment_bytes(manifest["segments"][0])
+    for i in range(6):
+        sink.upsert(
+            spark.createDataFrame([(f"s{i}", i)], "chunk_id string, v long")
+        )
+
+    merged = sink.compact_small(small_bytes=big_bytes)  # big is NOT small
+    assert merged == 6
+    manifest, _ = sink._get_manifest()
+    dirs = [s["dir"] for s in manifest["segments"]]
+    assert big_dir in dirs  # untouched, by reference
+    assert len(dirs) == 2  # big + one folded small segment
+    assert sink.read().count() == 2006
+    got = {r["chunk_id"] for r in sink.read().filter("v < 6").collect()}
+    assert {f"s{i}" for i in range(6)} <= got
+
+    # idempotent: a second pass has nothing to fold (single small segment)
+    assert sink.compact_small(small_bytes=big_bytes) == 0
+    # maybe_compact routes through the size-tiered fold, not the rewrite
+    assert sink.maybe_compact(max_segments=1, small_bytes=big_bytes) == 0
+
+
+def test_compact_small_bins_respect_target_bytes(spark, tmp_path):
+    """Bin packing: small segments group into bins of ~target_bytes, one
+    rewritten segment per bin — a huge tail of small files never folds
+    into ONE arbitrarily large rewrite."""
+    sink = _sink(spark, tmp_path, "file", name="bins")
+    for i in range(8):
+        sink.upsert(
+            spark.createDataFrame(
+                [(f"c{i}-{j}", j) for j in range(20)],
+                "chunk_id string, v long",
+            )
+        )
+    manifest, _ = sink._get_manifest()
+    sz = sink._segment_bytes(manifest["segments"][0])
+    # cap ~2 segments per bin -> 8 smalls fold into 4 bins
+    merged = sink.compact_small(
+        small_bytes=10 * sz, target_bytes=2 * sz + sz // 2
+    )
+    assert merged == 8
+    manifest, _ = sink._get_manifest()
+    assert len(manifest["segments"]) == 4
+    assert sink.read().count() == 160
+
+
+def test_commit_heals_missing_history_key(spark, tmp_path, binding):
+    """A committer can crash (or lose the response) between winning the
+    manifest CAS and writing its MANIFEST.v<id> history key. The next
+    commit re-publishes the generation it read, so the history chain has
+    no permanent gaps (and vacuum / the upsert lost-response guard can
+    rely on it)."""
+    sink = _sink(spark, tmp_path, binding, name="heal")
+    for i in range(3):
+        sink.upsert(
+            spark.createDataFrame([(f"c{i}", i)], "chunk_id string, v long")
+        )
+    # simulate the crash: the CURRENT generation's history key is lost
+    cur = sink.store.get("MANIFEST.v3")
+    assert sink.store.delete_if("MANIFEST.v3", cur[1])
+    assert sink.store.get("MANIFEST.v3") is None
+
+    # the next mutation reads gen 3 and heals its key before committing 4
+    sink.upsert(
+        spark.createDataFrame([("c3", 3)], "chunk_id string, v long")
+    )
+    healed = sink.store.get("MANIFEST.v3")
+    assert healed is not None
+    assert json.loads(healed[0].decode())["commit_id"] == 3
+    assert sink.history() == [4, 3, 2, 1]
+    # and the healed generation snapshot-reads
+    assert sink.read_at(3).count() == 3
+
+
+def test_vacuum_walks_through_history_gaps(spark, tmp_path):
+    """ADVICE r7: vacuum must not stop at the first missing key below the
+    retention floor — a lost history put leaves a gap, and breaking there
+    would strand OLDER keys whose segments this vacuum reclaims (read_at
+    would then dangle onto missing paths). With the full walk plus
+    read_at's segment-existence check, stranded generations fail with the
+    documented retention error instead."""
+    sink = _sink(spark, tmp_path, "file", name="gap")
+    for i in range(6):
+        sink.upsert(
+            spark.createDataFrame([(f"c{i}", i)], "chunk_id string, v long")
+        )
+    # poke a gap at v4 (simulating a committer that died before its
+    # history put, on a sink that is never mutated again so no heal runs)
+    cur = sink.store.get("MANIFEST.v4")
+    assert sink.store.delete_if("MANIFEST.v4", cur[1])
+
+    sink.vacuum(retain_versions=0)  # only the head generation survives
+    # keys BELOW the gap were pruned too (no early break)
+    for cid in range(1, 6):
+        assert sink.store.get(f"MANIFEST.v{cid}") is None, cid
+    assert sink.history() == [6]
+    # snapshot reads on pruned generations fail loudly
+    with pytest.raises(FileNotFoundError, match="no retained"):
+        sink.read_at(3)
+
+
+def test_read_at_refuses_reclaimed_segments(spark, tmp_path):
+    """A history key whose segments were reclaimed must raise the
+    documented retention error, not hand back a DataFrame that dies on
+    missing paths at action time."""
+    import shutil
+
+    sink = _sink(spark, tmp_path, "file", name="dangle")
+    sink.upsert(
+        spark.createDataFrame([("a", 1)], "chunk_id string, v long")
+    )
+    sink.upsert(
+        spark.createDataFrame([("b", 2)], "chunk_id string, v long")
+    )
+    manifest, _ = sink._get_manifest()
+    # reclaim gen 1's segment behind the history key's back
+    v1 = json.loads(sink.store.get("MANIFEST.v1")[0].decode())
+    shutil.rmtree(
+        os.path.join(sink.base_path, "_data", v1["segments"][0]["dir"])
+    )
+    with pytest.raises(FileNotFoundError, match="no retained"):
+        sink.read_at(1)
+
+
+def test_history_is_bounded_by_retained_floor(spark, tmp_path):
+    """VERDICT r7 item 5: after vacuum prunes history, history() must not
+    walk commit ids one at a time down to 1 — the retained-floor
+    watermark bounds the walk to O(retained) store gets."""
+    class CountingStore(MemoryConditionalStore):
+        def __init__(self):
+            super().__init__()
+            self.gets = 0
+
+        def get(self, key):
+            self.gets += 1
+            return super().get(key)
+
+    store = CountingStore()
+    sink = ManifestVectorSink(
+        spark, str(tmp_path / "hist"), partition_col=None, store=store
+    )
+    for i in range(30):
+        sink.upsert(
+            spark.createDataFrame([(f"c{i}", i)], "chunk_id string, v long")
+        )
+    sink.vacuum(retain_versions=3)
+    assert sink.history() == [30, 29, 28, 27]
+
+    store.gets = 0
+    got = sink.history()
+    assert got == [30, 29, 28, 27]
+    # MANIFEST + RETAINED_FLOOR + one get per retained id (plus slack);
+    # the pre-fix walk would issue ~30
+    assert store.gets <= 10
+
+
+def test_upsert_lost_response_with_concurrent_dereference(spark, tmp_path):
+    """ADVICE r7 (manifest_sink.py:496): the lost-response guard must
+    hold even when a concurrent delete dereferenced the just-landed
+    segment before the retry — re-appending it would silently resurrect
+    the deleted rows. The retry scans retained history (healed by the
+    delete's own commit) for its segment dir and stops."""
+    deletes = {}
+
+    class LostResponseThenDelete(MemoryConditionalStore):
+        def __init__(self):
+            super().__init__()
+            self.lied = False
+            self.in_hook = False
+
+        def put_if(self, key, data, token):
+            ok = super().put_if(key, data, token)
+            if ok and key == "MANIFEST" and not self.lied:
+                self.lied = True
+                return False  # it LANDED, but the caller hears failure
+            return ok
+
+        def get(self, key):
+            if (
+                self.lied
+                and deletes.get("fn")
+                and not self.in_hook
+                and key == "MANIFEST"
+            ):
+                self.in_hook = True
+                fn = deletes.pop("fn")
+                fn()  # the concurrent delete runs between lie and retry
+                self.in_hook = False
+            return super().get(key)
+
+    store = LostResponseThenDelete()
+    sink = ManifestVectorSink(
+        spark, str(tmp_path / "lostdel"), partition_col=None, store=store
+    )
+
+    def concurrent_delete():
+        other = ManifestVectorSink(
+            spark, str(tmp_path / "lostdel"), partition_col=None, store=store
+        )
+        other.delete_where("chunk_id", ["a", "b"])
+
+    deletes["fn"] = concurrent_delete
+    sink.upsert(
+        spark.createDataFrame([("a", 1), ("b", 2)], "chunk_id string, v long")
+    )
+    assert store.lied and not deletes  # both the lie and the delete ran
+    # the delete's verdict stands: the retry must NOT resurrect the rows
+    assert sink.read().count() == 0

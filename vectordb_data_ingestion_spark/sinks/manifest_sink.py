@@ -59,9 +59,11 @@ from pyspark.sql import functions as F
 from vectordb_data_ingestion_spark.sinks.commit_store import (
     ConditionalStore,
     FileConditionalStore,
+    cas_update,
 )
 
 _MANIFEST_KEY = "MANIFEST"
+_FLOOR_KEY = "RETAINED_FLOOR"
 
 
 class ManifestVectorSink:
@@ -121,6 +123,15 @@ class ManifestVectorSink:
             "n_buckets": self.n_buckets,
         }
 
+    def _cas_backoff(self, attempt: int) -> None:
+        """Linear backoff between CAS retries (same ramp as
+        ``cas_update``): a lost ``delete_where_df`` race re-derives a
+        full Spark anti-join job — re-launching it instantly against N
+        contending writers just burns work."""
+        import time
+
+        time.sleep(0.01 * min(attempt + 1, 10))
+
     def _commit(self, manifest: dict | None, segments: list[dict],
                 token: object, schema_json: str | None = None) -> int | None:
         """One commit attempt: stamp the next ``commit_id``, CAS the
@@ -130,7 +141,24 @@ class ManifestVectorSink:
         retried self, which is idempotent). ``schema_json`` records the
         latest writer's schema (carried forward when None) so deletes can
         resolve the stored key type without a sink read. Returns the
-        committed id, or None if the CAS lost."""
+        committed id, or None if the CAS lost.
+
+        Before CAS-ing, HEAL the history key of the generation we read: a
+        committer can crash (or lose the put response) between winning
+        the manifest CAS and writing its ``MANIFEST.v<id>`` key, leaving
+        a gap. Since the CAS chain means every superseded generation was
+        READ in full by its successor's committer, that successor can
+        re-publish it — so after healing, every non-head generation has
+        its key. This closes two holes at once: vacuum's dense-walk
+        assumption, and upsert's lost-response guard when a concurrent
+        mutation dereferenced the just-landed segment (the guard scans
+        history for the segment dir — see :meth:`_dir_in_history`)."""
+        if manifest is not None and int(manifest.get("commit_id", 0)) >= 1:
+            self.store.put_if(
+                f"{_MANIFEST_KEY}.v{int(manifest['commit_id'])}",
+                json.dumps(manifest).encode(),
+                None,  # create-only; exists already in the common case
+            )
         commit_id = int((manifest or {}).get("commit_id", 0)) + 1
         new = {
             "layout": (manifest or {}).get("layout", self._layout()),
@@ -246,14 +274,30 @@ class ManifestVectorSink:
 
     # -- contract ----------------------------------------------------------
 
+    def _dir_in_history(self, seg_dir: str, lo: int, hi: int) -> bool:
+        """Whether any retained generation in ``[lo, hi]`` references
+        ``seg_dir`` — the second leg of upsert's lost-response guard."""
+        for cid in range(hi, max(lo, 1) - 1, -1):
+            cur = self.store.get(f"{_MANIFEST_KEY}.v{cid}")
+            if cur is None:
+                continue
+            m = json.loads(cur[0].decode("utf-8"))
+            if any(s["dir"] == seg_dir for s in m.get("segments", [])):
+                return True
+        return False
+
     def upsert(self, df: DataFrame) -> None:
         if self.n_buckets:
             # recompute, never trust a caller-supplied bucket column
             df = df.withColumn(self.BUCKET_COL, self._bucket_expr(self.key_col))
         entry = self._write_segment(df)
 
+        first_seen: int | None = None
         for attempt in range(self.max_cas_retries + 1):
             manifest, token = self._get_manifest()
+            cur_id = int((manifest or {}).get("commit_id", 0))
+            if first_seen is None:
+                first_seen = cur_id
             if (
                 manifest is not None
                 and manifest.get("layout") != self._layout()
@@ -267,17 +311,30 @@ class ManifestVectorSink:
             # reported failure (network retry against a real store) would
             # otherwise re-append this entry on the next loop — duplicate
             # rows. The segment dir is a uuid, so finding it in the
-            # manifest proves our own put won. (Deletes and compactions
-            # don't need this: their retry re-derives against the current
-            # manifest, which already reflects them — idempotent by
-            # construction.)
+            # manifest proves our own put won. If a concurrent delete or
+            # compaction already dereferenced the whole segment (its
+            # entry filtered out when the file list emptied), the current
+            # manifest won't show it — so on retries also scan the
+            # retained history between the generation we first read and
+            # now: our put can only have landed in that range, and
+            # _commit's healing guarantees every superseded generation in
+            # it has its history key. Found there = it landed and a later
+            # mutation legitimately removed the rows — re-appending would
+            # resurrect deleted rows. (Deletes and compactions don't need
+            # any of this: their retry re-derives against the current
+            # manifest, which already reflects them.)
             if any(s["dir"] == entry["dir"] for s in existing):
+                return
+            if attempt and self._dir_in_history(
+                entry["dir"], first_seen + 1, cur_id
+            ):
                 return
             segments = [*existing, entry]
             if self._commit(
                 manifest, segments, token, schema_json=df.schema.json()
             ) is not None:
                 return
+            self._cas_backoff(attempt)
         self._drop_segment(entry)
         raise RuntimeError(
             f"upsert on {self.base_path} lost {self.max_cas_retries} CAS races"
@@ -350,6 +407,7 @@ class ManifestVectorSink:
                 return
             if self._commit(manifest, new_segments, token) is not None:
                 return
+            self._cas_backoff(attempt)
         raise RuntimeError(
             f"partition drop on {self.base_path} lost "
             f"{self.max_cas_retries} CAS races"
@@ -425,28 +483,115 @@ class ManifestVectorSink:
             if self._commit(manifest, new_segments, token) is not None:
                 return
             self._drop_segment(entry)  # stale derivation — retry
+            self._cas_backoff(attempt)
         raise RuntimeError(
             f"delete on {self.base_path} lost {self.max_cas_retries} CAS races"
         )
 
-    def maybe_compact(self, max_segments: int = 64) -> int:
-        """Maintenance-cadence form of :meth:`compact`: fold only when the
-        visible segment count exceeds ``max_segments``. Every mutation adds
-        a segment, and each segment adds a scan branch to every read — the
-        same batch-count small-files growth the streaming near-dup index
-        compaction bounds (``compact_near_dup_index``). A refresh pipeline
-        calls this after its batch loop (or on a timer), never in the hot
-        path. Returns segments merged (0 = under threshold)."""
+    def maybe_compact(
+        self, max_segments: int = 64, small_bytes: int = 64 << 20
+    ) -> int:
+        """Maintenance-cadence compaction: when the visible segment count
+        exceeds ``max_segments``, run the SIZE-TIERED fold
+        (:meth:`compact_small`) — never the full rewrite. Every mutation
+        adds a segment, and each segment adds a scan branch to every read —
+        the same batch-count small-files growth the streaming near-dup
+        index compaction bounds (``compact_near_dup_index``); but that
+        overhead lives almost entirely in the newest (small) segments, so
+        folding only those keeps the maintenance cost proportional to the
+        small-segment mass instead of the sink size — at 100 TB a full
+        :meth:`compact` would be a full-corpus rewrite (VERDICT r7 item 2).
+        A refresh pipeline calls this after its batch loop (or on a
+        timer), never in the hot path. Returns segments merged (0 = under
+        threshold)."""
         manifest, _ = self._get_manifest()
         if manifest is None or len(manifest["segments"]) <= max_segments:
             return 0
-        return self.compact()
+        return self.compact_small(small_bytes=small_bytes)
+
+    def _segment_bytes(self, seg: dict) -> int:
+        """On-disk bytes of a segment's manifest-visible files (a real
+        object-store binding would read sizes from its listing; missing
+        files count 0 — vacuum may have raced us, the CAS settles it)."""
+        seg_dir = os.path.join(self.base_path, "_data", seg["dir"])
+        total = 0
+        for f in seg["files"]:
+            try:
+                total += os.path.getsize(os.path.join(seg_dir, f))
+            except OSError:
+                pass
+        return total
+
+    def compact_small(
+        self,
+        small_bytes: int = 64 << 20,
+        target_bytes: int | None = None,
+    ) -> int:
+        """Size-tiered (bin-packing) compaction — the OPTIMIZE shape:
+        fold only segments whose visible bytes are under ``small_bytes``,
+        greedily packing them into bins of about ``target_bytes`` (default
+        4x ``small_bytes``) and rewriting each bin as ONE segment; bins
+        that end up with a single segment are left in place (rewriting
+        one segment into one segment reclaims nothing). Large segments
+        are never touched, so the rewrite cost is bounded by the
+        small-segment mass — the incremental-refresh loop (the reference's
+        delete+reload, cmfunctions.py:226-261/:177-223) accretes exactly
+        this shape: a long tail of small per-batch segments next to a few
+        big compacted ones. Returns segments merged away."""
+        cap = target_bytes if target_bytes is not None else 4 * small_bytes
+        for attempt in range(self.max_cas_retries + 1):
+            manifest, token = self._get_manifest()
+            if manifest is None or len(manifest["segments"]) <= 1:
+                return 0
+            sizes = {
+                seg["dir"]: self._segment_bytes(seg)
+                for seg in manifest["segments"]
+            }
+            small = [
+                seg for seg in manifest["segments"]
+                if sizes[seg["dir"]] < small_bytes
+            ]
+            if len(small) < 2:
+                return 0
+            bins: list[list[dict]] = []
+            cur: list[dict] = []
+            cur_sz = 0
+            for seg in small:
+                b = sizes[seg["dir"]]
+                if cur and cur_sz + b > cap:
+                    bins.append(cur)
+                    cur, cur_sz = [], 0
+                cur.append(seg)
+                cur_sz += b
+            bins.append(cur)
+            folds = [b for b in bins if len(b) >= 2]
+            if not folds:
+                return 0
+            new_entries = [
+                self._write_segment(self._read_entries(b)) for b in folds
+            ]
+            folded = {s["dir"] for b in folds for s in b}
+            new_segments = [
+                *(s for s in manifest["segments"] if s["dir"] not in folded),
+                *new_entries,
+            ]
+            if self._commit(manifest, new_segments, token) is not None:
+                return len(folded)
+            for e in new_entries:
+                self._drop_segment(e)  # stale derivation — retry
+            self._cas_backoff(attempt)
+        raise RuntimeError(
+            f"compact_small on {self.base_path} lost "
+            f"{self.max_cas_retries} CAS races"
+        )
 
     def compact(self) -> int:
         """Fold every visible segment into one (object-store compaction:
-        read visible rows, write a single fresh segment, CAS-swap). Returns
-        the number of segments merged away; concurrent mutations win the
-        race and the compaction simply retries."""
+        read visible rows, write a single fresh segment, CAS-swap). A
+        FULL-corpus rewrite — explicit opt-in only; the maintenance
+        cadence uses :meth:`compact_small` via :meth:`maybe_compact`.
+        Returns the number of segments merged away; concurrent mutations
+        win the race and the compaction simply retries."""
         for attempt in range(self.max_cas_retries + 1):
             manifest, token = self._get_manifest()
             if manifest is None or len(manifest["segments"]) <= 1:
@@ -456,6 +601,7 @@ class ManifestVectorSink:
             if self._commit(manifest, [entry], token) is not None:
                 return n
             self._drop_segment(entry)
+            self._cas_backoff(attempt)
         raise RuntimeError(
             f"compact on {self.base_path} lost {self.max_cas_retries} CAS races"
         )
@@ -479,17 +625,42 @@ class ManifestVectorSink:
                 f"generation v{commit_id}"
             )
         manifest = json.loads(cur[0].decode("utf-8"))
+        # a generation whose history key survived but whose segments were
+        # reclaimed (e.g. its key write raced a vacuum gap) must fail with
+        # the same loud retention error, never dangle onto missing paths
+        for seg in manifest["segments"]:
+            if seg["files"] and not os.path.isdir(
+                os.path.join(self.base_path, "_data", seg["dir"])
+            ):
+                raise FileNotFoundError(
+                    f"sink at {self.base_path} has no retained manifest "
+                    f"generation v{commit_id}: segment {seg['dir']} was "
+                    "reclaimed (aged out of vacuum's retain_versions)"
+                )
         df = self._read_entries(manifest["segments"])
         return df.drop(self.BUCKET_COL) if self.n_buckets else df
 
+    def _retained_floor(self) -> int:
+        """Oldest commit id that can still have a history key — the
+        watermark vacuum advances after pruning. History walks stop here
+        instead of scanning down to 1 (O(current_commit_id) store gets on
+        a long-lived sink that prunes its history)."""
+        cur = self.store.get(_FLOOR_KEY)
+        if cur is None:
+            return 1
+        return int(cur[0].decode("utf-8"))
+
     def history(self, limit: int = 20) -> list[int]:
-        """Commit ids of retained generations, newest first."""
+        """Commit ids of retained generations, newest first. Bounded by
+        vacuum's retained-floor watermark: O(retained) store gets, not
+        O(current_commit_id)."""
         cur_id = self.current_commit_id()
         if cur_id is None:
             return []
+        floor = self._retained_floor()
         out = []
         cid = cur_id
-        while cid >= 1 and len(out) < limit:
+        while cid >= floor and len(out) < limit:
             if self.store.get(f"{_MANIFEST_KEY}.v{cid}") is not None:
                 out.append(cid)
             cid -= 1
@@ -528,9 +699,16 @@ class ManifestVectorSink:
         if manifest:
             absorb(manifest)
         cur_id = int((manifest or {}).get("commit_id", 0))
-        retained_floor = cur_id - int(retain_versions)
+        retained_floor = max(1, cur_id - int(retain_versions))
+        # keys below the PREVIOUS vacuum's watermark are already pruned —
+        # walk only [prev_floor, cur); no first-missing break inside the
+        # range, because a committer that crashed between its manifest CAS
+        # and its history put leaves a gap (healed by the next commit, but
+        # a never-again-mutated sink keeps it) and breaking there would
+        # strand older keys whose segments this vacuum reclaims
+        prev_floor = self._retained_floor()
         cid = cur_id - 1
-        while cid >= 1:
+        while cid >= prev_floor:
             key = f"{_MANIFEST_KEY}.v{cid}"
             cur = self.store.get(key)
             if cur is not None:
@@ -538,12 +716,15 @@ class ManifestVectorSink:
                     absorb(json.loads(cur[0].decode("utf-8")))
                 else:
                     self.store.delete_if(key, cur[1])
-            elif cid < retained_floor:
-                # commit ids are dense and pruned oldest-last, so the
-                # first missing key below the floor means every older one
-                # is already gone — don't walk the whole history
-                break
             cid -= 1
+        if retained_floor > prev_floor:
+            cas_update(
+                self.store,
+                _FLOOR_KEY,
+                lambda cur: str(
+                    max(retained_floor, int(cur) if cur else 1)
+                ).encode(),
+            )
         removed = 0
         for d in os.listdir(data_root):
             seg_dir = os.path.join(data_root, d)
