@@ -695,3 +695,92 @@ def test_partition_drop_fast_path_checks_layout(spark, tmp_path):
         bucketed.delete_where("load_dt", ["2024-01-01"])
     # nothing was silently dropped
     assert plain.read().count() == 2
+
+
+@pytest.mark.parametrize(
+    "schema,rows,kill,keep_ids",
+    [
+        (
+            "chunk_id string, pcol boolean",
+            [("a", True), ("b", False), ("c", True)],
+            [True],
+            {"b"},
+        ),
+        (
+            "chunk_id string, pcol date",
+            [
+                ("a", __import__("datetime").date(2024, 1, 1)),
+                ("b", __import__("datetime").date(2024, 1, 2)),
+            ],
+            [__import__("datetime").date(2024, 1, 1)],
+            {"b"},
+        ),
+        (
+            "chunk_id string, pcol timestamp",
+            [
+                ("a", __import__("datetime").datetime(2024, 1, 1, 10, 30)),
+                ("b", __import__("datetime").datetime(2024, 1, 2, 11, 0)),
+            ],
+            [__import__("datetime").datetime(2024, 1, 1, 10, 30)],
+            {"b"},
+        ),
+        (
+            "chunk_id string, pcol decimal(10,2)",
+            [
+                ("a", __import__("decimal").Decimal("1.50")),
+                ("b", __import__("decimal").Decimal("2.25")),
+            ],
+            [__import__("decimal").Decimal("1.5")],  # non-canonical render
+            {"b"},
+        ),
+    ],
+    ids=["bool", "date", "timestamp", "decimal"],
+)
+def test_partition_drop_fast_path_type_faithful(
+    spark, tmp_path, schema, rows, kill, keep_ids
+):
+    """VERDICT r7 defect 1: the retention fast path must delete exactly
+    the rows the anti-join rewrite would. str(True)='True' vs the Hive
+    dir 'pcol=true' (and Decimal('1.5') vs a scale-2 '1.50' dir) used to
+    make the fast path a silent no-op on non-canonically-rendered types.
+    Values now render through the stored column type, pinning fast-path
+    ≡ rewrite-path on bool, date, timestamp and decimal partition
+    columns — on BOTH sinks."""
+    from vectordb_data_ingestion_spark.sinks.manifest_sink import (
+        ManifestVectorSink,
+    )
+
+    df = spark.createDataFrame(rows, schema)
+
+    # POSIX sink: fast path (public API) vs the anti-join rewrite (twin)
+    fast = ParquetVectorSink(spark, str(tmp_path / "fast"), partition_col="pcol")
+    fast.upsert(df)
+    fast.delete_where("pcol", kill)
+    got_fast = {r["chunk_id"] for r in fast.read().collect()}
+    assert got_fast == keep_ids
+
+    twin = ParquetVectorSink(spark, str(tmp_path / "twin"), partition_col="pcol")
+    twin.upsert(df)
+    with twin._locked():
+        twin._delete_where_unbucketed("pcol", kill)
+    got_twin = {r["chunk_id"] for r in twin.read().collect()}
+    assert got_fast == got_twin
+
+    # manifest sink: fast path (manifest edit) vs delete_where_df
+    mfast = ManifestVectorSink(
+        spark, str(tmp_path / "mfast"), partition_col="pcol"
+    )
+    mfast.upsert(df)
+    mfast.delete_where("pcol", kill)
+    got_mfast = {r["chunk_id"] for r in mfast.read().collect()}
+    assert got_mfast == keep_ids
+
+    mtwin = ManifestVectorSink(
+        spark, str(tmp_path / "mtwin"), partition_col="pcol"
+    )
+    mtwin.upsert(df)
+    mtwin.delete_where_df(
+        "pcol", spark.createDataFrame([(v,) for v in kill], ["pcol"])
+    )
+    got_mtwin = {r["chunk_id"] for r in mtwin.read().collect()}
+    assert got_mfast == got_mtwin

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from vectordb_data_ingestion_spark.session import load_tables
+from vectordb_data_ingestion_spark.sinks import make_vector_sink
 from vectordb_data_ingestion_spark.sinks.vector_store import ParquetVectorSink
 from vectordb_data_ingestion_spark.streaming.incremental import (
     foreach_batch_refresh,
@@ -16,18 +17,29 @@ from vectordb_data_ingestion_spark.streaming.incremental import (
 from tests.conftest import SF_SMALL
 
 
+import pytest as _pt
+
+
+@_pt.fixture(params=["posix", "manifest"])
+def sink_kind(request):
+    """Both sink substrates carry the refresh contract (VERDICT r7 item
+    6): the composed delete-then-insert flows must run unchanged on the
+    POSIX rename/flock sink AND the object-store manifest sink."""
+    return request.param
+
+
 def _catalog_df(spark, version: int, urls):
     rows = [(u, f"content v{version} of {u}", version) for u in urls]
     return spark.createDataFrame(rows, "url string, text string, version int")
 
 
-def test_incremental_refresh_delete_then_insert(spark, tmp_path):
+def test_incremental_refresh_delete_then_insert(spark, tmp_path, sink_kind):
     stream_dir = str(tmp_path / "incoming")
     sink_dir = str(tmp_path / "vectors")
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(stream_dir)
 
-    sink = ParquetVectorSink(spark, sink_dir, partition_col=None)
+    sink = make_vector_sink(spark, sink_kind, sink_dir, partition_col=None)
 
     def transform(batch_df):
         return batch_df.select(
@@ -711,7 +723,7 @@ def test_near_dup_replay_same_batch_id_no_data_loss(spark, tmp_path):
     assert idx_ids == admitted
 
 
-def test_refresh_replay_same_batch_id_no_dupes(spark, tmp_path):
+def test_refresh_replay_same_batch_id_no_dupes(spark, tmp_path, sink_kind):
     """Replay drill for the delete-then-insert refresh: re-running a batch
     with the same batch_id after its sink writes completed must leave the
     sink identical (delete clears the crashed attempt's rows first)."""
@@ -719,7 +731,9 @@ def test_refresh_replay_same_batch_id_no_dupes(spark, tmp_path):
         refresh_batch_fn,
     )
 
-    sink = ParquetVectorSink(spark, str(tmp_path / "vectors"), partition_col=None)
+    sink = make_vector_sink(
+        spark, sink_kind, str(tmp_path / "vectors"), partition_col=None
+    )
 
     def transform(batch_df):
         return batch_df.select(
@@ -1102,14 +1116,14 @@ def test_watermark_drops_beyond_horizon_event(spark, tmp_path):
         q.stop()
 
 
-def test_incremental_refresh_with_distributed_delete(spark, tmp_path):
+def test_incremental_refresh_with_distributed_delete(spark, tmp_path, sink_kind):
     """Same delete-then-insert contract as the default path, with the
     key set staying distributed (sink_delete_where_df wiring)."""
     stream_dir = str(tmp_path / "incoming")
     sink_dir = str(tmp_path / "vectors")
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(stream_dir)
-    sink = ParquetVectorSink(spark, sink_dir, partition_col=None)
+    sink = make_vector_sink(spark, sink_kind, sink_dir, partition_col=None)
 
     def transform(batch_df):
         return batch_df.select(

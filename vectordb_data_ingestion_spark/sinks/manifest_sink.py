@@ -370,31 +370,51 @@ class ManifestVectorSink:
     def _drop_partitions(self, values: list[Any]) -> None:
         """Remove every file under ``<partition_col>=<value>`` dirs for
         the given values, by manifest CAS — no data read or written.
-        Values compare by their string rendering against the DECODED
-        path segment (the path is the authoritative Hive-escaped encoding
-        of the value, so 'a b' matches its 'a%20b' dir). NULL values are
+        Values are rendered through the STORED column type (the manifest's
+        recorded writer schema) exactly as Spark renders partition dirs —
+        ``str(v)`` would silently miss e.g. bool (``'True'`` vs ``true``)
+        and scaled decimals — then compared against the DECODED path
+        segment (the path is the authoritative Hive-escaped encoding of
+        the value, so 'a b' matches its 'a%20b' dir). NULL values are
         skipped: equality deletes never match NULL, same as the anti-join
         paths."""
-        targets = {str(v) for v in values if v is not None}
-        if not targets:
-            return
-        prefix = f"{self.partition_col}="
-
         from vectordb_data_ingestion_spark.sinks.vector_store import (
             hive_unescape,
+            match_partition_dir_values,
         )
 
-        def in_targets(path: str) -> bool:
+        prefix = f"{self.partition_col}="
+
+        def decoded_parts(path: str):
             for seg in path.split("/"):
                 if seg.startswith(prefix):
-                    if hive_unescape(seg[len(prefix):]) in targets:
-                        return True
-            return False
+                    yield hive_unescape(seg[len(prefix):])
 
         for attempt in range(self.max_cas_retries + 1):
             manifest, token = self._get_manifest()
             if manifest is None:
                 return
+            present = {
+                s
+                for seg in manifest["segments"]
+                for f in seg["files"]
+                for s in decoded_parts(f)
+            }
+            if not present:
+                return
+            try:
+                dtype = self._stored_col_type(manifest, self.partition_col)
+                targets = match_partition_dir_values(
+                    self.spark, sorted(present), values, dtype
+                )
+            except Exception:
+                targets = present & {str(v) for v in values if v is not None}
+            if not targets:
+                return
+
+            def in_targets(path: str) -> bool:
+                return any(s in targets for s in decoded_parts(path))
+
             new_segments = []
             changed = False
             for seg in manifest["segments"]:

@@ -42,6 +42,36 @@ def hive_unescape(s: str) -> str:
     )
 
 
+def match_partition_dir_values(
+    spark: SparkSession, decoded: list[str], values: list[Any], dtype
+) -> set[str]:
+    """Subset of ``decoded`` (hive-unescaped partition-dir value strings)
+    that EQUAL any of ``values`` once both sides are cast through the
+    column type the read path uses — the exact comparison the anti-join
+    rewrite performs, so the retention fast path reaches the same verdict
+    by construction. Comparing raw strings is NOT that rule for every
+    type: ``str(True)='True'`` while the dir says ``load_dt=true``, and a
+    ``pcol=1.50`` dir under a scale-2 decimal writer reads back as
+    ``1.5`` — mismatches the old fast path silently turned into
+    delete-nothing no-ops while the rewrite path deleted the rows
+    (ADVICE/VERDICT r7). One driver-local projection over the dir-name
+    list; no files touched. NULLs never match (equality deletes never
+    match NULL — ``__HIVE_DEFAULT_PARTITION__`` decodes to a failed cast
+    and survives, same as the anti-join)."""
+    vals = [v for v in values if v is not None]
+    if not vals or not decoded:
+        return set()
+    from functools import reduce
+
+    typed = F.col("s").cast(dtype)
+    cond = reduce(
+        lambda a, b: a | b,
+        [typed == F.lit(v).cast(dtype) for v in vals],
+    )
+    df = spark.createDataFrame([(s,) for s in decoded], "s string")
+    return {r["s"] for r in df.filter(cond).collect()}
+
+
 class VectorClient(Protocol):
     """Minimal client surface (subset of the weaviate v1 client used by the
     reference)."""
@@ -338,13 +368,10 @@ class ParquetVectorSink:
         import shutil
         import uuid as _uuid
 
-        targets = {str(v) for v in values if v is not None}
-        if not targets:
-            return
         base = self.base_path.rstrip("/")
         prefix = f"{self.partition_col}="
 
-        def matching_dirs():
+        def partition_dirs():
             parents = [base]
             if self.n_buckets:
                 parents = [
@@ -357,14 +384,27 @@ class ParquetVectorSink:
                     continue
                 for d in os.listdir(parent):
                     full = os.path.join(parent, d)
-                    if (
-                        d.startswith(prefix)
-                        and os.path.isdir(full)
-                        and hive_unescape(d[len(prefix):]) in targets
-                    ):
-                        yield full
+                    if d.startswith(prefix) and os.path.isdir(full):
+                        yield full, hive_unescape(d[len(prefix):])
 
-        for full in list(matching_dirs()):
+        candidates = list(partition_dirs())
+        decoded = sorted({s for _, s in candidates})
+        try:
+            # compare dirs and values through the type the READ path
+            # infers, exactly as the anti-join rewrite would
+            dtype = self._read_raw().schema[self.partition_col].dataType
+            targets = match_partition_dir_values(
+                self.spark, decoded, values, dtype
+            )
+        except Exception:
+            # stored type unresolvable (e.g. husk states mid-recovery):
+            # the pre-r8 string comparison, still exact for the common
+            # string/date/int partition columns
+            targets = set(decoded) & {str(v) for v in values if v is not None}
+        if not targets:
+            return
+
+        for full in [f for f, s in candidates if s in targets]:
             trash = base + f"__trash_{_uuid.uuid4().hex}"
             os.rename(full, trash)  # atomic per partition dir
             shutil.rmtree(trash, ignore_errors=True)
