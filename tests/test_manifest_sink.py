@@ -494,7 +494,10 @@ def test_manifest_sink_randomized_against_model(spark, tmp_path):
         assert got == sorted(model)
 
     for step in range(18):
-        op = rng.choice(["upsert", "upsert", "delete", "compact", "vacuum"])
+        op = rng.choice(
+            ["upsert", "upsert", "delete", "compact", "compact_small",
+             "vacuum"]
+        )
         if op == "upsert":
             rows = [
                 (f"k{rng.randrange(12)}", rng.randrange(100))
@@ -514,6 +517,14 @@ def test_manifest_sink_randomized_against_model(spark, tmp_path):
         elif op == "compact":
             before = sink.current_commit_id()
             sink.compact()
+            after = sink.current_commit_id()
+            if after != before:
+                snapshots[after] = list(model)
+        elif op == "compact_small":
+            # size-tiered fold: every segment here is tiny, so a huge
+            # small_bytes folds them all — visibility must be unchanged
+            before = sink.current_commit_id()
+            sink.compact_small(small_bytes=1 << 30)
             after = sink.current_commit_id()
             if after != before:
                 snapshots[after] = list(model)

@@ -1,7 +1,10 @@
 """Vector-store sinks.
 
 Two substrates carry the same mutation contract (``upsert`` / ``read`` /
-``delete_where`` / ``delete_where_df`` / ``maybe_compact`` / ``vacuum``):
+``delete_where`` / ``delete_where_df``, plus each substrate's own
+maintenance surface — the manifest sink adds ``maybe_compact`` /
+``vacuum`` / ``read_at`` since its segments accrete, while the POSIX
+sink's rewrites are self-compacting):
 
 - ``ParquetVectorSink`` (vector_store.py) — POSIX substrate: rename +
   flock protocols, the hermetic/local deployment;
