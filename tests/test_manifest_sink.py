@@ -149,7 +149,9 @@ def test_manifest_sink_bucketed_prunes_by_reference(spark, tmp_path, binding):
 
     manifest_before, _ = sink._get_manifest()
     files_before = {
-        (s["dir"], f) for s in manifest_before["segments"] for f in s["files"]
+        (s["dir"], f)
+        for s in manifest_before["segments"]
+        for f in sink._seg_files(s)
     }
     victim_bucket = spark.createDataFrame([("c7",)], ["chunk_id"]).select(
         F.pmod(F.xxhash64("chunk_id"), F.lit(8)).cast("int")
@@ -161,7 +163,9 @@ def test_manifest_sink_bucketed_prunes_by_reference(spark, tmp_path, binding):
 
     manifest_after, _ = sink._get_manifest()
     files_after = {
-        (s["dir"], f) for s in manifest_after["segments"] for f in s["files"]
+        (s["dir"], f)
+        for s in manifest_after["segments"]
+        for f in sink._seg_files(s)
     }
     surviving_refs = files_before & files_after
     dropped = files_before - files_after
@@ -1011,3 +1015,41 @@ def test_upsert_lost_response_with_concurrent_dereference(spark, tmp_path):
     assert store.lied and not deletes  # both the lie and the delete ran
     # the delete's verdict stands: the retry must NOT resurrect the rows
     assert sink.read().count() == 0
+
+
+def test_manifest_size_scales_with_segments_not_files(spark, tmp_path):
+    """r8: full segments are dir-referenced — no per-file list in the
+    manifest — so the per-commit CAS payload is O(segments +
+    dereferenced files), not O(total files). A bucketed delete rebuilds
+    ONLY the touched entries with explicit lists; everything else stays
+    a one-line dir reference."""
+    sink = _sink(
+        spark, tmp_path, "file", name="size", key_col="chunk_id", n_buckets=8
+    )
+    for i in range(6):
+        sink.upsert(
+            spark.createDataFrame(
+                [(f"c{i}-{j}", j) for j in range(32)],
+                "chunk_id string, v long",
+            )
+        )
+    manifest, _ = sink._get_manifest()
+    assert all(s.get("full") and "files" not in s for s in manifest["segments"])
+    # the payload carries 6 entries, not 6x8 bucket-file paths
+    assert len(json.dumps(manifest["segments"])) < 6 * 120
+
+    # a key delete dereferences one bucket: touched entries materialize
+    # their surviving lists, untouched entries stay dir-referenced
+    sink.delete_where("chunk_id", ["c0-1"])
+    manifest, _ = sink._get_manifest()
+    partial = [s for s in manifest["segments"] if not s.get("full")]
+    full = [s for s in manifest["segments"] if s.get("full")]
+    assert partial and full  # the rewrite output segment is full again
+    assert all("files" in s for s in partial)
+    assert sink.read().count() == 6 * 32 - 1
+
+    # compaction folds everything back to dir-referenced entries
+    sink.compact()
+    manifest, _ = sink._get_manifest()
+    assert all(s.get("full") and "files" not in s for s in manifest["segments"])
+    assert sink.read().count() == 6 * 32 - 1

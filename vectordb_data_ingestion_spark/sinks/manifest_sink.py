@@ -221,20 +221,49 @@ class ManifestVectorSink:
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(seg_dir)
+        # an empty write (e.g. a delete whose remaining rows are zero)
+        # leaves no parquet parts — record the husk as an explicit empty
+        # entry (invisible to readers), never as "full"
+        if not any(
+            n.endswith(".parquet")
+            for _dp, _dn, names in os.walk(seg_dir)
+            for n in names
+        ):
+            return {"dir": seg, "files": []}
+        # "full" = the manifest references EVERYTHING under this dir (true
+        # by construction for a fresh segment: uuid dir, single writer) —
+        # so the entry carries NO per-file list: the directory is the
+        # reference. This keeps manifest (= per-commit CAS payload) size
+        # O(segments + dereferenced files) instead of O(total files) — at
+        # 100k segments x 256 files the difference between a manifest
+        # that commits in one small conditional put and one that rewrites
+        # tens of millions of file entries per mutation. Mutations that
+        # dereference files enumerate the dir at that point and rebuild
+        # the entry WITH the surviving list (no flag); untouched entries
+        # carry across commits verbatim. Readers scan a full segment's
+        # dir as ONE branch instead of one per partition dir.
+        return {"dir": seg, "full": True}
+
+    def _seg_files(self, seg: dict) -> list[str]:
+        """The segment's live files, relative to its dir: the recorded
+        list for partially-dereferenced entries, a directory enumeration
+        for full ones (only mutation paths need this — reads scan the
+        dir wholesale)."""
+        if not seg.get("full"):
+            return seg.get("files", [])
+        seg_dir = os.path.join(self.base_path, "_data", seg["dir"])
         files = []
         for dirpath, _dirs, names in os.walk(seg_dir):
             rel = os.path.relpath(dirpath, seg_dir)
             for n in names:
                 if n.endswith(".parquet"):
                     files.append(n if rel == "." else os.path.join(rel, n))
-        # "full" = the manifest references EVERYTHING under this dir (true
-        # by construction for a fresh segment: uuid dir, single writer).
-        # Mutations that dereference files rebuild the entry WITHOUT the
-        # flag; everything else carries the entry (and the flag) across
-        # commits by reference. Readers use it to scan the segment dir as
-        # ONE branch instead of one per partition dir — at 64 segments x
-        # 16 buckets that is 64 scan branches instead of 1024.
-        return {"dir": seg, "files": sorted(files), "full": True}
+        return sorted(files)
+
+    @staticmethod
+    def _seg_visible(seg: dict) -> bool:
+        """Whether the entry still references any data."""
+        return bool(seg.get("full") or seg.get("files"))
 
     def _drop_segment(self, entry: dict) -> None:
         import shutil
@@ -247,7 +276,7 @@ class ManifestVectorSink:
     def _read_entries(self, segments: list[dict]) -> DataFrame:
         dfs = []
         for seg in segments:
-            if not seg["files"]:
+            if not self._seg_visible(seg):
                 continue
             seg_dir = os.path.join(self.base_path, "_data", seg["dir"])
             # fully-referenced segments (the common case: fresh upserts,
@@ -412,10 +441,14 @@ class ManifestVectorSink:
             manifest, token = self._get_manifest()
             if manifest is None:
                 return
+            seg_files = {
+                seg["dir"]: self._seg_files(seg)
+                for seg in manifest["segments"]
+            }
             present = {
                 s
                 for seg in manifest["segments"]
-                for f in seg["files"]
+                for f in seg_files[seg["dir"]]
                 for s in decoded_parts(f)
             }
             if not present:
@@ -436,8 +469,9 @@ class ManifestVectorSink:
             new_segments = []
             changed = False
             for seg in manifest["segments"]:
-                kept = [f for f in seg["files"] if not in_targets(f)]
-                if len(kept) == len(seg["files"]):
+                files = seg_files[seg["dir"]]
+                kept = [f for f in files if not in_targets(f)]
+                if len(kept) == len(files):
                     # untouched: carry the entry (incl. its "full" flag)
                     new_segments.append(seg)
                     continue
@@ -466,7 +500,7 @@ class ManifestVectorSink:
         for attempt in range(self.max_cas_retries + 1):
             manifest, token = self._get_manifest()
             if manifest is None or not any(
-                s["files"] for s in manifest["segments"]
+                self._seg_visible(s) for s in manifest["segments"]
             ):
                 return  # nothing visible to delete (first-batch no-op)
             # xxhash64 / join-key type rule (shared with ParquetVectorSink):
@@ -498,13 +532,14 @@ class ManifestVectorSink:
                 touched_segments = []
                 kept_segments = []
                 for seg in manifest["segments"]:
-                    touched = [f for f in seg["files"] if in_affected(f)]
+                    files = self._seg_files(seg)
+                    touched = [f for f in files if in_affected(f)]
                     if not touched:
                         # untouched segment: carry the whole entry (and
                         # its "full" flag) BY REFERENCE — zero bytes copied
                         kept_segments.append(seg)
                         continue
-                    kept = [f for f in seg["files"] if not in_affected(f)]
+                    kept = [f for f in files if not in_affected(f)]
                     touched_segments.append(
                         {"dir": seg["dir"], "files": touched}
                     )
@@ -523,7 +558,7 @@ class ManifestVectorSink:
             )
             entry = self._write_segment(remaining)
             new_segments = [
-                *(s for s in kept_segments if s["files"]),
+                *(s for s in kept_segments if self._seg_visible(s)),
                 entry,
             ]
             if self._commit(manifest, new_segments, token) is not None:
@@ -579,7 +614,7 @@ class ManifestVectorSink:
         files count 0 — vacuum may have raced us, the CAS settles it)."""
         seg_dir = os.path.join(self.base_path, "_data", seg["dir"])
         total = 0
-        for f in seg["files"]:
+        for f in self._seg_files(seg):
             try:
                 total += os.path.getsize(os.path.join(seg_dir, f))
             except OSError:
@@ -696,7 +731,7 @@ class ManifestVectorSink:
         # reclaimed (e.g. its key write raced a vacuum gap) must fail with
         # the same loud retention error, never dangle onto missing paths
         for seg in manifest["segments"]:
-            if seg["files"] and not os.path.isdir(
+            if self._seg_visible(seg) and not os.path.isdir(
                 os.path.join(self.base_path, "_data", seg["dir"])
             ):
                 raise FileNotFoundError(
@@ -760,8 +795,16 @@ class ManifestVectorSink:
         live_files: dict[str, set[str]] = {}
 
         def absorb(m: dict) -> None:
+            # value None = the WHOLE dir is live (a retained generation
+            # holds the segment as "full"); a set = only those files
             for s in m.get("segments", []):
-                live_files.setdefault(s["dir"], set()).update(s["files"])
+                d = s["dir"]
+                if s.get("full"):
+                    live_files[d] = None
+                elif d not in live_files:
+                    live_files[d] = set(s.get("files", []))
+                elif live_files[d] is not None:
+                    live_files[d].update(s.get("files", []))
 
         if manifest:
             absorb(manifest)
@@ -800,6 +843,8 @@ class ManifestVectorSink:
                 removed += 1
                 continue
             live = live_files[d]
+            if live is None:
+                continue  # a retained generation holds the WHOLE dir live
             for dirpath, _dirs, names in os.walk(seg_dir, topdown=False):
                 rel = os.path.relpath(dirpath, seg_dir)
                 for n in names:
