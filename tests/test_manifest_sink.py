@@ -1053,3 +1053,51 @@ def test_manifest_size_scales_with_segments_not_files(spark, tmp_path):
     manifest, _ = sink._get_manifest()
     assert all(s.get("full") and "files" not in s for s in manifest["segments"])
     assert sink.read().count() == 6 * 32 - 1
+
+
+def test_compaction_folds_invisible_husks_without_reading(spark, tmp_path):
+    """A partitioned EMPTY write produces zero parquet files, recorded as
+    an invisible husk entry (bucketed delete-alls and empty micro-batch
+    upserts both make them). Compaction must fold husks away as a pure
+    manifest edit — a bin of husks has nothing to scan and must not
+    crash the fold."""
+    sink = _sink(
+        spark, tmp_path, "file", name="husks", key_col="chunk_id",
+        n_buckets=4,
+    )
+    empty = spark.createDataFrame([], "chunk_id string, v long")
+    sink.upsert(empty)
+    sink.upsert(empty)  # two husk entries, zero visible
+    manifest, _ = sink._get_manifest()
+    assert len(manifest["segments"]) == 2
+    assert not any(sink._seg_visible(s) for s in manifest["segments"])
+    with pytest.raises(FileNotFoundError):
+        sink.read()  # documented empty-sink behavior
+
+    merged = sink.compact_small(small_bytes=1 << 30)
+    assert merged == 2
+    manifest, _ = sink._get_manifest()
+    assert manifest["segments"] == []
+    with pytest.raises(FileNotFoundError):
+        sink.read()
+
+    # the sink stays usable after the husk fold
+    sink.upsert(
+        spark.createDataFrame([("d", 4)], "chunk_id string, v long")
+    )
+    assert [r["chunk_id"] for r in sink.read().collect()] == ["d"]
+
+    # a delete-all leaves ONE husk (every other entry is visible-filtered
+    # at commit); the short-circuit leaves it alone and reads stay sane
+    sink.delete_where("chunk_id", ["d"])
+    manifest, _ = sink._get_manifest()
+    assert len(manifest["segments"]) == 1
+    assert sink.compact_small(small_bytes=1 << 30) == 0
+    with pytest.raises(FileNotFoundError):
+        sink.read()
+
+    # full compact() folds a multi-husk state the same pure-edit way
+    sink.upsert(empty)
+    assert sink.compact() == 2
+    manifest, _ = sink._get_manifest()
+    assert manifest["segments"] == []

@@ -642,16 +642,17 @@ class ManifestVectorSink:
             manifest, token = self._get_manifest()
             if manifest is None or len(manifest["segments"]) <= 1:
                 return 0
-            sizes = {
-                seg["dir"]: self._segment_bytes(seg)
-                for seg in manifest["segments"]
-            }
-            small = [
-                seg for seg in manifest["segments"]
-                if sizes[seg["dir"]] < small_bytes
+            # invisible husks (emptied by deletes) fold away as pure
+            # manifest edits — never read (a bin of husks has nothing to
+            # scan and would fail the read)
+            visible = [
+                s for s in manifest["segments"] if self._seg_visible(s)
             ]
-            if len(small) < 2:
-                return 0
+            husks = len(manifest["segments"]) - len(visible)
+            sizes = {seg["dir"]: self._segment_bytes(seg) for seg in visible}
+            small = [
+                seg for seg in visible if sizes[seg["dir"]] < small_bytes
+            ]
             bins: list[list[dict]] = []
             cur: list[dict] = []
             cur_sz = 0
@@ -662,9 +663,10 @@ class ManifestVectorSink:
                     cur, cur_sz = [], 0
                 cur.append(seg)
                 cur_sz += b
-            bins.append(cur)
+            if cur:
+                bins.append(cur)
             folds = [b for b in bins if len(b) >= 2]
-            if not folds:
+            if not folds and not husks:
                 return 0
             new_entries = [
                 self._write_segment(self._compaction_shape(self._read_entries(b)))
@@ -672,11 +674,11 @@ class ManifestVectorSink:
             ]
             folded = {s["dir"] for b in folds for s in b}
             new_segments = [
-                *(s for s in manifest["segments"] if s["dir"] not in folded),
+                *(s for s in visible if s["dir"] not in folded),
                 *new_entries,
             ]
             if self._commit(manifest, new_segments, token) is not None:
-                return len(folded)
+                return len(folded) + husks
             for e in new_entries:
                 self._drop_segment(e)  # stale derivation — retry
             self._cas_backoff(attempt)
@@ -697,8 +699,17 @@ class ManifestVectorSink:
             if manifest is None or len(manifest["segments"]) <= 1:
                 return 0
             n = len(manifest["segments"])
+            visible = [
+                s for s in manifest["segments"] if self._seg_visible(s)
+            ]
+            if not visible:
+                # only invisible husks: a pure manifest edit folds them
+                if self._commit(manifest, [], token) is not None:
+                    return n
+                self._cas_backoff(attempt)
+                continue
             entry = self._write_segment(
-                self._compaction_shape(self._read_entries(manifest["segments"]))
+                self._compaction_shape(self._read_entries(visible))
             )
             if self._commit(manifest, [entry], token) is not None:
                 return n
