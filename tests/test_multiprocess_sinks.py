@@ -152,3 +152,55 @@ def test_two_process_race_bucketed_sinks(spark, tmp_path):
         got = [r["chunk_id"] for r in sink.read().collect()]
         assert len(got) == len(set(got)), f"{kind}: duplicate rows"
         assert set(got) == _expected(), f"{kind}: lost/resurrected rows"
+
+
+def test_fold_lock_excludes_recovery_across_processes(tmp_path):
+    """REAL cross-process form of the r8 fold-lock fix (ADVICE r7 high):
+    while another OS process holds the fold lock mid-fold (target
+    written, _FOLD_COMMITTED not yet), _fold_recover from THIS process
+    must skip — not roll back the generation the fold is about to
+    commit. Once the fold finishes, recovery is a clean no-op and no
+    row was lost. Pure-stdlib on both sides (the lock contract is the
+    OS's, not Spark's)."""
+    from vectordb_data_ingestion_spark.streaming.incremental import (
+        _fold_recover,
+    )
+
+    root = str(tmp_path / "codes")
+    os.makedirs(os.path.join(root, "batch=0"))
+    with open(os.path.join(root, "batch=0", "part-0.parquet"), "w") as fh:
+        fh.write("rows")
+
+    worker = os.path.join(_REPO, "tests", "fold_lock_worker.py")
+    proc = subprocess.Popen(
+        [sys.executable, worker, root],
+        env=dict(os.environ, PYTHONPATH=_REPO),
+        cwd=_REPO,
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert proc.stdout.readline().strip() == "HELD"
+        # the race window: recovery runs while the fold holds the lock
+        _fold_recover(root)
+        assert os.path.isdir(os.path.join(root, "batch=-1"))  # NOT rolled back
+        assert os.path.exists(os.path.join(root, "_FOLD_PENDING"))
+
+        proc.stdin.write("go\n")
+        proc.stdin.flush()
+        assert proc.stdout.readline().strip() == "DONE"
+    finally:
+        proc.stdin.close()
+        rc = proc.wait(timeout=60)
+    assert rc == 0, proc.stderr.read()
+
+    # fold finished its own protocol: one generation, zero rows lost
+    listing = sorted(
+        d for d in os.listdir(root) if not d.startswith("_FOLD_")
+    )
+    assert listing == ["batch=-1"]
+    assert os.path.exists(os.path.join(root, "batch=-1", "part-0.parquet"))
+    _fold_recover(root)  # idempotent no-op after the fact
+    assert os.path.isdir(os.path.join(root, "batch=-1"))
