@@ -1101,3 +1101,91 @@ def test_compaction_folds_invisible_husks_without_reading(spark, tmp_path):
     assert sink.compact() == 2
     manifest, _ = sink._get_manifest()
     assert manifest["segments"] == []
+
+
+class _LiesOnceStore(MemoryConditionalStore):
+    """Conditional-put store whose first successful MANIFEST put LANDS
+    but reports failure — the lost-response behavior of real object
+    stores under network retry."""
+
+    def __init__(self):
+        super().__init__()
+        self.lied = False
+
+    def put_if(self, key, data, token):
+        ok = super().put_if(key, data, token)
+        if ok and key == "MANIFEST" and not self.lied:
+            self.lied = True
+            return False
+        return ok
+
+
+def _assert_no_dangling_segments(sink):
+    manifest, _ = sink._get_manifest()
+    for s in manifest["segments"]:
+        if sink._seg_visible(s):
+            assert os.path.isdir(
+                os.path.join(sink.base_path, "_data", s["dir"])
+            ), f"manifest references deleted dir {s['dir']}"
+
+
+@pytest.mark.parametrize("op", ["delete", "delete_bucketed", "compact",
+                                "compact_small"])
+def test_staging_mutations_survive_lost_response(spark, tmp_path, op):
+    """r8 audit: every mutation that stages a segment (delete rewrite,
+    compactions) used to drop its staged files the moment _commit
+    reported failure — but a lost response means the commit LANDED and
+    the new manifest references those files; dropping them breaks every
+    reader. Each loop now re-checks before dropping and returns success
+    when its commit in fact landed."""
+    store = _LiesOnceStore()
+    kw = (
+        {"key_col": "chunk_id", "n_buckets": 4}
+        if op == "delete_bucketed"
+        else {}
+    )
+    sink = ManifestVectorSink(
+        spark, str(tmp_path / "lie"), partition_col=None, store=store, **kw
+    )
+    df = spark.createDataFrame(
+        [(f"c{i}", i) for i in range(12)], "chunk_id string, v long"
+    )
+    sink.upsert(df)
+    assert store.lied  # the upsert's own commit already absorbed the lie
+    store.lied = False  # re-arm: the NEXT mutation gets the lie
+
+    if op in ("delete", "delete_bucketed"):
+        sink.delete_where_df(
+            "chunk_id", spark.createDataFrame([("c3",), ("c7",)], ["chunk_id"])
+        )
+        assert store.lied
+        got = sorted(r["chunk_id"] for r in sink.read().collect())
+        assert got == sorted(f"c{i}" for i in range(12) if i not in (3, 7))
+    elif op == "compact":
+        sink.upsert(df.limit(0))  # extra husk so there is work to fold
+        sink.upsert(
+            spark.createDataFrame([("x", 99)], "chunk_id string, v long")
+        )
+        store.lied = False
+        assert sink.compact() >= 2
+        assert store.lied
+        got = sink.read().count()
+        assert got == 13
+    else:
+        for i in range(3):
+            sink.upsert(
+                spark.createDataFrame(
+                    [(f"s{i}", i)], "chunk_id string, v long"
+                )
+            )
+        store.lied = False
+        assert sink.compact_small(small_bytes=1 << 30) >= 2
+        assert store.lied
+        assert sink.read().count() == 15
+
+    _assert_no_dangling_segments(sink)
+    # the sink remains fully readable and mutable afterwards
+    sink.upsert(
+        spark.createDataFrame([("zz", 1)], "chunk_id string, v long")
+    )
+    assert sink.read().filter(F.col("chunk_id") == "zz").count() == 1

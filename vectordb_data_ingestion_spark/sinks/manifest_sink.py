@@ -333,6 +333,26 @@ class ManifestVectorSink:
                 return True
         return False
 
+    def _lost_response_landed(self, entry: dict, first_seen: int) -> bool:
+        """After a _commit reported failure: did the put actually LAND
+        (lost response)? Every mutation that stages a segment must ask
+        this BEFORE dropping the staged files — a commit that landed
+        means the current manifest (or a retained generation) references
+        them, and deleting them would break every reader of that
+        generation. True = the mutation in fact succeeded: the caller
+        returns success instead of retrying (a retry would double-apply
+        an upsert, and for deletes/compactions would stage wasted work).
+        Reads the manifest fresh plus the retained history down to the
+        generation seen when the mutation began."""
+        manifest, _ = self._get_manifest()
+        cur_id = int((manifest or {}).get("commit_id", 0))
+        if any(
+            s["dir"] == entry["dir"]
+            for s in (manifest or {}).get("segments", [])
+        ):
+            return True
+        return self._dir_in_history(entry["dir"], first_seen + 1, cur_id)
+
     def upsert(self, df: DataFrame) -> None:
         if self.n_buckets:
             # recompute, never trust a caller-supplied bucket column
@@ -382,6 +402,10 @@ class ManifestVectorSink:
             ) is not None:
                 return
             self._cas_backoff(attempt)
+        # exhaustion: the LAST attempt may itself have landed with a lost
+        # response — never drop a segment the manifest references
+        if self._lost_response_landed(entry, first_seen or 0):
+            return
         self._drop_segment(entry)
         raise RuntimeError(
             f"upsert on {self.base_path} lost {self.max_cas_retries} CAS races"
@@ -497,12 +521,15 @@ class ManifestVectorSink:
         update, no lock."""
         key_df = keys.select(F.col(keys.columns[0]).alias(col)).distinct()
 
+        first_seen: int | None = None
         for attempt in range(self.max_cas_retries + 1):
             manifest, token = self._get_manifest()
             if manifest is None or not any(
                 self._seg_visible(s) for s in manifest["segments"]
             ):
                 return  # nothing visible to delete (first-batch no-op)
+            if first_seen is None:
+                first_seen = int(manifest.get("commit_id", 0))
             # xxhash64 / join-key type rule (shared with ParquetVectorSink):
             # cast the key set to the STORED column type before hashing —
             # resolved from the manifest's recorded schema, so the bucketed
@@ -563,6 +590,8 @@ class ManifestVectorSink:
             ]
             if self._commit(manifest, new_segments, token) is not None:
                 return
+            if self._lost_response_landed(entry, first_seen):
+                return  # the "failed" put landed — the delete is applied
             self._drop_segment(entry)  # stale derivation — retry
             self._cas_backoff(attempt)
         raise RuntimeError(
@@ -638,10 +667,13 @@ class ManifestVectorSink:
         this shape: a long tail of small per-batch segments next to a few
         big compacted ones. Returns segments merged away."""
         cap = target_bytes if target_bytes is not None else 4 * small_bytes
+        first_seen: int | None = None
         for attempt in range(self.max_cas_retries + 1):
             manifest, token = self._get_manifest()
             if manifest is None or len(manifest["segments"]) <= 1:
                 return 0
+            if first_seen is None:
+                first_seen = int(manifest.get("commit_id", 0))
             # invisible husks (emptied by deletes) fold away as pure
             # manifest edits — never read (a bin of husks has nothing to
             # scan and would fail the read)
@@ -679,6 +711,12 @@ class ManifestVectorSink:
             ]
             if self._commit(manifest, new_segments, token) is not None:
                 return len(folded) + husks
+            if new_entries and self._lost_response_landed(
+                new_entries[0], first_seen
+            ):
+                # all-or-nothing commit: one referenced entry means the
+                # whole fold landed despite the reported failure
+                return len(folded) + husks
             for e in new_entries:
                 self._drop_segment(e)  # stale derivation — retry
             self._cas_backoff(attempt)
@@ -694,10 +732,13 @@ class ManifestVectorSink:
         cadence uses :meth:`compact_small` via :meth:`maybe_compact`.
         Returns the number of segments merged away; concurrent mutations
         win the race and the compaction simply retries."""
+        first_seen: int | None = None
         for attempt in range(self.max_cas_retries + 1):
             manifest, token = self._get_manifest()
             if manifest is None or len(manifest["segments"]) <= 1:
                 return 0
+            if first_seen is None:
+                first_seen = int(manifest.get("commit_id", 0))
             n = len(manifest["segments"])
             visible = [
                 s for s in manifest["segments"] if self._seg_visible(s)
@@ -712,6 +753,8 @@ class ManifestVectorSink:
                 self._compaction_shape(self._read_entries(visible))
             )
             if self._commit(manifest, [entry], token) is not None:
+                return n
+            if self._lost_response_landed(entry, first_seen):
                 return n
             self._drop_segment(entry)
             self._cas_backoff(attempt)
