@@ -1189,3 +1189,49 @@ def test_staging_mutations_survive_lost_response(spark, tmp_path, op):
         spark.createDataFrame([("zz", 1)], "chunk_id string, v long")
     )
     assert sink.read().filter(F.col("chunk_id") == "zz").count() == 1
+
+
+def test_writer_abort_never_deletes_manifest_listed_files(tmp_path):
+    """Spark calls abort when commit() raises — and a commit that
+    exhausted its CAS retries can still have LANDED a put (lost
+    response). Abort must not delete spool files the manifest lists, or
+    read_committed dangles on missing paths."""
+    from vectordb_data_ingestion_spark.sinks import datasource_writer as dw
+
+    class AlwaysLiesStore(MemoryConditionalStore):
+        """Every MANIFEST put lands but reports failure — commit
+        exhausts its retries and raises, with the first put committed."""
+
+        def put_if(self, key, data, token):
+            ok = super().put_if(key, data, token)
+            return False if ok else ok
+
+    path = str(tmp_path / "wabort")
+    store = AlwaysLiesStore()
+    w = _writer(path)
+    msg = w.write(iter(_rows(["a", "b"])))
+    with pytest.raises(CasConflict):
+        w.commit([msg], store=store)
+    # the first "failed" put landed: the manifest lists the spool file
+    assert [o["chunk_id"] for o in dw.read_committed(path, store=store)] == [
+        "a",
+        "b",
+    ]
+
+    # Spark's failure path: abort with the same messages
+    w.abort([msg], store=store)
+    # the committed rows survive
+    assert [o["chunk_id"] for o in dw.read_committed(path, store=store)] == [
+        "a",
+        "b",
+    ]
+
+    # a genuinely uncommitted message IS cleaned up by the same abort
+    truthful = MemoryConditionalStore()
+    w2 = _writer(str(tmp_path / "wabort2"))
+    msg2 = w2.write(iter(_rows(["c"])))
+    w2.abort([msg2], store=truthful)
+    assert dw.read_committed(str(tmp_path / "wabort2"), store=truthful) == []
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "wabort2"), "_spool", msg2.filename)
+    )

@@ -169,10 +169,30 @@ class VectorStoreWriter(DataSourceWriter):
 
             cas_update(store, MANIFEST, transform)
 
-    def abort(self, messages):
+    def abort(self, messages, store: ConditionalStore | None = None):
+        """Remove the failed job's spool files — EXCEPT any the manifest
+        already lists. Spark calls abort when commit() raises, and a
+        commit that exhausted its CAS retries can still have LANDED one
+        of its puts (lost response): deleting a manifest-listed file
+        here would break every read_committed, the same
+        reported-failure-destroys-committed-data class the manifest
+        sink's staging loops guard against. A listed file means that
+        part of the load IS committed — leave it; vacuum never touches
+        manifest-listed files either."""
+        committed: set[str] = set()
+        try:
+            cur = (store or self._store()).get(MANIFEST)
+            if cur is not None:
+                committed = {
+                    json.loads(line)["file"]
+                    for line in cur[0].decode().splitlines()
+                    if line.strip()
+                }
+        except Exception:
+            pass  # manifest unreadable: keep abort best-effort
         spool = os.path.join(self.path, "_spool")
         for m in messages:
-            if m is None:
+            if m is None or m.filename in committed:
                 continue
             try:
                 os.remove(os.path.join(spool, m.filename))
