@@ -7924,56 +7924,56 @@ def q_zorder_layout_plan(spark, sf_dir):
 # should postdate the change. temperature_mixture (r4) slides to 51st and
 # rotates in r8.
 _DRIVER_PRIORITY = [
-    "local_supplier_volume",  # r4
-    "temperature_mixture",  # r4
-    "small_quantity_revenue",  # r4
-    "lapsed_customer_balance",  # r4
-    "shipping_delay_buckets",  # r4
-    "disjunctive_brand_revenue",  # r4
-    "dominant_part_suppliers",  # r4
-    "important_part_share",  # r4
-    "missing_event_hours",  # r4
-    "bitext_margin_pairs",  # r4
-    "forecast_revenue_change",  # r4
-    "skew_salted_join",  # r4
-    "zorder_layout_plan",  # r4
-    "file_type_extract",  # r5
-    "distinct_file_types",  # r5
-    "delta_filter",  # r5
-    "incremental_diff",  # r5
-    "seqno",  # r5
-    "url_synthesis",  # r5
-    "clean_text",  # r5
-    "token_count",  # r5
-    "chunk_fixed_overlap",  # r5
-    "string_compose_kb",  # r5
-    "events_hourly_window",  # r5
-    "events_range_join",  # r5
-    "corpus_stats_rollup",  # r5
-    "events_asof_join",  # r5
-    "events_asof_nearest",  # r5
-    "topk_certainty",  # r5
-    "topk_certainty_vectorized",  # r5
-    "ivf_assign",  # r5
-    "lsh_assign",  # r5
-    "lsh_topk_multitable",  # r5
-    "ann_topk_batch",  # r5
-    "minhash_signatures",  # r5
-    "near_dup_components",  # r5
-    "simhash",  # r5
-    "lang_id",  # r5
-    "quality_score",  # r5
-    "corpus_stats",  # r5
-    "doc_fingerprint",  # r5
-    "kb_article_compose",  # r5
-    "service_catalog_compose",  # r5
-    "split_long_rows",  # r5
-    "multimodal_metadata",  # r5
-    "media_sampling_plan",  # r5
-    "multimodal_features",  # r5
-    "word_split",  # r5
-    "chunk_recursive",  # r5
-    "embed_enrich",  # r5
+    "chunk_table_pipeline",  # r5
+    "corpus_split",  # r5
+    "vocabulary_top",  # r5
+    "trigram_counts",  # r5
+    "pii_scrub",  # r5
+    "benchmark_decontaminate",  # r5
+    "per_source_cap",  # r5
+    "weighted_source_sample",  # r5
+    "shard_assign",  # r5
+    "embedding_quantize",  # r5
+    "filtered_topk_certainty",  # r5
+    "full_curation_pipeline",  # r5
+    "pricing_summary",  # r6
+    "brute_force_topk",  # r6
+    "ivf_topk",  # r6
+    "minhash_lsh_near_dup",  # r6
+    "near_dup_dedup",  # r6
+    "simhash_near_dup",  # r6
+    "kmv_distinct_words",  # r6
+    "bm25_topk",  # r6
+    "hybrid_rrf_search",  # r6
+    "catalog_merge",  # r6
+    "scd2_user_state",  # r6
+    "kmeans_refine_step",  # r6
+    "pq_encode",  # r6
+    "repetition_signals",  # r6
+    "bpe_pair_counts",  # r6
+    "zorder_key",  # r6
+    "orders_topk_revenue",  # r6
+    "lm_perplexity_score",  # r6
+    "pq_adc_topk_batch",  # r6
+    "ivfpq_topk",  # r6
+    "bm25_topk_indexed",  # r6
+    "tfidf_topk",  # r6
+    "quality_deciles",  # r6
+    "stratified_sample",  # r6
+    "length_quantiles",  # r6
+    "events_moving_avg",  # r6
+    "late_shipment_priority",  # r6
+    "promo_revenue",  # r6
+    "nation_revenue_share",  # r6
+    "doc_prefix_dup",  # r6
+    "component_size_histogram",  # r6
+    "token_histogram",  # r6
+    "ivf_recall_eval",  # r6
+    "dup_window_stats",  # r6
+    "kmeans_inertia",  # r6
+    "quantile_sketch_histogram",  # r6
+    "events_json_props",  # r6
+    "dup_span_removal",  # r6
 ]
 
 
