@@ -936,3 +936,80 @@ def test_legacy_protocol1_index_loads_without_marker(spark, tmp_path):
         json.dump(meta, fh)
     with pytest.raises(RuntimeError, match="_INDEX_SUCCESS"):
         load_ivfpq_index(spark, out)
+
+
+def test_marker_era_crashed_build_fails_loudly(spark, tmp_path):
+    """ADVICE r8 (medium): between the meta-first change and the protocol
+    stamp, builds wrote _meta.json FIRST and _INDEX_SUCCESS last but
+    recorded no "protocol" field — so a crash mid-data-write leaves a
+    no-protocol meta with no marker, indistinguishable by meta alone from
+    a complete protocol-1 (meta-last) index. The gate must NOT trust it
+    unconditionally: it falls back to the physical check (Spark _SUCCESS
+    under codes/centroids/codebooks) and raises when data is incomplete."""
+    import json
+    import shutil
+    import numpy as np
+
+    from vectordb_data_ingestion_spark.operators.pq import (
+        pq_train,
+        residual_table,
+    )
+    from vectordb_data_ingestion_spark.operators.vector_index import (
+        _check_index_complete,
+        build_ivfpq_index,
+        load_ivfpq_index,
+    )
+
+    m, dim = 4, 16
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(40, dim))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [float(v) for v in x[:20].mean(axis=0)]),
+         (1, [float(v) for v in x[20:].mean(axis=0)])],
+        "c_id long, c_embedding array<double>",
+    )
+    books = pq_train(residual_table(emb, cents), m, dim, k=8,
+                     iterations=1, vec_col="rvec")
+    out = str(tmp_path / "idx")
+    build_ivfpq_index(emb, cents, books, out, m=m, dim=dim)
+
+    # forge the marker-era crash: strip the protocol field and the
+    # marker (meta-first era, build died mid-data-write) and knock out
+    # one data table's _SUCCESS — the state the old gate silently loaded
+    meta_path = os.path.join(out, "_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    del meta["protocol"]
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    os.remove(os.path.join(out, "_INDEX_SUCCESS"))
+    os.remove(os.path.join(out, "codebooks", "_SUCCESS"))
+    with pytest.raises(RuntimeError, match="incomplete"):
+        load_ivfpq_index(spark, out)
+
+    # a crash BEFORE any data write (meta only) fails the same way
+    out2 = str(tmp_path / "idx2")
+    os.makedirs(out2)
+    with open(os.path.join(out2, "_meta.json"), "w") as fh:
+        json.dump({"residual": False, "m": m, "dim": dim}, fh)
+    with pytest.raises(RuntimeError, match="incomplete"):
+        _check_index_complete(out2, "serve queries")
+
+    # missing codes-batch _SUCCESS (died mid-codes-write) also refuses
+    out3 = str(tmp_path / "idx3")
+    shutil.copytree(out, out3)
+    with open(os.path.join(out3, "codebooks", "_SUCCESS"), "w"):
+        pass
+    os.remove(os.path.join(out3, "codes", "batch=base", "_SUCCESS"))
+    with pytest.raises(RuntimeError, match="incomplete"):
+        _check_index_complete(out3, "serve queries")
+
+    # restoring the physical completeness restores loadability — the
+    # ADVICE r7 guarantee (real protocol-1 indexes load) is unchanged
+    with open(os.path.join(out3, "codes", "batch=base", "_SUCCESS"), "w"):
+        pass
+    assert _check_index_complete(out3, "serve queries") == meta

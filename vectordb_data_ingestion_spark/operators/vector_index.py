@@ -238,10 +238,19 @@ def _check_index_complete(out_dir: str, action: str) -> dict | None:
     protocol-2 build writes ``_meta.json`` FIRST and ``_INDEX_SUCCESS``
     last, so a protocol-2 meta without the marker is a build that died
     mid-write — fail loudly rather than serve partial codes. Metas that
-    do not declare ``protocol >= 2`` were written by builds that wrote
-    meta LAST and never a marker (meta present = data complete), so the
-    marker is not required of them (ADVICE r7: the gate must not brick
-    every pre-marker index on upgrade)."""
+    do not declare ``protocol >= 2`` are ambiguous: true protocol-1
+    builds wrote meta LAST (meta present = data complete), but the
+    marker-era window between the meta-first change and the protocol
+    stamp ALSO wrote meta first without a protocol field — so a
+    no-protocol meta with no marker could be either a complete
+    protocol-1 index or a marker-era build that died mid-data-write
+    (ADVICE r8). Rather than trust it unconditionally, fall back to a
+    secondary discriminator: every complete build of ANY era left Spark
+    ``_SUCCESS`` files under codes/centroids/codebooks, while a
+    crashed-mid-data marker-era build is missing at least one. Only a
+    meta that passes that physical check loads without its marker
+    (ADVICE r7 still holds: genuinely complete pre-marker indexes stay
+    loadable on upgrade)."""
     import json as _json
 
     meta_path = os.path.join(out_dir, "_meta.json")
@@ -249,15 +258,48 @@ def _check_index_complete(out_dir: str, action: str) -> dict | None:
         return None
     with open(meta_path) as fh:
         meta = _json.load(fh)
-    if int(meta.get("protocol", 1)) >= 2 and not os.path.exists(
-        os.path.join(out_dir, "_INDEX_SUCCESS")
-    ):
-        raise RuntimeError(
-            f"ivfpq index at {out_dir} has a protocol-2 _meta.json but no "
-            "_INDEX_SUCCESS marker: the build crashed before completing "
-            f"— rebuild the index (a partial index must not {action})"
-        )
+    declared = "protocol" in meta
+    if not os.path.exists(os.path.join(out_dir, "_INDEX_SUCCESS")):
+        if declared and int(meta.get("protocol", 1)) >= 2:
+            raise RuntimeError(
+                f"ivfpq index at {out_dir} has a protocol-2 _meta.json but "
+                "no _INDEX_SUCCESS marker: the build crashed before "
+                f"completing — rebuild the index (a partial index must "
+                f"not {action})"
+            )
+        if not declared and not _data_dirs_complete(out_dir):
+            raise RuntimeError(
+                f"ivfpq index at {out_dir} has a _meta.json with no "
+                "protocol field, no _INDEX_SUCCESS marker, and incomplete "
+                "data tables (missing Spark _SUCCESS under codes/, "
+                "centroids/ or codebooks/): this is a meta-first build "
+                "that crashed before its data finished writing — rebuild "
+                f"the index (a partial index must not {action})"
+            )
     return meta
+
+
+def _data_dirs_complete(out_dir: str) -> bool:
+    """Physical completeness check for indexes whose meta predates the
+    protocol stamp: Spark stamps ``_SUCCESS`` at the root of every
+    completed write, so a finished build of any era has one under
+    ``centroids/``, ``codebooks/`` and ``codes/`` (at the codes root for
+    the legacy flat layout, else inside every ``batch=*`` subdir — the
+    flat-layout migration moves the root marker into ``batch=base``)."""
+    for sub in ("centroids", "codebooks"):
+        if not os.path.exists(os.path.join(out_dir, sub, "_SUCCESS")):
+            return False
+    codes = os.path.join(out_dir, "codes")
+    if os.path.exists(os.path.join(codes, "_SUCCESS")):
+        return True
+    batches = [
+        e
+        for e in (os.listdir(codes) if os.path.isdir(codes) else [])
+        if e.startswith("batch=")
+    ]
+    return bool(batches) and all(
+        os.path.exists(os.path.join(codes, b, "_SUCCESS")) for b in batches
+    )
 
 
 def load_ivfpq_index(
