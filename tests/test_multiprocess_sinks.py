@@ -204,3 +204,82 @@ def test_fold_lock_excludes_recovery_across_processes(tmp_path):
     assert os.path.exists(os.path.join(root, "batch=-1", "part-0.parquet"))
     _fold_recover(root)  # idempotent no-op after the fact
     assert os.path.isdir(os.path.join(root, "batch=-1"))
+
+
+def test_loader_waits_out_concurrent_recovery(tmp_path):
+    """ADVICE r8 (low): when two loaders race on a crashed fold's
+    markers, the second must not skip the held lock and read beside the
+    first's mid-rmtree rollback — recovery holders advertise via the
+    _FOLD_RECOVERING hint and the second loader WAITS them out, starting
+    its read from a consistent state. REAL cross-process drill."""
+    import threading
+
+    from vectordb_data_ingestion_spark.streaming.incremental import (
+        _fold_recover,
+    )
+
+    root = str(tmp_path / "codes")
+    os.makedirs(os.path.join(root, "batch=0"))
+    with open(os.path.join(root, "batch=0", "part-0.parquet"), "w") as fh:
+        fh.write("rows")
+    # the crashed fold's partial target the holder is rolling back
+    os.makedirs(os.path.join(root, "batch=-1"))
+    with open(os.path.join(root, "batch=-1", "part-0.parquet"), "w") as fh:
+        fh.write("partial")
+
+    worker = os.path.join(_REPO, "tests", "recovery_lock_worker.py")
+    proc = subprocess.Popen(
+        [sys.executable, worker, root],
+        env=dict(os.environ, PYTHONPATH=_REPO),
+        cwd=_REPO,
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert proc.stdout.readline().strip() == "HELD"
+        loader = threading.Thread(target=_fold_recover, args=(root,))
+        loader.start()
+        loader.join(0.6)
+        # the loader is WAITING on the advertised recovery, not skipping
+        assert loader.is_alive()
+
+        proc.stdin.write("go\n")
+        proc.stdin.flush()
+        assert proc.stdout.readline().strip() == "DONE"
+        loader.join(15)
+        assert not loader.is_alive()
+    finally:
+        proc.stdin.close()
+        rc = proc.wait(timeout=60)
+    assert rc == 0, proc.stderr.read()
+
+    # consistent post-recovery state: rollback complete, sources intact,
+    # no markers or hint left behind
+    assert not os.path.isdir(os.path.join(root, "batch=-1"))
+    assert os.path.exists(os.path.join(root, "batch=0", "part-0.parquet"))
+    assert not os.path.exists(os.path.join(root, "_FOLD_PENDING"))
+    assert not os.path.exists(os.path.join(root, "_FOLD_COMMITTED"))
+    assert not os.path.exists(os.path.join(root, "_FOLD_RECOVERING"))
+
+
+def test_stranded_recovery_hint_is_cleared(tmp_path):
+    """A crash between marker removal and hint removal strands
+    _FOLD_RECOVERING with no markers: the next recover call clears it on
+    the fast path (and must not wait on it), so a later live fold's held
+    lock is never mistaken for an overlong recovery."""
+    import time
+
+    from vectordb_data_ingestion_spark.streaming.incremental import (
+        _fold_recover,
+    )
+
+    root = str(tmp_path / "codes")
+    os.makedirs(root)
+    with open(os.path.join(root, "_FOLD_RECOVERING"), "w") as fh:
+        fh.write("stranded\n")
+    t0 = time.monotonic()
+    _fold_recover(root)
+    assert time.monotonic() - t0 < 1.0
+    assert not os.path.exists(os.path.join(root, "_FOLD_RECOVERING"))

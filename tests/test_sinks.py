@@ -784,3 +784,48 @@ def test_partition_drop_fast_path_type_faithful(
     )
     got_mtwin = {r["chunk_id"] for r in mtwin.read().collect()}
     assert got_mfast == got_mtwin
+
+
+def test_partition_drop_fallback_is_rewrite_not_str_compare(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8 (low) / VERDICT r8 item 3: when the typed matching path
+    fails (stored type unresolvable, transient Spark failure in the
+    matching projection), the fast path must degrade to the EXACT
+    anti-join/rewrite delete — never to the str(v) dir-name compare the
+    r8 fix retired, which silently no-ops bool partition deletes
+    (str(True)='True' vs the 'pcol=true' dir). Forces the exception
+    branch on a bool-typed partition column and asserts the rows are
+    actually deleted, on BOTH sinks, with a diagnosable warning."""
+    from vectordb_data_ingestion_spark.sinks import vector_store as vs_mod
+    from vectordb_data_ingestion_spark.sinks.manifest_sink import (
+        ManifestVectorSink,
+    )
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated transient matching failure")
+
+    df = spark.createDataFrame(
+        [("a", True), ("b", False), ("c", True)],
+        "chunk_id string, pcol boolean",
+    )
+
+    # POSIX sink: _drop_partition_dirs resolves the name at module level
+    monkeypatch.setattr(vs_mod, "match_partition_dir_values", boom)
+    sink = ParquetVectorSink(
+        spark, str(tmp_path / "posix"), partition_col="pcol"
+    )
+    sink.upsert(df)
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        sink.delete_where("pcol", [True])
+    assert {r["chunk_id"] for r in sink.read().collect()} == {"b"}
+
+    # manifest sink: _drop_partitions imports the same helper from
+    # vector_store inside the function body — already patched above
+    msink = ManifestVectorSink(
+        spark, str(tmp_path / "manifest"), partition_col="pcol"
+    )
+    msink.upsert(df)
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        msink.delete_where("pcol", [True])
+    assert {r["chunk_id"] for r in msink.read().collect()} == {"b"}

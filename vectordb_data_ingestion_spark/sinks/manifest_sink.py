@@ -482,8 +482,31 @@ class ManifestVectorSink:
                 targets = match_partition_dir_values(
                     self.spark, sorted(present), values, dtype
                 )
-            except Exception:
-                targets = present & {str(v) for v in values if v is not None}
+            except Exception as exc:
+                # stored type unresolvable (or the matching projection
+                # failed transiently): degrade to the exact anti-join
+                # delete — the semantics this manifest edit accelerates —
+                # NEVER to a str(v) compare whose type-blind misses
+                # silently no-op bool/decimal deletes (ADVICE r8). If the
+                # sink is genuinely unreadable the anti-join raises, which
+                # is the honest outcome.
+                import warnings
+
+                warnings.warn(
+                    "partition-drop fast path on "
+                    f"{self.base_path} could not resolve the stored "
+                    f"partition type ({exc!r}); falling back to the "
+                    "anti-join delete",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
+                self.delete_where_df(
+                    self.partition_col,
+                    self.spark.createDataFrame(
+                        [(v,) for v in values], [self.partition_col]
+                    ),
+                )
+                return
             if not targets:
                 return
 

@@ -388,6 +388,8 @@ class ParquetVectorSink:
                         yield full, hive_unescape(d[len(prefix):])
 
         candidates = list(partition_dirs())
+        if not candidates:
+            return
         decoded = sorted({s for _, s in candidates})
         try:
             # compare dirs and values through the type the READ path
@@ -396,11 +398,25 @@ class ParquetVectorSink:
             targets = match_partition_dir_values(
                 self.spark, decoded, values, dtype
             )
-        except Exception:
-            # stored type unresolvable (e.g. husk states mid-recovery):
-            # the pre-r8 string comparison, still exact for the common
-            # string/date/int partition columns
-            targets = set(decoded) & {str(v) for v in values if v is not None}
+        except Exception as exc:
+            # stored type unresolvable (or the matching projection failed
+            # transiently): degrade to the exact anti-join rewrite — the
+            # semantics the fast path merely accelerates — NEVER to a
+            # str(v) dir-name compare, whose type-blind misses silently
+            # turned bool/decimal deletes into no-ops (ADVICE r8). The
+            # rewrite reads the rows, so a genuinely unreadable sink
+            # surfaces its error instead of "deleting" nothing.
+            import warnings
+
+            warnings.warn(
+                "partition-drop fast path on "
+                f"{self.base_path} could not resolve the stored partition "
+                f"type ({exc!r}); falling back to the rewrite delete",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            self._delete_where_unbucketed(self.partition_col, values)
+            return
         if not targets:
             return
 

@@ -351,6 +351,12 @@ def compact_near_dup_index(spark: SparkSession, index_dir: str) -> int:
     return merged
 
 
+# how long a loader will wait out a lock-holding RECOVERY (fast rmtree
+# work) before concluding the hint is stale and skipping; live folds are
+# never waited on this long (no hint -> one 50 ms confirmation poll)
+_RECOVERY_WAIT_SECS = 10.0
+
+
 def _fold_lock(local: str, blocking: bool = True):
     """Exclusive flock on ``<root>/_FOLD_LOCK``, serializing a live fold
     against load-time recovery (the destructive race: a loader that sees
@@ -403,23 +409,58 @@ def _fold_recover(root: str, _locked: bool = False) -> None:
     A marker left by a LIVE fold (not a crashed one) must never be
     "recovered": unless the caller already holds the fold lock
     (``_locked=True`` — the fold's own pre-flight recovery), this takes
-    it non-blocking and SKIPS when it's held — the fold that holds it
-    will finish its own protocol. Lock-free fast path when no marker
-    exists (the common case; also keeps read-only stores readable)."""
+    it non-blocking; when it's held, the holder is either a live fold
+    (markers span its whole generation write — skip, it finishes its own
+    protocol) or ANOTHER LOADER'S RECOVERY, which is fast but destructive
+    mid-flight: skipping past it and reading could observe a
+    partially-rmtree'd target next to intact sources (ADVICE r8).
+    Recovery holders therefore advertise themselves with a
+    ``_FOLD_RECOVERING`` hint (written under the lock before any
+    destructive step, removed after the markers), and the skip path
+    WAITS a recovery holder out — bounded by ``_RECOVERY_WAIT_SECS`` so
+    a stale hint can't park loads — while a no-hint holder gets one
+    confirmation poll (covering the instant between a recoverer's flock
+    and its hint write) before being judged a live fold and skipped.
+    Lock-free fast path when no marker exists (the common case; also
+    keeps read-only stores readable)."""
     import json as _json
     import os
     import shutil
+    import time
 
     local = root[len("file:"):] if root.startswith("file:") else root
     pending = os.path.join(local, "_FOLD_PENDING")
     committed = os.path.join(local, "_FOLD_COMMITTED")
+    recovering = os.path.join(local, "_FOLD_RECOVERING")
     if not (os.path.exists(pending) or os.path.exists(committed)):
+        # a crash between marker removal and hint removal strands the
+        # hint; with no markers there is no recovery to wait for, so
+        # clear it (best-effort: read-only stores stay readable)
+        if os.path.exists(recovering):
+            try:
+                os.remove(recovering)
+            except OSError:
+                pass
         return
     if not _locked:
-        with _fold_lock(local, blocking=False) as got:
-            if got:
-                _fold_recover(root, _locked=True)
-        return
+        deadline = time.monotonic() + _RECOVERY_WAIT_SECS
+        saw_no_hint = False
+        while True:
+            with _fold_lock(local, blocking=False) as got:
+                if got:
+                    _fold_recover(root, _locked=True)
+                    return
+            if not (
+                os.path.exists(pending) or os.path.exists(committed)
+            ):
+                return  # the holder finished its protocol
+            if not os.path.exists(recovering):
+                if saw_no_hint:
+                    return  # live fold owns the markers — skip
+                saw_no_hint = True
+            elif time.monotonic() >= deadline:
+                return  # stale hint or overlong recovery — skip
+            time.sleep(0.05)
 
     def read_marker(path):
         try:
@@ -428,24 +469,32 @@ def _fold_recover(root: str, _locked: bool = False) -> None:
         except (FileNotFoundError, ValueError):
             return None
 
-    state = read_marker(committed)
-    if state is not None:
-        for d in state.get("sources", []):
-            shutil.rmtree(os.path.join(local, d), ignore_errors=True)
-        for m in (pending, committed):  # pending first, committed last
+    with open(recovering, "w") as fh:
+        fh.write("recovery in progress\n")
+    try:
+        state = read_marker(committed)
+        if state is not None:
+            for d in state.get("sources", []):
+                shutil.rmtree(os.path.join(local, d), ignore_errors=True)
+            for m in (pending, committed):  # pending first, committed last
+                try:
+                    os.remove(m)
+                except FileNotFoundError:
+                    pass
+            return
+        state = read_marker(pending)
+        if state is not None:
+            shutil.rmtree(
+                os.path.join(local, state["target"]), ignore_errors=True
+            )
+        for m in (pending, committed):
             try:
                 os.remove(m)
             except FileNotFoundError:
                 pass
-        return
-    state = read_marker(pending)
-    if state is not None:
-        shutil.rmtree(
-            os.path.join(local, state["target"]), ignore_errors=True
-        )
-    for m in (pending, committed):
+    finally:
         try:
-            os.remove(m)
+            os.remove(recovering)
         except FileNotFoundError:
             pass
 
