@@ -1235,3 +1235,54 @@ def test_writer_abort_never_deletes_manifest_listed_files(tmp_path):
     assert not os.path.exists(
         os.path.join(str(tmp_path / "wabort2"), "_spool", msg2.filename)
     )
+
+
+def test_history_walk_is_bounded(spark, tmp_path):
+    """VERDICT r8 item 5: `_dir_in_history` must never issue an unbounded
+    number of store gets when the generation range is pathological (e.g.
+    a clock-like commit_id jump). It caps at HISTORY_WALK_CAP gets and
+    returns the conservative "landed" verdict on overflow — the caller
+    keeps its staged segment (vacuumable at worst) instead of deleting
+    files a retained generation might reference."""
+    from vectordb_data_ingestion_spark.sinks.manifest_sink import (
+        ManifestVectorSink,
+    )
+
+    class CountingStore:
+        def __init__(self, inner):
+            self.inner = inner
+            self.gets = 0
+
+        def get(self, key):
+            self.gets += 1
+            return self.inner.get(key)
+
+        def put_if(self, key, data, token):
+            return self.inner.put_if(key, data, token)
+
+        def delete_if(self, key, token):
+            return self.inner.delete_if(key, token)
+
+    from vectordb_data_ingestion_spark.sinks.commit_store import (
+        MemoryConditionalStore,
+    )
+
+    store = CountingStore(MemoryConditionalStore())
+    sink = ManifestVectorSink(
+        spark, str(tmp_path / "s"), partition_col=None, store=store
+    )
+    sink.upsert(
+        spark.createDataFrame([("a", 1)], "chunk_id string, v int")
+    )
+
+    # a million-generation range: bounded gets, conservative True
+    store.gets = 0
+    assert sink._dir_in_history("no-such-dir", 1, 1_000_000) is True
+    assert store.gets <= sink.HISTORY_WALK_CAP
+
+    # a small range still walks exhaustively and answers exactly
+    store.gets = 0
+    assert sink._dir_in_history("no-such-dir", 1, 5) is False
+    assert store.gets <= 5
+    real_dir = sink._get_manifest()[0]["segments"][0]["dir"]
+    assert sink._dir_in_history(real_dir, 1, 1) is True

@@ -321,10 +321,27 @@ class ManifestVectorSink:
 
     # -- contract ----------------------------------------------------------
 
+    # the history walk below is newest-first, so the commit that landed a
+    # lost response (within max_cas_retries of the current generation) is
+    # found within the first few gets; the cap only triggers when the
+    # range is pathological (e.g. a clock-like commit_id jump), where the
+    # conservative answer keeps the staged files instead of walking an
+    # unbounded number of store gets (VERDICT r8 item 5)
+    HISTORY_WALK_CAP = 100
+
     def _dir_in_history(self, seg_dir: str, lo: int, hi: int) -> bool:
         """Whether any retained generation in ``[lo, hi]`` references
-        ``seg_dir`` — the second leg of upsert's lost-response guard."""
+        ``seg_dir`` — the second leg of upsert's lost-response guard.
+        At most :attr:`HISTORY_WALK_CAP` store gets, newest first; on
+        overflow returns True (the CONSERVATIVE verdict: "the commit may
+        have landed", so the caller keeps its staged segment and reports
+        success — an orphaned segment is vacuumable garbage, while
+        deleting a referenced one breaks readers)."""
+        walked = 0
         for cid in range(hi, max(lo, 1) - 1, -1):
+            if walked >= self.HISTORY_WALK_CAP:
+                return True
+            walked += 1
             cur = self.store.get(f"{_MANIFEST_KEY}.v{cid}")
             if cur is None:
                 continue
