@@ -104,13 +104,26 @@ def test_file_store_adopts_pre_cas_files(tmp_path):
 
 
 def _sink(spark, tmp_path, binding, name="msink", **kw):
-    store = MemoryConditionalStore() if binding == "memory" else None
+    if binding == "memory":
+        store = MemoryConditionalStore()
+    elif binding == "log":
+        # chunked commit log over the in-memory binding, with a small
+        # checkpoint cadence so the tests cross boundaries constantly
+        from vectordb_data_ingestion_spark.sinks.log_store import (
+            LogConditionalStore,
+        )
+
+        store = LogConditionalStore(
+            MemoryConditionalStore(), checkpoint_every=3
+        )
+    else:
+        store = None
     return ManifestVectorSink(
         spark, str(tmp_path / name), partition_col=None, store=store, **kw
     )
 
 
-@pytest.fixture(params=["file", "memory"])
+@pytest.fixture(params=["file", "memory", "log"])
 def binding(request):
     return request.param
 
@@ -476,19 +489,22 @@ def test_manifest_sink_maybe_compact_threshold(spark, tmp_path):
     assert sink.read().count() == 5
 
 
-def test_manifest_sink_randomized_against_model(spark, tmp_path):
+@pytest.mark.parametrize("substrate", ["file", "log"])
+def test_manifest_sink_randomized_against_model(spark, tmp_path, substrate):
     """Model-based drill: a seeded random sequence of upserts / key
     deletes / compactions / vacuums runs against both the sink and a
     plain in-memory multiset model; after every mutation the sink's
     visible rows equal the model, and at the end every retained snapshot
     equals the model's state as of that commit. Catches whole classes of
     manifest-bookkeeping bugs (dropped refs, double refs, wrong-bucket
-    pruning) that example tests can miss."""
+    pruning) that example tests can miss. Runs over the monolithic CAS
+    manifest AND the chunked commit log (whose 3-commit checkpoint
+    cadence the 18-step sequence crosses repeatedly)."""
     import random
 
     rng = random.Random(20260816)
     sink = _sink(
-        spark, tmp_path, "file", name="model", key_col="k", n_buckets=4
+        spark, tmp_path, substrate, name="model", key_col="k", n_buckets=4
     )
     model: list[tuple[str, int]] = []  # multiset of (k, v)
     snapshots: dict[int, list[tuple[str, int]]] = {}
@@ -729,31 +745,62 @@ def test_vacuum_reclaims_dead_files_inside_live_segments(spark, tmp_path):
     assert got_prev == {("b", "d2"), ("c", "d3")}
 
 
-def test_upsert_lost_response_does_not_duplicate(spark, tmp_path):
+class _LostResponseOnce(MemoryConditionalStore):
+    """First successful manifest-commit put LANDS but reports failure —
+    the lost-response behavior of real object stores under network
+    retry. ``commit_keys`` names the key class that carries a commit:
+    the monolithic CAS key, or the chunked store's MLOG record creates
+    (the same event one protocol layer down)."""
+
+    def __init__(self, commit_keys=("MANIFEST",)):
+        super().__init__()
+        self.commit_keys = commit_keys
+        self.lied = False
+
+    def _is_commit(self, key):
+        return any(
+            key == k or (k.endswith(".") and key.startswith(k))
+            for k in self.commit_keys
+        )
+
+    def put_if(self, key, data, token):
+        ok = super().put_if(key, data, token)
+        if ok and self._is_commit(key) and not self.lied:
+            self.lied = True
+            return False  # it LANDED, but the caller hears failure
+        return ok
+
+
+def _lying_store(substrate, cls=_LostResponseOnce):
+    """(store_for_sink, flags) for the lost-response drills: 'mono' lies
+    on the MANIFEST CAS itself; 'log' wraps the lying inner store in the
+    chunked LogConditionalStore, lying on its MLOG record create."""
+    if substrate == "mono":
+        inner = cls()
+        return inner, inner
+    from vectordb_data_ingestion_spark.sinks.log_store import (
+        LogConditionalStore,
+    )
+
+    inner = cls(commit_keys=("MLOG.",))
+    return LogConditionalStore(inner, checkpoint_every=3), inner
+
+
+@pytest.mark.parametrize("substrate", ["mono", "log"])
+def test_upsert_lost_response_does_not_duplicate(spark, tmp_path, substrate):
     """Real conditional-put stores can apply a put and still report
     failure (lost response / internal retry). upsert's CAS retry must
     detect that its own segment already landed and stop — never append
-    the entry twice."""
-    class LostResponseOnce(MemoryConditionalStore):
-        def __init__(self):
-            super().__init__()
-            self.lied = False
-
-        def put_if(self, key, data, token):
-            ok = super().put_if(key, data, token)
-            if ok and key == "MANIFEST" and not self.lied:
-                self.lied = True
-                return False  # it LANDED, but the caller hears failure
-            return ok
-
-    store = LostResponseOnce()
+    the entry twice. Runs over BOTH commit substrates: the monolithic
+    CAS manifest and the chunked log (VERDICT r8 item 2)."""
+    store, flags = _lying_store(substrate)
     sink = ManifestVectorSink(
         spark, str(tmp_path / "lost"), partition_col=None, store=store
     )
     sink.upsert(
         spark.createDataFrame([("a", 1), ("b", 2)], "chunk_id string, v long")
     )
-    assert store.lied
+    assert flags.lied
     got = [r["chunk_id"] for r in sink.read().collect()]
     assert sorted(got) == ["a", "b"]  # exactly once, no duplicates
     manifest, _ = sink._get_manifest()
@@ -858,7 +905,16 @@ def test_commit_heals_missing_history_key(spark, tmp_path, binding):
     manifest CAS and writing its MANIFEST.v<id> history key. The next
     commit re-publishes the generation it read, so the history chain has
     no permanent gaps (and vacuum / the upsert lost-response guard can
-    rely on it)."""
+    rely on it).
+
+    Monolithic bindings only: under the chunked log store a generation's
+    history object IS its commit record — written atomically by the
+    commit itself, so the crash window this test simulates (history key
+    missing while the generation exists) cannot occur and deleting the
+    head's "history key" means pruning the head, which is protocol
+    misuse the store refuses loudly."""
+    if binding == "log":
+        pytest.skip("log store has no separate history object to lose")
     sink = _sink(spark, tmp_path, binding, name="heal")
     for i in range(3):
         sink.upsert(
@@ -963,33 +1019,30 @@ def test_history_is_bounded_by_retained_floor(spark, tmp_path):
     assert store.gets <= 10
 
 
-def test_upsert_lost_response_with_concurrent_dereference(spark, tmp_path):
+@pytest.mark.parametrize("substrate", ["mono", "log"])
+def test_upsert_lost_response_with_concurrent_dereference(
+    spark, tmp_path, substrate
+):
     """ADVICE r7 (manifest_sink.py:496): the lost-response guard must
     hold even when a concurrent delete dereferenced the just-landed
     segment before the retry — re-appending it would silently resurrect
     the deleted rows. The retry scans retained history (healed by the
-    delete's own commit) for its segment dir and stops."""
+    delete's own commit; under the chunked log, reconstructed from the
+    record chain) for its segment dir and stops."""
     deletes = {}
 
-    class LostResponseThenDelete(MemoryConditionalStore):
-        def __init__(self):
-            super().__init__()
-            self.lied = False
-            self.in_hook = False
-
-        def put_if(self, key, data, token):
-            ok = super().put_if(key, data, token)
-            if ok and key == "MANIFEST" and not self.lied:
-                self.lied = True
-                return False  # it LANDED, but the caller hears failure
-            return ok
+    class LostResponseThenDelete(_LostResponseOnce):
+        in_hook = False
 
         def get(self, key):
+            # fire the concurrent delete on the first manifest-read
+            # after the lie: the monolithic store reads MANIFEST, the
+            # chunked store starts every head probe at MLOG_HINT
             if (
                 self.lied
                 and deletes.get("fn")
                 and not self.in_hook
-                and key == "MANIFEST"
+                and key in ("MANIFEST", "MLOG_HINT")
             ):
                 self.in_hook = True
                 fn = deletes.pop("fn")
@@ -997,7 +1050,7 @@ def test_upsert_lost_response_with_concurrent_dereference(spark, tmp_path):
                 self.in_hook = False
             return super().get(key)
 
-    store = LostResponseThenDelete()
+    store, flags = _lying_store(substrate, cls=LostResponseThenDelete)
     sink = ManifestVectorSink(
         spark, str(tmp_path / "lostdel"), partition_col=None, store=store
     )
@@ -1012,7 +1065,7 @@ def test_upsert_lost_response_with_concurrent_dereference(spark, tmp_path):
     sink.upsert(
         spark.createDataFrame([("a", 1), ("b", 2)], "chunk_id string, v long")
     )
-    assert store.lied and not deletes  # both the lie and the delete ran
+    assert flags.lied and not deletes  # both the lie and the delete ran
     # the delete's verdict stands: the retry must NOT resurrect the rows
     assert sink.read().count() == 0
 
@@ -1103,23 +1156,6 @@ def test_compaction_folds_invisible_husks_without_reading(spark, tmp_path):
     assert manifest["segments"] == []
 
 
-class _LiesOnceStore(MemoryConditionalStore):
-    """Conditional-put store whose first successful MANIFEST put LANDS
-    but reports failure — the lost-response behavior of real object
-    stores under network retry."""
-
-    def __init__(self):
-        super().__init__()
-        self.lied = False
-
-    def put_if(self, key, data, token):
-        ok = super().put_if(key, data, token)
-        if ok and key == "MANIFEST" and not self.lied:
-            self.lied = True
-            return False
-        return ok
-
-
 def _assert_no_dangling_segments(sink):
     manifest, _ = sink._get_manifest()
     for s in manifest["segments"]:
@@ -1129,16 +1165,19 @@ def _assert_no_dangling_segments(sink):
             ), f"manifest references deleted dir {s['dir']}"
 
 
+@pytest.mark.parametrize("substrate", ["mono", "log"])
 @pytest.mark.parametrize("op", ["delete", "delete_bucketed", "compact",
                                 "compact_small"])
-def test_staging_mutations_survive_lost_response(spark, tmp_path, op):
+def test_staging_mutations_survive_lost_response(
+    spark, tmp_path, op, substrate
+):
     """r8 audit: every mutation that stages a segment (delete rewrite,
     compactions) used to drop its staged files the moment _commit
     reported failure — but a lost response means the commit LANDED and
     the new manifest references those files; dropping them breaks every
     reader. Each loop now re-checks before dropping and returns success
-    when its commit in fact landed."""
-    store = _LiesOnceStore()
+    when its commit in fact landed. Runs over BOTH commit substrates."""
+    store, flags = _lying_store(substrate)
     kw = (
         {"key_col": "chunk_id", "n_buckets": 4}
         if op == "delete_bucketed"
@@ -1151,14 +1190,14 @@ def test_staging_mutations_survive_lost_response(spark, tmp_path, op):
         [(f"c{i}", i) for i in range(12)], "chunk_id string, v long"
     )
     sink.upsert(df)
-    assert store.lied  # the upsert's own commit already absorbed the lie
-    store.lied = False  # re-arm: the NEXT mutation gets the lie
+    assert flags.lied  # the upsert's own commit already absorbed the lie
+    flags.lied = False  # re-arm: the NEXT mutation gets the lie
 
     if op in ("delete", "delete_bucketed"):
         sink.delete_where_df(
             "chunk_id", spark.createDataFrame([("c3",), ("c7",)], ["chunk_id"])
         )
-        assert store.lied
+        assert flags.lied
         got = sorted(r["chunk_id"] for r in sink.read().collect())
         assert got == sorted(f"c{i}" for i in range(12) if i not in (3, 7))
     elif op == "compact":
@@ -1166,9 +1205,9 @@ def test_staging_mutations_survive_lost_response(spark, tmp_path, op):
         sink.upsert(
             spark.createDataFrame([("x", 99)], "chunk_id string, v long")
         )
-        store.lied = False
+        flags.lied = False
         assert sink.compact() >= 2
-        assert store.lied
+        assert flags.lied
         got = sink.read().count()
         assert got == 13
     else:
@@ -1178,9 +1217,9 @@ def test_staging_mutations_survive_lost_response(spark, tmp_path, op):
                     [(f"s{i}", i)], "chunk_id string, v long"
                 )
             )
-        store.lied = False
+        flags.lied = False
         assert sink.compact_small(small_bytes=1 << 30) >= 2
-        assert store.lied
+        assert flags.lied
         assert sink.read().count() == 15
 
     _assert_no_dangling_segments(sink)
@@ -1286,3 +1325,160 @@ def test_history_walk_is_bounded(spark, tmp_path):
     assert store.gets <= 5
     real_dir = sink._get_manifest()[0]["segments"][0]["dir"]
     assert sink._dir_in_history(real_dir, 1, 1) is True
+
+
+# ---------------------------------------------------------------------------
+# chunked commit log (VERDICT r8 item 2)
+# ---------------------------------------------------------------------------
+
+
+class _ByteMeterStore(MemoryConditionalStore):
+    """Counts bytes written per put_if (landed or not) by key prefix."""
+
+    def __init__(self):
+        super().__init__()
+        self.put_bytes: list[tuple[str, int]] = []
+
+    def put_if(self, key, data, token):
+        self.put_bytes.append((key, len(data)))
+        return super().put_if(key, data, token)
+
+
+def _log_sink(spark, tmp_path, name, ckpt=8, **kw):
+    from vectordb_data_ingestion_spark.sinks.log_store import (
+        LogConditionalStore,
+    )
+
+    meter = _ByteMeterStore()
+    store = LogConditionalStore(meter, checkpoint_every=ckpt)
+    sink = ManifestVectorSink(
+        spark, str(tmp_path / name), partition_col=None, store=store, **kw
+    )
+    return sink, store, meter
+
+
+def test_log_store_commit_bytes_are_o_of_mutation(spark, tmp_path):
+    """THE boundary this store removes (SCALE.md r8 / VERDICT r8 item 2):
+    the monolithic manifest rewrites the full segment list on every
+    commit, so commit bytes grow with sink metadata; the chunked log's
+    delta records stay flat as segments accumulate. Non-checkpoint
+    record sizes must not grow with the segment count."""
+    sink, store, meter = _log_sink(spark, tmp_path, "obytes", ckpt=1000)
+    df1 = spark.createDataFrame([("x", 1)], "chunk_id string, v long")
+    rec_sizes = []
+    for i in range(24):
+        sink.upsert(df1)
+        rec_sizes.append(
+            next(
+                n for k, n in reversed(meter.put_bytes)
+                if k.startswith("MLOG.")
+            )
+        )
+    # 24 segments in the manifest, but the 24th record is no bigger than
+    # the 2nd (both carry exactly one added entry; the 1st also carries
+    # layout+schema)
+    assert len(sink._get_manifest()[0]["segments"]) == 24
+    assert max(rec_sizes[1:]) <= rec_sizes[1] + 8
+
+
+def test_log_store_retention_and_gc(spark, tmp_path):
+    """vacuum's history pruning maps onto the log: pruned generations
+    read as gone (read_at fails with the retention error), retained ones
+    snapshot-read, and delta records below a covering checkpoint are
+    PHYSICALLY deleted — the log does not grow forever."""
+    sink, store, meter = _log_sink(spark, tmp_path, "ogc", ckpt=4)
+    for i in range(10):
+        sink.upsert(
+            spark.createDataFrame([(f"c{i}", i)], "chunk_id string, v long")
+        )
+    assert sink.current_commit_id() == 10
+    assert sink.read_at(3).count() == 3
+
+    sink.vacuum(retain_versions=2)  # keep v8..v10 readable
+    for cid in (1, 2, 3, 7):
+        with pytest.raises(FileNotFoundError, match="no retained"):
+            sink.read_at(cid)
+    assert sink.read_at(9).count() == 9
+    assert sink.read_at(10).count() == 10
+    assert sink.history() == [10, 9, 8]
+
+    # physical GC: records at/below the covering checkpoint (v8, the
+    # boundary <= pruned+1=8) are gone from the inner store
+    inner = store.inner
+    assert inner.get("MLOG_CKPT.8") is not None
+    for g in range(1, 9):
+        assert inner.get(f"MLOG.{g}") is None, g
+    for g in (9, 10):
+        assert inner.get(f"MLOG.{g}") is not None, g
+
+    # the sink stays fully readable and mutable after GC
+    assert sink.read().count() == 10
+    sink.upsert(
+        spark.createDataFrame([("post", 99)], "chunk_id string, v long")
+    )
+    assert sink.read().count() == 11
+    assert sink.current_commit_id() == 11
+
+
+def test_log_store_vacuum_at_boundary_head(spark, tmp_path):
+    """The nastiest retention edge: retain_versions=0 with the HEAD at a
+    checkpoint boundary lets GC delete the head's own delta record (its
+    checkpoint covers it). The next commit must still accept the head
+    token — the checkpoint proves chain membership — and reads must keep
+    working."""
+    sink, store, meter = _log_sink(spark, tmp_path, "obound", ckpt=4)
+    for i in range(4):  # head lands exactly on the ckpt=4 boundary
+        sink.upsert(
+            spark.createDataFrame([(f"c{i}", i)], "chunk_id string, v long")
+        )
+    sink.vacuum(retain_versions=0)
+    assert store.inner.get("MLOG.4") is None  # head record GC'd
+    assert store.inner.get("MLOG_CKPT.4") is not None
+    assert sink.read().count() == 4  # head reconstructs from the ckpt
+    sink.upsert(  # commit 5 chains off the checkpointed head
+        spark.createDataFrame([("c4", 4)], "chunk_id string, v long")
+    )
+    assert sink.current_commit_id() == 5
+    assert sink.read().count() == 5
+
+
+def test_log_store_concurrent_committers_lossless(spark, tmp_path):
+    """N threads upsert through SEPARATE sink objects sharing one inner
+    store (separate delta caches, same chain): the record-create arbiter
+    must serialize them losslessly — every row lands exactly once and
+    the chain is dense."""
+    from vectordb_data_ingestion_spark.sinks.log_store import (
+        LogConditionalStore,
+    )
+
+    inner = MemoryConditionalStore()
+    path = str(tmp_path / "oconc")
+    N = 6
+
+    def writer(i):
+        sink = ManifestVectorSink(
+            spark, path, partition_col=None,
+            store=LogConditionalStore(inner, checkpoint_every=3),
+        )
+        sink.upsert(
+            spark.createDataFrame(
+                [(f"w{i}-{j}", j) for j in range(3)],
+                "chunk_id string, v long",
+            )
+        )
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(N)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    sink = ManifestVectorSink(
+        spark, path, partition_col=None,
+        store=LogConditionalStore(inner, checkpoint_every=3),
+    )
+    got = sorted(r["chunk_id"] for r in sink.read().collect())
+    assert got == sorted(f"w{i}-{j}" for i in range(N) for j in range(3))
+    assert sink.current_commit_id() == N
+    for g in range(1, N + 1):  # dense chain, one record per commit
+        assert inner.get(f"MLOG.{g}") is not None, g

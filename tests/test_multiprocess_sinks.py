@@ -93,6 +93,30 @@ def test_two_process_race_manifest_sink(spark, tmp_path):
 
 
 @pytest.mark.multiproc
+def test_two_process_race_manifest_log_sink(spark, tmp_path):
+    """The chunked commit log under REAL cross-process contention
+    (VERDICT r8 item 2): two OS processes race create-only delta-record
+    puts through separate LogConditionalStore instances over one
+    file-backed inner store — the per-generation create arbiter must
+    converge losslessly exactly like the monolithic CAS."""
+    path = str(tmp_path / "mlog_race")
+    _run_two_workers("manifest-log", path)
+    from vectordb_data_ingestion_spark.sinks import make_vector_sink
+
+    sink = make_vector_sink(spark, "manifest-log", path, partition_col=None)
+    got = [r["chunk_id"] for r in sink.read().collect()]
+    assert len(got) == len(set(got)), "duplicate committed rows"
+    assert set(got) == _expected()
+    # chain density: one record or covering checkpoint per generation
+    head = sink.current_commit_id()
+    assert head >= 2 * ITERS  # every mutation committed its own gen
+    sink.vacuum()
+    assert set(
+        r["chunk_id"] for r in sink.read().collect()
+    ) == _expected()
+
+
+@pytest.mark.multiproc
 def test_two_process_writer_commits_lossless(tmp_path):
     """Two REAL processes commit appends to one two-phase-writer path
     concurrently (no Spark needed — write/commit are plain methods): the

@@ -45,4 +45,26 @@ def make_vector_sink(
         )
 
         return ManifestVectorSink(spark, base_path, **kw)
-    raise ValueError(f"unknown sink kind {kind!r}: use 'posix' or 'manifest'")
+    if kind == "manifest-log":
+        import os
+
+        from vectordb_data_ingestion_spark.sinks.commit_store import (
+            FileConditionalStore,
+        )
+        from vectordb_data_ingestion_spark.sinks.log_store import (
+            LogConditionalStore,
+        )
+        from vectordb_data_ingestion_spark.sinks.manifest_sink import (
+            ManifestVectorSink,
+        )
+
+        # same sink, chunked commit log: commit bytes stay O(mutation)
+        # instead of O(sink metadata) — the high-commit-rate deployment
+        store = kw.pop("store", None) or LogConditionalStore(
+            FileConditionalStore(os.path.join(base_path.rstrip("/"), "_ctrl"))
+        )
+        return ManifestVectorSink(spark, base_path, store=store, **kw)
+    raise ValueError(
+        f"unknown sink kind {kind!r}: use 'posix', 'manifest' or "
+        "'manifest-log'"
+    )
