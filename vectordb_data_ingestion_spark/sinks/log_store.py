@@ -236,6 +236,17 @@ class LogConditionalStore:
         records under us) it restarts from the fresh hint."""
         for _ in range(10):
             hint = self._int_key(_HINT)
+            # the newest generation this adapter has already materialized
+            # beats the (checkpoint-cadence) hint as a probe base: one
+            # commit later, the probe then replays exactly ONE record
+            # instead of everything since the last checkpoint. Sound
+            # because records are immutable and the chain is dense — any
+            # known-good (gen, state) is a valid base — and unpruned
+            # cached states stay correct even after their record is GC'd.
+            with self._lock:
+                cached = max(self._cache, default=0)
+            if cached > hint:
+                hint = cached
             gen, state = (
                 (hint, self._state_at(hint)) if hint else (0, None)
             )
