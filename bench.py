@@ -171,6 +171,28 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"HEADLINE names not in the registry: {unknown}")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    # Self-adjudicating host-speed record (verdict r8 item 4: two
+    # consecutive rounds of bench deltas were noise-adjudicated by hand).
+    # The calibration anchor is a FIXED synthetic Spark job whose code
+    # never changes round-over-round — its cross-round ratio IS the
+    # host-speed factor: if calibration moved 1.4x and the query medians
+    # moved ~1.4x uniformly, the delta is the host, not the code. Plus
+    # loadavg before/after so a loaded neighbor is visible in the record.
+    def calibration() -> float:
+        def run() -> float:
+            t0 = time.perf_counter()
+            spark.range(0, 2_000_000_000, 1, 32).selectExpr(
+                "bit_xor(xxhash64(id)) as h"  # overflow-free under ANSI
+            ).collect()
+            return time.perf_counter() - t0
+
+        run()  # codegen warm-up: discarded
+        return round(statistics.median(run() for _ in range(3)), 3)
+
+    loadavg_start = round(os.getloadavg()[0], 1)
+    calibration_start = calibration()
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
@@ -206,6 +228,14 @@ def main() -> None:
         sum(t for n, t in timings.items() if n not in noisy), 3
     )
     noisy_total = round(sum(timings[n] for n in noisy), 3)
+    host = {
+        # divide any cross-round query ratio by the calibration ratio
+        # before calling it a regression — the anchor job never changes
+        "calibration_median_s": calibration_start,
+        "calibration_end_s": calibration(),
+        "loadavg_start": loadavg_start,
+        "loadavg_end": round(os.getloadavg()[0], 1),
+    }
     full_record = {
         "metric": "headline_query_wall_seconds_total",
         "value": round(sum(timings.values()), 3),
@@ -217,6 +247,7 @@ def main() -> None:
         "noisy_total": noisy_total,
         "noisy_queries": noisy,
         "noise_ratio_threshold": NOISE_RATIO,
+        "host": host,
         "sf": sf_val,
     }
     # The full 90+-query map outgrew the driver's output-tail capture in
@@ -240,6 +271,7 @@ def main() -> None:
         "noisy_total": noisy_total,
         "noisy_queries": noisy,
         "noise_ratio_threshold": NOISE_RATIO,
+        "host": host,
         "full_record": "BENCH_LOCAL.json",
         "sf": sf_val,
     }
