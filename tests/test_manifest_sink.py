@@ -1482,3 +1482,141 @@ def test_log_store_concurrent_committers_lossless(spark, tmp_path):
     assert sink.current_commit_id() == N
     for g in range(1, N + 1):  # dense chain, one record per commit
         assert inner.get(f"MLOG.{g}") is not None, g
+
+
+def _chain_commit(store, segments, base_token=None, base=None, extra=None):
+    """Drive the adapter's MANIFEST protocol directly (no sink): commit
+    the given segments list on top of the ``base`` manifest."""
+    m = {
+        "layout": {"partition_col": None, "key_col": None, "n_buckets": 0},
+        "segments": segments,
+        "commit_id": (int(base["commit_id"]) if base else 0) + 1,
+        "schema": None,
+    }
+    if extra:
+        m.update(extra)
+    ok = store.put_if("MANIFEST", json.dumps(m).encode(), base_token)
+    return ok, m
+
+
+def test_log_store_survives_missing_checkpoints(tmp_path):
+    """Checkpoints are a pure optimization: reconstruction (head AND any
+    retained generation) must survive EVERY checkpoint being absent — a
+    committer crash between its record create and its checkpoint write
+    loses replay length, never correctness."""
+    from vectordb_data_ingestion_spark.sinks.log_store import (
+        LogConditionalStore,
+    )
+
+    inner = MemoryConditionalStore()
+    store = LogConditionalStore(inner, checkpoint_every=4)
+    cur = None
+    m = None
+    for i in range(10):
+        tok = None if cur is None else cur[1]
+        ok, m = _chain_commit(store, [{"dir": f"s{j}", "full": True}
+                                      for j in range(i + 1)],
+                              base_token=tok, base=m)
+        assert ok
+        cur = store.get("MANIFEST")
+
+    # nuke every checkpoint AND the hint, and use a FRESH adapter so its
+    # replay memo is cold — the chain alone must reconstruct everything
+    for key in ("MLOG_CKPT.4", "MLOG_CKPT.8", "MLOG_HINT"):
+        k = inner.get(key)
+        if k is not None:
+            assert inner.delete_if(key, k[1])
+    cold = LogConditionalStore(inner, checkpoint_every=4)
+    data, tok = cold.get("MANIFEST")
+    head = json.loads(data.decode())
+    assert head["commit_id"] == 10
+    assert len(head["segments"]) == 10
+    for gen in (1, 5, 9):
+        g = json.loads(cold.get(f"MANIFEST.v{gen}")[0].decode())
+        assert g["commit_id"] == gen and len(g["segments"]) == gen
+
+    # and the chain stays committable from the cold head
+    ok, _ = _chain_commit(cold, head["segments"][:3], base_token=tok,
+                          base=head)
+    assert ok
+    assert json.loads(cold.get("MANIFEST")[0].decode())["commit_id"] == 11
+
+
+def test_log_store_rejects_stale_and_fabricated_tokens(tmp_path):
+    """The commit arbiter: a stale token (another commit won) and a
+    fabricated token (generation never on the chain) must both fail; a
+    commit_id that disagrees with the token's chain position refuses
+    loudly rather than forking the log."""
+    from vectordb_data_ingestion_spark.sinks.log_store import (
+        LogConditionalStore,
+    )
+
+    store = LogConditionalStore(MemoryConditionalStore(), checkpoint_every=8)
+    ok, m1 = _chain_commit(store, [{"dir": "a", "full": True}])
+    assert ok
+    data, tok1 = store.get("MANIFEST")
+
+    ok, m2 = _chain_commit(store, [{"dir": "b", "full": True}],
+                           base_token=tok1, base=m1)
+    assert ok
+    # stale: tok1 again (gen 2 exists) -> create-only MLOG.2 collides
+    ok, _ = _chain_commit(store, [{"dir": "c", "full": True}],
+                          base_token=tok1, base=m1)
+    assert not ok
+    # fabricated: token far beyond the chain
+    ok, _ = _chain_commit(store, [{"dir": "d", "full": True}],
+                          base_token=99, base={"commit_id": 99})
+    assert not ok
+    # None token on a non-empty chain = create-expectation fails
+    ok, _ = _chain_commit(store, [{"dir": "e", "full": True}])
+    assert not ok
+    # commit_id/token mismatch is a protocol breach, refused loudly
+    data, tok = store.get("MANIFEST")
+    bad = json.dumps({"layout": {}, "segments": [], "commit_id": 7,
+                      "schema": None}).encode()
+    with pytest.raises(RuntimeError, match="fork"):
+        store.put_if("MANIFEST", bad, tok)
+    # the failures left the chain intact
+    assert json.loads(store.get("MANIFEST")[0].decode())["commit_id"] == 2
+
+
+def test_log_store_delta_semantics_roundtrip(tmp_path):
+    """Entry-level delta coverage: add, partial-dereference (files-list
+    update), remove, and a top-level schema change each reconstruct
+    exactly — on a COLD adapter, forcing full replay."""
+    from vectordb_data_ingestion_spark.sinks.log_store import (
+        LogConditionalStore,
+    )
+
+    inner = MemoryConditionalStore()
+    store = LogConditionalStore(inner, checkpoint_every=100)
+    ok, m1 = _chain_commit(
+        store,
+        [{"dir": "a", "full": True}, {"dir": "b", "full": True}],
+        extra={"schema": "s1"},
+    )
+    assert ok
+    _, tok = store.get("MANIFEST")
+    # commit 2: partially dereference a, drop b, add c, evolve schema
+    ok, m2 = _chain_commit(
+        store,
+        [{"dir": "a", "files": ["p1.parquet"]}, {"dir": "c", "full": True}],
+        base_token=tok, base=m1, extra={"schema": "s2"},
+    )
+    assert ok
+    # the delta record carried only the touched entries
+    rec = json.loads(inner.get("MLOG.2")[0].decode())
+    assert {e["dir"] for e in rec.get("add", [])} == {"c"}
+    assert {e["dir"] for e in rec.get("update", [])} == {"a"}
+    assert rec.get("remove") == ["b"]
+    assert rec["top"]["schema"] == "s2"
+
+    cold = LogConditionalStore(inner, checkpoint_every=100)
+    head = json.loads(cold.get("MANIFEST")[0].decode())
+    assert head["schema"] == "s2"
+    assert head["segments"] == [
+        {"dir": "a", "files": ["p1.parquet"]},
+        {"dir": "c", "full": True},
+    ]
+    v1 = json.loads(cold.get("MANIFEST.v1")[0].decode())
+    assert v1["schema"] == "s1" and len(v1["segments"]) == 2
