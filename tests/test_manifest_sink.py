@@ -1620,3 +1620,81 @@ def test_log_store_delta_semantics_roundtrip(tmp_path):
     ]
     v1 = json.loads(cold.get("MANIFEST.v1")[0].decode())
     assert v1["schema"] == "s1" and len(v1["segments"]) == 2
+
+
+def test_log_store_head_probe_retries_across_gc_race(tmp_path):
+    """A reader whose forward probe started from a pre-GC hint can watch
+    records vanish under it (vacuum GC on another actor): the probe ends
+    inside the pruned zone, must NOT return that stale prefix as the
+    head, and retries from the fresh hint. Deterministic interleaving: a
+    hook store fires the GC on the reader's first touch of MLOG.3."""
+    from vectordb_data_ingestion_spark.sinks.log_store import (
+        LogConditionalStore,
+    )
+
+    class GcOnGet(MemoryConditionalStore):
+        armed = False
+        fired = False
+        gc = None  # set below: runs the REAL retention pass
+
+        def get(self, key):
+            if self.armed and not self.fired and key == "MLOG.3":
+                self.fired = True
+                self.gc()
+            return super().get(key)
+
+    inner = GcOnGet()
+    store = LogConditionalStore(inner, checkpoint_every=2)
+    cur = None
+    m = None
+    for i in range(5):  # auto-checkpoints at 2 and 4; hint ends at 4
+        tok = None if cur is None else cur[1]
+        ok, m = _chain_commit(store, [{"dir": f"s{j}", "full": True}
+                                      for j in range(i + 1)],
+                              base_token=tok, base=m)
+        assert ok
+        cur = store.get("MANIFEST")
+
+    def run_gc():
+        # another actor's vacuum: prune generations 1-3 (REAL protocol —
+        # watermark bump + GC, which checkpoints only at boundaries)
+        other = LogConditionalStore(inner, checkpoint_every=2)
+        for g in (1, 2, 3):
+            assert other.delete_if(f"MANIFEST.v{g}", g)
+
+    inner.gc = run_gc
+    # the racing reader probes from a PRE-GC base: rewind the hint to
+    # the gen-2 checkpoint (a reader that loaded it before the GC ran)
+    cur_hint = inner.get("MLOG_HINT")
+    assert inner.put_if("MLOG_HINT", b"2", cur_hint[1])
+    cold = LogConditionalStore(inner, checkpoint_every=2)
+    inner.armed = True
+    data, tok = cold.get("MANIFEST")
+    assert inner.fired
+    # the GC really ran mid-probe: records through the covering
+    # checkpoint (4 <= pruned+1) are physically gone
+    assert inner.get("MLOG.3") is None and inner.get("MLOG.4") is None
+    head = json.loads(data.decode())
+    # the retry landed on the REAL head (gen 5), not the stale prefix
+    assert head["commit_id"] == 5 and tok == 5
+    assert len(head["segments"]) == 5
+    # pruned generations read as gone; the head keeps committing
+    assert cold.get("MANIFEST.v2") is None
+    ok, _ = _chain_commit(cold, head["segments"], base_token=tok, base=head)
+    assert ok
+
+
+def test_log_store_corrupt_retention_state_fails_loudly(tmp_path):
+    """If the watermark claims generations are pruned but no hint or
+    checkpoint lets a reader reach anything above it (a state the GC
+    ordering makes unreachable), the head probe must raise loudly rather
+    than return an empty or stale head."""
+    from vectordb_data_ingestion_spark.sinks.log_store import (
+        LogConditionalStore,
+    )
+
+    inner = MemoryConditionalStore()
+    assert inner.put_if("MLOG_PRUNED", b"3", None)  # watermark, no chain
+    store = LogConditionalStore(inner, checkpoint_every=4)
+    with pytest.raises(RuntimeError, match="pruned"):
+        store.get("MANIFEST")
