@@ -1698,3 +1698,64 @@ def test_log_store_corrupt_retention_state_fails_loudly(tmp_path):
     store = LogConditionalStore(inner, checkpoint_every=4)
     with pytest.raises(RuntimeError, match="pruned"):
         store.get("MANIFEST")
+
+
+def test_log_store_delta_roundtrip_property():
+    """Property: for ANY pair of manifest states, applying the diff to
+    the old state reproduces the new state's segments (as a dir-keyed
+    mapping; the sink's semantics are order-independent) and top-level
+    fields exactly. This is the invariant every commit, checkpoint, and
+    replay rests on — pinned against arbitrary entry shapes, not just
+    the mutation shapes today's sink emits."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from vectordb_data_ingestion_spark.sinks.log_store import _apply, _diff
+
+    dirs = st.text(alphabet="abcdef0123", min_size=1, max_size=6)
+    entry = st.builds(
+        lambda d, full, files: (
+            {"dir": d, "full": True}
+            if full
+            else {"dir": d, "files": files}
+        ),
+        dirs,
+        st.booleans(),
+        st.lists(st.text(alphabet="xyz/._-01", min_size=1, max_size=8),
+                 max_size=4),
+    )
+
+    def manifest(segs, schema, extra):
+        m = {
+            "layout": {"partition_col": None, "key_col": None,
+                       "n_buckets": 0},
+            "segments": list({s["dir"]: s for s in segs}.values()),
+            "commit_id": 1,
+            "schema": schema,
+        }
+        m.update(extra)
+        return m
+
+    manifests = st.builds(
+        manifest,
+        st.lists(entry, max_size=8),
+        st.one_of(st.none(), st.text(max_size=6)),
+        st.dictionaries(st.sampled_from(["opt_a", "opt_b"]),
+                        st.integers(-5, 5), max_size=2),
+    )
+
+    @settings(max_examples=300, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(old=st.one_of(st.none(), manifests), new=manifests)
+    def roundtrip(old, new):
+        rec = json.loads(json.dumps(_diff(old, new)))  # as stored
+        got = _apply(old, rec, gen=7)
+        assert {s["dir"]: s for s in got["segments"]} == {
+            s["dir"]: s for s in new["segments"]
+        }
+        assert got["commit_id"] == 7
+        for k, v in new.items():
+            if k not in ("segments", "commit_id"):
+                assert got[k] == v, k
+
+    roundtrip()
