@@ -60,8 +60,12 @@ def make_vector_sink(
 
         # same sink, chunked commit log: commit bytes stay O(mutation)
         # instead of O(sink metadata) — the high-commit-rate deployment
+        ckpt = kw.pop("checkpoint_every", 32)
         store = kw.pop("store", None) or LogConditionalStore(
-            FileConditionalStore(os.path.join(base_path.rstrip("/"), "_ctrl"))
+            FileConditionalStore(
+                os.path.join(base_path.rstrip("/"), "_ctrl")
+            ),
+            checkpoint_every=ckpt,
         )
         return ManifestVectorSink(spark, base_path, store=store, **kw)
     raise ValueError(
