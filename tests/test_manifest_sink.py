@@ -1759,3 +1759,32 @@ def test_log_store_delta_roundtrip_property():
                 assert got[k] == v, k
 
     roundtrip()
+
+
+def test_log_store_gc_collects_superseded_checkpoints(spark, tmp_path):
+    """Control-plane storage is bounded by the retained window: once GC
+    establishes a covering checkpoint B, checkpoints BELOW B are
+    unreachable by any live reconstruction and are collected with the
+    records — while B itself and the live tail keep every retained
+    generation readable and the chain committable."""
+    sink, store, meter = _log_sink(spark, tmp_path, "ockpt", ckpt=2)
+    for i in range(9):
+        sink.upsert(
+            spark.createDataFrame([(f"c{i}", i)], "chunk_id string, v long")
+        )
+    inner = store.inner
+    assert all(
+        inner.get(f"MLOG_CKPT.{b}") is not None for b in (2, 4, 6, 8)
+    )
+    sink.vacuum(retain_versions=1)  # retain v8..v9; pruned <= 7, B = 8
+    assert inner.get("MLOG_CKPT.8") is not None  # covering: kept
+    for b in (2, 4, 6):
+        assert inner.get(f"MLOG_CKPT.{b}") is None, b  # superseded: gone
+    for g in range(1, 9):
+        assert inner.get(f"MLOG.{g}") is None, g
+    assert sink.read().count() == 9
+    assert sink.read_at(8).count() == 8
+    sink.upsert(
+        spark.createDataFrame([("post", 9)], "chunk_id string, v long")
+    )
+    assert sink.current_commit_id() == 10 and sink.read().count() == 10

@@ -387,4 +387,17 @@ class LogConditionalStore:
             if self.inner.delete_if(f"{_REC}{g}", cur[1]):
                 removed += 1
             g -= 1
+        # checkpoints BELOW the covering boundary are unreachable by any
+        # live reconstruction (every live g >= B resolves its base at or
+        # above CKPT.<B>, and a reader stranded on an older hint retries
+        # from the advanced one) — delete them so total control-plane
+        # storage is bounded by the retained window, not commit count
+        b2 = b - c
+        while b2 >= c:
+            cur = self.inner.get(f"{_CKPT}{b2}")
+            if cur is None:
+                break  # older checkpoints already collected
+            if self.inner.delete_if(f"{_CKPT}{b2}", cur[1]):
+                removed += 1
+            b2 -= c
         return removed
