@@ -1788,3 +1788,69 @@ def test_log_store_gc_collects_superseded_checkpoints(spark, tmp_path):
         spark.createDataFrame([("post", 9)], "chunk_id string, v long")
     )
     assert sink.current_commit_id() == 10 and sink.read().count() == 10
+
+
+@pytest.mark.parametrize("substrate", ["mono", "log"])
+def test_manifest_sink_model_under_sustained_lies(spark, tmp_path, substrate):
+    """The lost-response guards claim to survive ARBITRARY lost
+    responses, not one: re-run a seeded mutation sequence against the
+    multiset model with a store that lies on every second successful
+    manifest commit (landed, reported failure), on both substrates. The
+    visible rows must equal the model after every mutation — no
+    duplicate, no loss, no resurrection."""
+    import random
+
+    class LiesEveryThird(MemoryConditionalStore):
+        def __init__(self, commit_keys=("MANIFEST",)):
+            super().__init__()
+            self.commit_keys = commit_keys
+            self.successes = 0
+            self.lies = 0
+
+        def put_if(self, key, data, token):
+            ok = super().put_if(key, data, token)
+            if ok and any(
+                key == k or (k.endswith(".") and key.startswith(k))
+                for k in self.commit_keys
+            ):
+                self.successes += 1
+                if self.successes % 2 == 0:
+                    self.lies += 1
+                    return False  # landed, caller hears failure
+            return ok
+
+    if substrate == "mono":
+        store = flags = LiesEveryThird()
+    else:
+        from vectordb_data_ingestion_spark.sinks.log_store import (
+            LogConditionalStore,
+        )
+
+        flags = LiesEveryThird(commit_keys=("MLOG.",))
+        store = LogConditionalStore(flags, checkpoint_every=3)
+
+    sink = ManifestVectorSink(
+        spark, str(tmp_path / "chaos"), partition_col=None,
+        key_col="k", n_buckets=4, store=store,
+    )
+    rng = random.Random(20260816 + 9)
+    model: list[tuple[str, int]] = []
+    for step in range(14):
+        op = rng.choice(["upsert", "upsert", "delete", "compact_small"])
+        if op == "upsert":
+            rows = [
+                (f"k{rng.randrange(10)}", rng.randrange(100))
+                for _ in range(rng.randrange(1, 4))
+            ]
+            sink.upsert(spark.createDataFrame(rows, "k string, v int"))
+            model.extend(rows)
+        elif op == "delete":
+            keys = [f"k{rng.randrange(10)}" for _ in range(rng.randrange(1, 3))]
+            sink.delete_where("k", keys)
+            model = [r for r in model if r[0] not in set(keys)]
+        else:
+            sink.compact_small(small_bytes=1 << 30)
+        if model:
+            got = sorted((r["k"], r["v"]) for r in sink.read().collect())
+            assert got == sorted(model), f"diverged at step {step} ({op})"
+    assert flags.lies >= 4  # the chaos actually ran
