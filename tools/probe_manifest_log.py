@@ -122,8 +122,15 @@ def drive(store, meter: ByteMeter, manifest: dict, n_commits: int) -> dict:
 
 
 def main() -> None:
+    # optional: SEGMENTS=100000 COMMITS=8 to push a single decade; the
+    # default sweep covers 100/1k/10k at 40 commits
+    seg_env = os.environ.get("SEGMENTS")
+    sweep = (
+        [int(seg_env)] if seg_env else [100, 1_000, 10_000]
+    )
+    n_commits = int(os.environ.get("COMMITS", "40"))
     results = []
-    for n_segments in (100, 1_000, 10_000):
+    for n_segments in sweep:
         for substrate in ("mono", "log"):
             root = tempfile.mkdtemp(prefix=f"mlog_{substrate}_{n_segments}_")
             meter = ByteMeter(FileConditionalStore(root))
@@ -135,7 +142,7 @@ def main() -> None:
             manifest = seed_manifest(
                 n_segments, partial_frac=0.25, files_per=64
             )
-            rec = drive(store, meter, manifest, n_commits=40)
+            rec = drive(store, meter, manifest, n_commits=n_commits)
             rec.update({"substrate": substrate, "segments": n_segments})
             results.append(rec)
             print(json.dumps(rec), flush=True)
