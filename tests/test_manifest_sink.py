@@ -1904,3 +1904,65 @@ def test_readers_see_consistent_generations_during_commits(
     assert sorted(
         row["v"] for row in sink.read().collect()
     ) == list(range(9))
+
+
+def test_log_store_model_under_tight_retention(spark, tmp_path):
+    """Randomized mutations with AGGRESSIVE retention (retain_versions
+    0-2) on the chunked log: every vacuum prunes most history and GCs
+    records/checkpoints, repeatedly committing on heads whose own records
+    may have been collected (the boundary edge) — visible rows must track
+    the model throughout, retained snapshots must read, pruned ones must
+    fail with the retention error."""
+    import random
+
+    from vectordb_data_ingestion_spark.sinks.log_store import (
+        LogConditionalStore,
+    )
+
+    rng = random.Random(20260816 + 99)
+    sink = ManifestVectorSink(
+        spark, str(tmp_path / "tight"), partition_col=None,
+        key_col="k", n_buckets=4,
+        store=LogConditionalStore(MemoryConditionalStore(),
+                                  checkpoint_every=2),
+    )
+    model: list[tuple[str, int]] = []
+    snapshots: dict[int, list[tuple[str, int]]] = {}
+    for step in range(16):
+        op = rng.choice(["upsert", "upsert", "delete", "vacuum", "vacuum"])
+        if op == "upsert":
+            rows = [
+                (f"k{rng.randrange(8)}", rng.randrange(100))
+                for _ in range(rng.randrange(1, 4))
+            ]
+            sink.upsert(spark.createDataFrame(rows, "k string, v int"))
+            model.extend(rows)
+            snapshots[sink.current_commit_id()] = list(model)
+        elif op == "delete":
+            keys = [f"k{rng.randrange(8)}"]
+            before = sink.current_commit_id()
+            sink.delete_where("k", keys)
+            model = [r for r in model if r[0] not in set(keys)]
+            after = sink.current_commit_id()
+            if after != before:
+                snapshots[after] = list(model)
+        else:
+            sink.vacuum(retain_versions=rng.randrange(0, 3))
+        if model:
+            got = sorted((r["k"], r["v"]) for r in sink.read().collect())
+            assert got == sorted(model), f"diverged at step {step} ({op})"
+
+    # retained snapshots read exactly; pruned ones fail loudly
+    retained = set(sink.history(limit=50))
+    cur_id = sink.current_commit_id()
+    for cid, state in snapshots.items():
+        if cid == cur_id or not state:
+            continue
+        if cid in retained:
+            got = sorted(
+                (r["k"], r["v"]) for r in sink.read_at(cid).collect()
+            )
+            assert got == sorted(state), f"snapshot v{cid} diverged"
+        else:
+            with pytest.raises(FileNotFoundError, match="no retained"):
+                sink.read_at(cid)
