@@ -234,3 +234,142 @@ def test_bmp_invalid_dimensions_raise():
     for bad in (neg_w, zero_h):
         with pytest.raises(ValueError, match="invalid dimensions"):
             decode_bmp(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline) — goldens from the independent emitter (tests/jpeg_emitter)
+# ---------------------------------------------------------------------------
+
+
+def _hist8(lumas):
+    hist = [0] * 8
+    for v in lumas:
+        hist[min(7, v * 8 // 256)] += 1
+    t = max(1, len(lumas))
+    return [h / t for h in hist]
+
+
+def _l1(a, b):
+    return sum(abs(x - y) for x, y in zip(a, b))
+
+
+def test_jpeg_gray_roundtrip_near_lossless():
+    """Q=1 grayscale: dims exact, luminance histogram within a tight L1
+    of the source's (the only loss is FDCT/IDCT float rounding)."""
+    from tests.jpeg_emitter import encode_jpeg
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+        sniff_media,
+    )
+
+    w, h = 32, 24
+    pixels = [(x * 8 + y * 3) % 256 for y in range(h) for x in range(w)]
+    payload = encode_jpeg(pixels, w, h, mode="L", quant_value=1)
+    assert sniff_media(payload) == "jpeg"
+    meta = decode_media(payload)
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["duration_ms"] is None
+    assert abs(sum(meta["feature"]) - 1.0) < 1e-9
+    assert _l1(meta["feature"], _hist8(pixels)) < 0.02
+
+
+def test_jpeg_flat_image_exact_histogram():
+    from tests.jpeg_emitter import encode_jpeg
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+    )
+
+    payload = encode_jpeg([200] * (16 * 16), 16, 16, mode="L")
+    meta = decode_media(payload)
+    assert meta["feature"][200 * 8 // 256] == 1.0
+    assert sum(meta["feature"]) == 1.0
+
+
+def test_jpeg_rgb_and_odd_dims():
+    """RGB 4:4:4 through the JFIF YCbCr transform, dims not multiples of
+    8 (partial edge blocks cropped out of the histogram)."""
+    from tests.jpeg_emitter import encode_jpeg
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+    )
+
+    w, h = 21, 13
+    rgb = []
+    lum = []
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (x * 11) % 256, (y * 17) % 256, ((x + y) * 7) % 256
+            rgb += [r, g, b]
+            lum.append(
+                min(255, max(0, round(0.299 * r + 0.587 * g + 0.114 * b)))
+            )
+    payload = encode_jpeg(rgb, w, h, mode="RGB", quant_value=1)
+    meta = decode_media(payload)
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert _l1(meta["feature"], _hist8(lum)) < 0.03
+
+
+def test_jpeg_restart_markers():
+    """A DRI interval forces RST markers mid-scan: the decoder must
+    byte-align, consume them, and reset DC predictions."""
+    from tests.jpeg_emitter import encode_jpeg
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+    )
+
+    w, h = 40, 16  # 5x2 MCUs -> several restarts at interval 2
+    pixels = [(x * 5 + y * 9) % 256 for y in range(h) for x in range(w)]
+    plain = encode_jpeg(pixels, w, h, mode="L", quant_value=1)
+    with_rst = encode_jpeg(
+        pixels, w, h, mode="L", quant_value=1, restart_interval=2
+    )
+    assert b"\xff\xd0" in with_rst  # the path really exercises RSTs
+    a = decode_media(plain)
+    b = decode_media(with_rst)
+    assert a["feature"] == b["feature"]
+    assert (b["width"], b["height"]) == (w, h)
+
+
+def test_jpeg_lossy_quant_still_close():
+    from tests.jpeg_emitter import encode_jpeg
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+    )
+
+    w, h = 24, 24
+    # smooth ramp: quantization ringing must not smear a gradient's
+    # histogram (a sharp sawtooth would legitimately shift bin-boundary
+    # pixels — that is lossy JPEG working as specified, not a bug)
+    pixels = [
+        (x * 255 // (w - 1) + y * 64 // (h - 1)) * 255 // 319
+        for y in range(h) for x in range(w)
+    ]
+    payload = encode_jpeg(pixels, w, h, mode="L", quant_value=16)
+    meta = decode_media(payload)
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert _l1(meta["feature"], _hist8(pixels)) < 0.15
+
+
+def test_jpeg_malformed_and_unsupported():
+    import pytest as _pt
+
+    from tests.jpeg_emitter import encode_jpeg
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+    )
+
+    good = encode_jpeg([128] * 64, 8, 8, mode="L")
+    with _pt.raises(ValueError):
+        decode_media(good[: len(good) // 2])  # truncated mid-scan
+    # progressive SOF2 refuses with the lib pointer
+    prog = bytearray(good)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with _pt.raises(ValueError, match="use PIL"):
+        decode_media(bytes(prog))
+    # a crafted SOF declaring a huge raster refuses BEFORE allocating
+    big = bytearray(good)
+    sof = big.index(b"\xff\xc0")
+    import struct as _s
+    _s.pack_into(">HH", big, sof + 5, 30_000, 30_000)
+    with _pt.raises(ValueError, match="cap"):
+        decode_media(bytes(big))

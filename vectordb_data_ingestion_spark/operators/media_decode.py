@@ -1,6 +1,6 @@
 """Pure-stdlib media decoders for the multimodal column convention.
 
-PIL/ffmpeg/torchaudio are not installed in every deployment, but three
+PIL/ffmpeg/torchaudio are not installed in every deployment, but four
 bread-and-butter formats need nothing beyond the stdlib:
 
 - PNG  — ``zlib`` inflate of the IDAT stream + per-scanline unfiltering
@@ -8,6 +8,12 @@ bread-and-butter formats need nothing beyond the stdlib:
   RGBA, non-interlaced.
 - BMP  — BITMAPINFOHEADER parse + bottom-up 24/32-bpp pixel rows.
 - WAV  — the stdlib ``wave`` module (16-bit PCM).
+- JPEG — baseline DCT (ITU T.81 SOF0/SOF1): Huffman entropy decode of
+  every component for bitstream correctness, dequantize + IDCT of the
+  LUMA blocks only (the feature is a luminance histogram — chroma never
+  needs reconstruction), restart markers, byte unstuffing. Progressive
+  (SOF2), arithmetic coding, and 12-bit precision raise with a "use
+  PIL" pointer, same contract as interlaced PNG.
 
 Each decode yields REAL dimensions/duration plus a deterministic
 ``FEATURE_DIM``-dim feature: an 8-bin luminance histogram for images, an
@@ -39,6 +45,8 @@ def sniff_media(content: bytes) -> str | None:
         return "bmp"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
+    if content[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -233,7 +241,324 @@ def decode_wav(content: bytes) -> dict:
     }
 
 
-_DECODERS = {"png": decode_png, "bmp": decode_bmp, "wav": decode_wav}
+# ---------------------------------------------------------------------------
+# JPEG (baseline DCT, ITU T.81)
+# ---------------------------------------------------------------------------
+
+# zigzag index -> natural (row-major) index
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# pure-python IDCT is ~1.5k float ops per 8x8 block: cap decodable area
+# so one huge image can't pin an executor core for minutes (PIL is the
+# tier for big assets; this one exists for thumbnails/fixtures)
+_JPEG_MAX_PIXELS = 2_000_000
+
+
+def _build_huffman(bits: list[int], values: bytes) -> dict:
+    """Canonical JPEG Huffman table: {(n_bits, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for n in range(1, 17):
+        for _ in range(bits[n - 1]):
+            table[(n, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _idct_matrix() -> list[list[float]]:
+    import math
+
+    return [
+        [
+            (math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8))
+            * math.cos((2 * x + 1) * u * math.pi / 16)
+            for u in range(8)
+        ]
+        for x in range(8)
+    ]
+
+
+_IDCT_M = _idct_matrix()
+
+
+def _idct_2d(coef: list[float]) -> list[int]:
+    """8x8 type-III DCT (row-major in, clamped level-shifted bytes out)."""
+    m = _IDCT_M
+    tmp = [0.0] * 64
+    for y in range(8):  # rows: tmp = coef x M^T
+        base = y * 8
+        row = coef[base: base + 8]
+        for x in range(8):
+            mx = m[x]
+            tmp[base + x] = (
+                row[0] * mx[0] + row[1] * mx[1] + row[2] * mx[2]
+                + row[3] * mx[3] + row[4] * mx[4] + row[5] * mx[5]
+                + row[6] * mx[6] + row[7] * mx[7]
+            )
+    out = [0] * 64
+    for y in range(8):  # columns: out = M x tmp
+        my = m[y]
+        for x in range(8):
+            s = (
+                my[0] * tmp[x] + my[1] * tmp[8 + x] + my[2] * tmp[16 + x]
+                + my[3] * tmp[24 + x] + my[4] * tmp[32 + x]
+                + my[5] * tmp[40 + x] + my[6] * tmp[48 + x]
+                + my[7] * tmp[56 + x]
+            )
+            v = int(round(s)) + 128
+            out[y * 8 + x] = 0 if v < 0 else (255 if v > 255 else v)
+    return out
+
+
+class _JpegBits:
+    """Entropy-segment bit reader: FF00 unstuffing; any other marker
+    mid-read means a truncated/foreign stream (restart markers are
+    consumed explicitly between intervals, never here)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]  # IndexError -> normalized ValueError
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1]
+                if nxt != 0x00:
+                    raise ValueError(
+                        f"marker 0xFF{nxt:02X} inside entropy data — "
+                        "truncated scan"
+                    )
+                self.pos += 2
+            else:
+                self.pos += 1
+            self.buf = b
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huffman(self, table: dict) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy data")
+
+    def align_restart(self, expected: int) -> None:
+        """Byte-align and consume the FFD<m> restart marker."""
+        self.n = 0
+        if (
+            self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + expected
+        ):
+            raise ValueError(
+                f"expected restart marker RST{expected}, found "
+                f"{self.data[self.pos:self.pos + 2]!r}"
+            )
+        self.pos += 2
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 EXTEND: map an n-bit magnitude to its signed value."""
+    return v - (1 << n) + 1 if n and v < (1 << (n - 1)) else v
+
+
+def decode_jpeg(content: bytes) -> dict:
+    """Baseline (SOF0/SOF1) Huffman JPEG -> dims + luminance-histogram
+    feature. Every component's entropy data is decoded (the bitstream
+    interleaves them), but only LUMA blocks are dequantized and IDCT'd."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("JPEG missing SOI")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, found "
+                             f"{content[pos]:#x}")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI before any scan
+            break
+        (seg_len,) = struct.unpack_from(">H", content, pos + 2)
+        body = content[pos + 4: pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT: one or more tables
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if prec == 0:
+                    tbl = list(body[i: i + 64])
+                    i += 64
+                else:
+                    tbl = [
+                        struct.unpack_from(">H", body, i + 2 * k)[0]
+                        for k in range(64)
+                    ]
+                    i += 128
+                qt[tid] = tbl
+        elif marker == 0xC4:  # DHT: one or more tables
+            i = 0
+            while i < len(body):
+                tclass, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1: i + 17])
+                nvals = sum(bits)
+                values = body[i + 17: i + 17 + nvals]
+                huff[(tclass, tid)] = _build_huffman(bits, values)
+                i += 17 + nvals
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+            precision = body[0]
+            if precision != 8:
+                raise ValueError(
+                    f"unsupported JPEG precision {precision} — use PIL"
+                )
+            height, width = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c: 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = {"width": width, "height": height, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding (SOF marker 0xFF{marker:02X}, "
+                "progressive/arithmetic/lossless) — use PIL for these"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tds = body[1 + 2 * c: 3 + 2 * c]
+                scan.append({"id": cs, "td": tds >> 4, "ta": tds & 0x0F})
+            pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    width, height = frame["width"], frame["height"]
+    if width < 1 or height < 1:
+        raise ValueError(f"JPEG declares zero dimension {width}x{height}")
+    if width * height > _JPEG_MAX_PIXELS:
+        raise ValueError(
+            f"JPEG {width}x{height} exceeds the pure-python decode cap "
+            f"({_JPEG_MAX_PIXELS} px) — use PIL for large assets"
+        )
+    by_id = {c["id"]: c for c in frame["comps"]}
+    for s in scan:
+        s.update(by_id[s["id"]])
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    if hmax < 1 or vmax < 1:
+        raise ValueError("JPEG declares zero sampling factor")
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    luma = scan[0]  # first scan component = Y by JFIF convention
+    lq = qt.get(luma["tq"])
+    if lq is None:
+        raise ValueError(f"JPEG missing quant table {luma['tq']}")
+    # Y plane, assembled block-by-block; cropped to real dims at the end
+    plane_w = mcux * luma["h"] * 8
+    rows = [bytearray(plane_w) for _ in range(mcuy * luma["v"] * 8)]
+
+    reader = _JpegBits(content, pos)
+    preds = {s["id"]: 0 for s in scan}
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            mcu_index = my * mcux + mx
+            if restart_interval and mcu_index and (
+                mcu_index % restart_interval == 0
+            ):
+                reader.align_restart(rst)
+                rst = (rst + 1) & 7
+                preds = {s["id"]: 0 for s in scan}
+            for comp in scan:
+                dc_tbl = huff.get((0, comp["td"]))
+                ac_tbl = huff.get((1, comp["ta"]))
+                if dc_tbl is None or ac_tbl is None:
+                    raise ValueError("JPEG missing Huffman table for scan")
+                is_luma = comp["id"] == luma["id"]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = [0] * 64
+                        n = reader.huffman(dc_tbl)
+                        diff = _extend(reader.bits(n), n) if n else 0
+                        preds[comp["id"]] += diff
+                        zz[0] = preds[comp["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huffman(ac_tbl)
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG AC run past block end"
+                                )
+                            zz[k] = _extend(reader.bits(size), size)
+                            k += 1
+                        if not is_luma:
+                            continue  # bitstream consumed; skip IDCT
+                        coef = [0.0] * 64
+                        for i in range(64):
+                            coef[_ZIGZAG[i]] = zz[i] * lq[i]
+                        px = _idct_2d(coef)
+                        oy = (my * comp["v"] + by) * 8
+                        ox = (mx * comp["h"] + bx) * 8
+                        for r8 in range(8):
+                            rows[oy + r8][ox: ox + 8] = bytes(
+                                px[r8 * 8: r8 * 8 + 8]
+                            )
+    # crop the Y plane to the component's real extent and histogram it
+    luma_w = -(-width * luma["h"] // hmax)
+    luma_h = -(-height * luma["v"] // vmax)
+    lumas = []
+    for r in range(luma_h):
+        lumas.extend(rows[r][:luma_w])
+    return {
+        "width": width,
+        "height": height,
+        "duration_ms": None,
+        "feature": _luma_hist(lumas),
+    }
+
+
+_DECODERS = {
+    "png": decode_png,
+    "bmp": decode_bmp,
+    "wav": decode_wav,
+    "jpeg": decode_jpeg,
+}
 
 
 def decode_media(content: bytes) -> dict | None:
