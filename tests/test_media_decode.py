@@ -373,3 +373,82 @@ def test_jpeg_malformed_and_unsupported():
     _s.pack_into(">HH", big, sof + 5, 30_000, 30_000)
     with _pt.raises(ValueError, match="cap"):
         decode_media(bytes(big))
+
+
+# ---------------------------------------------------------------------------
+# GIF — goldens from the independent emitter (tests/gif_emitter)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_exact():
+    """Grayscale-identity palette + lossless LZW: the decoded luminance
+    histogram must EQUAL the source's (GIF is lossless, unlike JPEG)."""
+    from tests.gif_emitter import encode_gif
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+        sniff_media,
+    )
+
+    w, h = 37, 23  # odd dims; content crosses several LZW width bumps
+    lumas = [(x * 7 + y * 13) % 256 for y in range(h) for x in range(w)]
+    payload = encode_gif(lumas, w, h)
+    assert sniff_media(payload) == "gif"
+    meta = decode_media(payload)
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["duration_ms"] is None
+    assert meta["feature"] == _hist8(lumas)
+
+
+def test_gif_interlaced_matches_progressive():
+    from tests.gif_emitter import encode_gif
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+    )
+
+    w, h = 16, 19
+    lumas = [(x * 31 + y * 3) % 256 for y in range(h) for x in range(w)]
+    plain = decode_media(encode_gif(lumas, w, h, interlace=False))
+    laced = decode_media(encode_gif(lumas, w, h, interlace=True))
+    assert plain["feature"] == laced["feature"] == _hist8(lumas)
+
+
+def test_gif_long_run_exercises_dictionary_growth():
+    """A large smooth image pushes LZW through many width bumps and
+    chunked clears; losslessness must hold bit-exactly."""
+    from tests.gif_emitter import encode_gif
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+    )
+
+    w, h = 100, 60
+    lumas = [((x // 3) * 2 + (y // 5)) % 256 for y in range(h)
+             for x in range(w)]
+    meta = decode_media(encode_gif(lumas, w, h))
+    assert meta["feature"] == _hist8(lumas)
+
+
+def test_gif_malformed():
+    import pytest as _pt
+
+    from tests.gif_emitter import encode_gif
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+    )
+
+    good = encode_gif([128] * 64, 8, 8)
+    with _pt.raises(ValueError):
+        decode_media(good[:20])  # truncated past the header
+    # no image frame at all: header + trailer only
+    no_frame = good[:13 + 768] + b"\x3b"
+    with _pt.raises(ValueError, match="no image frame"):
+        decode_media(no_frame)
+    # crafted frame dims past the cap refuse before allocation; the
+    # descriptor sits structurally after header(13) + palette(768) +
+    # GCE(8) — searching for 0x2C would hit palette bytes first
+    big = bytearray(good)
+    frame = 13 + 768 + 8
+    assert big[frame] == 0x2C
+    import struct as _s
+    _s.pack_into("<HH", big, frame + 5, 50_000, 50_000)
+    with _pt.raises(ValueError, match="cap"):
+        decode_media(bytes(big))

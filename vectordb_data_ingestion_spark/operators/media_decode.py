@@ -14,6 +14,9 @@ bread-and-butter formats need nothing beyond the stdlib:
   needs reconstruction), restart markers, byte unstuffing. Progressive
   (SOF2), arithmetic coding, and 12-bit precision raise with a "use
   PIL" pointer, same contract as interlaced PNG.
+- GIF  — GIF87a/89a first frame: variable-width LSB-first LZW decode,
+  global/local palettes, 4-pass interlace; palette entries map to luma
+  the same way the RGB decoders do.
 
 Each decode yields REAL dimensions/duration plus a deterministic
 ``FEATURE_DIM``-dim feature: an 8-bin luminance histogram for images, an
@@ -47,6 +50,8 @@ def sniff_media(content: bytes) -> str | None:
         return "wav"
     if content[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -553,11 +558,163 @@ def decode_jpeg(content: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# GIF (87a/89a, first frame)
+# ---------------------------------------------------------------------------
+
+_GIF_MAX_PIXELS = 16_000_000  # LZW is cheap; cap crafted-header allocs
+
+
+def _gif_subblocks(content: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a data-sub-block chain; returns (data, pos_after)."""
+    parts = []
+    while True:
+        size = content[pos]
+        pos += 1
+        if size == 0:
+            return b"".join(parts), pos
+        parts.append(content[pos: pos + size])
+        if len(parts[-1]) != size:
+            raise ValueError("GIF sub-block truncated")
+        pos += size
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
+    """Variable-width LSB-first GIF LZW (up to 12-bit codes)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # bit cursor over data, LSB-first
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            raise ValueError("GIF LZW stream truncated")
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    table: dict[int, bytes] = {}
+    width = min_code_size + 1
+    next_free = end + 1
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        code = read_code(width)
+        if code == clear:
+            table.clear()
+            width = min_code_size + 1
+            next_free = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < clear:
+            entry = bytes([code])
+        elif code in table:
+            entry = table[code]
+        elif code == next_free and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"GIF LZW invalid code {code}")
+        out.extend(entry)
+        if prev is not None and next_free < 4096:
+            table[next_free] = prev + entry[:1]
+            next_free += 1
+            if next_free == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:n_pixels]
+
+
+def decode_gif(content: bytes) -> dict:
+    """First image frame -> dims + palette-luma histogram feature."""
+    if len(content) < 13:
+        raise ValueError("GIF header truncated")
+    screen_w, screen_h = struct.unpack_from("<HH", content, 6)
+    flags = content[10]
+    pos = 13
+    global_palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_palette = content[pos: pos + 3 * n]
+        pos += 3 * n
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x3B:  # trailer before any image
+            break
+        if block == 0x21:  # extension: label + sub-block chain
+            pos += 2
+            _, pos = _gif_subblocks(content, pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block {block:#x}")
+        left, top, w, h = struct.unpack_from("<HHHH", content, pos + 1)
+        iflags = content[pos + 9]
+        pos += 10
+        palette = global_palette
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            palette = content[pos: pos + 3 * n]
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF frame has no palette")
+        if w < 1 or h < 1:
+            raise ValueError(f"GIF declares zero dimension {w}x{h}")
+        if w * h > _GIF_MAX_PIXELS:
+            raise ValueError(
+                f"GIF {w}x{h} exceeds the decode cap "
+                f"({_GIF_MAX_PIXELS} px)"
+            )
+        min_code = content[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"GIF LZW min code size {min_code} invalid")
+        data, pos = _gif_subblocks(content, pos)
+        indices = _lzw_decode(data, min_code, w * h)
+        if len(indices) < w * h:
+            raise ValueError("GIF pixel data short of declared raster")
+        # palette index -> luma (same (r+g+b)//3 rule as BMP/PNG-RGB)
+        n_pal = len(palette) // 3
+        pal_luma = [
+            (palette[3 * i] + palette[3 * i + 1] + palette[3 * i + 2]) // 3
+            for i in range(n_pal)
+        ]
+        if iflags & 0x40:  # 4-pass interlace: reorder rows
+            order = (
+                list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2))
+            )
+            rows = [None] * h
+            for src, dst in enumerate(order):
+                rows[dst] = indices[src * w: (src + 1) * w]
+            indices = bytearray().join(bytes(r) for r in rows)
+        try:
+            lumas = [pal_luma[i] for i in indices]
+        except IndexError:
+            raise ValueError("GIF pixel index outside palette") from None
+        return {
+            # the FRAME raster is what was decoded; screen dims can be
+            # larger (frame offsets) — report the screen like real
+            # viewers do, falling back to the frame when absent
+            "width": screen_w or w,
+            "height": screen_h or h,
+            "duration_ms": None,
+            "feature": _luma_hist(lumas),
+        }
+    raise ValueError("GIF contains no image frame")
+
+
 _DECODERS = {
     "png": decode_png,
     "bmp": decode_bmp,
     "wav": decode_wav,
     "jpeg": decode_jpeg,
+    "gif": decode_gif,
 }
 
 
