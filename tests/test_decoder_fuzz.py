@@ -22,6 +22,8 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests.gif_emitter import encode_gif
+from tests.jpeg_emitter import encode_jpeg
 from tests.test_cfb import golden_msg
 from tests.test_media_decode import make_bmp, make_png, make_wav
 from tests.test_ooxml import golden_docx, golden_pdf, golden_xlsx
@@ -46,6 +48,8 @@ _GOLDEN = {
     "png": make_png([[(10, 20, 30), (40, 50, 60)]] * 2),
     "bmp": make_bmp([[(10, 20, 30), (40, 50, 60)]] * 2),
     "wav": make_wav([0, 1000, -1000, 32000]),
+    "jpeg": encode_jpeg([(x * 16) % 256 for x in range(100)], 10, 10),
+    "gif": encode_gif([(x * 16) % 256 for x in range(100)], 10, 10),
 }
 
 _PARSE_KINDS = sorted(files.registered_kinds())
@@ -117,7 +121,7 @@ def test_msg_attachments_garbage_yields_empty(data, mut):
 
 @FUZZ
 @given(
-    kind=st.sampled_from(["png", "bmp", "wav"]),
+    kind=st.sampled_from(["png", "bmp", "wav", "jpeg", "gif"]),
     mut=mutations,
     data=st.binary(max_size=2048),
 )
