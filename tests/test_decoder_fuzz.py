@@ -24,6 +24,7 @@ from hypothesis import strategies as st
 
 from tests.gif_emitter import encode_gif
 from tests.jpeg_emitter import encode_jpeg
+from tests.tiff_emitter import encode_tiff
 from tests.test_cfb import golden_msg
 from tests.test_media_decode import make_bmp, make_png, make_wav
 from tests.test_ooxml import golden_docx, golden_pdf, golden_xlsx
@@ -50,6 +51,8 @@ _GOLDEN = {
     "wav": make_wav([0, 1000, -1000, 32000]),
     "jpeg": encode_jpeg([(x * 16) % 256 for x in range(100)], 10, 10),
     "gif": encode_gif([(x * 16) % 256 for x in range(100)], 10, 10),
+    "tiff": encode_tiff([(x * 16) % 256 for x in range(100)], 10, 10,
+                        packbits=True, rows_per_strip=4),
 }
 
 _PARSE_KINDS = sorted(files.registered_kinds())
@@ -121,7 +124,8 @@ def test_msg_attachments_garbage_yields_empty(data, mut):
 
 @FUZZ
 @given(
-    kind=st.sampled_from(["png", "bmp", "wav", "jpeg", "gif"]),
+    kind=st.sampled_from(["png", "bmp", "wav", "jpeg", "gif",
+                           "tiff"]),
     mut=mutations,
     data=st.binary(max_size=2048),
 )

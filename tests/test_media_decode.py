@@ -452,3 +452,85 @@ def test_gif_malformed():
     _s.pack_into("<HH", big, frame + 5, 50_000, 50_000)
     with _pt.raises(ValueError, match="cap"):
         decode_media(bytes(big))
+
+
+# ---------------------------------------------------------------------------
+# TIFF — goldens from the independent emitter (tests/tiff_emitter)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("packbits", [False, True])
+def test_tiff_gray_roundtrip_exact(bo, packbits):
+    """Lossless format: histogram equality, both byte orders, both
+    compressions, multi-strip assembly (rows_per_strip=5 on h=13)."""
+    from tests.tiff_emitter import encode_tiff
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+        sniff_media,
+    )
+
+    w, h = 19, 13
+    lumas = [(x * 9 + y * 31) % 256 for y in range(h) for x in range(w)]
+    payload = encode_tiff(
+        lumas, w, h, mode="L", byte_order=bo, packbits=packbits,
+        rows_per_strip=5,
+    )
+    assert sniff_media(payload) == "tiff"
+    meta = decode_media(payload)
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["feature"] == _hist8(lumas)
+
+
+def test_tiff_rgb_and_runs():
+    """RGB samples average to luma; long flat runs exercise PackBits
+    repeat coding specifically."""
+    from tests.tiff_emitter import encode_tiff
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+    )
+
+    w, h = 16, 8
+    rgb, lum = [], []
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (200 if x < 8 else 10), (y * 30) % 256, 77
+            rgb += [r, g, b]
+            lum.append((r + g + b) // 3)
+    meta = decode_media(
+        encode_tiff(rgb, w, h, mode="RGB", packbits=True, rows_per_strip=3)
+    )
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["feature"] == _hist8(lum)
+
+
+def test_tiff_unsupported_and_malformed():
+    import pytest as _pt
+
+    from tests.tiff_emitter import encode_tiff
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+    )
+
+    good = encode_tiff([100] * 64, 8, 8)
+    with _pt.raises(ValueError):
+        decode_media(good[:24])  # truncated IFD
+    # LZW compression tag refuses with the lib pointer
+    import struct as _s
+    bad = bytearray(good)
+    # find the compression entry (tag 259) in the IFD and set value 5
+    n = _s.unpack_from("<H", bad, 8)[0]
+    for e in range(n):
+        off = 10 + 12 * e
+        if _s.unpack_from("<H", bad, off)[0] == 259:
+            _s.pack_into("<H", bad, off + 8, 5)
+    with _pt.raises(ValueError, match="use PIL"):
+        decode_media(bytes(bad))
+    # crafted dims past the cap refuse before strip assembly
+    huge = bytearray(good)
+    for e in range(n):
+        off = 10 + 12 * e
+        if _s.unpack_from("<H", huge, off)[0] in (256, 257):
+            _s.pack_into("<I", huge, off + 8, 50_000)
+    with _pt.raises(ValueError, match="cap"):
+        decode_media(bytes(huge))

@@ -1,0 +1,124 @@
+"""Minimal baseline-TIFF emitter — the independent second producer for
+decode_tiff goldens (TIFF 6.0 spec; no code shared with the decoder).
+
+Writes a single-IFD strip-organized file: 8-bit grayscale or RGB, little
+or big endian, uncompressed or PackBits, with a configurable
+RowsPerStrip so multi-strip assembly is exercised. Values that fit in
+the 4-byte IFD slot are inlined; longer arrays go to an out-of-line
+value area, as real writers do.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Greedy PackBits: runs of >=3 as repeats, else literals."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        run = 1
+        while i + run < n and row[i + run] == row[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and run < 128:
+            nxt = 1
+            while i + nxt < n and row[i + nxt] == row[i] and nxt < 128:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += nxt
+            run += nxt
+            if run >= 128:
+                i -= run - 128
+                run = 128
+                break
+        out += bytes([run - 1]) + row[lit_start: lit_start + run]
+    return bytes(out)
+
+
+def encode_tiff(
+    pixels,
+    width: int,
+    height: int,
+    mode: str = "L",
+    byte_order: str = "<",
+    packbits: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """``pixels``: row-major luma for 'L', interleaved RGB for 'RGB'."""
+    spp = 3 if mode == "RGB" else 1
+    rps = rows_per_strip or height
+    raster = bytes(pixels)
+    strips = []
+    for top in range(0, height, rps):
+        rows = min(rps, height - top)
+        strip = raster[top * width * spp: (top + rows) * width * spp]
+        strips.append(_packbits_encode(strip) if packbits else strip)
+
+    bo = byte_order
+    entries = []  # (tag, type, count, packed-or-deferred value)
+    deferred: list[bytearray] = []
+
+    def entry(tag, ftype, values):
+        fmt = {1: "B", 3: "H", 4: "I"}[ftype]
+        raw = b"".join(struct.pack(f"{bo}{fmt}", v) for v in values)
+        entries.append((tag, ftype, len(values), raw))
+
+    entry(256, 4, [width])
+    entry(257, 4, [height])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [32773 if packbits else 1])
+    entry(262, 3, [2 if spp == 3 else 1])  # RGB / BlackIsZero
+    entry(277, 3, [spp])
+    entry(278, 4, [rps])
+    # strip offsets filled after layout; byte counts known now
+    entry(273, 4, [0] * len(strips))
+    entry(279, 4, [len(s) for s in strips])
+    entries.sort(key=lambda e: e[0])
+
+    header = struct.pack(f"{bo}2sHI", b"II" if bo == "<" else b"MM", 42, 8)
+    n = len(entries)
+    ifd_size = 2 + 12 * n + 4
+    value_area = 8 + ifd_size
+    # first pass: compute out-of-line value offsets
+    out_vals = bytearray()
+    offsets_map = {}
+    for tag, ftype, count, raw in entries:
+        if len(raw) > 4:
+            offsets_map[tag] = value_area + len(out_vals)
+            out_vals += raw + (b"\x00" if len(raw) % 2 else b"")
+    data_start = value_area + len(out_vals)
+    strip_offsets = []
+    pos = data_start
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    # rebuild the strip-offset entry with real positions
+    fmt = f"{bo}I"
+    rebuilt = []
+    for tag, ftype, count, raw in entries:
+        if tag == 273:
+            raw = b"".join(struct.pack(fmt, o) for o in strip_offsets)
+            if len(raw) > 4:
+                # keep the SAME out-of-line slot reserved in pass one
+                out_vals[
+                    offsets_map[273] - value_area:
+                    offsets_map[273] - value_area + len(raw)
+                ] = raw
+        rebuilt.append((tag, ftype, count, raw))
+
+    ifd = struct.pack(f"{bo}H", n)
+    for tag, ftype, count, raw in rebuilt:
+        cell = raw if len(raw) <= 4 else struct.pack(fmt, offsets_map[tag])
+        cell = cell + b"\x00" * (4 - len(cell))
+        ifd += struct.pack(f"{bo}HHI", tag, ftype, count) + cell
+    ifd += struct.pack(fmt, 0)  # no next IFD
+    return header + ifd + bytes(out_vals) + b"".join(strips)

@@ -17,6 +17,9 @@ bread-and-butter formats need nothing beyond the stdlib:
 - GIF  — GIF87a/89a first frame: variable-width LSB-first LZW decode,
   global/local palettes, 4-pass interlace; palette entries map to luma
   the same way the RGB decoders do.
+- TIFF — baseline TIFF 6.0 first IFD (both byte orders): 8-bit gray and
+  RGB, strip-organized, uncompressed or PackBits; LZW/JPEG-in-TIFF and
+  tiled layouts raise with the "use PIL" pointer.
 
 Each decode yields REAL dimensions/duration plus a deterministic
 ``FEATURE_DIM``-dim feature: an 8-bin luminance histogram for images, an
@@ -52,6 +55,8 @@ def sniff_media(content: bytes) -> str | None:
         return "jpeg"
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -709,12 +714,151 @@ def decode_gif(content: bytes) -> dict:
     raise ValueError("GIF contains no image frame")
 
 
+# ---------------------------------------------------------------------------
+# TIFF (baseline 6.0, first IFD)
+# ---------------------------------------------------------------------------
+
+_TIFF_MAX_PIXELS = 16_000_000
+
+# field type -> byte size (the ones baseline files use)
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _packbits(data: bytes, expect: int) -> bytearray:
+    """TIFF PackBits (Apple RLE): n in 0..127 -> copy n+1 literal bytes;
+    n in -127..-1 -> repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i: i + n + 1]
+            if i + n + 1 > len(data):
+                raise ValueError("PackBits literal run truncated")
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("PackBits repeat run truncated")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return out
+
+
+def decode_tiff(content: bytes) -> dict:
+    """First IFD, strip-organized 8-bit gray/RGB, compression none or
+    PackBits -> dims + luminance-histogram feature."""
+    if content[:4] == b"II*\x00":
+        bo = "<"
+    elif content[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("TIFF missing byte-order header")
+    (ifd_off,) = struct.unpack_from(f"{bo}I", content, 4)
+    if ifd_off + 2 > len(content):
+        raise ValueError("TIFF IFD offset past EOF")
+    (n_entries,) = struct.unpack_from(f"{bo}H", content, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for e in range(n_entries):
+        off = ifd_off + 2 + 12 * e
+        tag, ftype, count = struct.unpack_from(f"{bo}HHI", content, off)
+        size = _TIFF_TYPE_SIZE.get(ftype)
+        if size is None:
+            continue  # exotic field types: irrelevant to the raster tags
+        total = size * count
+        if total <= 4:
+            voff = off + 8
+        else:
+            (voff,) = struct.unpack_from(f"{bo}I", content, off + 8)
+        if voff + total > len(content):
+            raise ValueError(f"TIFF tag {tag} value past EOF")
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I", 5: "II"}[ftype]
+        if ftype == 5:  # rational: keep the numerator, enough for dims
+            vals = [
+                struct.unpack_from(f"{bo}II", content, voff + 8 * i)[0]
+                for i in range(count)
+            ]
+        else:
+            vals = [
+                struct.unpack_from(f"{bo}{fmt}", content, voff + size * i)[0]
+                for i in range(count)
+            ]
+        tags[tag] = vals
+
+    def one(tag: int, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    width = one(256)
+    height = one(257)
+    if not width or not height:
+        raise ValueError("TIFF missing ImageWidth/ImageLength")
+    if width * height > _TIFF_MAX_PIXELS:
+        raise ValueError(
+            f"TIFF {width}x{height} exceeds the decode cap "
+            f"({_TIFF_MAX_PIXELS} px)"
+        )
+    compression = one(259, 1)
+    if compression not in (1, 32773):
+        raise ValueError(
+            f"unsupported TIFF compression {compression} — use PIL"
+        )
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF unsupported — use PIL")
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits) or spp not in (1, 3, 4):
+        raise ValueError(
+            f"unsupported TIFF sample layout (bits {bits}, {spp} spp) "
+            "— use PIL"
+        )
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing/mismatched strip tables")
+    rows_per_strip = one(278, height)
+    raster = bytearray()
+    expect_total = width * height * spp
+    for s, (so, sc) in enumerate(zip(offsets, counts)):
+        if so + sc > len(content):
+            raise ValueError(f"TIFF strip {s} past EOF")
+        strip = content[so: so + sc]
+        n_rows = min(rows_per_strip, height - s * rows_per_strip)
+        expect = width * n_rows * spp
+        if compression == 32773:
+            strip = _packbits(strip, expect)
+        if len(strip) < expect:
+            raise ValueError(f"TIFF strip {s} short of declared rows")
+        raster += strip[:expect]
+    if len(raster) < expect_total:
+        raise ValueError("TIFF strips short of declared raster")
+    photometric = one(262, 1)
+    lumas = []
+    if spp == 1:
+        lumas = list(raster)
+        if photometric == 0:  # WhiteIsZero: invert
+            lumas = [255 - v for v in lumas]
+    else:
+        for i in range(0, expect_total, spp):
+            lumas.append(
+                (raster[i] + raster[i + 1] + raster[i + 2]) // 3
+            )
+    return {
+        "width": width,
+        "height": height,
+        "duration_ms": None,
+        "feature": _luma_hist(lumas),
+    }
+
+
 _DECODERS = {
     "png": decode_png,
     "bmp": decode_bmp,
     "wav": decode_wav,
     "jpeg": decode_jpeg,
     "gif": decode_gif,
+    "tiff": decode_tiff,
 }
 
 
