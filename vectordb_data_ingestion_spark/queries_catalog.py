@@ -7924,56 +7924,56 @@ def q_zorder_layout_plan(spark, sf_dir):
 # should postdate the change. temperature_mixture (r4) slides to 51st and
 # rotates in r8.
 _DRIVER_PRIORITY = [
-    "chunk_table_pipeline",  # r5
-    "corpus_split",  # r5
-    "vocabulary_top",  # r5
-    "trigram_counts",  # r5
-    "pii_scrub",  # r5
-    "benchmark_decontaminate",  # r5
-    "per_source_cap",  # r5
-    "weighted_source_sample",  # r5
-    "shard_assign",  # r5
-    "embedding_quantize",  # r5
-    "filtered_topk_certainty",  # r5
-    "full_curation_pipeline",  # r5
-    "pricing_summary",  # r6
-    "brute_force_topk",  # r6
-    "ivf_topk",  # r6
-    "minhash_lsh_near_dup",  # r6
-    "near_dup_dedup",  # r6
-    "simhash_near_dup",  # r6
-    "kmv_distinct_words",  # r6
-    "bm25_topk",  # r6
-    "hybrid_rrf_search",  # r6
-    "catalog_merge",  # r6
-    "scd2_user_state",  # r6
-    "kmeans_refine_step",  # r6
-    "pq_encode",  # r6
-    "repetition_signals",  # r6
-    "bpe_pair_counts",  # r6
-    "zorder_key",  # r6
-    "orders_topk_revenue",  # r6
-    "lm_perplexity_score",  # r6
-    "pq_adc_topk_batch",  # r6
-    "ivfpq_topk",  # r6
-    "bm25_topk_indexed",  # r6
-    "tfidf_topk",  # r6
-    "quality_deciles",  # r6
-    "stratified_sample",  # r6
-    "length_quantiles",  # r6
-    "events_moving_avg",  # r6
-    "late_shipment_priority",  # r6
-    "promo_revenue",  # r6
-    "nation_revenue_share",  # r6
-    "doc_prefix_dup",  # r6
-    "component_size_histogram",  # r6
-    "token_histogram",  # r6
-    "ivf_recall_eval",  # r6
-    "dup_window_stats",  # r6
-    "kmeans_inertia",  # r6
-    "quantile_sketch_histogram",  # r6
-    "events_json_props",  # r6
-    "dup_span_removal",  # r6
+    "events_interval_overlap",  # r6
+    "compaction_plan",  # r6
+    "mrl_recall_eval",  # r6
+    "hard_negatives",  # r6
+    "lang_source_pivot",  # r6
+    "user_retention_cohorts",  # r6
+    "event_funnel",  # r6
+    "corpus_stats_cube",  # r6
+    "cluster_topics",  # r6
+    "tokenizer_compression_eval",  # r6
+    "minhash_estimate_error",  # r6
+    "binary_hamming_topk",  # r6
+    "events_sessionize",  # r7
+    "exact_dedup",  # r7
+    "lsh_topk",  # r7
+    "training_corpus_prep",  # r7
+    "ngram_jaccard_near_dup",  # r7
+    "embedding_near_dup",  # r7
+    "sequence_packing",  # r7
+    "paragraph_dedup",  # r7
+    "semantic_dedup",  # r7
+    "pq_adc_topk",  # r7
+    "bpe_train_merges",  # r7
+    "rerank_topk",  # r7
+    "rag_context",  # r7
+    "gopher_quality_filter",  # r7
+    "bpe_segment_tokens",  # r7
+    "customer_order_distribution",  # r7
+    "large_orders",  # r7
+    "returned_item_losses",  # r7
+    "length_cdf",  # r7
+    "lang_source_unpivot",  # r7
+    "events_resample_ffill",  # r7
+    "snapshot_diff",  # r7
+    "bigram_pmi",  # r7
+    "word_entropy",  # r7
+    "countmin_heavy_hitters",  # r7
+    "lang_id_confusion",  # r7
+    "doc_keywords_tfidf",  # r7
+    "near_dup_recall_eval",  # r7
+    "events_session_window",  # r7
+    "events_value_anomalies",  # r7
+    "cross_modal_topk",  # r7
+    "parts_supplier_stats",  # r7
+    "cheapest_supplier_per_part",  # r7
+    "llm_annotate",  # r7
+    "key_skew_report",  # r7
+    "table_profile",  # r7
+    "eval_set_sample",  # r7
+    "purchase_attribution",  # r7
 ]
 
 
