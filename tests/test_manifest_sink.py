@@ -1580,6 +1580,70 @@ def test_log_store_rejects_stale_and_fabricated_tokens(tmp_path):
     assert json.loads(store.get("MANIFEST")[0].decode())["commit_id"] == 2
 
 
+def test_log_store_stale_token_at_surviving_checkpoint_refused(tmp_path):
+    """ADVICE r9 (low): a long-idle handle retrying a VERY stale token
+    whose generation sits at a checkpoint boundary — record and
+    successor both GC'd by retention, the CKPT itself surviving (a
+    best-effort checkpoint crash above it stops the checkpoint-deletion
+    walk) — used to pass the existence check, skip the pruned-watermark
+    check via a replay-cache hit, win the MLOG create of a GC'd slot,
+    and report success for a commit no reader can reconstruct. The
+    watermark check must run unconditionally, before the cache."""
+    from vectordb_data_ingestion_spark.sinks.log_store import (
+        LogConditionalStore,
+    )
+
+    inner = MemoryConditionalStore()
+    store = LogConditionalStore(inner, checkpoint_every=3)
+    cur = None
+    m = None
+    for i in range(1, 10):  # commits 1..9; CKPTs at 3, 6, 9
+        tok = None if cur is None else cur[1]
+        ok, m = _chain_commit(
+            store,
+            [{"dir": f"s{j}", "full": True} for j in range(i)],
+            base_token=tok,
+            base=m,
+        )
+        assert ok
+        cur = store.get("MANIFEST")
+
+    # the gen-6 committer "crashed" between record and checkpoint:
+    # checkpoints are best-effort, so the chain is unaffected
+    k6 = inner.get("MLOG_CKPT.6")
+    assert k6 is not None and inner.delete_if("MLOG_CKPT.6", k6[1])
+
+    # retention (vacuum's contract: contiguous prefix) prunes v1..v8;
+    # GC deletes records <= the covering boundary (9) but its
+    # checkpoint-deletion walk stops at the missing CKPT.6 — CKPT.3
+    # SURVIVES with its record and successor gone
+    for v in range(1, 9):
+        assert store.delete_if(f"MANIFEST.v{v}", None)
+    assert inner.get("MLOG.3") is None
+    assert inner.get("MLOG.4") is None
+    assert inner.get("MLOG_CKPT.3") is not None
+    assert int(inner.get("MLOG_PRUNED")[0].decode()) == 8
+
+    # warm replay cache: this adapter committed gen 3 itself, so the
+    # cache hit would have skipped _state_at's pruned check pre-fix
+    stale = {
+        "layout": {"partition_col": None, "key_col": None, "n_buckets": 0},
+        "segments": [{"dir": "rogue", "full": True}],
+        "commit_id": 4,
+        "schema": None,
+    }
+    assert not store.put_if("MANIFEST", json.dumps(stale).encode(), 3)
+    # no orphan record materialized in the GC'd slot
+    assert inner.get("MLOG.4") is None
+    # the head is untouched and still reconstructs
+    data, tok = store.get("MANIFEST")
+    assert json.loads(data.decode())["commit_id"] == 9 and tok == 9
+
+    # a COLD adapter (no cache) refuses the same stale token too
+    cold = LogConditionalStore(inner, checkpoint_every=3)
+    assert not cold.put_if("MANIFEST", json.dumps(stale).encode(), 3)
+
+
 def test_log_store_delta_semantics_roundtrip(tmp_path):
     """Entry-level delta coverage: add, partial-dereference (files-list
     update), remove, and a top-level schema change each reconstruct

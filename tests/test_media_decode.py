@@ -534,3 +534,23 @@ def test_tiff_unsupported_and_malformed():
             _s.pack_into("<I", huge, off + 8, 50_000)
     with _pt.raises(ValueError, match="cap"):
         decode_media(bytes(huge))
+    # ADVICE r9 (low): palette (photometric=3) and planar (tag 284=2)
+    # layouts would decode without error but yield a silently wrong
+    # luminance — they must refuse with the lib pointer instead
+    pal = bytearray(good)
+    for e in range(n):
+        off = 10 + 12 * e
+        if _s.unpack_from("<H", pal, off)[0] == 262:
+            _s.pack_into("<H", pal, off + 8, 3)
+    with _pt.raises(ValueError, match="use PIL"):
+        decode_media(bytes(pal))
+    planar = bytearray(good)
+    for e in range(n):
+        off = 10 + 12 * e
+        # repurpose the RowsPerStrip slot (single-strip image: the
+        # default rps=height is equivalent) as PlanarConfiguration=2
+        if _s.unpack_from("<H", planar, off)[0] == 278:
+            _s.pack_into("<HHI", planar, off, 284, 3, 1)
+            _s.pack_into("<H", planar, off + 8, 2)
+    with _pt.raises(ValueError, match="use PIL"):
+        decode_media(bytes(planar))

@@ -1008,6 +1008,29 @@ def test_marker_era_crashed_build_fails_loudly(spark, tmp_path):
     with pytest.raises(RuntimeError, match="incomplete"):
         _check_index_complete(out3, "serve queries")
 
+    # ADVICE r9 (low): the refusal must NAME its _SUCCESS dependency and
+    # the stripped-marker escape hatch, and the opt-in override must let
+    # a complete-but-marker-stripped protocol-1 index load (and a
+    # protocol-2 crash must STILL refuse with the override set)
+    with pytest.raises(RuntimeError, match="SPARK_GRAFT_INDEX_ALLOW_LEGACY"):
+        _check_index_complete(out3, "serve queries")
+    os.environ["SPARK_GRAFT_INDEX_ALLOW_LEGACY"] = "1"
+    try:
+        assert _check_index_complete(out3, "serve queries") is not None
+        got = load_ivfpq_index(spark, out)  # the original stripped index
+        assert got is not None
+        out4 = str(tmp_path / "idx4")
+        shutil.copytree(out, out4)
+        with open(os.path.join(out4, "_meta.json")) as fh:
+            m4 = json.load(fh)
+        m4["protocol"] = 2
+        with open(os.path.join(out4, "_meta.json"), "w") as fh:
+            json.dump(m4, fh)
+        with pytest.raises(RuntimeError, match="_INDEX_SUCCESS"):
+            _check_index_complete(out4, "serve queries")
+    finally:
+        del os.environ["SPARK_GRAFT_INDEX_ALLOW_LEGACY"]
+
     # restoring the physical completeness restores loadability — the
     # ADVICE r7 guarantee (real protocol-1 indexes load) is unchanged
     with open(os.path.join(out3, "codes", "batch=base", "_SUCCESS"), "w"):

@@ -829,3 +829,65 @@ def test_partition_drop_fallback_is_rewrite_not_str_compare(
     with pytest.warns(RuntimeWarning, match="falling back"):
         msink.delete_where("pcol", [True])
     assert {r["chunk_id"] for r in msink.read().collect()} == {"b"}
+
+
+def test_none_in_delete_values_never_mass_deletes(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9 (medium): a None in the delete VALUE list must behave
+    as the documented NULL-skip (equality deletes never match NULL) on
+    EVERY path. The dangerous path is ~isin(): `x IN (a, NULL)` is NULL
+    — not false — for every x != a, so the rewrite filter
+    `~isin | isNull` drops ALL non-matching non-null rows, a mass
+    delete. Exercised three ways: the direct unbucketed rewrite, the
+    partition fast path forced onto its rewrite fallback (the exact
+    ADVICE scenario: match_partition_dir_values raises transiently while
+    values carries a None), and the all-None no-op edge on both sinks."""
+    from vectordb_data_ingestion_spark.sinks import vector_store as vs_mod
+    from vectordb_data_ingestion_spark.sinks.manifest_sink import (
+        ManifestVectorSink,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "y"), ("c", None)],
+        "chunk_id string, pcol string",
+    )
+
+    # direct unbucketed rewrite with a None in the list: only the
+    # matching row dies; the NULL-keyed row and non-matching rows live
+    sink = ParquetVectorSink(spark, str(tmp_path / "direct"))
+    sink.upsert(df)
+    sink.delete_where("pcol", ["x", None])
+    assert {r["chunk_id"] for r in sink.read().collect()} == {"b", "c"}
+
+    # all-None list: deletes nothing on either sink (and must not crash
+    # DataFrame type inference on the anti-join paths)
+    sink.delete_where("pcol", [None])
+    assert {r["chunk_id"] for r in sink.read().collect()} == {"b", "c"}
+    msink = ManifestVectorSink(spark, str(tmp_path / "mnone"))
+    msink.upsert(df)
+    msink.delete_where("pcol", [None])
+    assert {r["chunk_id"] for r in msink.read().collect()} == {"a", "b", "c"}
+
+    # the ADVICE scenario verbatim: partitioned sink, fast path raises
+    # transiently, values = ['x', None] → fallback rewrite must keep
+    # every non-matching row (pre-fix it kept none)
+    def boom(*a, **kw):
+        raise RuntimeError("simulated transient matching failure")
+
+    monkeypatch.setattr(vs_mod, "match_partition_dir_values", boom)
+    psink = ParquetVectorSink(
+        spark, str(tmp_path / "pfall"), partition_col="pcol"
+    )
+    psink.upsert(df)
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        psink.delete_where("pcol", ["x", None])
+    assert {r["chunk_id"] for r in psink.read().collect()} == {"b", "c"}
+
+    mpsink = ManifestVectorSink(
+        spark, str(tmp_path / "mpfall"), partition_col="pcol"
+    )
+    mpsink.upsert(df)
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        mpsink.delete_where("pcol", ["x", None])
+    assert {r["chunk_id"] for r in mpsink.read().collect()} == {"b", "c"}

@@ -813,6 +813,17 @@ def decode_tiff(content: bytes) -> dict:
             f"unsupported TIFF sample layout (bits {bits}, {spp} spp) "
             "— use PIL"
         )
+    # planar (RRR..GGG..BBB) strips and palette-indexed samples would
+    # decode without error below but yield a silently WRONG luminance —
+    # this module's contract is that unsupported layouts refuse loudly
+    if one(284, 1) != 1:
+        raise ValueError("planar-configuration TIFF unsupported — use PIL")
+    photometric = one(262, 1)
+    if photometric not in (0, 1, 2):
+        raise ValueError(
+            f"unsupported TIFF photometric {photometric} "
+            "(palette/CMYK/YCbCr) — use PIL"
+        )
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -833,7 +844,6 @@ def decode_tiff(content: bytes) -> dict:
         raster += strip[:expect]
     if len(raster) < expect_total:
         raise ValueError("TIFF strips short of declared raster")
-    photometric = one(262, 1)
     lumas = []
     if spp == 1:
         lumas = list(raster)

@@ -250,7 +250,19 @@ def _check_index_complete(out_dir: str, action: str) -> dict | None:
     crashed-mid-data marker-era build is missing at least one. Only a
     meta that passes that physical check loads without its marker
     (ADVICE r7 still holds: genuinely complete pre-marker indexes stay
-    loadable on upgrade)."""
+    loadable on upgrade).
+
+    The physical check depends on Spark's ``_SUCCESS`` job markers
+    existing: a deployment that strips them
+    (``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``, or an
+    object-store lifecycle cleaner) would see a genuinely complete
+    protocol-1 index refuse to load on upgrade (ADVICE r9). For those,
+    ``SPARK_GRAFT_INDEX_ALLOW_LEGACY=1`` (read per call) skips the
+    physical fallback and trusts a protocol-less meta the way a true
+    protocol-1 reader did — the operator asserts "my markers are
+    stripped but my index is complete"; a partial marker-era build then
+    loads as truncated data, the pre-r8 behavior, which is why the
+    override is opt-in and never the default."""
     import json as _json
 
     meta_path = os.path.join(out_dir, "_meta.json")
@@ -267,14 +279,24 @@ def _check_index_complete(out_dir: str, action: str) -> dict | None:
                 f"completing — rebuild the index (a partial index must "
                 f"not {action})"
             )
-        if not declared and not _data_dirs_complete(out_dir):
+        allow_legacy = os.environ.get(
+            "SPARK_GRAFT_INDEX_ALLOW_LEGACY", ""
+        ) == "1"
+        if not declared and not allow_legacy and not _data_dirs_complete(
+            out_dir
+        ):
             raise RuntimeError(
                 f"ivfpq index at {out_dir} has a _meta.json with no "
                 "protocol field, no _INDEX_SUCCESS marker, and incomplete "
                 "data tables (missing Spark _SUCCESS under codes/, "
                 "centroids/ or codebooks/): this is a meta-first build "
                 "that crashed before its data finished writing — rebuild "
-                f"the index (a partial index must not {action})"
+                f"the index (a partial index must not {action}). NOTE: "
+                "this completeness check relies on Spark _SUCCESS job "
+                "markers; if this deployment strips them (mapreduce."
+                "fileoutputcommitter.marksuccessfuljobs=false or a "
+                "lifecycle cleaner) and the index is known complete, set "
+                "SPARK_GRAFT_INDEX_ALLOW_LEGACY=1 to load it anyway"
             )
     return meta
 

@@ -333,6 +333,16 @@ class LogConditionalStore:
             # vacuum at a boundary generation) — that head is still a
             # perfectly valid commit base.
             return False
+        if base_gen and base_gen <= self._pruned():
+            # stale-token check must run UNCONDITIONALLY, before the
+            # replay-cache consult: a long-idle handle retrying a very
+            # stale token whose generation sits at a checkpoint boundary
+            # (record + successor GC'd, CKPT surviving) passes the
+            # existence check above and would otherwise skip the
+            # staleness check via a cache hit, win the MLOG.<gen> create
+            # of a GC'd slot, and report success for a commit no reader
+            # can ever reconstruct (ADVICE r9).
+            return False
         gen = base_gen + 1
         new = json.loads(data.decode("utf-8"))
         if int(new.get("commit_id", gen)) != gen:

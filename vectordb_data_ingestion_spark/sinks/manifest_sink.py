@@ -451,8 +451,13 @@ class ManifestVectorSink:
             # the commonest maintenance delete there is.
             self._drop_partitions(values)
             return
+        # Nones never match (anti-join on NULL is no match) and an
+        # all-None list would fail DataFrame type inference — strip
+        vals = [v for v in values if v is not None]
+        if not vals:
+            return
         self.delete_where_df(
-            col, self.spark.createDataFrame([(v,) for v in values], [col])
+            col, self.spark.createDataFrame([(v,) for v in vals], [col])
         )
 
     def _drop_partitions(self, values: list[Any]) -> None:
@@ -517,10 +522,13 @@ class ManifestVectorSink:
                     RuntimeWarning,
                     stacklevel=3,
                 )
+                nn = [v for v in values if v is not None]
+                if not nn:
+                    return
                 self.delete_where_df(
                     self.partition_col,
                     self.spark.createDataFrame(
-                        [(v,) for v in values], [self.partition_col]
+                        [(v,) for v in nn], [self.partition_col]
                     ),
                 )
                 return

@@ -342,11 +342,14 @@ class ParquetVectorSink:
             # same bucketed path as the DataFrame form — one code path to
             # keep correct, and a catalog-sized list gains the same
             # touched-buckets-only rewrite
-            if not values:
+            # Nones never match (anti-join on NULL is no match) and an
+            # all-None list would fail DataFrame type inference — strip
+            vals = [v for v in values if v is not None]
+            if not vals:
                 return
             self.delete_where_df(
                 col,
-                self.spark.createDataFrame([(v,) for v in values], [col]),
+                self.spark.createDataFrame([(v,) for v in vals], [col]),
             )
             return
         with self._locked():
@@ -441,13 +444,22 @@ class ParquetVectorSink:
             shutil.rmtree(base)
 
     def _delete_where_unbucketed(self, col: str, values: list[Any]) -> None:
+        # a None in the VALUE list is just as dangerous as a NULL key:
+        # `x IN (a, NULL)` is NULL (not false) for every x != a, so
+        # ~isin() would drop ALL non-matching rows — a mass delete.
+        # Equality deletes never match NULL (documented contract shared
+        # with the partition fast path), so Nones are simply stripped;
+        # an all-None list deletes nothing.
+        vals = [v for v in values if v is not None]
+        if not vals:
+            return
         current = self._read_raw()
         # keep NULL-keyed rows: ~isin() is NULL (dropped by filter) for
         # NULL keys, which would silently delete every NULL-keyed row —
         # the anti-join form (delete_where_df) retains them, and the two
         # paths must agree on which rows survive
         self._rewrite(
-            current.filter(~F.col(col).isin(values) | F.col(col).isNull())
+            current.filter(~F.col(col).isin(vals) | F.col(col).isNull())
         )
 
     def delete_where_df(self, col: str, keys: DataFrame) -> None:
