@@ -417,12 +417,24 @@ def _fold_recover(root: str, _locked: bool = False) -> None:
     Recovery holders therefore advertise themselves with a
     ``_FOLD_RECOVERING`` hint (written under the lock before any
     destructive step, removed after the markers), and the skip path
-    WAITS a recovery holder out — bounded by ``_RECOVERY_WAIT_SECS`` so
-    a stale hint can't park loads — while a no-hint holder gets one
-    confirmation poll (covering the instant between a recoverer's flock
-    and its hint write) before being judged a live fold and skipped.
-    Lock-free fast path when no marker exists (the common case; also
-    keeps read-only stores readable)."""
+    WAITS a recovery holder out for as long as the flock stays held:
+    the flock itself is the liveness signal — a crashed holder's lock is
+    released by the kernel and the very next 50 ms poll acquires it and
+    re-runs recovery, so the hint+held-lock state can only mean a
+    recoverer that is provably ALIVE mid-destructive-work, exactly the
+    window a wall-clock bail-out would skip into (VERDICT r9: the old
+    ``_RECOVERY_WAIT_SECS`` deadline fired precisely when recovery was
+    slow — a multi-GB partial generation on network storage — and
+    reopened the race on its worst case). ``_RECOVERY_WAIT_SECS`` now
+    only times a one-shot RuntimeWarning so an operator can see the
+    stall. The deliberate tradeoff: a holder that is alive but HUNG
+    (not crashed) parks loaders indefinitely, the same semantics as any
+    held lock — killing the hung process frees the flock and the loop
+    self-heals on its next poll. A no-hint holder gets one confirmation
+    poll (covering the instant between a recoverer's flock and its hint
+    write) before being judged a live fold and skipped. Lock-free fast
+    path when no marker exists (the common case; also keeps read-only
+    stores readable)."""
     import json as _json
     import os
     import shutil
@@ -443,8 +455,9 @@ def _fold_recover(root: str, _locked: bool = False) -> None:
                 pass
         return
     if not _locked:
-        deadline = time.monotonic() + _RECOVERY_WAIT_SECS
+        warn_at = time.monotonic() + _RECOVERY_WAIT_SECS
         saw_no_hint = False
+        warned = False
         while True:
             with _fold_lock(local, blocking=False) as got:
                 if got:
@@ -458,8 +471,25 @@ def _fold_recover(root: str, _locked: bool = False) -> None:
                 if saw_no_hint:
                     return  # live fold owns the markers — skip
                 saw_no_hint = True
-            elif time.monotonic() >= deadline:
-                return  # stale hint or overlong recovery — skip
+            else:
+                # hint + continuously-held flock = provably-alive
+                # recoverer mid-destructive-work: keep waiting (a crashed
+                # holder's flock frees and the next poll repairs; never
+                # skip into the mid-rmtree window — VERDICT r9)
+                saw_no_hint = False
+                if not warned and time.monotonic() >= warn_at:
+                    import warnings
+
+                    warnings.warn(
+                        f"fold recovery on {local} has held its lock for "
+                        f"over {_RECOVERY_WAIT_SECS:.0f}s; waiting it out "
+                        "(a crashed holder frees the lock automatically — "
+                        "if the holder is hung, killing it unblocks this "
+                        "loader)",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    warned = True
             time.sleep(0.05)
 
     def read_marker(path):
