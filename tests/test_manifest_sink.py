@@ -1644,6 +1644,52 @@ def test_log_store_stale_token_at_surviving_checkpoint_refused(tmp_path):
     assert not cold.put_if("MANIFEST", json.dumps(stale).encode(), 3)
 
 
+def test_log_store_history_delete_at_head_refused(tmp_path):
+    """VERDICT r9 minor: the adapter's MANIFEST.v* delete advances a
+    monotonic-MAX watermark, so it silently widens the store contract
+    for any caller that isn't pruning a contiguous prefix below the
+    head (vacuum's contract). The observable bound — a delete at or
+    above the live head, which would wedge every reader — must refuse
+    loudly instead."""
+    from vectordb_data_ingestion_spark.sinks.log_store import (
+        LogConditionalStore,
+    )
+
+    inner = MemoryConditionalStore()
+    store = LogConditionalStore(inner, checkpoint_every=4)
+    cur = None
+    m = None
+    for i in range(1, 6):  # commits 1..5
+        tok = None if cur is None else cur[1]
+        ok, m = _chain_commit(
+            store,
+            [{"dir": f"s{j}", "full": True} for j in range(i)],
+            base_token=tok,
+            base=m,
+        )
+        assert ok
+        cur = store.get("MANIFEST")
+
+    with pytest.raises(RuntimeError, match="contiguous prefix"):
+        store.delete_if("MANIFEST.v5", None)  # the head itself
+    with pytest.raises(RuntimeError, match="contiguous prefix"):
+        store.delete_if("MANIFEST.v9", None)  # beyond the head
+    # an empty chain has no history to prune — refuse there too
+    empty = LogConditionalStore(MemoryConditionalStore(), checkpoint_every=4)
+    with pytest.raises(RuntimeError, match="contiguous prefix"):
+        empty.delete_if("MANIFEST.v1", None)
+
+    # the refusals advanced nothing: everything is still readable and
+    # legitimate prefix pruning (vacuum's descending walk) still works
+    assert json.loads(store.get("MANIFEST")[0].decode())["commit_id"] == 5
+    assert json.loads(store.get("MANIFEST.v2")[0].decode())["commit_id"] == 2
+    for v in (3, 2, 1):  # vacuum deletes descending
+        assert store.delete_if(f"MANIFEST.v{v}", None)
+    assert store.get("MANIFEST.v3") is None
+    assert json.loads(store.get("MANIFEST.v4")[0].decode())["commit_id"] == 4
+    assert json.loads(store.get("MANIFEST")[0].decode())["commit_id"] == 5
+
+
 def test_log_store_delta_semantics_roundtrip(tmp_path):
     """Entry-level delta coverage: add, partial-dereference (files-list
     update), remove, and a top-level schema change each reconstruct

@@ -310,6 +310,27 @@ class LogConditionalStore:
             )
         if key.startswith(_VPREFIX):
             gen = int(key[len(_VPREFIX):])
+            # History-pruning contract, pinned (VERDICT r9): callers
+            # delete a CONTIGUOUS PREFIX of generations strictly below
+            # the chain head — vacuum walks [prev_floor, retained_floor)
+            # with retained_floor <= head (manifest_sink.vacuum). The
+            # watermark is monotonic-MAX, so deleting v<g> makes EVERY
+            # generation <= g unreadable; a non-prefix caller trying to
+            # drop one mid-range generation would silently widen
+            # retention, and one reaching the head would wedge every
+            # reader. The prefix property below the head is unobservable
+            # per-call (vacuum legitimately deletes descending), but the
+            # head bound is — refuse loudly instead of advancing the
+            # watermark over the live chain.
+            head_gen, _ = self._head()
+            if gen >= head_gen:
+                raise RuntimeError(
+                    f"history delete of generation {gen} at/above the "
+                    f"chain head {head_gen}: MANIFEST.v* deletes must "
+                    "prune a contiguous prefix strictly below the head "
+                    "(vacuum's contract) — the monotonic pruned "
+                    "watermark would make the live chain unreadable"
+                )
             self._bump_monotonic(_PRUNED, gen)
             self._gc_records()
             return True
