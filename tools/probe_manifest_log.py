@@ -87,28 +87,43 @@ def seed_manifest(n_segments: int, partial_frac: float, files_per: int):
     }
 
 
-def drive(store, meter: ByteMeter, manifest: dict, n_commits: int) -> dict:
+def drive(store, meter: ByteMeter, manifest: dict, n_commits: int,
+          parsed: bool = False) -> dict:
     """Seed, then time K append-one-entry commits (the upsert shape) via
     the exact get-modify-put loop the sink runs. ``meter`` wraps the
     store that actually persists bytes (for the log substrate, the INNER
     store: what crosses the wire is records + periodic checkpoints, not
     the logical payload the sink hands over); the seed commit is
-    excluded from the average."""
+    excluded from the average. ``parsed=True`` mirrors the sink's r10
+    parsed-handle loop (get_state/put_state_if, copy-on-write manifest
+    build, zero full-state JSON outside checkpoint boundaries)."""
     assert store.put_if("MANIFEST", json.dumps(manifest).encode(), None)
     lat = []
     base_bytes = meter.bytes
     for _ in range(n_commits):
         t0 = time.perf_counter()
-        cur = store.get("MANIFEST")
-        m = json.loads(cur[0].decode("utf-8"))
-        m["segments"].append({"dir": uuid.uuid4().hex, "full": True})
-        m["commit_id"] = int(m["commit_id"]) + 1
-        assert store.put_if("MANIFEST", json.dumps(m).encode(), cur[1])
-        # history publication, as _commit does (monolithic: one more
-        # full-payload put; log: a no-op — the record IS the history)
-        store.put_if(
-            f"MANIFEST.v{m['commit_id']}", json.dumps(m).encode(), None
-        )
+        if parsed:
+            cur = store.get_state("MANIFEST")
+            m = cur[0]  # shared with the store cache — never mutated
+            m2 = {
+                **m,
+                "segments": m["segments"]
+                + [{"dir": uuid.uuid4().hex, "full": True}],
+                "commit_id": int(m["commit_id"]) + 1,
+            }
+            assert store.put_state_if("MANIFEST", m2, cur[1])
+            store.put_state_if(f"MANIFEST.v{m2['commit_id']}", m2, None)
+        else:
+            cur = store.get("MANIFEST")
+            m = json.loads(cur[0].decode("utf-8"))
+            m["segments"].append({"dir": uuid.uuid4().hex, "full": True})
+            m["commit_id"] = int(m["commit_id"]) + 1
+            assert store.put_if("MANIFEST", json.dumps(m).encode(), cur[1])
+            # history publication, as _commit does (monolithic: one more
+            # full-payload put; log: a no-op — the record IS the history)
+            store.put_if(
+                f"MANIFEST.v{m['commit_id']}", json.dumps(m).encode(), None
+            )
         lat.append(time.perf_counter() - t0)
     lat.sort()
     return {
@@ -131,7 +146,7 @@ def main() -> None:
     n_commits = int(os.environ.get("COMMITS", "40"))
     results = []
     for n_segments in sweep:
-        for substrate in ("mono", "log"):
+        for substrate in ("mono", "log", "log-parsed"):
             root = tempfile.mkdtemp(prefix=f"mlog_{substrate}_{n_segments}_")
             meter = ByteMeter(FileConditionalStore(root))
             store = (
@@ -142,7 +157,8 @@ def main() -> None:
             manifest = seed_manifest(
                 n_segments, partial_frac=0.25, files_per=64
             )
-            rec = drive(store, meter, manifest, n_commits=n_commits)
+            rec = drive(store, meter, manifest, n_commits=n_commits,
+                        parsed=substrate == "log-parsed")
             rec.update({"substrate": substrate, "segments": n_segments})
             results.append(rec)
             print(json.dumps(rec), flush=True)

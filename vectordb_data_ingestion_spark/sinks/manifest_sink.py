@@ -111,10 +111,43 @@ class ManifestVectorSink:
     # -- manifest plumbing -------------------------------------------------
 
     def _get_manifest(self) -> tuple[dict | None, object]:
-        cur = self.store.get(_MANIFEST_KEY)
+        cur = self._get_state(_MANIFEST_KEY)
         if cur is None:
             return None, None
+        return cur
+
+    def _get_state(self, key: str) -> tuple[dict, object] | None:
+        """Manifest-or-history read through the parsed-handle seam when
+        the store offers one (``LogConditionalStore.get_state`` — skips
+        the O(sink-metadata) JSON render+parse round trip per commit),
+        else the plain byte seam. Parsed-seam dicts are SHARED with the
+        store's cache: this sink never mutates a manifest it read (every
+        mutation builds new lists/entries), which is the contract that
+        makes the zero-copy handoff sound."""
+        gs = getattr(self.store, "get_state", None)
+        if gs is not None:
+            return gs(key)
+        cur = self.store.get(key)
+        if cur is None:
+            return None
         return json.loads(cur[0].decode("utf-8")), cur[1]
+
+    def _put_state(self, key: str, manifest: dict, payload: bytes | None,
+                   token: object) -> bool:
+        """Manifest-or-history write through the parsed-handle seam when
+        available (``put_state_if`` — the store computes its delta on
+        the dict and only serializes full state at checkpoint
+        boundaries), else the byte seam. After a parsed-seam put the
+        dict may live in the store's cache — callers must not mutate it
+        afterwards (they don't: committed manifests are discarded)."""
+        ps = getattr(self.store, "put_state_if", None)
+        if ps is not None:
+            return ps(key, manifest, token)
+        return self.store.put_if(
+            key,
+            payload if payload is not None else json.dumps(manifest).encode(),
+            token,
+        )
 
     def _layout(self) -> dict:
         return {
@@ -154,9 +187,10 @@ class ManifestVectorSink:
         mutation dereferenced the just-landed segment (the guard scans
         history for the segment dir — see :meth:`_dir_in_history`)."""
         if manifest is not None and int(manifest.get("commit_id", 0)) >= 1:
-            self.store.put_if(
+            self._put_state(
                 f"{_MANIFEST_KEY}.v{int(manifest['commit_id'])}",
-                json.dumps(manifest).encode(),
+                manifest,
+                None,
                 None,  # create-only; exists already in the common case
             )
         commit_id = int((manifest or {}).get("commit_id", 0)) + 1
@@ -166,10 +200,17 @@ class ManifestVectorSink:
             "commit_id": commit_id,
             "schema": schema_json or (manifest or {}).get("schema"),
         }
-        payload = json.dumps(new).encode()
-        if not self.store.put_if(_MANIFEST_KEY, payload, token):
+        # byte seam: serialize once, reuse for the history publish;
+        # parsed seam: no full-state serialize at all (the store diffs
+        # the dict and history is implicit in the log)
+        payload = (
+            None
+            if hasattr(self.store, "put_state_if")
+            else json.dumps(new).encode()
+        )
+        if not self._put_state(_MANIFEST_KEY, new, payload, token):
             return None
-        self.store.put_if(f"{_MANIFEST_KEY}.v{commit_id}", payload, None)
+        self._put_state(f"{_MANIFEST_KEY}.v{commit_id}", new, payload, None)
         return commit_id
 
     def _stored_col_type(self, manifest: dict, col: str):
@@ -342,10 +383,10 @@ class ManifestVectorSink:
             if walked >= self.HISTORY_WALK_CAP:
                 return True
             walked += 1
-            cur = self.store.get(f"{_MANIFEST_KEY}.v{cid}")
+            cur = self._get_state(f"{_MANIFEST_KEY}.v{cid}")
             if cur is None:
                 continue
-            m = json.loads(cur[0].decode("utf-8"))
+            m = cur[0]
             if any(s["dir"] == seg_dir for s in m.get("segments", [])):
                 return True
         return False
@@ -822,13 +863,13 @@ class ManifestVectorSink:
         segments ``vacuum`` hasn't reclaimed (vacuum's ``retain_versions``
         is the retention contract — the standard commit-log time-travel
         tradeoff)."""
-        cur = self.store.get(f"{_MANIFEST_KEY}.v{int(commit_id)}")
+        cur = self._get_state(f"{_MANIFEST_KEY}.v{int(commit_id)}")
         if cur is None:
             raise FileNotFoundError(
                 f"sink at {self.base_path} has no retained manifest "
                 f"generation v{commit_id}"
             )
-        manifest = json.loads(cur[0].decode("utf-8"))
+        manifest = cur[0]
         # a generation whose history key survived but whose segments were
         # reclaimed (e.g. its key write raced a vacuum gap) must fail with
         # the same loud retention error, never dangle onto missing paths
@@ -922,10 +963,10 @@ class ManifestVectorSink:
         cid = cur_id - 1
         while cid >= prev_floor:
             key = f"{_MANIFEST_KEY}.v{cid}"
-            cur = self.store.get(key)
+            cur = self._get_state(key)
             if cur is not None:
                 if cid >= retained_floor:
-                    absorb(json.loads(cur[0].decode("utf-8")))
+                    absorb(cur[0])
                 else:
                     self.store.delete_if(key, cur[1])
             cid -= 1
