@@ -1644,6 +1644,66 @@ def test_log_store_stale_token_at_surviving_checkpoint_refused(tmp_path):
     assert not cold.put_if("MANIFEST", json.dumps(stale).encode(), 3)
 
 
+def test_parsed_seam_never_corrupts_the_replay_cache(spark, tmp_path):
+    """r10 parsed-handle seam: the sink receives the adapter's CACHED
+    manifest dict zero-copy and commits new manifests by reference. The
+    soundness contract is that the sink never mutates a manifest it read
+    — if it ever did, the warm adapter's cache would diverge from what
+    the durable chain reconstructs. Drill: run a mixed mutation sequence
+    (upserts, delete, partial-file delete, compact) through the parsed
+    seam, then compare the WARM adapter's head against a COLD adapter
+    rebuilt purely from the inner store's records — and against the byte
+    seam's own get() — at every step. Any in-place mutation shows up as
+    a mismatch."""
+    from vectordb_data_ingestion_spark.sinks.log_store import (
+        LogConditionalStore,
+    )
+
+    inner = MemoryConditionalStore()
+    path = str(tmp_path / "pseam")
+    sink = ManifestVectorSink(
+        spark, path, partition_col=None, key_col="chunk_id",
+        store=LogConditionalStore(inner, checkpoint_every=3),
+    )
+    assert hasattr(sink.store, "get_state")  # the seam under test
+    # byte-seam twin: identical op sequence through the plain store
+    twin = ManifestVectorSink(
+        spark, str(tmp_path / "twin"), partition_col=None,
+        key_col="chunk_id", store=MemoryConditionalStore(),
+    )
+
+    def check():
+        warm_bytes, warm_tok = sink.store.get("MANIFEST")
+        cold = LogConditionalStore(inner, checkpoint_every=3)
+        cold_bytes, cold_tok = cold.get("MANIFEST")
+        assert warm_tok == cold_tok
+        assert json.loads(warm_bytes.decode()) == json.loads(
+            cold_bytes.decode()
+        )
+        # and the visible rows equal the byte-seam twin's
+        assert sorted(
+            (r["chunk_id"], r["v"]) for r in sink.read().collect()
+        ) == sorted((r["chunk_id"], r["v"]) for r in twin.read().collect())
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(f"c{i}", i) for i in ids], "chunk_id string, v long"
+        )
+
+    for op in (
+        lambda s: s.upsert(batch(range(6))),
+        lambda s: s.upsert(batch(range(6, 9))),
+        lambda s: s.delete_where("v", [7]),
+        lambda s: s.delete_where("chunk_id", ["c1"]),
+        lambda s: s.compact(),
+    ):
+        op(sink)
+        op(twin)
+        check()
+    # snapshot reads through the parsed seam agree with history replay
+    assert sink.read_at(1).count() == 6
+
+
 def test_log_store_history_delete_at_head_refused(tmp_path):
     """VERDICT r9 minor: the adapter's MANIFEST.v* delete advances a
     monotonic-MAX watermark, so it silently widens the store contract

@@ -55,7 +55,12 @@ def near_copy(doc: int) -> str:
 
 
 def run_mode(spark, mode: str, n_batches: int, batch_docs: int,
-             cadence: int = 10) -> dict:
+             cadence: int = 10, sink_kind: str | None = None) -> dict:
+    """``sink_kind`` (VERDICT r9 item 6): additionally upsert every
+    batch into a vector sink of that substrate, so the per-batch curve
+    includes the commit path — on ``manifest-log`` each batch appends a
+    delta record to the chain (plus periodic checkpoints), the
+    high-commit-rate deployment shape the r9 curve never measured."""
     from vectordb_data_ingestion_spark.streaming.incremental import (
         compact_near_dup_index,
         near_dup_batch_fn,
@@ -65,6 +70,14 @@ def run_mode(spark, mode: str, n_batches: int, batch_docs: int,
     index_dir = os.path.join(root, "index")
     out_dir = os.path.join(root, "out")
     run_batch = near_dup_batch_fn(index_dir, out_dir)
+    sink = None
+    if sink_kind:
+        from vectordb_data_ingestion_spark.sinks import make_vector_sink
+
+        sink = make_vector_sink(
+            spark, sink_kind, os.path.join(root, "sink"),
+            partition_col=None,
+        )
     times = []
     fresh_base = 0
     try:
@@ -84,6 +97,8 @@ def run_mode(spark, mode: str, n_batches: int, batch_docs: int,
             df = spark.createDataFrame(rows, "doc_id string, text string")
             t0 = time.perf_counter()
             run_batch(df, b)
+            if sink is not None:
+                sink.upsert(df.withColumnRenamed("doc_id", "chunk_id"))
             times.append(time.perf_counter() - t0)
             if mode == "on" and b and b % cadence == 0:
                 compact_near_dup_index(spark, index_dir)
@@ -103,6 +118,7 @@ def run_mode(spark, mode: str, n_batches: int, batch_docs: int,
     return {
         "probe": "streaming_longrun",
         "mode": mode,
+        "sink": sink_kind,
         "n_batches": n_batches,
         "batch_docs": batch_docs,
         "cadence": cadence if mode == "on" else None,
@@ -127,9 +143,19 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    for mode in ("on", "off"):
-        print(json.dumps(run_mode(spark, mode, n_batches, batch_docs)),
-              flush=True)
+    sink_kind = os.environ.get("SINK")  # e.g. SINK=manifest-log
+    if sink_kind:
+        print(
+            json.dumps(
+                run_mode(spark, "on", n_batches, batch_docs,
+                         sink_kind=sink_kind)
+            ),
+            flush=True,
+        )
+    else:
+        for mode in ("on", "off"):
+            print(json.dumps(run_mode(spark, mode, n_batches, batch_docs)),
+                  flush=True)
 
 
 if __name__ == "__main__":
