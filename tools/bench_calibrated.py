@@ -27,8 +27,18 @@ def main() -> None:
     flag_at = float(sys.argv[3]) if len(sys.argv) > 3 else FLAG_AT
     old = json.load(open(old_path))
     new = json.load(open(new_path))
-    cal_old = old["host"]["calibration_median_s"]
-    cal_new = new["host"]["calibration_median_s"]
+
+    def anchor(rec: dict) -> float:
+        # mean of the start and end calibrations: the host is not
+        # stationary across a ~15-min run (r10 run 1: 0.634 s at start
+        # vs 0.465 s at end within one process), and queries sample the
+        # whole window — a single anchor systematically mis-adjudicates
+        # whichever half it didn't measure
+        h = rec["host"]
+        return (h["calibration_median_s"] + h["calibration_end_s"]) / 2
+
+    cal_old = anchor(old)
+    cal_new = anchor(new)
     cal_ratio = cal_new / cal_old
     noisy = set(old.get("noisy_queries", [])) | set(
         new.get("noisy_queries", [])
