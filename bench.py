@@ -190,8 +190,32 @@ def main() -> None:
         run()  # codegen warm-up: discarded
         return round(statistics.median(run() for _ in range(3)), 3)
 
+    # Second anchor (r10): the xxhash64 job is cache-resident integer
+    # hashing — pure CPU speed. Real queries also contend for memory
+    # bandwidth and shuffle machinery, which a bandwidth-heavy neighbor
+    # degrades WITHOUT moving the CPU anchor (BENCH_NOTES r10: a
+    # broadcast-semi-join query read 1.44x calibrated on byte-identical
+    # code). This job shuffles ~128 MB of md5 strings through a hash
+    # repartition — fixed code, so its cross-round ratio isolates the
+    # data-plane host factor the CPU anchor is blind to.
+    def calibration_shuffle() -> float:
+        def run() -> float:
+            t0 = time.perf_counter()
+            (
+                spark.range(0, 4_000_000, 1, 32)
+                .selectExpr("md5(cast(id as string)) as s")
+                .repartition(32, "s")
+                .selectExpr("max(s) as m")
+                .collect()
+            )
+            return time.perf_counter() - t0
+
+        run()  # warm-up: discarded
+        return round(statistics.median(run() for _ in range(3)), 3)
+
     loadavg_start = round(os.getloadavg()[0], 1)
     calibration_start = calibration()
+    calibration_shuffle_start = calibration_shuffle()
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -233,6 +257,8 @@ def main() -> None:
         # before calling it a regression — the anchor job never changes
         "calibration_median_s": calibration_start,
         "calibration_end_s": calibration(),
+        "calibration_shuffle_s": calibration_shuffle_start,
+        "calibration_shuffle_end_s": calibration_shuffle(),
         "loadavg_start": loadavg_start,
         "loadavg_end": round(os.getloadavg()[0], 1),
     }

@@ -40,6 +40,24 @@ def main() -> None:
     cal_old = anchor(old)
     cal_new = anchor(new)
     cal_ratio = cal_new / cal_old
+
+    def shuffle_anchor(rec: dict) -> float | None:
+        h = rec["host"]
+        if "calibration_shuffle_s" not in h:
+            return None
+        return (
+            h["calibration_shuffle_s"]
+            + h.get("calibration_shuffle_end_s", h["calibration_shuffle_s"])
+        ) / 2
+
+    # the data-plane anchor (present from r10): when BOTH records carry
+    # it, its ratio diagnoses bandwidth/shuffle contention the CPU
+    # anchor misses — reported, not used for division, so the primary
+    # adjudication stays comparable across rounds
+    sh_old, sh_new = shuffle_anchor(old), shuffle_anchor(new)
+    shuffle_ratio = (
+        round(sh_new / sh_old, 3) if sh_old and sh_new else None
+    )
     noisy = set(old.get("noisy_queries", [])) | set(
         new.get("noisy_queries", [])
     )
@@ -80,6 +98,7 @@ def main() -> None:
     summary = {
         "probe": "bench_calibrated",
         "cal_ratio": round(cal_ratio, 3),
+        "shuffle_cal_ratio": shuffle_ratio,
         "compared": len(rows),
         "flag_at": flag_at,
         "flagged": [r["query"] for r in flagged],
