@@ -145,8 +145,11 @@ def main() -> None:
     )
     n_commits = int(os.environ.get("COMMITS", "40"))
     results = []
+    substrates = tuple(
+        os.environ.get("SUBSTRATES", "mono,log,log-parsed").split(",")
+    )
     for n_segments in sweep:
-        for substrate in ("mono", "log", "log-parsed"):
+        for substrate in substrates:
             root = tempfile.mkdtemp(prefix=f"mlog_{substrate}_{n_segments}_")
             meter = ByteMeter(FileConditionalStore(root))
             store = (
