@@ -1704,7 +1704,81 @@ def test_parsed_seam_never_corrupts_the_replay_cache(spark, tmp_path):
     assert sink.read_at(1).count() == 6
 
 
-def test_log_store_history_delete_at_head_refused(tmp_path):
+def test_mixed_seam_writers_interoperate(spark, tmp_path):
+    """Rolling-upgrade shape for the r10 parsed seam: a deployment
+    upgrades writers one at a time, so an OLD binary (which sees only
+    the byte get/put_if surface) and a NEW one (parsed
+    get_state/put_state_if) share the same chain mid-upgrade. Interleave
+    mutations from both through one adapter — every commit must land,
+    the chain stay dense, and both writers (plus a cold reconstruction)
+    agree on the visible rows after every step."""
+    from vectordb_data_ingestion_spark.sinks.log_store import (
+        LogConditionalStore,
+    )
+
+    class ByteOnly:
+        """The store surface an old binary compiles against."""
+
+        def __init__(self, s):
+            self._s = s
+
+        def get(self, key):
+            return self._s.get(key)
+
+        def put_if(self, key, data, token):
+            return self._s.put_if(key, data, token)
+
+        def delete_if(self, key, token):
+            return self._s.delete_if(key, token)
+
+    inner = MemoryConditionalStore()
+    adapter = LogConditionalStore(inner, checkpoint_every=3)
+    path = str(tmp_path / "mixed")
+    new_sink = ManifestVectorSink(
+        spark, path, partition_col=None, key_col="chunk_id", store=adapter
+    )
+    old_sink = ManifestVectorSink(
+        spark, path, partition_col=None, key_col="chunk_id",
+        store=ByteOnly(adapter),
+    )
+    assert hasattr(new_sink.store, "get_state")
+    assert not hasattr(old_sink.store, "get_state")
+
+    def batch(tag, ids):
+        return spark.createDataFrame(
+            [(f"{tag}{i}", i) for i in ids], "chunk_id string, v long"
+        )
+
+    def check():
+        a = sorted(r["chunk_id"] for r in new_sink.read().collect())
+        b = sorted(r["chunk_id"] for r in old_sink.read().collect())
+        assert a == b
+        cold = ManifestVectorSink(
+            spark, path, partition_col=None, key_col="chunk_id",
+            store=LogConditionalStore(inner, checkpoint_every=3),
+        )
+        assert sorted(r["chunk_id"] for r in cold.read().collect()) == a
+        return a
+
+    new_sink.upsert(batch("n", range(3)))
+    check()
+    old_sink.upsert(batch("o", range(3)))
+    check()
+    new_sink.delete_where("chunk_id", ["o1"])
+    check()
+    old_sink.delete_where("chunk_id", ["n0"])
+    check()
+    old_sink.compact()
+    rows = check()
+    assert rows == ["n1", "n2", "o0", "o2"]
+    # dense chain across both writer generations
+    gens = {
+        int(k[len("MLOG."):])
+        for k in getattr(inner, "_data", {})
+        if k.startswith("MLOG.") and not k.startswith("MLOG_")
+    }
+    if gens:  # MemoryConditionalStore internals, best-effort shape check
+        assert gens == set(range(1, max(gens) + 1))
     """VERDICT r9 minor: the adapter's MANIFEST.v* delete advances a
     monotonic-MAX watermark, so it silently widens the store contract
     for any caller that isn't pruning a contiguous prefix below the
