@@ -53,6 +53,11 @@ _GOLDEN = {
     "gif": encode_gif([(x * 16) % 256 for x in range(100)], 10, 10),
     "tiff": encode_tiff([(x * 16) % 256 for x in range(100)], 10, 10,
                         packbits=True, rows_per_strip=4),
+    "tiff-palette": encode_tiff(
+        [(x * 7) % 256 for x in range(100)], 10, 10,
+        palette=[(i * 257, i * 257, i * 257) for i in range(256)],
+        mode="P",
+    ),
 }
 
 _PARSE_KINDS = sorted(files.registered_kinds())
@@ -125,7 +130,7 @@ def test_msg_attachments_garbage_yields_empty(data, mut):
 @FUZZ
 @given(
     kind=st.sampled_from(["png", "bmp", "wav", "jpeg", "gif",
-                           "tiff"]),
+                           "tiff", "tiff-palette"]),
     mut=mutations,
     data=st.binary(max_size=2048),
 )

@@ -504,6 +504,51 @@ def test_tiff_rgb_and_runs():
     assert meta["feature"] == _hist8(lum)
 
 
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_tiff_palette_roundtrip_exact(bo):
+    """TIFF 6.0 palette-color (photometric 3, tag 320): indices map
+    through the 16-bit-per-channel ColorMap; luma = channel mean shifted
+    to 8 bits. Golden from the independent emitter, both byte orders,
+    multi-strip, plus the no-ColorMap refusal."""
+    from tests.tiff_emitter import encode_tiff
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+        sniff_media,
+    )
+
+    # a palette that exercises the full 16-bit range unevenly
+    palette = [
+        ((i * 257) % 65536, (i * 513) % 65536, (65535 - i * 129) % 65536)
+        for i in range(256)
+    ]
+    w, h = 17, 9
+    idx = [(x * 7 + y * 13) % 256 for y in range(h) for x in range(w)]
+    payload = encode_tiff(
+        idx, w, h, mode="P", byte_order=bo, rows_per_strip=4,
+        palette=palette,
+    )
+    assert sniff_media(payload) == "tiff"
+    meta = decode_media(payload)
+    assert (meta["width"], meta["height"]) == (w, h)
+    expect = [
+        (palette[v][0] + palette[v][1] + palette[v][2]) // 3 >> 8
+        for v in idx
+    ]
+    assert meta["feature"] == _hist8(expect)
+
+    # photometric 3 with no ColorMap must refuse, not guess
+    import struct as _s
+
+    bad = bytearray(encode_tiff([5] * 16, 4, 4, byte_order="<"))
+    n = _s.unpack_from("<H", bad, 8)[0]
+    for e in range(n):
+        off = 10 + 12 * e
+        if _s.unpack_from("<H", bad, off)[0] == 262:
+            _s.pack_into("<H", bad, off + 8, 3)
+    with pytest.raises(ValueError, match="use PIL"):
+        decode_media(bytes(bad))
+
+
 def test_tiff_unsupported_and_malformed():
     import pytest as _pt
 
@@ -534,9 +579,10 @@ def test_tiff_unsupported_and_malformed():
             _s.pack_into("<I", huge, off + 8, 50_000)
     with _pt.raises(ValueError, match="cap"):
         decode_media(bytes(huge))
-    # ADVICE r9 (low): palette (photometric=3) and planar (tag 284=2)
-    # layouts would decode without error but yield a silently wrong
-    # luminance — they must refuse with the lib pointer instead
+    # ADVICE r9 (low): layouts the strip reader would read without error
+    # but mis-interpret must refuse with the lib pointer instead —
+    # palette lacking its ColorMap (real palette files decode since the
+    # same-round upgrade) and planar configuration (tag 284=2)
     pal = bytearray(good)
     for e in range(n):
         off = 10 + 12 * e

@@ -52,8 +52,12 @@ def encode_tiff(
     byte_order: str = "<",
     packbits: bool = False,
     rows_per_strip: int | None = None,
+    palette=None,
 ) -> bytes:
-    """``pixels``: row-major luma for 'L', interleaved RGB for 'RGB'."""
+    """``pixels``: row-major luma for 'L', interleaved RGB for 'RGB',
+    8-bit palette indices for 'P' (``palette`` = 256 (r, g, b) tuples,
+    16-bit channel values, emitted as the TIFF 6.0 ColorMap: all reds,
+    then greens, then blues)."""
     spp = 3 if mode == "RGB" else 1
     rps = rows_per_strip or height
     raster = bytes(pixels)
@@ -76,7 +80,16 @@ def encode_tiff(
     entry(257, 4, [height])
     entry(258, 3, [8] * spp)
     entry(259, 3, [32773 if packbits else 1])
-    entry(262, 3, [2 if spp == 3 else 1])  # RGB / BlackIsZero
+    if mode == "P":
+        entry(262, 3, [3])  # palette-color
+        cm = (
+            [c[0] for c in palette]
+            + [c[1] for c in palette]
+            + [c[2] for c in palette]
+        )
+        entry(320, 3, cm)
+    else:
+        entry(262, 3, [2 if spp == 3 else 1])  # RGB / BlackIsZero
     entry(277, 3, [spp])
     entry(278, 4, [rps])
     # strip offsets filled after layout; byte counts known now

@@ -747,8 +747,9 @@ def _packbits(data: bytes, expect: int) -> bytearray:
 
 
 def decode_tiff(content: bytes) -> dict:
-    """First IFD, strip-organized 8-bit gray/RGB, compression none or
-    PackBits -> dims + luminance-histogram feature."""
+    """First IFD, strip-organized 8-bit gray/RGB/palette-color,
+    compression none or PackBits -> dims + luminance-histogram
+    feature."""
     if content[:4] == b"II*\x00":
         bo = "<"
     elif content[:4] == b"MM\x00*":
@@ -813,17 +814,27 @@ def decode_tiff(content: bytes) -> dict:
             f"unsupported TIFF sample layout (bits {bits}, {spp} spp) "
             "— use PIL"
         )
-    # planar (RRR..GGG..BBB) strips and palette-indexed samples would
-    # decode without error below but yield a silently WRONG luminance —
-    # this module's contract is that unsupported layouts refuse loudly
+    # planar (RRR..GGG..BBB) strips would decode without error below but
+    # yield a silently WRONG luminance — this module's contract is that
+    # unsupported layouts refuse loudly
     if one(284, 1) != 1:
         raise ValueError("planar-configuration TIFF unsupported — use PIL")
     photometric = one(262, 1)
-    if photometric not in (0, 1, 2):
+    if photometric not in (0, 1, 2, 3):
         raise ValueError(
             f"unsupported TIFF photometric {photometric} "
-            "(palette/CMYK/YCbCr) — use PIL"
+            "(mask/CMYK/YCbCr) — use PIL"
         )
+    colormap = None
+    if photometric == 3:
+        # TIFF 6.0 palette-color: spp=1, ColorMap (tag 320) holds
+        # 3 * 2^bits SHORTs — all reds, then all greens, then all
+        # blues, each 0..65535
+        colormap = tags.get(320)
+        if spp != 1 or colormap is None or len(colormap) < 3 * 256:
+            raise ValueError(
+                "palette TIFF without a full 8-bit ColorMap — use PIL"
+            )
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -845,7 +856,15 @@ def decode_tiff(content: bytes) -> dict:
     if len(raster) < expect_total:
         raise ValueError("TIFF strips short of declared raster")
     lumas = []
-    if spp == 1:
+    if colormap is not None:
+        # 16-bit palette channels -> 8-bit mean luma per index, built
+        # once (256 entries), then a table lookup per pixel
+        lut = [
+            (colormap[i] + colormap[256 + i] + colormap[512 + i]) // 3 >> 8
+            for i in range(256)
+        ]
+        lumas = [lut[v] for v in raster]
+    elif spp == 1:
         lumas = list(raster)
         if photometric == 0:  # WhiteIsZero: invert
             lumas = [255 - v for v in lumas]
