@@ -58,6 +58,10 @@ _GOLDEN = {
         palette=[(i * 257, i * 257, i * 257) for i in range(256)],
         mode="P",
     ),
+    "tiff-planar": encode_tiff(
+        [(x * 5) % 256 for x in range(300)], 10, 10, mode="RGB",
+        planar=True, rows_per_strip=4,
+    ),
 }
 
 _PARSE_KINDS = sorted(files.registered_kinds())
@@ -130,7 +134,7 @@ def test_msg_attachments_garbage_yields_empty(data, mut):
 @FUZZ
 @given(
     kind=st.sampled_from(["png", "bmp", "wav", "jpeg", "gif",
-                           "tiff", "tiff-palette"]),
+                           "tiff", "tiff-palette", "tiff-planar"]),
     mut=mutations,
     data=st.binary(max_size=2048),
 )

@@ -549,6 +549,55 @@ def test_tiff_palette_roundtrip_exact(bo):
         decode_media(bytes(bad))
 
 
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("packbits", [False, True])
+def test_tiff_planar_rgb_roundtrip_exact(bo, packbits):
+    """PlanarConfiguration=2: each component in its own strips, all
+    plane-0 strips first. Same pixels as the chunky form must produce
+    the identical luminance histogram — golden from the independent
+    emitter, both byte orders, both compressions, multi-strip (the
+    strip table carries spp x strips-per-plane entries). A planar file
+    whose strip table is short of full plane coverage refuses."""
+    from tests.tiff_emitter import encode_tiff
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+    )
+
+    w, h = 11, 7
+    rgb, lum = [], []
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (x * 23) % 256, (y * 41) % 256, (x * y * 7) % 256
+            rgb += [r, g, b]
+            lum.append((r + g + b) // 3)
+    planar = encode_tiff(
+        rgb, w, h, mode="RGB", byte_order=bo, packbits=packbits,
+        rows_per_strip=3, planar=True,
+    )
+    chunky = encode_tiff(
+        rgb, w, h, mode="RGB", byte_order=bo, packbits=packbits,
+        rows_per_strip=3,
+    )
+    m = decode_media(planar)
+    assert (m["width"], m["height"]) == (w, h)
+    assert m["feature"] == _hist8(lum)
+    assert m["feature"] == decode_media(chunky)["feature"]
+
+    # a planar strip table that does not cover spp x strips-per-plane
+    # refuses instead of mis-assembling planes
+    import struct as _s
+
+    bad = bytearray(planar)
+    n = _s.unpack_from(f"{bo}H", bad, 8)[0]
+    for e in range(n):
+        off = 10 + 12 * e
+        if _s.unpack_from(f"{bo}H", bad, off)[0] == 278:
+            # claim 1-row strips: strips-per-plane no longer matches
+            _s.pack_into(f"{bo}I", bad, off + 8, 1)
+    with pytest.raises(ValueError):
+        decode_media(bytes(bad))
+
+
 def test_tiff_unsupported_and_malformed():
     import pytest as _pt
 
@@ -582,7 +631,9 @@ def test_tiff_unsupported_and_malformed():
     # ADVICE r9 (low): layouts the strip reader would read without error
     # but mis-interpret must refuse with the lib pointer instead —
     # palette lacking its ColorMap (real palette files decode since the
-    # same-round upgrade) and planar configuration (tag 284=2)
+    # same-round upgrade) and out-of-spec planar values (planar=2
+    # itself decodes since the same-round upgrade; on gray it is
+    # spec-identical to chunky)
     pal = bytearray(good)
     for e in range(n):
         off = 10 + 12 * e
@@ -594,9 +645,16 @@ def test_tiff_unsupported_and_malformed():
     for e in range(n):
         off = 10 + 12 * e
         # repurpose the RowsPerStrip slot (single-strip image: the
-        # default rps=height is equivalent) as PlanarConfiguration=2
+        # default rps=height is equivalent) as PlanarConfiguration
         if _s.unpack_from("<H", planar, off)[0] == 278:
             _s.pack_into("<HHI", planar, off, 284, 3, 1)
             _s.pack_into("<H", planar, off + 8, 2)
+    # gray + planar=2: spec-identical to chunky, decodes
+    assert decode_media(bytes(planar))["width"] == 8
+    bad_planar = bytearray(planar)
+    for e in range(n):
+        off = 10 + 12 * e
+        if _s.unpack_from("<H", bad_planar, off)[0] == 284:
+            _s.pack_into("<H", bad_planar, off + 8, 3)  # out of spec
     with _pt.raises(ValueError, match="use PIL"):
-        decode_media(bytes(planar))
+        decode_media(bytes(bad_planar))

@@ -53,19 +53,33 @@ def encode_tiff(
     packbits: bool = False,
     rows_per_strip: int | None = None,
     palette=None,
+    planar: bool = False,
 ) -> bytes:
     """``pixels``: row-major luma for 'L', interleaved RGB for 'RGB',
     8-bit palette indices for 'P' (``palette`` = 256 (r, g, b) tuples,
     16-bit channel values, emitted as the TIFF 6.0 ColorMap: all reds,
-    then greens, then blues)."""
+    then greens, then blues). ``planar`` (RGB only) stores each
+    component in its own strips (PlanarConfiguration=2, all plane-0
+    strips first per the spec)."""
     spp = 3 if mode == "RGB" else 1
     rps = rows_per_strip or height
     raster = bytes(pixels)
     strips = []
-    for top in range(0, height, rps):
-        rows = min(rps, height - top)
-        strip = raster[top * width * spp: (top + rows) * width * spp]
-        strips.append(_packbits_encode(strip) if packbits else strip)
+    if planar:
+        assert mode == "RGB", "planar layout applies to RGB only"
+        for plane in range(spp):
+            plane_raster = raster[plane::spp]
+            for top in range(0, height, rps):
+                rows = min(rps, height - top)
+                strip = plane_raster[top * width: (top + rows) * width]
+                strips.append(
+                    _packbits_encode(strip) if packbits else strip
+                )
+    else:
+        for top in range(0, height, rps):
+            rows = min(rps, height - top)
+            strip = raster[top * width * spp: (top + rows) * width * spp]
+            strips.append(_packbits_encode(strip) if packbits else strip)
 
     bo = byte_order
     entries = []  # (tag, type, count, packed-or-deferred value)
@@ -92,6 +106,8 @@ def encode_tiff(
         entry(262, 3, [2 if spp == 3 else 1])  # RGB / BlackIsZero
     entry(277, 3, [spp])
     entry(278, 4, [rps])
+    if planar:
+        entry(284, 3, [2])
     # strip offsets filled after layout; byte counts known now
     entry(273, 4, [0] * len(strips))
     entry(279, 4, [len(s) for s in strips])

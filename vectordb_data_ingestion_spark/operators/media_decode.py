@@ -814,11 +814,17 @@ def decode_tiff(content: bytes) -> dict:
             f"unsupported TIFF sample layout (bits {bits}, {spp} spp) "
             "— use PIL"
         )
-    # planar (RRR..GGG..BBB) strips would decode without error below but
-    # yield a silently WRONG luminance — this module's contract is that
-    # unsupported layouts refuse loudly
-    if one(284, 1) != 1:
-        raise ValueError("planar-configuration TIFF unsupported — use PIL")
+    # PlanarConfiguration (284): 1 = chunky (RGBRGB...), 2 = planar
+    # (each strip holds ONE component; all plane-0 strips first). For
+    # spp=1 the two are identical. Anything else refuses loudly — the
+    # strip reader would mis-interpret it into a silently wrong
+    # luminance otherwise.
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise ValueError(
+            f"TIFF planar configuration {planar} unsupported — use PIL"
+        )
+    planar = planar == 2 and spp > 1
     photometric = one(262, 1)
     if photometric not in (0, 1, 2, 3):
         raise ValueError(
@@ -840,21 +846,33 @@ def decode_tiff(content: bytes) -> dict:
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF missing/mismatched strip tables")
     rows_per_strip = one(278, height)
-    raster = bytearray()
-    expect_total = width * height * spp
+    strips_per_plane = -(-height // max(1, rows_per_strip))
+    if planar and len(offsets) != spp * strips_per_plane:
+        raise ValueError(
+            "planar TIFF strip table does not cover "
+            f"{spp} planes x {strips_per_plane} strips"
+        )
+    # planar: one raster per component plane (all plane-0 strips come
+    # first in the table); chunky: a single interleaved raster
+    strip_spp = 1 if planar else spp
+    rasters = [bytearray() for _ in range(spp if planar else 1)]
+    expect_plane = width * height * strip_spp
     for s, (so, sc) in enumerate(zip(offsets, counts)):
         if so + sc > len(content):
             raise ValueError(f"TIFF strip {s} past EOF")
         strip = content[so: so + sc]
-        n_rows = min(rows_per_strip, height - s * rows_per_strip)
-        expect = width * n_rows * spp
+        block = s % strips_per_plane if planar else s
+        n_rows = min(rows_per_strip, height - block * rows_per_strip)
+        expect = width * n_rows * strip_spp
         if compression == 32773:
             strip = _packbits(strip, expect)
         if len(strip) < expect:
             raise ValueError(f"TIFF strip {s} short of declared rows")
-        raster += strip[:expect]
-    if len(raster) < expect_total:
+        rasters[s // strips_per_plane if planar else 0] += strip[:expect]
+    if any(len(r) < expect_plane for r in rasters):
         raise ValueError("TIFF strips short of declared raster")
+    raster = rasters[0]
+    expect_total = width * height * spp
     lumas = []
     if colormap is not None:
         # 16-bit palette channels -> 8-bit mean luma per index, built
@@ -868,6 +886,11 @@ def decode_tiff(content: bytes) -> dict:
         lumas = list(raster)
         if photometric == 0:  # WhiteIsZero: invert
             lumas = [255 - v for v in lumas]
+    elif planar:
+        r, g, b = rasters[0], rasters[1], rasters[2]
+        lumas = [
+            (r[i] + g[i] + b[i]) // 3 for i in range(width * height)
+        ]
     else:
         for i in range(0, expect_total, spp):
             lumas.append(
