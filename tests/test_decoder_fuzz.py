@@ -62,6 +62,10 @@ _GOLDEN = {
         [(x * 5) % 256 for x in range(300)], 10, 10, mode="RGB",
         planar=True, rows_per_strip=4,
     ),
+    "tiff-lzw": encode_tiff(
+        [(x * 3) % 256 for x in range(300)], 10, 10, mode="RGB",
+        lzw=True, predictor=True, rows_per_strip=4,
+    ),
 }
 
 _PARSE_KINDS = sorted(files.registered_kinds())
@@ -134,7 +138,8 @@ def test_msg_attachments_garbage_yields_empty(data, mut):
 @FUZZ
 @given(
     kind=st.sampled_from(["png", "bmp", "wav", "jpeg", "gif",
-                           "tiff", "tiff-palette", "tiff-planar"]),
+                           "tiff", "tiff-palette", "tiff-planar",
+                           "tiff-lzw"]),
     mut=mutations,
     data=st.binary(max_size=2048),
 )

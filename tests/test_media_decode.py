@@ -598,6 +598,75 @@ def test_tiff_planar_rgb_roundtrip_exact(bo, packbits):
         decode_media(bytes(bad))
 
 
+def test_tiff_lzw_stream_differential():
+    """The decoder against the independent compressor at the STREAM
+    level: random and highly-repetitive inputs large enough to walk
+    every code width (9→12), the KwKwK case, and the Clear-on-full
+    reset must round-trip byte-exact."""
+    import random
+
+    from tests.tiff_emitter import _lzw_encode
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        _tiff_lzw,
+    )
+
+    rng = random.Random(42)
+    cases = [
+        b"",
+        b"\x00",
+        b"abababababab" * 4,  # KwKwK-shaped
+        bytes(rng.randrange(256) for _ in range(20_000)),  # table reset
+        bytes((i * 7) % 256 for i in range(5000)),
+        bytes(rng.choice(b"ab") for _ in range(8000)),
+    ]
+    for data in cases:
+        enc = _lzw_encode(data)
+        assert _tiff_lzw(enc, len(data)) == data
+    # truncated stream refuses rather than returning short data
+    big = bytes(rng.randrange(256) for _ in range(1000))
+    with pytest.raises(ValueError, match="truncated"):
+        _tiff_lzw(_lzw_encode(big)[:20], 1000)
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("predictor", [False, True])
+def test_tiff_lzw_roundtrip_exact(bo, predictor):
+    """Compression 5 end-to-end: gray, RGB, palette, and planar-RGB
+    variants under LZW (with and without Predictor 2 horizontal
+    differencing) must match their uncompressed twins' histograms."""
+    from tests.tiff_emitter import encode_tiff
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+    )
+
+    w, h = 13, 9
+    lum = [(x * 11 + y * 29) % 256 for y in range(h) for x in range(w)]
+    rgb = []
+    for y in range(h):
+        for x in range(w):
+            rgb += [(x * 23) % 256, (y * 41) % 256, (x + y) % 256]
+    palette = [(i * 257, (i * 3) % 65536, (i * 7) % 65536)
+               for i in range(256)]
+    idx = [(x + y * 5) % 256 for y in range(h) for x in range(w)]
+
+    variants = [
+        (dict(mode="L"), lum),
+        (dict(mode="RGB"), rgb),
+        (dict(mode="RGB", planar=True), rgb),
+        (dict(mode="P", palette=palette), idx),
+    ]
+    for kw, pixels in variants:
+        plain = decode_media(
+            encode_tiff(pixels, w, h, byte_order=bo, rows_per_strip=4, **kw)
+        )
+        lzw = decode_media(
+            encode_tiff(pixels, w, h, byte_order=bo, rows_per_strip=4,
+                        lzw=True, predictor=predictor, **kw)
+        )
+        assert lzw["feature"] == plain["feature"], kw
+        assert (lzw["width"], lzw["height"]) == (w, h)
+
+
 def test_tiff_unsupported_and_malformed():
     import pytest as _pt
 
@@ -609,15 +678,16 @@ def test_tiff_unsupported_and_malformed():
     good = encode_tiff([100] * 64, 8, 8)
     with _pt.raises(ValueError):
         decode_media(good[:24])  # truncated IFD
-    # LZW compression tag refuses with the lib pointer
+    # JPEG-in-TIFF compression refuses with the lib pointer (LZW=5
+    # decodes for real since r10)
     import struct as _s
     bad = bytearray(good)
-    # find the compression entry (tag 259) in the IFD and set value 5
+    # find the compression entry (tag 259) in the IFD and set value 7
     n = _s.unpack_from("<H", bad, 8)[0]
     for e in range(n):
         off = 10 + 12 * e
         if _s.unpack_from("<H", bad, off)[0] == 259:
-            _s.pack_into("<H", bad, off + 8, 5)
+            _s.pack_into("<H", bad, off + 8, 7)
     with _pt.raises(ValueError, match="use PIL"):
         decode_media(bytes(bad))
     # crafted dims past the cap refuse before strip assembly

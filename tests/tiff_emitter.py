@@ -44,6 +44,65 @@ def _packbits_encode(row: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """Independent TIFF 6.0 §13 LZW compressor: MSB-first bit packing,
+    Clear(256)/EOI(257), 9→12-bit widths with the early-change
+    convention (width grows when the next free slot is ``2^width - 1``),
+    Clear emitted when the table approaches full (4094), matching
+    LibTIFF-produced streams."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(CLEAR, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([ch])
+    if w:
+        put(table[w], width)
+    put(EOI, width)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _predict2(strip: bytes, width: int, spp: int) -> bytes:
+    """Forward horizontal differencing (Predictor 2): each sample minus
+    the one ``spp`` earlier in its row, modulo 256."""
+    out = bytearray(strip)
+    stride = width * spp
+    for base in range(0, len(out), stride):
+        for j in range(min(stride, len(out) - base) - 1, spp - 1, -1):
+            out[base + j] = (out[base + j] - out[base + j - spp]) % 256
+    return bytes(out)
+
+
 def encode_tiff(
     pixels,
     width: int,
@@ -54,6 +113,8 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     palette=None,
     planar: bool = False,
+    lzw: bool = False,
+    predictor: bool = False,
 ) -> bytes:
     """``pixels``: row-major luma for 'L', interleaved RGB for 'RGB',
     8-bit palette indices for 'P' (``palette`` = 256 (r, g, b) tuples,
@@ -64,6 +125,16 @@ def encode_tiff(
     spp = 3 if mode == "RGB" else 1
     rps = rows_per_strip or height
     raster = bytes(pixels)
+
+    def enc(strip: bytes, strip_spp: int) -> bytes:
+        if predictor:
+            strip = _predict2(strip, width, strip_spp)
+        if lzw:
+            return _lzw_encode(strip)
+        if packbits:
+            return _packbits_encode(strip)
+        return strip
+
     strips = []
     if planar:
         assert mode == "RGB", "planar layout applies to RGB only"
@@ -72,14 +143,12 @@ def encode_tiff(
             for top in range(0, height, rps):
                 rows = min(rps, height - top)
                 strip = plane_raster[top * width: (top + rows) * width]
-                strips.append(
-                    _packbits_encode(strip) if packbits else strip
-                )
+                strips.append(enc(strip, 1))
     else:
         for top in range(0, height, rps):
             rows = min(rps, height - top)
             strip = raster[top * width * spp: (top + rows) * width * spp]
-            strips.append(_packbits_encode(strip) if packbits else strip)
+            strips.append(enc(strip, spp))
 
     bo = byte_order
     entries = []  # (tag, type, count, packed-or-deferred value)
@@ -93,7 +162,9 @@ def encode_tiff(
     entry(256, 4, [width])
     entry(257, 4, [height])
     entry(258, 3, [8] * spp)
-    entry(259, 3, [32773 if packbits else 1])
+    entry(259, 3, [5 if lzw else (32773 if packbits else 1)])
+    if predictor:
+        entry(317, 3, [2])
     if mode == "P":
         entry(262, 3, [3])  # palette-color
         cm = (

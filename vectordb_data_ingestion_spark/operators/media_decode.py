@@ -17,9 +17,11 @@ bread-and-butter formats need nothing beyond the stdlib:
 - GIF  — GIF87a/89a first frame: variable-width LSB-first LZW decode,
   global/local palettes, 4-pass interlace; palette entries map to luma
   the same way the RGB decoders do.
-- TIFF — baseline TIFF 6.0 first IFD (both byte orders): 8-bit gray and
-  RGB, strip-organized, uncompressed or PackBits; LZW/JPEG-in-TIFF and
-  tiled layouts raise with the "use PIL" pointer.
+- TIFF — baseline TIFF 6.0 first IFD (both byte orders): 8-bit gray,
+  RGB, and palette-color, chunky or planar strips, uncompressed,
+  PackBits, or LZW (early-change convention, Predictor 2 horizontal
+  differencing); JPEG-in-TIFF, tiled layouts, 16-bit samples, and
+  mask/CMYK/YCbCr photometrics raise with the "use PIL" pointer.
 
 Each decode yields REAL dimensions/duration plus a deterministic
 ``FEATURE_DIM``-dim feature: an 8-bin luminance histogram for images, an
@@ -746,10 +748,78 @@ def _packbits(data: bytes, expect: int) -> bytearray:
     return out
 
 
+def _tiff_lzw(data: bytes, expect: int) -> bytearray:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing, ClearCode 256, EOI 257,
+    first multi-byte code 258, 9→12-bit widths with the EARLY-CHANGE
+    convention every real writer (LibTIFF) uses — the code width grows
+    when the NEXT table slot to be assigned is ``2^width - 1``, one
+    code earlier than a literal reading of the spec (the documented
+    LibTIFF off-by-one that became the de-facto format)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    buf = 0
+    nbits = 0
+    prev: bytes | None = None
+    i = 0
+    while len(out) < expect:
+        while nbits < width:
+            if i >= len(data):
+                raise ValueError("TIFF LZW stream truncated")
+            buf = (buf << 8) | data[i]
+            nbits += 8
+            i += 1
+        code = (buf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if code < len(table) and (code < 256 or code > 257):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"TIFF LZW code {code} out of sequence")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        # EARLY CHANGE: the encoder's table is always ONE entry ahead
+        # (it assigns the entry for code k when emitting k; the decoder
+        # can only build it after reading k+1), and the encoder widens
+        # when ITS next slot hits 2^width - 1 — so the decoder widens at
+        # len(table) == 2^width - 2, one code before table parity says.
+        # This deliberate off-by-one IS the "early change" convention
+        # every real writer follows. 12-bit tables stop growing
+        # (writers emit Clear at 4094).
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    return out
+
+
+def _tiff_predictor2(
+    strip: bytearray, width: int, n_rows: int, spp: int
+) -> bytearray:
+    """TIFF Predictor 2 (tag 317): horizontal differencing — each
+    sample stores the delta to the sample ``spp`` positions earlier in
+    its row; undo by a running per-channel sum, modulo 256."""
+    stride = width * spp
+    for r in range(n_rows):
+        base = r * stride
+        for j in range(spp, stride):
+            strip[base + j] = (strip[base + j] + strip[base + j - spp]) % 256
+    return strip
+
+
 def decode_tiff(content: bytes) -> dict:
-    """First IFD, strip-organized 8-bit gray/RGB/palette-color,
-    compression none or PackBits -> dims + luminance-histogram
-    feature."""
+    """First IFD, strip-organized 8-bit gray/RGB/palette-color, chunky
+    or planar, compression none/LZW/PackBits, predictor none/horizontal
+    -> dims + luminance-histogram feature."""
     if content[:4] == b"II*\x00":
         bo = "<"
     elif content[:4] == b"MM\x00*":
@@ -801,9 +871,14 @@ def decode_tiff(content: bytes) -> dict:
             f"({_TIFF_MAX_PIXELS} px)"
         )
     compression = one(259, 1)
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise ValueError(
             f"unsupported TIFF compression {compression} — use PIL"
+        )
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise ValueError(
+            f"unsupported TIFF predictor {predictor} — use PIL"
         )
     if 322 in tags or 323 in tags:
         raise ValueError("tiled TIFF unsupported — use PIL")
@@ -866,9 +941,19 @@ def decode_tiff(content: bytes) -> dict:
         expect = width * n_rows * strip_spp
         if compression == 32773:
             strip = _packbits(strip, expect)
+        elif compression == 5:
+            strip = _tiff_lzw(strip, expect)
         if len(strip) < expect:
             raise ValueError(f"TIFF strip {s} short of declared rows")
-        rasters[s // strips_per_plane if planar else 0] += strip[:expect]
+        strip = strip[:expect]
+        if predictor == 2:
+            # horizontal differencing undone per strip row; in a planar
+            # strip each row holds ONE component, so the delta stride
+            # is the strip's samples-per-pixel, not the image's
+            strip = _tiff_predictor2(
+                bytearray(strip), width, n_rows, strip_spp
+            )
+        rasters[s // strips_per_plane if planar else 0] += strip
     if any(len(r) < expect_plane for r in rasters):
         raise ValueError("TIFF strips short of declared raster")
     raster = rasters[0]
