@@ -66,6 +66,10 @@ _GOLDEN = {
         [(x * 3) % 256 for x in range(300)], 10, 10, mode="RGB",
         lzw=True, predictor=True, rows_per_strip=4,
     ),
+    "tiff-tiled": encode_tiff(
+        [(x * 9) % 256 for x in range(300)], 10, 10, mode="RGB",
+        tile=(4, 3), lzw=True,
+    ),
 }
 
 _PARSE_KINDS = sorted(files.registered_kinds())
@@ -139,7 +143,7 @@ def test_msg_attachments_garbage_yields_empty(data, mut):
 @given(
     kind=st.sampled_from(["png", "bmp", "wav", "jpeg", "gif",
                            "tiff", "tiff-palette", "tiff-planar",
-                           "tiff-lzw"]),
+                           "tiff-lzw", "tiff-tiled"]),
     mut=mutations,
     data=st.binary(max_size=2048),
 )

@@ -667,6 +667,67 @@ def test_tiff_lzw_roundtrip_exact(bo, predictor):
         assert (lzw["width"], lzw["height"]) == (w, h)
 
 
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw", "lzw+pred"])
+def test_tiff_tiled_roundtrip_exact(bo, comp):
+    """Tiled layout (tags 322-325): tiles are ALWAYS TileWidth x
+    TileLength samples with edge tiles zero-padded, placed on a grid;
+    planar images emit all plane-0 tiles first. Tile sizes chosen NOT to
+    divide the image dims so the padding/crop path runs. Every variant
+    must match its stripped twin's histogram."""
+    from tests.tiff_emitter import encode_tiff
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+    )
+
+    kw = {
+        "none": {},
+        "packbits": dict(packbits=True),
+        "lzw": dict(lzw=True),
+        "lzw+pred": dict(lzw=True, predictor=True),
+    }[comp]
+    w, h = 13, 9  # 5x4 tiles -> 3x3 grid with ragged edges
+    lum = [(x * 17 + y * 23) % 256 for y in range(h) for x in range(w)]
+    rgb = []
+    for y in range(h):
+        for x in range(w):
+            rgb += [(x * 31) % 256, (y * 57) % 256, (x ^ y) % 256]
+    palette = [((i * 999) % 65536, i * 257, (i * 13) % 65536)
+               for i in range(256)]
+
+    variants = [
+        (dict(mode="L"), lum),
+        (dict(mode="RGB"), rgb),
+        (dict(mode="RGB", planar=True), rgb),
+        (dict(mode="P", palette=palette), lum),
+    ]
+    for vkw, pixels in variants:
+        plain = decode_media(
+            encode_tiff(pixels, w, h, byte_order=bo, rows_per_strip=4,
+                        **vkw)
+        )
+        tiled = decode_media(
+            encode_tiff(pixels, w, h, byte_order=bo, tile=(5, 4),
+                        **kw, **vkw)
+        )
+        assert (tiled["width"], tiled["height"]) == (w, h)
+        assert tiled["feature"] == plain["feature"], (vkw, comp)
+
+    # a tile table that does not cover the grid refuses
+    import struct as _s
+
+    bad = bytearray(
+        encode_tiff(lum, w, h, byte_order="<", tile=(5, 4))
+    )
+    n = _s.unpack_from("<H", bad, 8)[0]
+    for e in range(n):
+        off = 10 + 12 * e
+        if _s.unpack_from("<H", bad, off)[0] == 322:
+            _s.pack_into("<I", bad, off + 8, 4)  # grid now 4x3 ≠ table
+    with pytest.raises(ValueError):
+        decode_media(bytes(bad))
+
+
 def test_tiff_unsupported_and_malformed():
     import pytest as _pt
 

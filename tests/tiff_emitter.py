@@ -115,6 +115,7 @@ def encode_tiff(
     planar: bool = False,
     lzw: bool = False,
     predictor: bool = False,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """``pixels``: row-major luma for 'L', interleaved RGB for 'RGB',
     8-bit palette indices for 'P' (``palette`` = 256 (r, g, b) tuples,
@@ -136,7 +137,37 @@ def encode_tiff(
         return strip
 
     strips = []
-    if planar:
+    if tile:
+        # tiled layout (tags 322-325): every tile is tw x th samples,
+        # edge tiles zero-padded; planar emits all plane-0 tiles first
+        tw, th = tile
+        planes = (
+            [raster[p::spp] for p in range(spp)] if planar else [raster]
+        )
+        tile_spp = 1 if planar else spp
+        for plane_raster in planes:
+            for ty in range(0, height, th):
+                for tx in range(0, width, tw):
+                    t = bytearray(tw * th * tile_spp)
+                    rows = min(th, height - ty)
+                    cols = min(tw, width - tx)
+                    for r in range(rows):
+                        srow = ((ty + r) * width + tx) * tile_spp
+                        t[r * tw * tile_spp:
+                          r * tw * tile_spp + cols * tile_spp] = (
+                            plane_raster[srow: srow + cols * tile_spp]
+                        )
+                    # predictor/compression apply per tile with the
+                    # tile's own row stride
+                    chunk = bytes(t)
+                    if predictor:
+                        chunk = _predict2(chunk, tw, tile_spp)
+                    if lzw:
+                        chunk = _lzw_encode(chunk)
+                    elif packbits:
+                        chunk = _packbits_encode(chunk)
+                    strips.append(chunk)
+    elif planar:
         assert mode == "RGB", "planar layout applies to RGB only"
         for plane in range(spp):
             plane_raster = raster[plane::spp]
@@ -176,12 +207,20 @@ def encode_tiff(
     else:
         entry(262, 3, [2 if spp == 3 else 1])  # RGB / BlackIsZero
     entry(277, 3, [spp])
-    entry(278, 4, [rps])
     if planar:
         entry(284, 3, [2])
-    # strip offsets filled after layout; byte counts known now
-    entry(273, 4, [0] * len(strips))
-    entry(279, 4, [len(s) for s in strips])
+    # chunk offsets filled after layout; byte counts known now
+    if tile:
+        entry(322, 4, [tile[0]])
+        entry(323, 4, [tile[1]])
+        entry(324, 4, [0] * len(strips))
+        entry(325, 4, [len(s) for s in strips])
+        offs_tag = 324
+    else:
+        entry(278, 4, [rps])
+        entry(273, 4, [0] * len(strips))
+        entry(279, 4, [len(s) for s in strips])
+        offs_tag = 273
     entries.sort(key=lambda e: e[0])
 
     header = struct.pack(f"{bo}2sHI", b"II" if bo == "<" else b"MM", 42, 8)
@@ -201,17 +240,17 @@ def encode_tiff(
     for s in strips:
         strip_offsets.append(pos)
         pos += len(s)
-    # rebuild the strip-offset entry with real positions
+    # rebuild the chunk-offset entry with real positions
     fmt = f"{bo}I"
     rebuilt = []
     for tag, ftype, count, raw in entries:
-        if tag == 273:
+        if tag == offs_tag:
             raw = b"".join(struct.pack(fmt, o) for o in strip_offsets)
             if len(raw) > 4:
                 # keep the SAME out-of-line slot reserved in pass one
                 out_vals[
-                    offsets_map[273] - value_area:
-                    offsets_map[273] - value_area + len(raw)
+                    offsets_map[offs_tag] - value_area:
+                    offsets_map[offs_tag] - value_area + len(raw)
                 ] = raw
         rebuilt.append((tag, ftype, count, raw))
 

@@ -18,9 +18,10 @@ bread-and-butter formats need nothing beyond the stdlib:
   global/local palettes, 4-pass interlace; palette entries map to luma
   the same way the RGB decoders do.
 - TIFF — baseline TIFF 6.0 first IFD (both byte orders): 8-bit gray,
-  RGB, and palette-color, chunky or planar strips, uncompressed,
-  PackBits, or LZW (early-change convention, Predictor 2 horizontal
-  differencing); JPEG-in-TIFF, tiled layouts, 16-bit samples, and
+  RGB, and palette-color; chunky or planar; strip- or tile-organized
+  (tags 322-325, padded edge tiles cropped on placement);
+  uncompressed, PackBits, or LZW (early-change convention, Predictor 2
+  horizontal differencing); JPEG-in-TIFF, 16-bit samples, and
   mask/CMYK/YCbCr photometrics raise with the "use PIL" pointer.
 
 Each decode yields REAL dimensions/duration plus a deterministic
@@ -880,8 +881,7 @@ def decode_tiff(content: bytes) -> dict:
         raise ValueError(
             f"unsupported TIFF predictor {predictor} — use PIL"
         )
-    if 322 in tags or 323 in tags:
-        raise ValueError("tiled TIFF unsupported — use PIL")
+    tiled = any(t in tags for t in (322, 323, 324, 325))
     spp = one(277, 1)
     bits = tags.get(258, [8])
     if any(b != 8 for b in bits) or spp not in (1, 3, 4):
@@ -916,46 +916,101 @@ def decode_tiff(content: bytes) -> dict:
             raise ValueError(
                 "palette TIFF without a full 8-bit ColorMap — use PIL"
             )
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF missing/mismatched strip tables")
-    rows_per_strip = one(278, height)
-    strips_per_plane = -(-height // max(1, rows_per_strip))
-    if planar and len(offsets) != spp * strips_per_plane:
-        raise ValueError(
-            "planar TIFF strip table does not cover "
-            f"{spp} planes x {strips_per_plane} strips"
-        )
-    # planar: one raster per component plane (all plane-0 strips come
-    # first in the table); chunky: a single interleaved raster
+    # chunky: a single interleaved raster; planar: one raster per
+    # component plane (all plane-0 chunks come first in the table)
     strip_spp = 1 if planar else spp
-    rasters = [bytearray() for _ in range(spp if planar else 1)]
-    expect_plane = width * height * strip_spp
-    for s, (so, sc) in enumerate(zip(offsets, counts)):
-        if so + sc > len(content):
-            raise ValueError(f"TIFF strip {s} past EOF")
-        strip = content[so: so + sc]
-        block = s % strips_per_plane if planar else s
-        n_rows = min(rows_per_strip, height - block * rows_per_strip)
-        expect = width * n_rows * strip_spp
+    n_planes = spp if planar else 1
+
+    def decompress(chunk: bytes, expect: int, idx: int) -> bytes:
         if compression == 32773:
-            strip = _packbits(strip, expect)
+            chunk = _packbits(chunk, expect)
         elif compression == 5:
-            strip = _tiff_lzw(strip, expect)
-        if len(strip) < expect:
-            raise ValueError(f"TIFF strip {s} short of declared rows")
-        strip = strip[:expect]
-        if predictor == 2:
-            # horizontal differencing undone per strip row; in a planar
-            # strip each row holds ONE component, so the delta stride
-            # is the strip's samples-per-pixel, not the image's
-            strip = _tiff_predictor2(
-                bytearray(strip), width, n_rows, strip_spp
+            chunk = _tiff_lzw(chunk, expect)
+        if len(chunk) < expect:
+            raise ValueError(f"TIFF chunk {idx} short of declared size")
+        return chunk[:expect]
+
+    if tiled:
+        tw, th = one(322), one(323)
+        toffs = tags.get(324)
+        tcounts = tags.get(325)
+        if (
+            not tw or not th or not toffs or not tcounts
+            or len(toffs) != len(tcounts)
+        ):
+            raise ValueError("tiled TIFF missing/mismatched tile tables")
+        across = -(-width // tw)
+        down = -(-height // th)
+        if (across * tw) * (down * th) > _TIFF_MAX_PIXELS:
+            raise ValueError(
+                f"tiled TIFF {across * tw}x{down * th} padded grid "
+                f"exceeds the decode cap ({_TIFF_MAX_PIXELS} px)"
             )
-        rasters[s // strips_per_plane if planar else 0] += strip
-    if any(len(r) < expect_plane for r in rasters):
-        raise ValueError("TIFF strips short of declared raster")
+        per_plane = across * down
+        if len(toffs) != n_planes * per_plane:
+            raise ValueError(
+                f"tiled TIFF tile table does not cover {n_planes} "
+                f"planes x {per_plane} tiles"
+            )
+        rasters = [
+            bytearray(width * height * strip_spp) for _ in range(n_planes)
+        ]
+        # tiles are ALWAYS tw x th samples — edge tiles carry padding
+        # that is decoded then cropped on placement
+        for t, (so, sc) in enumerate(zip(toffs, tcounts)):
+            if so + sc > len(content):
+                raise ValueError(f"TIFF tile {t} past EOF")
+            tile = decompress(content[so: so + sc], tw * th * strip_spp, t)
+            if predictor == 2:
+                tile = _tiff_predictor2(
+                    bytearray(tile), tw, th, strip_spp
+                )
+            ty, tx = divmod(t % per_plane, across)
+            y0, x0 = ty * th, tx * tw
+            rows = min(th, height - y0)
+            cols = min(tw, width - x0)
+            if rows <= 0 or cols <= 0:
+                raise ValueError(f"TIFF tile {t} outside the image grid")
+            dst = rasters[t // per_plane]
+            for r in range(rows):
+                srow = r * tw * strip_spp
+                drow = ((y0 + r) * width + x0) * strip_spp
+                dst[drow: drow + cols * strip_spp] = tile[
+                    srow: srow + cols * strip_spp
+                ]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing/mismatched strip tables")
+        rows_per_strip = one(278, height)
+        strips_per_plane = -(-height // max(1, rows_per_strip))
+        if planar and len(offsets) != spp * strips_per_plane:
+            raise ValueError(
+                "planar TIFF strip table does not cover "
+                f"{spp} planes x {strips_per_plane} strips"
+            )
+        rasters = [bytearray() for _ in range(n_planes)]
+        expect_plane = width * height * strip_spp
+        for s, (so, sc) in enumerate(zip(offsets, counts)):
+            if so + sc > len(content):
+                raise ValueError(f"TIFF strip {s} past EOF")
+            block = s % strips_per_plane if planar else s
+            n_rows = min(rows_per_strip, height - block * rows_per_strip)
+            strip = decompress(
+                content[so: so + sc], width * n_rows * strip_spp, s
+            )
+            if predictor == 2:
+                # horizontal differencing undone per strip row; in a
+                # planar strip each row holds ONE component, so the
+                # delta stride is the strip's samples-per-pixel, not
+                # the image's
+                strip = _tiff_predictor2(
+                    bytearray(strip), width, n_rows, strip_spp
+                )
+            rasters[s // strips_per_plane if planar else 0] += strip
+        if any(len(r) < expect_plane for r in rasters):
+            raise ValueError("TIFF strips short of declared raster")
     raster = rasters[0]
     expect_total = width * height * spp
     lumas = []
