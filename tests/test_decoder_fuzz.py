@@ -70,6 +70,10 @@ _GOLDEN = {
         [(x * 9) % 256 for x in range(300)], 10, 10, mode="RGB",
         tile=(4, 3), lzw=True,
     ),
+    "tiff-16bit": encode_tiff(
+        [(x * 653) % 65536 for x in range(100)], 10, 10, bits=16,
+        lzw=True, predictor=True, rows_per_strip=4,
+    ),
 }
 
 _PARSE_KINDS = sorted(files.registered_kinds())
@@ -143,7 +147,8 @@ def test_msg_attachments_garbage_yields_empty(data, mut):
 @given(
     kind=st.sampled_from(["png", "bmp", "wav", "jpeg", "gif",
                            "tiff", "tiff-palette", "tiff-planar",
-                           "tiff-lzw", "tiff-tiled"]),
+                           "tiff-lzw", "tiff-tiled",
+                           "tiff-16bit"]),
     mut=mutations,
     data=st.binary(max_size=2048),
 )

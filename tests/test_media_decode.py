@@ -728,6 +728,57 @@ def test_tiff_tiled_roundtrip_exact(bo, comp):
         decode_media(bytes(bad))
 
 
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("comp", ["none", "lzw", "lzw+pred"])
+def test_tiff_16bit_roundtrip_exact(bo, comp):
+    """16-bit samples: each SHORT (file byte order) downscales to its
+    high byte for the luminance feature; Predictor 2 differencing is
+    undone at 16-bit sample granularity BEFORE the downscale (undoing
+    it on bytes would corrupt every sample whose delta crosses a byte
+    boundary). Gray, RGB, planar, strip and tiled variants against
+    expected histograms computed independently here."""
+    from tests.tiff_emitter import encode_tiff
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+    )
+
+    kw = {
+        "none": {},
+        "lzw": dict(lzw=True),
+        "lzw+pred": dict(lzw=True, predictor=True),
+    }[comp]
+    w, h = 13, 9
+    lum16 = [(x * 1553 + y * 7919) % 65536
+             for y in range(h) for x in range(w)]
+    rgb16 = []
+    for y in range(h):
+        for x in range(w):
+            rgb16 += [(x * 4099) % 65536, (y * 9973) % 65536,
+                      (x * y * 257) % 65536]
+
+    def hi(vals):
+        return [v >> 8 for v in vals]
+
+    lum_expect = _hist8(hi(lum16))
+    rgb_expect = _hist8(
+        [(rgb16[i] // 256 + rgb16[i + 1] // 256 + rgb16[i + 2] // 256) // 3
+         for i in range(0, len(rgb16), 3)]
+    )
+    variants = [
+        (dict(mode="L", rows_per_strip=4), lum16, lum_expect),
+        (dict(mode="RGB", rows_per_strip=4), rgb16, rgb_expect),
+        (dict(mode="RGB", planar=True, rows_per_strip=4), rgb16,
+         rgb_expect),
+        (dict(mode="RGB", tile=(5, 4)), rgb16, rgb_expect),
+    ]
+    for vkw, pixels, expect in variants:
+        m = decode_media(
+            encode_tiff(pixels, w, h, byte_order=bo, bits=16, **kw, **vkw)
+        )
+        assert (m["width"], m["height"]) == (w, h)
+        assert m["feature"] == expect, (vkw, comp)
+
+
 def test_tiff_unsupported_and_malformed():
     import pytest as _pt
 

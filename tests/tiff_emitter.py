@@ -103,6 +103,18 @@ def _predict2(strip: bytes, width: int, spp: int) -> bytes:
     return bytes(out)
 
 
+def _predict2_samples(samps, row_width: int, spp: int, mod: int):
+    """Forward horizontal differencing at SAMPLE granularity (16-bit
+    rasters): each sample minus the one ``spp`` earlier in its row,
+    modulo the sample range."""
+    out = list(samps)
+    stride = row_width * spp
+    for base in range(0, len(out), stride):
+        for j in range(min(stride, len(out) - base) - 1, spp - 1, -1):
+            out[base + j] = (out[base + j] - out[base + j - spp]) % mod
+    return out
+
+
 def encode_tiff(
     pixels,
     width: int,
@@ -116,25 +128,47 @@ def encode_tiff(
     lzw: bool = False,
     predictor: bool = False,
     tile: tuple[int, int] | None = None,
+    bits: int = 8,
 ) -> bytes:
     """``pixels``: row-major luma for 'L', interleaved RGB for 'RGB',
     8-bit palette indices for 'P' (``palette`` = 256 (r, g, b) tuples,
     16-bit channel values, emitted as the TIFF 6.0 ColorMap: all reds,
     then greens, then blues). ``planar`` (RGB only) stores each
     component in its own strips (PlanarConfiguration=2, all plane-0
-    strips first per the spec)."""
+    strips first per the spec). ``bits=16`` packs each sample as a
+    SHORT in the file's byte order (predictor differencing then runs at
+    16-bit sample granularity)."""
+    assert bits in (8, 16) and (bits == 8 or mode != "P")
     spp = 3 if mode == "RGB" else 1
     rps = rows_per_strip or height
-    raster = bytes(pixels)
+    # the raster is a flat SAMPLE sequence; bytes for 8-bit keeps the
+    # historical byte-level goldens byte-identical, a list for 16-bit
+    raster = bytes(pixels) if bits == 8 else list(pixels)
 
-    def enc(strip: bytes, strip_spp: int) -> bytes:
-        if predictor:
-            strip = _predict2(strip, width, strip_spp)
+    def pack(samps) -> bytes:
+        if bits == 8:
+            return bytes(samps)
+        return b"".join(
+            struct.pack(f"{byte_order}H", v) for v in samps
+        )
+
+    def enc(chunk, row_width: int, chunk_spp: int) -> bytes:
+        if bits == 8:
+            data = bytes(chunk)
+            if predictor:
+                data = _predict2(data, row_width, chunk_spp)
+        else:
+            samps = list(chunk)
+            if predictor:
+                samps = _predict2_samples(
+                    samps, row_width, chunk_spp, 1 << bits
+                )
+            data = pack(samps)
         if lzw:
-            return _lzw_encode(strip)
+            return _lzw_encode(data)
         if packbits:
-            return _packbits_encode(strip)
-        return strip
+            return _packbits_encode(data)
+        return data
 
     strips = []
     if tile:
@@ -148,7 +182,11 @@ def encode_tiff(
         for plane_raster in planes:
             for ty in range(0, height, th):
                 for tx in range(0, width, tw):
-                    t = bytearray(tw * th * tile_spp)
+                    t = (
+                        bytearray(tw * th * tile_spp)
+                        if bits == 8
+                        else [0] * (tw * th * tile_spp)
+                    )
                     rows = min(th, height - ty)
                     cols = min(tw, width - tx)
                     for r in range(rows):
@@ -159,14 +197,7 @@ def encode_tiff(
                         )
                     # predictor/compression apply per tile with the
                     # tile's own row stride
-                    chunk = bytes(t)
-                    if predictor:
-                        chunk = _predict2(chunk, tw, tile_spp)
-                    if lzw:
-                        chunk = _lzw_encode(chunk)
-                    elif packbits:
-                        chunk = _packbits_encode(chunk)
-                    strips.append(chunk)
+                    strips.append(enc(t, tw, tile_spp))
     elif planar:
         assert mode == "RGB", "planar layout applies to RGB only"
         for plane in range(spp):
@@ -174,12 +205,12 @@ def encode_tiff(
             for top in range(0, height, rps):
                 rows = min(rps, height - top)
                 strip = plane_raster[top * width: (top + rows) * width]
-                strips.append(enc(strip, 1))
+                strips.append(enc(strip, width, 1))
     else:
         for top in range(0, height, rps):
             rows = min(rps, height - top)
             strip = raster[top * width * spp: (top + rows) * width * spp]
-            strips.append(enc(strip, spp))
+            strips.append(enc(strip, width, spp))
 
     bo = byte_order
     entries = []  # (tag, type, count, packed-or-deferred value)
@@ -192,7 +223,7 @@ def encode_tiff(
 
     entry(256, 4, [width])
     entry(257, 4, [height])
-    entry(258, 3, [8] * spp)
+    entry(258, 3, [bits] * spp)
     entry(259, 3, [5 if lzw else (32773 if packbits else 1)])
     if predictor:
         entry(317, 3, [2])

@@ -17,12 +17,13 @@ bread-and-butter formats need nothing beyond the stdlib:
 - GIF  — GIF87a/89a first frame: variable-width LSB-first LZW decode,
   global/local palettes, 4-pass interlace; palette entries map to luma
   the same way the RGB decoders do.
-- TIFF — baseline TIFF 6.0 first IFD (both byte orders): 8-bit gray,
-  RGB, and palette-color; chunky or planar; strip- or tile-organized
-  (tags 322-325, padded edge tiles cropped on placement);
-  uncompressed, PackBits, or LZW (early-change convention, Predictor 2
-  horizontal differencing); JPEG-in-TIFF, 16-bit samples, and
-  mask/CMYK/YCbCr photometrics raise with the "use PIL" pointer.
+- TIFF — baseline TIFF 6.0 first IFD (both byte orders): 8- and
+  16-bit gray/RGB plus 8-bit palette-color; chunky or planar; strip-
+  or tile-organized (tags 322-325, padded edge tiles cropped on
+  placement); uncompressed, PackBits, or LZW (early-change convention,
+  Predictor 2 horizontal differencing at sample granularity);
+  JPEG-in-TIFF and mask/CMYK/YCbCr photometrics raise with the "use
+  PIL" pointer.
 
 Each decode yields REAL dimensions/duration plus a deterministic
 ``FEATURE_DIM``-dim feature: an 8-bin luminance histogram for images, an
@@ -817,6 +818,26 @@ def _tiff_predictor2(
     return strip
 
 
+def _tiff_predictor2_16(
+    strip: bytearray, width: int, n_rows: int, spp: int, byteorder: str
+) -> bytearray:
+    """Predictor 2 for 16-bit samples: differencing operates on SAMPLE
+    values (mod 65536), so it must be undone at 16-bit granularity — in
+    the file's byte order — before any downscale to 8 bits."""
+    stride = width * spp
+    for r in range(n_rows):
+        base = r * stride
+        for j in range(spp, stride):
+            o = (base + j) * 2
+            po = (base + j - spp) * 2
+            v = (
+                int.from_bytes(strip[o: o + 2], byteorder)
+                + int.from_bytes(strip[po: po + 2], byteorder)
+            ) & 0xFFFF
+            strip[o: o + 2] = v.to_bytes(2, byteorder)
+    return strip
+
+
 def decode_tiff(content: bytes) -> dict:
     """First IFD, strip-organized 8-bit gray/RGB/palette-color, chunky
     or planar, compression none/LZW/PackBits, predictor none/horizontal
@@ -884,11 +905,17 @@ def decode_tiff(content: bytes) -> dict:
     tiled = any(t in tags for t in (322, 323, 324, 325))
     spp = one(277, 1)
     bits = tags.get(258, [8])
-    if any(b != 8 for b in bits) or spp not in (1, 3, 4):
+    if (
+        not bits
+        or any(b != bits[0] for b in bits)
+        or bits[0] not in (8, 16)
+        or spp not in (1, 3, 4)
+    ):
         raise ValueError(
             f"unsupported TIFF sample layout (bits {bits}, {spp} spp) "
             "— use PIL"
         )
+    bps = bits[0] // 8  # bytes per sample (8- or 16-bit, uniform)
     # PlanarConfiguration (284): 1 = chunky (RGBRGB...), 2 = planar
     # (each strip holds ONE component; all plane-0 strips first). For
     # spp=1 the two are identical. Anything else refuses loudly — the
@@ -912,7 +939,10 @@ def decode_tiff(content: bytes) -> dict:
         # 3 * 2^bits SHORTs — all reds, then all greens, then all
         # blues, each 0..65535
         colormap = tags.get(320)
-        if spp != 1 or colormap is None or len(colormap) < 3 * 256:
+        if (
+            spp != 1 or bps != 1 or colormap is None
+            or len(colormap) < 3 * 256
+        ):
             raise ValueError(
                 "palette TIFF without a full 8-bit ColorMap — use PIL"
             )
@@ -920,6 +950,7 @@ def decode_tiff(content: bytes) -> dict:
     # component plane (all plane-0 chunks come first in the table)
     strip_spp = 1 if planar else spp
     n_planes = spp if planar else 1
+    byteorder = "big" if bo == ">" else "little"
 
     def decompress(chunk: bytes, expect: int, idx: int) -> bytes:
         if compression == 32773:
@@ -929,6 +960,15 @@ def decode_tiff(content: bytes) -> dict:
         if len(chunk) < expect:
             raise ValueError(f"TIFF chunk {idx} short of declared size")
         return chunk[:expect]
+
+    def unpredict(chunk: bytes, cwidth: int, crows: int) -> bytes:
+        if predictor != 2:
+            return chunk
+        if bps == 2:
+            return _tiff_predictor2_16(
+                bytearray(chunk), cwidth, crows, strip_spp, byteorder
+            )
+        return _tiff_predictor2(bytearray(chunk), cwidth, crows, strip_spp)
 
     if tiled:
         tw, th = one(322), one(323)
@@ -953,18 +993,18 @@ def decode_tiff(content: bytes) -> dict:
                 f"planes x {per_plane} tiles"
             )
         rasters = [
-            bytearray(width * height * strip_spp) for _ in range(n_planes)
+            bytearray(width * height * strip_spp * bps)
+            for _ in range(n_planes)
         ]
         # tiles are ALWAYS tw x th samples — edge tiles carry padding
         # that is decoded then cropped on placement
         for t, (so, sc) in enumerate(zip(toffs, tcounts)):
             if so + sc > len(content):
                 raise ValueError(f"TIFF tile {t} past EOF")
-            tile = decompress(content[so: so + sc], tw * th * strip_spp, t)
-            if predictor == 2:
-                tile = _tiff_predictor2(
-                    bytearray(tile), tw, th, strip_spp
-                )
+            tile = decompress(
+                content[so: so + sc], tw * th * strip_spp * bps, t
+            )
+            tile = unpredict(tile, tw, th)
             ty, tx = divmod(t % per_plane, across)
             y0, x0 = ty * th, tx * tw
             rows = min(th, height - y0)
@@ -972,12 +1012,11 @@ def decode_tiff(content: bytes) -> dict:
             if rows <= 0 or cols <= 0:
                 raise ValueError(f"TIFF tile {t} outside the image grid")
             dst = rasters[t // per_plane]
+            sb = strip_spp * bps  # bytes per pixel within this chunk
             for r in range(rows):
-                srow = r * tw * strip_spp
-                drow = ((y0 + r) * width + x0) * strip_spp
-                dst[drow: drow + cols * strip_spp] = tile[
-                    srow: srow + cols * strip_spp
-                ]
+                srow = r * tw * sb
+                drow = ((y0 + r) * width + x0) * sb
+                dst[drow: drow + cols * sb] = tile[srow: srow + cols * sb]
     else:
         offsets = tags.get(273)
         counts = tags.get(279)
@@ -991,26 +1030,28 @@ def decode_tiff(content: bytes) -> dict:
                 f"{spp} planes x {strips_per_plane} strips"
             )
         rasters = [bytearray() for _ in range(n_planes)]
-        expect_plane = width * height * strip_spp
+        expect_plane = width * height * strip_spp * bps
         for s, (so, sc) in enumerate(zip(offsets, counts)):
             if so + sc > len(content):
                 raise ValueError(f"TIFF strip {s} past EOF")
             block = s % strips_per_plane if planar else s
             n_rows = min(rows_per_strip, height - block * rows_per_strip)
             strip = decompress(
-                content[so: so + sc], width * n_rows * strip_spp, s
+                content[so: so + sc], width * n_rows * strip_spp * bps, s
             )
-            if predictor == 2:
-                # horizontal differencing undone per strip row; in a
-                # planar strip each row holds ONE component, so the
-                # delta stride is the strip's samples-per-pixel, not
-                # the image's
-                strip = _tiff_predictor2(
-                    bytearray(strip), width, n_rows, strip_spp
-                )
+            # horizontal differencing undone per strip row; in a planar
+            # strip each row holds ONE component, so the delta stride is
+            # the strip's samples-per-pixel, not the image's
+            strip = unpredict(strip, width, n_rows)
             rasters[s // strips_per_plane if planar else 0] += strip
         if any(len(r) < expect_plane for r in rasters):
             raise ValueError("TIFF strips short of declared raster")
+    if bps == 2:
+        # 16-bit samples downscale to their high byte (the luminance
+        # feature is 8-bit); predictors were already undone at 16-bit
+        # sample granularity above
+        hi = 0 if bo == ">" else 1
+        rasters = [bytearray(r[hi::2]) for r in rasters]
     raster = rasters[0]
     expect_total = width * height * spp
     lumas = []
