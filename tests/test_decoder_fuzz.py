@@ -74,6 +74,10 @@ _GOLDEN = {
         [(x * 653) % 65536 for x in range(100)], 10, 10, bits=16,
         lzw=True, predictor=True, rows_per_strip=4,
     ),
+    "tiff-cmyk": encode_tiff(
+        [(x * 3) % 256 for x in range(400)], 10, 10, mode="CMYK",
+        lzw=True, rows_per_strip=4,
+    ),
 }
 
 _PARSE_KINDS = sorted(files.registered_kinds())
@@ -148,7 +152,7 @@ def test_msg_attachments_garbage_yields_empty(data, mut):
     kind=st.sampled_from(["png", "bmp", "wav", "jpeg", "gif",
                            "tiff", "tiff-palette", "tiff-planar",
                            "tiff-lzw", "tiff-tiled",
-                           "tiff-16bit"]),
+                           "tiff-16bit", "tiff-cmyk"]),
     mut=mutations,
     data=st.binary(max_size=2048),
 )

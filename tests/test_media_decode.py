@@ -779,6 +779,75 @@ def test_tiff_16bit_roundtrip_exact(bo, comp):
         assert m["feature"] == expect, (vkw, comp)
 
 
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("layout", ["chunky", "planar", "tiled"])
+def test_tiff_cmyk_roundtrip_exact(bo, layout):
+    """CMYK (photometric 5, spp=4): with K=0 and C/M/Y = 255-R/G/B the
+    naive profile-less conversion reduces EXACTLY to the original RGB,
+    so a CMYK-of-RGB golden must match its plain-RGB twin's histogram;
+    a nonzero-K golden checks the (255-c)(255-k)/255 term against
+    in-test arithmetic. CMYK with the wrong sample count refuses."""
+    from tests.tiff_emitter import encode_tiff
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+    )
+
+    kw = {
+        "chunky": dict(rows_per_strip=4),
+        "planar": dict(planar=True, rows_per_strip=4),
+        "tiled": dict(tile=(5, 4)),
+    }[layout]
+    w, h = 13, 9
+    rgb, cmyk0 = [], []
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (x * 31) % 256, (y * 57) % 256, (x ^ y) % 256
+            rgb += [r, g, b]
+            cmyk0 += [255 - r, 255 - g, 255 - b, 0]
+    plain = decode_media(
+        encode_tiff(rgb, w, h, mode="RGB", byte_order=bo,
+                    rows_per_strip=4)
+    )
+    got = decode_media(
+        encode_tiff(cmyk0, w, h, mode="CMYK", byte_order=bo, lzw=True,
+                    **kw)
+    )
+    assert (got["width"], got["height"]) == (w, h)
+    assert got["feature"] == plain["feature"]
+
+    # nonzero K: expected luma from independent in-test arithmetic
+    cmyk = []
+    expect = []
+    for y in range(h):
+        for x in range(w):
+            c, m, yy, k = (x * 7) % 256, (y * 11) % 256, 200, (x + y) % 256
+            cmyk += [c, m, yy, k]
+            kk = 255 - k
+            expect.append(
+                ((255 - c) * kk // 255 + (255 - m) * kk // 255
+                 + (255 - yy) * kk // 255) // 3
+            )
+    got2 = decode_media(
+        encode_tiff(cmyk, w, h, mode="CMYK", byte_order=bo, **kw)
+    )
+    assert got2["feature"] == _hist8(expect)
+
+    # photometric 5 with spp != 4 refuses
+    import struct as _s
+
+    bad = bytearray(
+        encode_tiff(rgb, w, h, mode="RGB", byte_order="<",
+                    rows_per_strip=4)
+    )
+    n = _s.unpack_from("<H", bad, 8)[0]
+    for e in range(n):
+        off = 10 + 12 * e
+        if _s.unpack_from("<H", bad, off)[0] == 262:
+            _s.pack_into("<H", bad, off + 8, 5)
+    with pytest.raises(ValueError, match="use PIL"):
+        decode_media(bytes(bad))
+
+
 def test_tiff_unsupported_and_malformed():
     import pytest as _pt
 

@@ -130,7 +130,7 @@ def encode_tiff(
     tile: tuple[int, int] | None = None,
     bits: int = 8,
 ) -> bytes:
-    """``pixels``: row-major luma for 'L', interleaved RGB for 'RGB',
+    """``pixels``: row-major luma for 'L', interleaved RGB for 'RGB' (CMYK likewise for 'CMYK'),
     8-bit palette indices for 'P' (``palette`` = 256 (r, g, b) tuples,
     16-bit channel values, emitted as the TIFF 6.0 ColorMap: all reds,
     then greens, then blues). ``planar`` (RGB only) stores each
@@ -139,7 +139,7 @@ def encode_tiff(
     SHORT in the file's byte order (predictor differencing then runs at
     16-bit sample granularity)."""
     assert bits in (8, 16) and (bits == 8 or mode != "P")
-    spp = 3 if mode == "RGB" else 1
+    spp = {"RGB": 3, "CMYK": 4}.get(mode, 1)
     rps = rows_per_strip or height
     # the raster is a flat SAMPLE sequence; bytes for 8-bit keeps the
     # historical byte-level goldens byte-identical, a list for 16-bit
@@ -199,7 +199,7 @@ def encode_tiff(
                     # tile's own row stride
                     strips.append(enc(t, tw, tile_spp))
     elif planar:
-        assert mode == "RGB", "planar layout applies to RGB only"
+        assert mode in ("RGB", "CMYK"), "planar needs multi-sample pixels"
         for plane in range(spp):
             plane_raster = raster[plane::spp]
             for top in range(0, height, rps):
@@ -235,6 +235,8 @@ def encode_tiff(
             + [c[2] for c in palette]
         )
         entry(320, 3, cm)
+    elif mode == "CMYK":
+        entry(262, 3, [5])  # separated (CMYK)
     else:
         entry(262, 3, [2 if spp == 3 else 1])  # RGB / BlackIsZero
     entry(277, 3, [spp])

@@ -21,9 +21,10 @@ bread-and-butter formats need nothing beyond the stdlib:
   16-bit gray/RGB plus 8-bit palette-color; chunky or planar; strip-
   or tile-organized (tags 322-325, padded edge tiles cropped on
   placement); uncompressed, PackBits, or LZW (early-change convention,
-  Predictor 2 horizontal differencing at sample granularity);
-  JPEG-in-TIFF and mask/CMYK/YCbCr photometrics raise with the "use
-  PIL" pointer.
+  Predictor 2 horizontal differencing at sample granularity); CMYK
+  (photometric 5) via the profile-less separation formula;
+  JPEG-in-TIFF and mask/YCbCr photometrics raise with the "use PIL"
+  pointer.
 
 Each decode yields REAL dimensions/duration plus a deterministic
 ``FEATURE_DIM``-dim feature: an 8-bin luminance histogram for images, an
@@ -928,10 +929,14 @@ def decode_tiff(content: bytes) -> dict:
         )
     planar = planar == 2 and spp > 1
     photometric = one(262, 1)
-    if photometric not in (0, 1, 2, 3):
+    if photometric not in (0, 1, 2, 3, 5):
         raise ValueError(
             f"unsupported TIFF photometric {photometric} "
-            "(mask/CMYK/YCbCr) — use PIL"
+            "(mask/YCbCr) — use PIL"
+        )
+    if photometric == 5 and spp != 4:
+        raise ValueError(
+            f"CMYK TIFF with {spp} samples per pixel — use PIL"
         )
     colormap = None
     if photometric == 3:
@@ -1067,6 +1072,32 @@ def decode_tiff(content: bytes) -> dict:
         lumas = list(raster)
         if photometric == 0:  # WhiteIsZero: invert
             lumas = [255 - v for v in lumas]
+    elif photometric == 5:
+        # CMYK (no ICC profile): R = (255-C)(255-K)/255 etc.; luma is
+        # the RGB mean — the same naive conversion PIL uses without a
+        # profile
+        def cmyk_luma(c, m, y, k):
+            kk = 255 - k
+            return (
+                (255 - c) * kk // 255
+                + (255 - m) * kk // 255
+                + (255 - y) * kk // 255
+            ) // 3
+
+        if planar:
+            pc, pm, py, pk = rasters[:4]
+            lumas = [
+                cmyk_luma(pc[i], pm[i], py[i], pk[i])
+                for i in range(width * height)
+            ]
+        else:
+            for i in range(0, expect_total, 4):
+                lumas.append(
+                    cmyk_luma(
+                        raster[i], raster[i + 1],
+                        raster[i + 2], raster[i + 3],
+                    )
+                )
     elif planar:
         r, g, b = rasters[0], rasters[1], rasters[2]
         lumas = [
