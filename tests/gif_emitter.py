@@ -84,28 +84,44 @@ def encode_gif(
     height: int,
     interlace: bool = False,
     with_gce: bool = True,
+    frames=None,
 ) -> bytes:
     """``lumas``: row-major 8-bit values; the palette is the identity
-    grayscale ramp, so palette-luma == pixel value exactly."""
+    grayscale ramp, so palette-luma == pixel value exactly. ``frames``
+    (animated): list of (lumas, delay_cs) APPENDED after the first
+    frame, each with its own Graphic Control Extension carrying the
+    delay; the first frame's GCE carries delay 0 (with_gce=True)."""
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", width, height)
     out += bytes([0x80 | 0x07, 0, 0])  # global palette, 256 entries
     for i in range(256):
         out += bytes([i, i, i])
-    if with_gce:  # graphic control extension: decoder must skip it
-        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
-    out += bytes([0x40 if interlace else 0x00])
-    rows = [bytes(lumas[y * width: (y + 1) * width]) for y in range(height)]
-    if interlace:
-        ordered = []
-        for first, step in _PASSES:
-            ordered.extend(rows[first::step] if first < height else [])
-        rows = ordered
-    data = _lzw_encode(b"".join(rows), 8)
-    out += bytes([8])  # LZW min code size
-    for i in range(0, len(data), 255):
-        block = data[i: i + 255]
-        out += bytes([len(block)]) + block
-    out += b"\x00\x3b"  # block terminator + trailer
+
+    def emit_frame(frame_lumas, delay_cs, gce, ilace):
+        if gce:  # graphic control extension (delay little-endian)
+            out.extend(b"\x21\xf9\x04\x00")
+            out.extend(struct.pack("<H", delay_cs))
+            out.extend(b"\x00\x00")
+        out.extend(b"\x2c" + struct.pack("<HHHH", 0, 0, width, height))
+        out.extend(bytes([0x40 if ilace else 0x00]))
+        rows = [
+            bytes(frame_lumas[y * width: (y + 1) * width])
+            for y in range(height)
+        ]
+        if ilace:
+            ordered = []
+            for first, step in _PASSES:
+                ordered.extend(rows[first::step] if first < height else [])
+            rows = ordered
+        data = _lzw_encode(b"".join(rows), 8)
+        out.extend(bytes([8]))  # LZW min code size
+        for i in range(0, len(data), 255):
+            block = data[i: i + 255]
+            out.extend(bytes([len(block)]) + block)
+        out.extend(b"\x00")  # block terminator
+
+    emit_frame(lumas, 0, with_gce, interlace)
+    for frame_lumas, delay_cs in frames or []:
+        emit_frame(frame_lumas, delay_cs, True, False)
+    out += b"\x3b"  # trailer
     return bytes(out)

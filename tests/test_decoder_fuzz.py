@@ -51,6 +51,10 @@ _GOLDEN = {
     "wav": make_wav([0, 1000, -1000, 32000]),
     "jpeg": encode_jpeg([(x * 16) % 256 for x in range(100)], 10, 10),
     "gif": encode_gif([(x * 16) % 256 for x in range(100)], 10, 10),
+    "gif-anim": encode_gif(
+        [(x * 16) % 256 for x in range(100)], 10, 10,
+        frames=[([(x * 5) % 256 for x in range(100)], 10)],
+    ),
     "tiff": encode_tiff([(x * 16) % 256 for x in range(100)], 10, 10,
                         packbits=True, rows_per_strip=4),
     "tiff-palette": encode_tiff(
@@ -149,7 +153,7 @@ def test_msg_attachments_garbage_yields_empty(data, mut):
 
 @FUZZ
 @given(
-    kind=st.sampled_from(["png", "bmp", "wav", "jpeg", "gif",
+    kind=st.sampled_from(["png", "bmp", "wav", "jpeg", "gif", "gif-anim",
                            "tiff", "tiff-palette", "tiff-planar",
                            "tiff-lzw", "tiff-tiled",
                            "tiff-16bit", "tiff-cmyk"]),

@@ -848,6 +848,37 @@ def test_tiff_cmyk_roundtrip_exact(bo, layout):
         decode_media(bytes(bad))
 
 
+def test_gif_animated_duration_and_stills():
+    """Animated GIFs report the loop's total play time (sum of every
+    Graphic Control delay, centiseconds -> ms); single-frame GIFs keep
+    duration_ms None; the first frame's histogram is unaffected by the
+    extra frames; a malformed tail after a good first frame degrades to
+    single-frame metadata instead of failing the payload."""
+    from tests.gif_emitter import encode_gif
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+    )
+
+    w, h = 10, 8
+    f1 = [(x * 13) % 256 for x in range(w * h)]
+    f2 = [(x * 29) % 256 for x in range(w * h)]
+    f3 = [255 - v for v in f1]
+
+    still = decode_media(encode_gif(f1, w, h))
+    assert still["duration_ms"] is None
+
+    anim = decode_media(
+        encode_gif(f1, w, h, frames=[(f2, 12), (f3, 25)])
+    )
+    assert anim["duration_ms"] == (12 + 25) * 10
+    assert anim["feature"] == still["feature"]  # first frame only
+
+    # a torn tail (truncated second frame) keeps the good first frame
+    payload = bytearray(encode_gif(f1, w, h, frames=[(f2, 50)]))
+    torn = decode_media(bytes(payload[: len(payload) - 30]))
+    assert torn["feature"] == still["feature"]
+
+
 def test_tiff_unsupported_and_malformed():
     import pytest as _pt
 

@@ -653,13 +653,18 @@ def decode_gif(content: bytes) -> dict:
         n = 2 << (flags & 0x07)
         global_palette = content[pos: pos + 3 * n]
         pos += 3 * n
+    total_delay_cs = 0
     while pos < len(content):
         block = content[pos]
         if block == 0x3B:  # trailer before any image
             break
         if block == 0x21:  # extension: label + sub-block chain
+            label = content[pos + 1] if pos + 1 < len(content) else 0
             pos += 2
-            _, pos = _gif_subblocks(content, pos)
+            data, pos = _gif_subblocks(content, pos)
+            if label == 0xF9 and len(data) >= 4:
+                # Graphic Control: delay in centiseconds (little-endian)
+                total_delay_cs += data[1] | (data[2] << 8)
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block {block:#x}")
@@ -707,13 +712,47 @@ def decode_gif(content: bytes) -> dict:
             lumas = [pal_luma[i] for i in indices]
         except IndexError:
             raise ValueError("GIF pixel index outside palette") from None
+        # animated metadata: BEST-EFFORT scan of the remaining blocks
+        # for more frames + their Graphic Control delays — the first
+        # frame already decoded, so a malformed tail degrades to
+        # single-frame metadata instead of failing the whole payload
+        n_frames = 1
+        try:
+            while pos < len(content):
+                block = content[pos]
+                if block == 0x3B:
+                    break
+                if block == 0x21:
+                    label = (
+                        content[pos + 1] if pos + 1 < len(content) else 0
+                    )
+                    pos += 2
+                    data, pos = _gif_subblocks(content, pos)
+                    if label == 0xF9 and len(data) >= 4:
+                        total_delay_cs += data[1] | (data[2] << 8)
+                    continue
+                if block != 0x2C:
+                    break
+                fflags = content[pos + 9]
+                pos += 10
+                if fflags & 0x80:
+                    pos += 3 * (2 << (fflags & 0x07))
+                pos += 1  # LZW min code size
+                _, pos = _gif_subblocks(content, pos)
+                n_frames += 1
+        except (ValueError, IndexError, struct.error):
+            pass
         return {
             # the FRAME raster is what was decoded; screen dims can be
             # larger (frame offsets) — report the screen like real
             # viewers do, falling back to the frame when absent
             "width": screen_w or w,
             "height": screen_h or h,
-            "duration_ms": None,
+            # animated GIFs report the loop's total play time; still
+            # images keep the image convention (None)
+            "duration_ms": (
+                total_delay_cs * 10 if n_frames > 1 else None
+            ),
             "feature": _luma_hist(lumas),
         }
     raise ValueError("GIF contains no image frame")
