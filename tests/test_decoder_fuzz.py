@@ -26,7 +26,8 @@ from tests.gif_emitter import encode_gif
 from tests.jpeg_emitter import encode_jpeg
 from tests.tiff_emitter import encode_tiff
 from tests.test_cfb import golden_msg
-from tests.test_media_decode import make_bmp, make_png, make_wav
+from tests.test_media_decode import (make_bmp, make_png,
+                                    make_png_adv, make_wav)
 from tests.test_ooxml import golden_docx, golden_pdf, golden_xlsx
 from vectordb_data_ingestion_spark.operators.media_decode import decode_media
 from vectordb_data_ingestion_spark.sources import files
@@ -47,6 +48,17 @@ _GOLDEN = {
     "pdf": golden_pdf(),
     "msg": golden_msg(),
     "png": make_png([[(10, 20, 30), (40, 50, 60)]] * 2),
+    "png-adam7": make_png_adv(
+        [[(x * 31 % 256, x * 7 % 256, x % 256) for x in range(10)]] * 9,
+        2, interlace=1,
+    ),
+    "png-16bit": make_png_adv(
+        [[(x * 653) % 65536 for x in range(10)]] * 9, 0, bit_depth=16,
+    ),
+    "png-palette": make_png_adv(
+        [[x % 16 for x in range(10)]] * 9, 3,
+        palette=[(i, i * 2 % 256, i * 3 % 256) for i in range(16)],
+    ),
     "bmp": make_bmp([[(10, 20, 30), (40, 50, 60)]] * 2),
     "wav": make_wav([0, 1000, -1000, 32000]),
     "jpeg": encode_jpeg([(x * 16) % 256 for x in range(100)], 10, 10),
@@ -153,7 +165,8 @@ def test_msg_attachments_garbage_yields_empty(data, mut):
 
 @FUZZ
 @given(
-    kind=st.sampled_from(["png", "bmp", "wav", "jpeg", "gif", "gif-anim",
+    kind=st.sampled_from(["png", "png-adam7", "png-16bit",
+                           "png-palette", "bmp", "wav", "jpeg", "gif", "gif-anim",
                            "tiff", "tiff-palette", "tiff-planar",
                            "tiff-lzw", "tiff-tiled",
                            "tiff-16bit", "tiff-cmyk"]),

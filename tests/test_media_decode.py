@@ -67,6 +67,83 @@ def make_png(pixels, color_type=2, filters=None):
     )
 
 
+_ADAM7_EMIT = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def make_png_adv(sample_rows, color_type, bit_depth=8, interlace=0,
+                 palette=None):
+    """Independent producer for the advanced PNG shapes: 16-bit samples
+    (big-endian), Adam7 interlace (each pass serialized as its own
+    filtered sub-image), and palette (color type 3 + PLTE). Every
+    second row of each pass uses the Sub filter so per-pass filter
+    state is actually exercised."""
+    height, width = len(sample_rows), len(sample_rows[0])
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bps = bit_depth // 8
+    px_bytes = nch * bps
+
+    def flat_row(row):
+        out = bytearray()
+        for px in row:
+            vals = px if isinstance(px, (tuple, list)) else (px,)
+            for v in vals:
+                out += int(v).to_bytes(bps, "big")
+        return out
+
+    def serialize(rows_subset):
+        raw = bytearray()
+        for i, row in enumerate(rows_subset):
+            flat = flat_row(row)
+            if i % 2:  # Sub filter
+                raw.append(1)
+                raw += bytearray(
+                    (flat[j] - (flat[j - px_bytes] if j >= px_bytes
+                                else 0)) & 0xFF
+                    for j in range(len(flat))
+                )
+            else:
+                raw.append(0)
+                raw += flat
+        return raw
+
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7_EMIT:
+            sub = [
+                [sample_rows[y][x] for x in range(x0, width, dx)]
+                for y in range(y0, height, dy)
+            ]
+            sub = [r for r in sub if r]
+            if sub:
+                raw += serialize(sub)
+    else:
+        raw = serialize(sample_rows)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace
+    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(
+            b"PLTE",
+            b"".join(bytes(rgb) for rgb in palette),
+        )
+    return (
+        out
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def make_bmp(pixels):
     """24bpp bottom-up BMP from rows of (r,g,b)."""
     height, width = len(pixels), len(pixels[0])
@@ -846,6 +923,78 @@ def test_tiff_cmyk_roundtrip_exact(bo, layout):
             _s.pack_into("<H", bad, off + 8, 5)
     with pytest.raises(ValueError, match="use PIL"):
         decode_media(bytes(bad))
+
+
+@pytest.mark.parametrize("dims", [(13, 9), (3, 2), (1, 1), (16, 16)])
+def test_png_adam7_interlace_roundtrip(dims):
+    """Adam7: seven independently filtered sub-images reassemble to the
+    same histogram as the non-interlaced twin — odd dims exercise
+    partial and EMPTY passes (1x1 hits five empty ones)."""
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+    )
+
+    w, h = dims
+    rows_rgb = [
+        [((x * 31) % 256, (y * 57) % 256, (x ^ y) % 256)
+         for x in range(w)]
+        for y in range(h)
+    ]
+    rows_gray = [[(x * 7 + y * 13) % 256 for x in range(w)]
+                 for y in range(h)]
+    for ct, rows in ((2, rows_rgb), (0, rows_gray)):
+        plain = decode_media(make_png_adv(rows, ct))
+        inter = decode_media(make_png_adv(rows, ct, interlace=1))
+        assert (inter["width"], inter["height"]) == (w, h)
+        assert inter["feature"] == plain["feature"], (ct, dims)
+
+
+def test_png_16bit_and_palette_roundtrip():
+    """16-bit samples (big-endian SHORTs; luma = high byte) — plain and
+    interlaced — and palette PNGs (color type 3 + PLTE; luma through
+    the channel-mean LUT). Out-of-range palette indices refuse."""
+    from vectordb_data_ingestion_spark.operators.media_decode import (
+        decode_media,
+    )
+
+    w, h = 11, 7
+    rows16 = [
+        [((x * 4099) % 65536, (y * 9973) % 65536, (x * y * 257) % 65536)
+         for x in range(w)]
+        for y in range(h)
+    ]
+    expect16 = _hist8(
+        [(r // 256 + g // 256 + b // 256) // 3
+         for row in rows16 for (r, g, b) in row]
+    )
+    got = decode_media(make_png_adv(rows16, 2, bit_depth=16))
+    assert got["feature"] == expect16
+    got_i = decode_media(make_png_adv(rows16, 2, bit_depth=16,
+                                      interlace=1))
+    assert got_i["feature"] == expect16
+
+    gray16 = [[(x * 653 + y * 31) % 65536 for x in range(w)]
+              for y in range(h)]
+    expect_g = _hist8([v >> 8 for row in gray16 for v in row])
+    assert decode_media(
+        make_png_adv(gray16, 0, bit_depth=16)
+    )["feature"] == expect_g
+
+    palette = [((i * 3) % 256, (i * 7) % 256, (255 - i) % 256)
+               for i in range(64)]
+    idx_rows = [[(x + y * 5) % 64 for x in range(w)] for y in range(h)]
+    expect_p = _hist8(
+        [sum(palette[i]) // 3 for row in idx_rows for i in row]
+    )
+    assert decode_media(
+        make_png_adv(idx_rows, 3, palette=palette)
+    )["feature"] == expect_p
+
+    # palette index beyond PLTE refuses rather than mis-mapping
+    bad_rows = [[63 for _ in range(w)] for _ in range(h)]
+    payload = make_png_adv(bad_rows, 3, palette=palette[:32])
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_media(payload)
 
 
 def test_gif_animated_duration_and_stills():

@@ -4,8 +4,10 @@ PIL/ffmpeg/torchaudio are not installed in every deployment, but four
 bread-and-butter formats need nothing beyond the stdlib:
 
 - PNG  — ``zlib`` inflate of the IDAT stream + per-scanline unfiltering
-  (filter types 0-4 per the PNG spec); 8-bit gray / gray+alpha / RGB /
-  RGBA, non-interlaced.
+  (filter types 0-4 per the PNG spec); 8- and 16-bit gray / gray+alpha
+  / RGB / RGBA plus 8-bit palette (PLTE), progressive (Adam7) or not —
+  each interlace pass unfilters as its own sub-image. Sub-byte depths
+  raise with the "use PIL" pointer.
 - BMP  — BITMAPINFOHEADER parse + bottom-up 24/32-bpp pixel rows.
 - WAV  — the stdlib ``wave`` module (16-bit PCM).
 - JPEG — baseline DCT (ITU T.81 SOF0/SOF1): Huffman entropy decode of
@@ -88,11 +90,23 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Adam7 interlace passes: (x0, y0, dx, dy) — each pass is an
+# independently filtered sub-image in the single IDAT stream
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png(content: bytes) -> dict:
     """IHDR dims + unfiltered pixels -> luminance histogram feature."""
     pos, idat = 8, []
     width = height = None
     channels = None
+    plte = None
+    bit_depth = 8
+    interlace = 0
+    color_type = None
     while pos + 8 <= len(content):
         (length,) = struct.unpack_from(">I", content, pos)
         ctype = content[pos + 4: pos + 8]
@@ -101,14 +115,23 @@ def decode_png(content: bytes) -> dict:
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if bit_depth != 8 or interlace != 0:
+            if bit_depth not in (8, 16) or interlace not in (0, 1):
                 raise ValueError(
                     f"unsupported PNG (bit depth {bit_depth}, "
                     f"interlace {interlace}) — use PIL for these"
                 )
-            channels = _PNG_CHANNELS.get(color_type)
+            if color_type == 3:
+                if bit_depth != 8:
+                    raise ValueError(
+                        "sub-byte palette PNG unsupported — use PIL"
+                    )
+                channels = 1
+            else:
+                channels = _PNG_CHANNELS.get(color_type)
             if channels is None:
                 raise ValueError(f"unsupported PNG color type {color_type}")
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -116,61 +139,99 @@ def decode_png(content: bytes) -> dict:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if color_type == 3 and (not plte or len(plte) % 3):
+        raise ValueError("palette PNG missing a valid PLTE chunk")
     from vectordb_data_ingestion_spark.sources.ooxml import bounded_inflate
 
     # decompression-bomb guard: one crafted ~1000:1 IDAT must not OOM the
     # executor that draws it (same cap as the OOXML/PDF decode paths)
     raw = bounded_inflate(b"".join(idat))
-    stride = width * channels
+    bps = bit_depth // 8
+    px_bytes = channels * bps  # the PNG filter offset ("bpp" in spec)
     # header-vs-data consistency BEFORE any dimension-sized allocation: a
     # crafted IHDR declaring width≈2^31 would otherwise force a multi-GB
-    # zero-filled bytearray here regardless of how small the IDAT is —
-    # the same executor-OOM class bounded_inflate exists to prevent.
-    # zero dims are invalid per the PNG spec AND would bypass the
-    # height-scaled check below (height=0 makes it vacuous while the
-    # width-sized line buffers still allocate)
+    # zero-filled buffer here regardless of how small the IDAT is — the
+    # same executor-OOM class bounded_inflate exists to prevent. Zero
+    # dims are invalid per the PNG spec AND would bypass the size check
+    # below (height=0 makes it vacuous while width-sized line buffers
+    # still allocate).
     if width < 1 or height < 1:
         raise ValueError(
             f"PNG declares zero dimension {width}x{height} — "
             "truncated or crafted header"
         )
-    if height * (stride + 1) > len(raw):
+    # pass geometry: progressive PNGs carry seven independently
+    # filtered Adam7 sub-images in the one IDAT stream
+    spans = []
+    total = 0
+    for x0, y0, dx, dy in ([(0, 0, 1, 1)] if interlace == 0 else _ADAM7):
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # tiny images skip whole Adam7 passes
+        spans.append((x0, y0, dx, dy, pw, ph))
+        total += ph * (1 + pw * px_bytes)
+    if total > len(raw):
         raise ValueError(
-            f"PNG declares {width}x{height}x{channels} "
-            f"({height * (stride + 1)} filtered bytes) but IDAT inflates "
-            f"to only {len(raw)} — truncated or crafted header"
+            f"PNG declares {width}x{height}x{channels}@{bit_depth} "
+            f"({total} filtered bytes) but IDAT inflates to only "
+            f"{len(raw)} — truncated or crafted header"
         )
-    prev = bytearray(stride)
-    lumas = []
-    for row in range(height):
-        off = row * (stride + 1)
-        ftype = raw[off]
-        line = bytearray(raw[off + 1: off + 1 + stride])
-        for i in range(stride):
-            a = line[i - channels] if i >= channels else 0
-            b = prev[i]
-            c = prev[i - channels] if i >= channels else 0
-            if ftype == 1:
-                line[i] = (line[i] + a) & 0xFF
-            elif ftype == 2:
-                line[i] = (line[i] + b) & 0xFF
-            elif ftype == 3:
-                line[i] = (line[i] + (a + b) // 2) & 0xFF
-            elif ftype == 4:
-                line[i] = (line[i] + _paeth(a, b, c)) & 0xFF
-        for px in range(width):
-            base = px * channels
-            if channels >= 3:
-                lum = (line[base] + line[base + 1] + line[base + 2]) // 3
-            else:
-                lum = line[base]
-            lumas.append(lum)
-        prev = line
+    lut = None
+    if color_type == 3:
+        n_pal = len(plte) // 3
+        lut = [
+            (plte[3 * i] + plte[3 * i + 1] + plte[3 * i + 2]) // 3
+            for i in range(n_pal)
+        ]
+    lumap = [0] * (width * height)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in spans:
+        stride = pw * px_bytes
+        prev = bytearray(stride)
+        for r in range(ph):
+            ftype = raw[off]
+            line = bytearray(raw[off + 1: off + 1 + stride])
+            off += 1 + stride
+            for i in range(stride):
+                a = line[i - px_bytes] if i >= px_bytes else 0
+                b = prev[i]
+                c = prev[i - px_bytes] if i >= px_bytes else 0
+                if ftype == 1:
+                    line[i] = (line[i] + a) & 0xFF
+                elif ftype == 2:
+                    line[i] = (line[i] + b) & 0xFF
+                elif ftype == 3:
+                    line[i] = (line[i] + (a + b) // 2) & 0xFF
+                elif ftype == 4:
+                    line[i] = (line[i] + _paeth(a, b, c)) & 0xFF
+            y = y0 + r * dy
+            row_base = y * width + x0
+            for px in range(pw):
+                base = px * px_bytes
+                if lut is not None:
+                    idx = line[base]
+                    if idx >= len(lut):
+                        raise ValueError(
+                            "PNG palette index outside PLTE"
+                        )
+                    lum = lut[idx]
+                elif channels >= 3:
+                    # 16-bit samples are big-endian: the sample's first
+                    # byte IS the high byte the 8-bit luma needs
+                    lum = (
+                        line[base] + line[base + bps]
+                        + line[base + 2 * bps]
+                    ) // 3
+                else:
+                    lum = line[base]
+                lumap[row_base + px * dx] = lum
+            prev = line
     return {
         "width": width,
         "height": height,
         "duration_ms": None,
-        "feature": _luma_hist(lumas),
+        "feature": _luma_hist(lumap),
     }
 
 
