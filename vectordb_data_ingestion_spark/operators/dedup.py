@@ -100,7 +100,25 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_sig_from_shingles(sh: Column, num_hashes: int) -> Column:
+def minhash_sig_spark_sql(sh_expr: str, num_hashes: int) -> str:
+    """Spark-SQL text of :func:`minhash_sig_from_shingles` over the shingle
+    expression ``sh_expr``. Assembling the K-hash mixing array through the
+    Column API costs ~100 driver round trips per call (~0.5 s of pure
+    plan-construction time); one parsed string is a single round trip with
+    a bit-identical expression tree."""
+    params = minhash_params(num_hashes)
+    zero = ", ".join([f"cast({_MINHASH_P32} as long)"] * num_hashes)
+    mixed = ", ".join(
+        f"(h * {a} + {b}) % {_MINHASH_P32}" for a, b in params
+    )
+    h32 = "cast(conv(substring(md5(x), 1, 8), 16, 10) as long)"
+    return (
+        f"aggregate(transform({sh_expr}, x -> {h32}), array({zero}), "
+        f"(acc, h) -> zip_with(acc, array({mixed}), (p, q) -> least(p, q)))"
+    )
+
+
+def minhash_sig_from_shingles(sh: Column | str, num_hashes: int) -> Column:
     """K-element minhash signature from a shingle-array column in ONE pass.
 
     Naive form - ``array_min(transform(sh, h_k))`` per k - re-evaluates the
@@ -108,7 +126,13 @@ def minhash_sig_from_shingles(sh: Column, num_hashes: int) -> Column:
     collapses projections (measured 16x slower at K=16). Here the md5 runs
     once per shingle (``transform``), and a single ``aggregate`` folds the K
     mixed values into running minimums; the lambda variable binds the base
-    hash so the K uses don't duplicate the md5 expression tree."""
+    hash so the K uses don't duplicate the md5 expression tree.
+
+    A plain column NAME takes the parsed-SQL fast path
+    (:func:`minhash_sig_spark_sql`); arbitrary Column expressions keep the
+    loop-built form."""
+    if isinstance(sh, str):
+        return F.expr(minhash_sig_spark_sql(f"`{sh}`", num_hashes))
     params = minhash_params(num_hashes)
     zero = F.array(*[F.lit(_MINHASH_P32).cast("long")] * num_hashes)
     return F.aggregate(
@@ -262,26 +286,22 @@ def banded_signature_table(
     if materialize:
         sh_tbl = sh_tbl.localCheckpoint()
     sigs = sh_tbl.withColumn(
-        "signature", minhash_sig_from_shingles(F.col("__sh"), num_hashes)
+        "signature", minhash_sig_from_shingles("__sh", num_hashes)
+    )
+    # band-hash array as ONE parsed expression (same tree the loop-built
+    # Column form produced, minus ~30 driver round trips per call)
+    band_terms = ", ".join(
+        "md5(concat_ws('_', "
+        + ", ".join(
+            f"element_at(signature, {b * rows_per_band + r + 1})"
+            for r in range(rows_per_band)
+        )
+        + "))"
+        for b in range(bands)
     )
     banded = sigs.select(
         id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.element_at("signature", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(F.expr(f"array({band_terms})")).alias("band", "band_hash"),
     )
     if materialize:
         banded = banded.localCheckpoint()
@@ -481,11 +501,19 @@ def connected_components(
     the base table are absent (their component is their own id - see
     :func:`dedup_by_components`).
     """
+    # Checkpoints here are LAZY (eager=False): each round's convergence
+    # checksum ``collect`` is the action that materializes them, so the
+    # eager form only added one extra job per round (2 jobs -> 1; ~35%
+    # of this operator's wall-clock at local scale was job-submission
+    # latency). Materialization stays strictly sequential — the checksum
+    # collect caches round N's labels before round N+1's joins read them
+    # twice — so the double-compute the checkpoint exists to prevent
+    # cannot race back in.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # initial label = min(self, neighborhood) - one aggregation (edges are
     # symmetric, so every node appears as dst), saving a full propagation
@@ -496,7 +524,7 @@ def connected_components(
         .select(
             "node", F.least(F.col("node"), F.col("__nmin")).alias("component")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum(F.xxhash64("component").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iterations):
@@ -525,7 +553,7 @@ def connected_components(
                 "node",
                 F.coalesce(F.col("p_comp"), F.col("component")).alias("component"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # type-agnostic convergence checksum: summing the raw label
         # column breaks for string/UUID ids (implicit cast -> NULL ->

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from vectordb_data_ingestion_spark.session import values_df
 from vectordb_data_ingestion_spark.functions.vectors import (
     dot_product,
     to_double_array,
@@ -177,8 +178,8 @@ def pq_train(
         for j in range(m)
         for c in range(k)
     ]
-    return spark.createDataFrame(
-        rows, "sub int, code long, sv array<double>"
+    return values_df(  # zero-task VALUES literal (no Python-RDD scan)
+        spark, rows, "sub int, code long, sv array<double>"
     )
 
 
@@ -585,8 +586,8 @@ def opq_train(
         for j in range(m)
         for c in range(books.shape[1])
     ]
-    codebooks = spark.createDataFrame(
-        cb_rows, "sub int, code long, sv array<double>"
+    codebooks = values_df(  # zero-task VALUES literal
+        spark, cb_rows, "sub int, code long, sv array<double>"
     )
     return [[float(v) for v in row] for row in R], codebooks
 

