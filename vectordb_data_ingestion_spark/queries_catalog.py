@@ -611,7 +611,7 @@ def q_topk_certainty(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
     )
-    return topk_by_certainty(emb, queries, k=3, threshold=0.5)
+    return topk_by_certainty(spread(emb), queries, k=3, threshold=0.5)
 
 
 @register("topk_certainty_vectorized", ORACLE_SQL["topk_certainty"])
@@ -1033,7 +1033,7 @@ def q_ann_topk_batch(spark, sf_dir):
     )
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    corpus = with_lsh_signature(emb, n_bits=16, dim=64)
+    corpus = with_lsh_signature(spread(emb), n_bits=16, dim=64)
     queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_embedding"),
@@ -1861,7 +1861,7 @@ def q_multimodal_features(spark, sf_dir):
     """Decode/featurize binary assets via mapInPandas; project each feature
     element to a scalar column (driver-hashable, fully value-checked)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    feats = extract_features(documents_as_assets(docs))
+    feats = extract_features(documents_as_assets(spread(docs)))
     return feats.select(
         "asset_id",
         "modality",
@@ -3066,7 +3066,7 @@ def q_repetition_signals(spark, sf_dir):
     )
 
     (docs,) = _t(spark, sf_dir, "documents")
-    return repetition_signals(docs)
+    return repetition_signals(spread(docs))
 
 
 # ---------------------------------------------------------------------------
@@ -3580,8 +3580,8 @@ def q_rag_context(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
     )
-    hits = topk_by_certainty(emb, queries, k=5, threshold=0.0)
-    chunks = docs.select(
+    hits = topk_by_certainty(spread(emb), queries, k=5, threshold=0.0)
+    chunks = spread(docs).select(
         F.col("doc_id").alias("chunk_id"),
         "text",
         F.concat(F.lit("https://kb/"), F.col("doc_id")).alias("url"),
@@ -3753,7 +3753,7 @@ def q_bm25_topk_indexed(spark, sf_dir):
     )
 
     (docs,) = _t(spark, sf_dir, "documents")
-    postings, terms, stats = build_bm25_index(docs)
+    postings, terms, stats = build_bm25_index(spread(docs))
     return bm25_topk_indexed(postings, terms, stats, _BM25_QUERIES, k=10)
 
 
@@ -4365,7 +4365,7 @@ def q_gopher_quality_filter(spark, sf_dir):
     )
 
     (docs,) = _t(spark, sf_dir, "documents")
-    return gopher_document_filter(docs)
+    return gopher_document_filter(spread(docs))
 
 
 @register(
@@ -4536,7 +4536,7 @@ def q_bpe_segment_tokens(spark, sf_dir):
 
     (docs,) = _t(spark, sf_dir, "documents")
     merges = _trained_merges(spark, docs, sf_dir)
-    seg = bpe_segment_vectorized(docs, merges)
+    seg = bpe_segment_vectorized(spread(docs), merges)
     return seg.select(
         "doc_id", F.posexplode("bpe_tokens").alias("pos", "token")
     ).select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
@@ -4713,7 +4713,7 @@ def q_dup_span_removal(spark, sf_dir):
     )
 
     (docs,) = _t(spark, sf_dir, "documents")
-    return remove_duplicate_spans(docs, window_words=4)
+    return remove_duplicate_spans(spread(docs), window_words=4)
 
 
 def _interval_overlap_oracle_sql() -> str:
@@ -5229,7 +5229,7 @@ def q_tokenizer_compression_eval(spark, sf_dir):
 
     (docs,) = _t(spark, sf_dir, "documents")
     merges = _trained_merges(spark, docs, sf_dir)
-    seg = bpe_segment_vectorized(docs, merges)
+    seg = bpe_segment_vectorized(spread(docs), merges)
     words = F.filter(
         F.split(F.regexp_replace("text", r"[ \x09-\x0D]+", " "), " "),
         lambda w: w != "",
@@ -6104,7 +6104,7 @@ def q_cross_modal_topk(spark, sf_dir):
     )
 
     (docs,) = _t(spark, sf_dir, "documents")
-    feats = extract_features(documents_as_assets(docs)).filter(
+    feats = extract_features(documents_as_assets(spread(docs))).filter(
         F.col("modality") == "image"
     )
     corpus = feats.select("asset_id", "feature")
@@ -7319,6 +7319,7 @@ def q_bitext_margin_pairs(spark, sf_dir):
     Σcell² pairs, never |A|×|B|, exactly the semantic-dedup blocking
     already in operators/dedup.py."""
     docs, emb = _t(spark, sf_dir, "documents", "embeddings")
+    docs = spread(docs)
     j = docs.join(emb, docs["doc_id"] == emb["vec_id"])
     dbl = F.transform("embedding", lambda x: x.cast("double"))
     a = (
@@ -7506,7 +7507,7 @@ def q_retrieval_mrr_eval(spark, sf_dir):
     )
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    corpus = with_lsh_signature(emb, n_bits=16, dim=64).select(
+    corpus = with_lsh_signature(spread(emb), n_bits=16, dim=64).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("ve"),
         "sig",
@@ -7715,6 +7716,7 @@ def q_dataset_card(spark, sf_dir):
     )
 
     (docs,) = _t(spark, sf_dir, "documents")
+    docs = spread(docs)
     base = docs.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -7796,7 +7798,7 @@ def q_binary_hamming_topk(spark, sf_dir):
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_embedding"),
     )
-    return binary_hamming_topk(emb, queries, dim=64, k=10)
+    return binary_hamming_topk(spread(emb), queries, dim=64, k=10)
 
 
 from vectordb_data_ingestion_spark.operators import layout as layout_ops
