@@ -842,6 +842,30 @@ def kmeans_fit(
     )
 
 
+def collect_centroid_matrix(
+    centroids: DataFrame,
+    centroid_vec: str = "c_embedding",
+    centroid_id: str = "c_id",
+):
+    """Collect + normalize the (tiny) centroid table once, for callers that
+    assign several corpora against the SAME quantizer
+    (:func:`bitext_mine` assigns both language sides): each
+    ``assign_ivf_cells_vectorized`` call otherwise re-runs the centroid
+    subquery as its own collect job."""
+    import numpy as np
+
+    rows = sorted(
+        centroids.select(centroid_id, centroid_vec).collect(),
+        key=lambda r: r[centroid_id],
+    )
+    ids = np.asarray([r[centroid_id] for r in rows])
+    c = np.stack([np.asarray(r[centroid_vec], dtype=np.float64) for r in rows])
+    cn = np.sqrt((c * c).sum(axis=1))
+    c_zero = cn == 0.0
+    cn[c_zero] = 1.0
+    return ids, c / cn[:, None], c_zero
+
+
 def assign_ivf_cells_vectorized(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -849,6 +873,7 @@ def assign_ivf_cells_vectorized(
     centroid_vec: str = "c_embedding",
     centroid_id: str = "c_id",
     id_col: str = "vec_id",
+    _matrix=None,
 ) -> DataFrame:
     """Scale path for :func:`assign_ivf_cells` (same semantics: max rounded
     cosine, ties -> lowest centroid id). The JVM form is a corpus x k
@@ -861,20 +886,14 @@ def assign_ivf_cells_vectorized(
     import numpy as np
     from pyspark.sql.types import StructField, StructType
 
-    rows = sorted(
-        centroids.select(centroid_id, centroid_vec).collect(),
-        key=lambda r: r[centroid_id],
+    # JVM parity note (lives in collect_centroid_matrix): a zero-norm
+    # centroid scores NULL in the JVM form and NULLS LAST never wins;
+    # its column is masked to -inf below instead of scoring 0.
+    ids, cu, c_zero = (
+        _matrix
+        if _matrix is not None
+        else collect_centroid_matrix(centroids, centroid_vec, centroid_id)
     )
-    ids = np.asarray([r[centroid_id] for r in rows])
-    c = np.stack([np.asarray(r[centroid_vec], dtype=np.float64) for r in rows])
-    cn = np.sqrt((c * c).sum(axis=1))
-    # JVM parity: a zero-norm centroid (a Lloyd iteration CAN produce one
-    # when antipodal members cancel) scores NULL in the JVM form and NULLS
-    # LAST never wins; scoring it 0 here would let it beat all-negative
-    # real centroids. Mask its column to -inf instead.
-    c_zero = cn == 0.0
-    cn[c_zero] = 1.0
-    cu = c / cn[:, None]
     out_schema = StructType(
         corpus.schema.fields + [StructField("cell", centroids.schema[centroid_id].dataType)]
     )
@@ -942,16 +961,19 @@ def bitext_mine(
     # cosine-per-pair refolded each vector's norm once per cell partner —
     # 2/3 of the per-pair fold work. Same fold order, same doubles, same
     # rounding: cos_ppm is bit-identical (A/B'd on the registered query).
+    # one centroid collect for BOTH sides (they share the quantizer);
+    # per-call collects were two identical driver jobs
+    matrix = collect_centroid_matrix(centroids, centroid_vec, centroid_id)
     a_cells = assign_ivf_cells_vectorized(
         a, centroids, vec_col=a_vec, id_col=a_id,
-        centroid_vec=centroid_vec, centroid_id=centroid_id,
+        centroid_vec=centroid_vec, centroid_id=centroid_id, _matrix=matrix,
     ).select(
         a_id, a_vec, "cell",
         l2_norm(to_double_array(F.col(a_vec))).alias("__an"),
     )
     b_cells = assign_ivf_cells_vectorized(
         b, centroids, vec_col=b_vec, id_col=b_id,
-        centroid_vec=centroid_vec, centroid_id=centroid_id,
+        centroid_vec=centroid_vec, centroid_id=centroid_id, _matrix=matrix,
     ).select(
         b_id, b_vec, "cell",
         l2_norm(to_double_array(F.col(b_vec))).alias("__bn"),

@@ -2495,7 +2495,7 @@ def q_hybrid_rrf_search(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
     )
-    dense = topk_by_certainty(emb, queries, k=10, threshold=0.0)
+    dense = topk_by_certainty(spread(emb), queries, k=10, threshold=0.0)
     dw = Window.partitionBy("q_id").orderBy(
         F.desc("certainty"), F.asc("vec_id")
     )
@@ -7319,7 +7319,10 @@ def q_bitext_margin_pairs(spark, sf_dir):
     Σcell² pairs, never |A|×|B|, exactly the semantic-dedup blocking
     already in operators/dedup.py."""
     docs, emb = _t(spark, sf_dir, "documents", "embeddings")
-    docs = spread(docs)
+    # NO spread here (measured): both legs end in orderBy().limit() - a
+    # per-partition TakeOrdered - so the round-robin exchange of the
+    # text+vector payload costs more than the parallelism it buys
+    # (5-run A/B: 1.49s with spread vs 1.18s without).
     j = docs.join(emb, docs["doc_id"] == emb["vec_id"])
     dbl = F.transform("embedding", lambda x: x.cast("double"))
     a = (
