@@ -174,12 +174,20 @@ def word_ngrams(text_col: str, n: int) -> Column:
     repeats; contrast ``dedup.shingles`` which distincts for set
     similarity). Rows shorter than n words yield no grams."""
     words = _tokens(text_col)
-    starts = F.when(
-        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
-    ).otherwise(F.array())
-    return F.transform(
-        starts, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
-    )
+
+    # bind the token array as a lambda variable before the per-start
+    # slices - referencing `words` inside the lambda body re-runs the
+    # tokenizer once per gram start (O(words²) per doc; same fix as
+    # dedup.shingles / winnowing_fingerprint)
+    def grams(w: Column) -> Column:
+        starts = F.when(
+            F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+        ).otherwise(F.array())
+        return F.transform(
+            starts, lambda i: F.array_join(F.slice(w, i + 1, n), " ")
+        )
+
+    return F.flatten(F.transform(F.array(words), grams))
 
 
 def word_ngrams_sql(text_col: str, n: int) -> str:

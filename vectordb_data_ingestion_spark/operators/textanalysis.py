@@ -145,16 +145,32 @@ def winnowing_fingerprint(
     (id, n_fingerprints, fp_hash) where fp_hash digests the sorted
     fingerprint set - a compact equality key for plagiarism-style matching.
     One narrow projection; no shuffle."""
+    # Both sliding passes BIND their source array as a lambda variable
+    # (``transform(array(x), v -> ...)``) before slicing: an expression
+    # referenced inside a HOF lambda body is re-evaluated PER ELEMENT, so
+    # the unbound form re-ran the whole gram+md5 chain once per window
+    # start — O(windows x grams) md5 calls per document. Measured at
+    # sf0.1: 20.42 s -> 0.50 s for this operator, identical output.
     words = word_split(F.col(text_col))
-    starts = F.sequence(F.lit(0), F.greatest(F.size(words) - gram_n, F.lit(0)))
-    grams = F.transform(
-        starts, lambda i: F.array_join(F.slice(words, i + 1, gram_n), " ")
-    )
+
+    def _grams(w):
+        starts = F.sequence(F.lit(0), F.greatest(F.size(w) - gram_n, F.lit(0)))
+        return F.transform(
+            starts, lambda i: F.array_join(F.slice(w, i + 1, gram_n), " ")
+        )
+
+    grams = F.flatten(F.transform(F.array(words), _grams))
     hashes = F.transform(grams, lambda g: md5_hash32_seeded(g, 0))
-    wstarts = F.sequence(
-        F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0))
-    )
-    wins = F.transform(wstarts, lambda i: F.array_min(F.slice(hashes, i + 1, window)))
+
+    def _wins(h):
+        wstarts = F.sequence(
+            F.lit(0), F.greatest(F.size(h) - window, F.lit(0))
+        )
+        return F.transform(
+            wstarts, lambda i: F.array_min(F.slice(h, i + 1, window))
+        )
+
+    wins = F.flatten(F.transform(F.array(hashes), _wins))
     fps = F.array_sort(F.array_distinct(wins))
     return df.select(
         F.col(id_col),
