@@ -1,5 +1,5 @@
 """Dump ``explain("formatted")`` for the named queries (default: every
-bench headline query) into plans/r10/<query>_<tag>.txt.
+bench headline query) into plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt.
 
 Usage: python tools/dump_plans.py <tag> [query ...]
 """
@@ -17,7 +17,11 @@ from vectordb_data_ingestion_spark.plans import physical_plan  # noqa: E402
 from vectordb_data_ingestion_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"),
+)
 
 
 def main() -> None:

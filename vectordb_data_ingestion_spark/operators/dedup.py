@@ -25,8 +25,12 @@ each operator is DuckDB-oracle-checkable bit-for-bit.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_CC_LOG = logging.getLogger(__name__)
 
 from vectordb_data_ingestion_spark.functions.hashing import (
     md5_hash32,
@@ -294,7 +298,14 @@ def banded_signature_table(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh")
     )
     if materialize:
-        sh_tbl = sh_tbl.localCheckpoint()
+        # LAZY checkpoint (r11): ``banded``'s eager checkpoint below is the
+        # materializing action — its lineage reads ``sh_tbl`` exactly once
+        # (the signature projection), so the shingle table is cached as a
+        # side effect of the one job that was already being paid, instead
+        # of a second driver job of its own. The later verification joins
+        # (two reads) see the already-materialized RDD — the double-compute
+        # race the eager form prevented still cannot occur.
+        sh_tbl = sh_tbl.localCheckpoint(eager=False)
     sigs = sh_tbl.withColumn(
         "signature", minhash_sig_from_shingles("__sh", num_hashes)
     )
@@ -497,11 +508,14 @@ def connected_components(
     Each round does
       1. hash-min: ``label(v) = min(label(v), min over neighbors u of
          label(u))`` - one equi-join of edges with labels + groupBy min;
-      2. short-cut: ``label(v) = label(label(v))`` - one self-join, which
-         halves pointer chains (path doubling).
+      2. short-cut: ``label(v) = prev_label(label(v))`` - one join against
+         the previous round's (materialized) labels, which shortens
+         pointer chains (path doubling against the last settled map; the
+         stepped-self-join variant was measured as pure extra driver
+         planning with the same round count on near-dup graphs).
     Plain hash-min needs O(diameter) rounds; with the short-cut step
-    convergence is O(log n) even on path graphs, and near-dup graphs
-    (clusters are near-cliques) settle in 2-3 rounds. Per round the lineage
+    convergence stays O(log n)-ish even on path graphs, and near-dup
+    graphs (clusters are near-cliques) settle in 2-3 rounds. Per round the lineage
     is truncated with ``localCheckpoint`` so the plan does not grow, and
     convergence is detected by a 64-bit hash checksum over the labels
     (type-agnostic: string/UUID ids hash the same way numeric ids do) -
@@ -537,7 +551,12 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum(F.xxhash64("component").cast("decimal(38,0)"))).collect()[0][0]
-    for _ in range(max_iterations):
+    for _round in range(max_iterations):
+        # jump map = previous round's labels (already materialized by the
+        # previous checksum collect, so the two reads below are cache scans)
+        parent = labels.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
         # 1. hash-min: pull the smallest neighbor label over every edge
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -553,10 +572,19 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        # 2. pointer jumping: component = component's own component
-        parent = stepped.select(
-            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
-        )
+        # 2. pointer jumping: component = component's own component. The
+        # jump map is the MATERIALIZED previous round's labels, not
+        # ``stepped`` itself (r11): a stepped-self-join duplicates the
+        # whole round subtree in the plan — Catalyst analyzes and plans it
+        # twice per round, ~0.2-0.35 s/query of pure driver time at local
+        # scale (A/B in OPTIMIZATION_r11.md) — while the old-labels map is
+        # a cached-RDD scan. Jumping through the previous labels is one
+        # propagation step weaker per round (labels(label) vs
+        # stepped(label)), but labels stay monotone non-increasing and
+        # bounded by the component min, the fixed point is unchanged, and
+        # the convergence checksum still detects it exactly; near-dup
+        # graphs (near-cliques) converge in the same 2 rounds either way
+        # (measured at sf0.1, debug-logged below).
         labels = (
             stepped.join(parent, stepped["component"] == parent["p_node"], "left")
             .select(
@@ -575,6 +603,12 @@ def connected_components(
             F.sum(F.xxhash64("component").cast("decimal(38,0)"))
         ).collect()[0][0]
         if cur_sum == prev_sum:
+            _CC_LOG.debug(
+                "connected_components: converged after %d rounds "
+                "(%d driver actions incl. init)",
+                _round + 1,
+                _round + 2,
+            )
             break
         prev_sum = cur_sum
     return labels

@@ -985,8 +985,53 @@ def bitext_mine(
         # re-running the cell join + windows (34-44 s vs 22 s), while
         # the corpus-scale Arrow assigns are what must not run thrice.
         # Set False where eager evaluation is illegal (streaming).
-        a_cells = a_cells.localCheckpoint()
-        b_cells = b_cells.localCheckpoint()
+        #
+        # Both sides ride ONE eager checkpoint (r11): the two per-side
+        # checkpoints were two sequential driver jobs; a side-tagged
+        # union materializes both Arrow assign passes in one job and the
+        # sides are re-split as filters over the cached RDD (safe to read
+        # twice — the union checkpoint is eager, so the double-compute
+        # race the per-side checkpoints prevented still cannot occur).
+        # Falls back to per-side checkpoints when the side schemas differ
+        # (generic callers may mix id/vector types; union must not cast).
+        a_types = [f.dataType for f in a_cells.schema.fields]
+        b_types = [f.dataType for f in b_cells.schema.fields]
+        if a_types == b_types:
+            a_names, b_names = a_cells.columns, b_cells.columns
+            tagged = (
+                a_cells.select(
+                    F.lit(0).alias("__side"),
+                    *[
+                        F.col(c).alias(f"__c{i}")
+                        for i, c in enumerate(a_names)
+                    ],
+                )
+                .unionAll(
+                    b_cells.select(
+                        F.lit(1).alias("__side"),
+                        *[
+                            F.col(c).alias(f"__c{i}")
+                            for i, c in enumerate(b_names)
+                        ],
+                    )
+                )
+                .localCheckpoint()
+            )
+            a_cells = tagged.filter(F.col("__side") == 0).select(
+                *[
+                    F.col(f"__c{i}").alias(c)
+                    for i, c in enumerate(a_names)
+                ]
+            )
+            b_cells = tagged.filter(F.col("__side") == 1).select(
+                *[
+                    F.col(f"__c{i}").alias(c)
+                    for i, c in enumerate(b_names)
+                ]
+            )
+        else:
+            a_cells = a_cells.localCheckpoint()
+            b_cells = b_cells.localCheckpoint()
     # to_double_array like every sibling operator: float-typed embeddings
     # would otherwise multiply in single precision before the fold,
     # flipping ±1 ppm on boundary values vs the double-computing oracle.

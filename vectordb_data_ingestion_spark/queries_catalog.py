@@ -54,7 +54,9 @@ def register(name: str, sql: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str):
-    tables = load_tables(spark, sf_dir, names or None)
+    # register_views=False: no registered query reads the temp views (all
+    # DataFrame API); the per-call catalog write is avoidable driver cost
+    tables = load_tables(spark, sf_dir, names or None, register_views=False)
     return [tables[n] for n in names] if names else tables
 
 
@@ -5426,6 +5428,22 @@ def q_events_resample_ffill(spark, sf_dir):
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
     )
+    # the explode below multiplies each per-user bounds row into its full
+    # hourly grid (~100x here), so AQE's coalescing — sized on the tiny
+    # PRE-explode bounds bytes — would run the generate + join + fill
+    # window in one task (measured: 0.85 s single-task stage at sf0.1,
+    # the query's dominant stage). Pinning a user-keyed exchange on the
+    # SMALL side before the row multiplier is the guide §8 shape (shuffle
+    # the proxy, not the payload): it costs one exchange of one row per
+    # user at any scale and fixes the generator stage's parallelism floor
+    # at the core count. Range (not hash) partitioning: a hash repartition
+    # to the same (key, N) as the aggregate's own exchange is elided by
+    # the planner as redundant and the AQE single-task coalesce returns;
+    # RangePartitioning(user_id) still satisfies the fill window's
+    # ClusteredDistribution(user_id), so no further exchange follows.
+    bounds = bounds.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     grid = bounds.select(
         "user_id",
         F.explode(
@@ -7910,78 +7928,68 @@ def q_zorder_layout_plan(spark, sf_dir):
     )
 
 
-# ROUND-6 NOTE: registry stays FROZEN at 162; pure re-verification rotation
-# continues (tools/rotate_window.py). This window = 12 changed-queries-first
-# promotions + the natural next-38 (24 r2-cohort + 14 r3-cohort); the 12
-# displaced r3 rows (bigram_pmi .. key_skew_report) lead the r7 window.
+# Registry stays FROZEN at 162; pure re-verification rotation continues
+# (tools/rotate_window.py): the driver verifies the FIRST 50 entries each
+# round, so the window is the 50 least-recently-verified queries —
+# staleness is bounded at ~3 rounds for every query.
 #
-# Promotions (the r5-judge's #1 item): commit 8d3779b changed scorer
-# semantics in-principle for the retrieval/dedup family (bm25/tfidf query
-# lowercasing, zero-norm vector parity, CC convergence checksum, span
-# Round-7 window: the 50 least-recently-verified queries per
-# tools/rotate_window.py (r3/r4-cohort rows, now 3+ rounds old — VERDICT
-# r6 item 1). No r7 code change touches any registered query's output
-# semantics so far (the r7 fixes are sink/streaming/index commit-protocol
-# hardening plus trainer collect guards, none on a query path); if a
-# later r7 commit changes a query's semantics it gets PREPENDED here, per
-# the established rule.
-#
-# retrieval_mrr_eval heads the window for the same reason
-# binary_hamming_topk headed r6's: an r7 PLAN change (norm precompute +
-# max_by truth, outputs bit-identical and A/B-verified) — its driver row
-# should postdate the change. temperature_mixture (r4) slides to 51st and
-# rotates in r8.
+# Round-11 window: the natural least-recently-verified 50 (12 r7-cohort +
+# 38 r8-cohort rows; disjoint from the r10 sample, per VERDICT r10 item 8).
+# Queries whose PLAN changes this optimization round (outputs proven
+# bit-identical against the oracle per change) get PREPENDED here before
+# round close, per the established rule — their driver rows should
+# postdate the change.
 _DRIVER_PRIORITY = [
-    "events_interval_overlap",  # r6
-    "compaction_plan",  # r6
-    "mrl_recall_eval",  # r6
-    "hard_negatives",  # r6
-    "lang_source_pivot",  # r6
-    "user_retention_cohorts",  # r6
-    "event_funnel",  # r6
-    "corpus_stats_cube",  # r6
-    "cluster_topics",  # r6
-    "tokenizer_compression_eval",  # r6
-    "minhash_estimate_error",  # r6
-    "binary_hamming_topk",  # r6
-    "events_sessionize",  # r7
-    "exact_dedup",  # r7
-    "lsh_topk",  # r7
-    "training_corpus_prep",  # r7
-    "ngram_jaccard_near_dup",  # r7
-    "embedding_near_dup",  # r7
-    "sequence_packing",  # r7
-    "paragraph_dedup",  # r7
-    "semantic_dedup",  # r7
-    "pq_adc_topk",  # r7
-    "bpe_train_merges",  # r7
-    "rerank_topk",  # r7
-    "rag_context",  # r7
-    "gopher_quality_filter",  # r7
-    "bpe_segment_tokens",  # r7
-    "customer_order_distribution",  # r7
-    "large_orders",  # r7
-    "returned_item_losses",  # r7
-    "length_cdf",  # r7
-    "lang_source_unpivot",  # r7
-    "events_resample_ffill",  # r7
-    "snapshot_diff",  # r7
-    "bigram_pmi",  # r7
-    "word_entropy",  # r7
-    "countmin_heavy_hitters",  # r7
-    "lang_id_confusion",  # r7
-    "doc_keywords_tfidf",  # r7
-    "near_dup_recall_eval",  # r7
-    "events_session_window",  # r7
-    "events_value_anomalies",  # r7
-    "cross_modal_topk",  # r7
-    "parts_supplier_stats",  # r7
-    "cheapest_supplier_per_part",  # r7
-    "llm_annotate",  # r7
-    "key_skew_report",  # r7
-    "table_profile",  # r7
-    "eval_set_sample",  # r7
-    "purchase_attribution",  # r7
+    "temperature_sample",  # r7
+    "source_vocab_overlap",  # r7
+    "sole_late_supplier",  # r7
+    "top_supplier_revenue",  # r7
+    "nation_pair_volume",  # r7
+    "token_budget_fill",  # r7
+    "interleave_manifest",  # r7
+    "weighted_reservoir_sample",  # r7
+    "bitext_margin_pairs_blocked",  # r7
+    "retrieval_mrr_eval",  # r7
+    "nation_yearly_profit",  # r7
+    "dataset_card",  # r7
+    "file_type_extract",  # r8
+    "distinct_file_types",  # r8
+    "delta_filter",  # r8
+    "incremental_diff",  # r8
+    "seqno",  # r8
+    "url_synthesis",  # r8
+    "clean_text",  # r8
+    "token_count",  # r8
+    "chunk_fixed_overlap",  # r8
+    "string_compose_kb",  # r8
+    "events_hourly_window",  # r8
+    "events_range_join",  # r8
+    "corpus_stats_rollup",  # r8
+    "events_asof_join",  # r8
+    "events_asof_nearest",  # r8
+    "topk_certainty",  # r8
+    "topk_certainty_vectorized",  # r8
+    "ivf_assign",  # r8
+    "lsh_assign",  # r8
+    "lsh_topk_multitable",  # r8
+    "ann_topk_batch",  # r8
+    "minhash_signatures",  # r8
+    "near_dup_components",  # r8
+    "simhash",  # r8
+    "lang_id",  # r8
+    "quality_score",  # r8
+    "corpus_stats",  # r8
+    "doc_fingerprint",  # r8
+    "kb_article_compose",  # r8
+    "service_catalog_compose",  # r8
+    "split_long_rows",  # r8
+    "multimodal_metadata",  # r8
+    "media_sampling_plan",  # r8
+    "multimodal_features",  # r8
+    "word_split",  # r8
+    "chunk_recursive",  # r8
+    "embed_enrich",  # r8
+    "local_supplier_volume",  # r8
 ]
 
 

@@ -120,9 +120,29 @@ def nanos_as_long(spark: SparkSession):
 _SCHEMA_CACHE: dict = {}
 
 
+def _table_key(path: str):
+    """Content-sensitive memo key for a local parquet table (ADVICE r10):
+    mtime alone misses same-second rewrites and in-place part-file
+    overwrites under a directory, so the key also carries sizes — for a
+    directory, the sorted (name, mtime, size) of its entries."""
+    apath = os.path.abspath(path)
+    if os.path.isdir(apath):
+        with os.scandir(apath) as it:
+            entries = tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime, e.stat().st_size)
+                    for e in it
+                    if e.is_file()
+                )
+            )
+        return (apath, entries)
+    st = os.stat(apath)
+    return (apath, st.st_mtime, st.st_size)
+
+
 def _read_parquet_cached(spark: SparkSession, path: str):
     try:
-        key = (os.path.abspath(path), os.path.getmtime(path))
+        key = _table_key(path)
     except OSError:
         key = None  # non-local path (e.g. object store): infer as usual
     schema = _SCHEMA_CACHE.get(key) if key is not None else None
@@ -134,9 +154,21 @@ def _read_parquet_cached(spark: SparkSession, path: str):
     return df
 
 
-def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] | None = None,
+    register_views: bool = True,
+):
     """Read the driver's parquet tables from ``sf_dir`` into a dict of
-    DataFrames and register each as a temp view (so ``spark.sql`` works).
+    DataFrames and (by default) register each as a temp view (so
+    ``spark.sql`` works).
+
+    ``register_views=False`` skips the catalog registration — the query
+    catalog passes it because no registered query uses ``spark.sql`` over
+    these views, and the per-call catalog write is a measurable driver
+    fixed cost across a 94-query bench pass (guide §7.3: the driver should
+    do no avoidable per-query work).
 
     Session confs are left exactly as found: the nanos flag the events
     read needs is scoped via :func:`nanos_as_long`, so a caller's own
@@ -157,7 +189,15 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         else:
             df = _read_parquet_cached(spark, os.path.join(sf_dir, f"{name}.parquet"))
-        df.createOrReplaceTempView(name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        # source marker for spread()'s partition-count memo: a bare table
+        # load's scan split count is a pure function of (files, session
+        # parallelism), so repeated probes can skip the plan->RDD walk
+        try:
+            df._graft_table_key = _table_key(os.path.join(sf_dir, f"{name}.parquet"))
+        except OSError:
+            pass
         out[name] = df
     return out
 
@@ -185,6 +225,16 @@ def values_df(spark: SparkSession, rows, ddl: str):
         return spark.createDataFrame(rows, ddl)
     schema = _parse_datatype_string(ddl)
 
+    # ADVICE r10: the backslash escape scheme below is only correct while
+    # spark.sql.parser.escapedStringLiterals is false (the default). If a
+    # caller's session enabled the legacy parser mode, backslashes parse
+    # literally and string cells would silently corrupt — escape by quote
+    # doubling (valid in that mode) instead.
+    legacy_literals = (
+        spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        == "true"
+    )
+
     def enc(v) -> str:
         if v is None:
             return "NULL"
@@ -194,16 +244,23 @@ def values_df(spark: SparkSession, rows, ddl: str):
             return str(v)
         if isinstance(v, float):
             # string->double cast is IEEE-exact (repr round-trips) and
-            # covers inf/nan; a bare decimal literal would parse as DECIMAL
-            return f"CAST('{v!r}' AS DOUBLE)"
+            # covers inf/nan; a bare decimal literal would parse as DECIMAL.
+            # repr(float(v)) normalizes float SUBCLASSES (ADVICE r10: a
+            # numpy.float64 under numpy>=2 reprs as 'np.float64(1.5)',
+            # which the cast would turn into a silent NULL).
+            return f"CAST('{float(v)!r}' AS DOUBLE)"
         if isinstance(v, str):
-            escaped = (
-                v.replace("\\", "\\\\")
-                .replace("'", "\\'")
-                .replace("\n", "\\n")
-                .replace("\r", "\\r")
-                .replace("\t", "\\t")
-            )
+            if legacy_literals:
+                # legacy mode: backslashes are literal; '' doubles a quote
+                escaped = v.replace("'", "''")
+            else:
+                escaped = (
+                    v.replace("\\", "\\\\")
+                    .replace("'", "\\'")
+                    .replace("\n", "\\n")
+                    .replace("\r", "\\r")
+                    .replace("\t", "\\t")
+                )
             return f"'{escaped}'"
         if isinstance(v, (list, tuple)):
             return "array(" + ", ".join(enc(x) for x in v) + ")"
@@ -224,6 +281,16 @@ def values_df(spark: SparkSession, rows, ddl: str):
     return spark.sql(f"SELECT {cols} FROM (VALUES {vals}) AS __v({names})")
 
 
+# spread()'s partition probe, memoized per (table content key, parallelism):
+# ``df.rdd.getNumPartitions()`` forces a plan->RDD conversion on the driver
+# for every call (the same toRdd cost class the r10 round attacked, ~10-30 ms
+# x ~40 call sites x bench runs). A bare table load's scan split count is a
+# pure function of the file set and the session's parallelism/split confs, so
+# the probe result is memoized for DataFrames that carry the load_tables
+# source marker; derived DataFrames (post-select/filter) still probe live.
+_NPART_CACHE: dict = {}
+
+
 def spread(df, min_partitions: int | None = None):
     """Round-robin repartition iff the input has fewer partitions than the
     executor cores - the starvation guard for CPU-bound work downstream of a
@@ -232,6 +299,15 @@ def spread(df, min_partitions: int | None = None):
     thousands of row groups and this is a no-op; locally it turns a
     single-threaded regex/gram pass into a 32-way one."""
     want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    key = getattr(df, "_graft_table_key", None)
+    if key is not None:
+        key = (key, want)
+        nparts = _NPART_CACHE.get(key)
+        if nparts is None:
+            nparts = df.rdd.getNumPartitions()
+            _NPART_CACHE[key] = nparts
+    else:
+        nparts = df.rdd.getNumPartitions()
+    if nparts < want:
         return df.repartition(want)
     return df
