@@ -240,3 +240,40 @@ def test_zero_norm_parity_jvm_vs_vectorized(spark):
     }
     assert jvm_cells == vec_cells
     assert jvm_cells[10] in (1, 2)  # never the zero-norm centroid
+
+
+def test_bitext_mine_union_checkpoint_and_fallback(spark):
+    """r11: bitext_mine materializes both cell-assignment sides through ONE
+    side-tagged union checkpoint when the side schemas match, and falls
+    back to per-side checkpoints when they differ (e.g. a string-typed
+    source id). Both paths must produce the same pairs as the fully lazy
+    form, and the fallback must not cast either side."""
+    from pyspark.sql.types import Row
+
+    from vectordb_data_ingestion_spark.operators.similarity import bitext_mine
+
+    def vec(seed, dim=8):
+        return [float(((seed * 31 + i * 7) % 13) - 6) for i in range(dim)]
+
+    a_rows = [Row(a_id=i, ae=vec(i)) for i in range(1, 9)]
+    b_rows = [Row(b_id=100 + i, be=vec(i + 2)) for i in range(1, 25)]
+    cen_rows = [Row(c_id=j, c_embedding=vec(j * 5)) for j in range(3)]
+    a = spark.createDataFrame(a_rows)
+    b = spark.createDataFrame(b_rows)
+    cen = spark.createDataFrame(cen_rows)
+
+    lazy = sorted(map(tuple, bitext_mine(a, b, cen, knn=2, materialize=False).collect()))
+    union_path = sorted(map(tuple, bitext_mine(a, b, cen, knn=2).collect()))
+    assert union_path == lazy and lazy
+
+    # mismatched id types -> per-side fallback, same values modulo the id
+    a_str = a.withColumn("a_id", F.concat(F.lit("doc_"), F.col("a_id")))
+    got = sorted(
+        (r["a_id"], r["b_id"], r["cos_ppm"], r["margin_ppm"])
+        for r in bitext_mine(a_str, b, cen, knn=2).collect()
+    )
+    want = sorted(
+        (f"doc_{r['a_id']}", r["b_id"], r["cos_ppm"], r["margin_ppm"])
+        for r in bitext_mine(a, b, cen, knn=2, materialize=False).collect()
+    )
+    assert got == want

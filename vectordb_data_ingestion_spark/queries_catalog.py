@@ -7948,15 +7948,32 @@ def q_zorder_layout_plan(spark, sf_dir):
 # round close, per the established rule — their driver rows should
 # postdate the change.
 _DRIVER_PRIORITY = [
+    # r11 plan-change promotions (established rule: a query whose PLAN
+    # changed this round heads the window so its driver row postdates the
+    # change; every one was oracle-proven bit-identical at change time):
+    # rollup-window rewrites, eager tfidf weights, range-partitioned
+    # resample fill, union bitext checkpoint, CC jump + banded checkpoint
+    "sole_late_supplier",  # r11 plan change (also due r7 rotation)
+    "cheapest_supplier_per_part",  # r11 plan change
+    "dominant_part_suppliers",  # r11 plan change
+    "events_resample_ffill",  # r11 plan change
+    "tfidf_topk",  # r11 plan change
+    "bitext_margin_pairs_blocked",  # r11 plan change (also due r7 rotation)
+    "near_dup_dedup",  # r11 plan change
+    "minhash_lsh_near_dup",  # r11 plan change
+    "near_dup_components",  # r11 plan change
+    "component_size_histogram",  # r11 plan change
+    "training_corpus_prep",  # r11 plan change
+    "minhash_estimate_error",  # r11 plan change
+    "near_dup_recall_eval",  # r11 plan change
+    # natural least-recently-verified rotation continues:
     "temperature_sample",  # r7
     "source_vocab_overlap",  # r7
-    "sole_late_supplier",  # r7
     "top_supplier_revenue",  # r7
     "nation_pair_volume",  # r7
     "token_budget_fill",  # r7
     "interleave_manifest",  # r7
     "weighted_reservoir_sample",  # r7
-    "bitext_margin_pairs_blocked",  # r7
     "retrieval_mrr_eval",  # r7
     "nation_yearly_profit",  # r7
     "dataset_card",  # r7
