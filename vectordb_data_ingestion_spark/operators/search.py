@@ -354,8 +354,12 @@ def build_bm25_index(
         .groupBy("term", id_col, "dl")
         .agg(F.count("*").alias("tf"))
     )
+    # postings is one row per (term, doc) by construction (the groupBy
+    # above; dl is functionally dependent on the doc), so a plain count
+    # IS the distinct doc count — count_distinct would plan an extra
+    # dedup aggregation phase for nothing (r11)
     terms = postings.groupBy("term").agg(
-        F.count_distinct(F.col(id_col)).alias("df")
+        F.count("*").alias("df")
     )
     stats = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
     return postings, terms, stats
@@ -481,9 +485,11 @@ def tfidf_topk(
     # full-vocab document frequencies: a plain equi-join, NOT broadcast —
     # at 100 TB the vocabulary is itself huge (AQE still broadcasts it
     # when it turns out small). Only the query-term slice (qdf) and the
-    # 1-row count are broadcast below.
+    # 1-row count are broadcast below. term_tf is one row per (doc, term)
+    # by construction, so count(*) IS the distinct doc count (r11 — the
+    # distinct form planned an extra dedup aggregation phase).
     dfreq = term_tf.groupBy("term").agg(
-        F.count_distinct(F.col(id_col)).alias("__df")
+        F.count("*").alias("__df")
     )
     idf = F.log((F.col("__n") + 1.0) / (F.col("__df") + 1.0)) + 1.0
     w_milli = F.round(

@@ -5849,7 +5849,12 @@ def q_doc_keywords_tfidf(spark, sf_dir):
         ).alias("word"),
     )
     tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived from the tf rollup (r11): tf has exactly one row per
+    # (doc, word), so count(*) per word ≡ countDistinct(doc_id) over the
+    # raw stream — this reuses the tf exchange instead of paying a second
+    # tokenize pass plus a corpus-scale distinct shuffle (local parity,
+    # interleaved A/B 1.04 vs 1.05 s; strictly one pass at scale)
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     score = F.round(
         (F.lit(1) + F.log("tf"))
@@ -7966,6 +7971,10 @@ _DRIVER_PRIORITY = [
     "training_corpus_prep",  # r11 plan change
     "minhash_estimate_error",  # r11 plan change
     "near_dup_recall_eval",  # r11 plan change
+    "doc_keywords_tfidf",  # r11 plan change (derived df)
+    "bm25_topk",  # r11 plan change (count_distinct -> count)
+    "bm25_topk_indexed",  # r11 plan change (count_distinct -> count)
+    "hybrid_rrf_search",  # r11 plan change (count_distinct -> count)
     # natural least-recently-verified rotation continues:
     "temperature_sample",  # r7
     "source_vocab_overlap",  # r7
