@@ -2148,9 +2148,14 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_chunk_table_pipeline(spark, sf_dir):
     """The ingestion spine as one plan: weaviate_vector_data_preparation
     (sharepointutils.py:331-409) without the serial loops."""
-    tables = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    tables = load_tables(
+        spark, sf_dir, ("documents", "embeddings"), register_views=False
+    )
+    # spread: the clean+chunk+token pass otherwise runs in the corpus
+    # scan's single local split (r11 profile: 1 task, 0.37 s cpu, no
+    # shuffle; interleaved A/B 0.42 → 0.36 s; no-op at real scale)
     chunks = build_chunk_table(
-        tables["documents"], chunk_size=32, overlap_fraction=0.25
+        spread(tables["documents"]), chunk_size=32, overlap_fraction=0.25
     )
     chunks = attach_embeddings(chunks, tables["embeddings"], broadcast_embeddings=True)
     return chunks.select("doc_id", "chunk_index", "n_tokens", "chunk_id")
@@ -7975,6 +7980,7 @@ _DRIVER_PRIORITY = [
     "bm25_topk",  # r11 plan change (count_distinct -> count)
     "bm25_topk_indexed",  # r11 plan change (count_distinct -> count)
     "hybrid_rrf_search",  # r11 plan change (count_distinct -> count)
+    "chunk_table_pipeline",  # r11 plan change (spread on the chunk pass)
     # natural least-recently-verified rotation continues:
     "temperature_sample",  # r7
     "source_vocab_overlap",  # r7
